@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-deterministic numeric helpers (SURVEY.md §5).
+  *
+  * The DuckDB oracle and Spark must produce bit-identical doubles.
+  * Two hazards: (1) `round()` half-boundary semantics differ between
+  * engines; (2) floating-point SUMS are order-dependent, and shuffle
+  * partitioning orders differ. Policy:
+  *   - money (2-decimal parquet doubles) is summed as integer CENTS
+  *     (`cents`) — exact, associative, order-independent;
+  *   - any displayed rounding uses `r(c, n)` = floor(x*10^n + 0.5)/10^n,
+  *     the same IEEE operation sequence both engines evaluate;
+  *   - transcendentals (log) differ by ≤1-2 ulp across libm
+  *     implementations — `r(_, 6)` absorbs that.
+  * SQL twins: `CAST(floor(x*100 + 0.5) AS BIGINT)` / `floor(x*s+0.5)/s`.
+  */
+object Det {
+  /** Exact integer cents of a 2-decimal double column. */
+  def cents(c: Column): Column = floor(c * lit(100.0) + lit(0.5)).cast("long")
+
+  /** Deterministic half-up rounding to n decimals (positive values). */
+  def r(c: Column, n: Int): Column = {
+    val s = math.pow(10.0, n.toDouble)
+    floor(c * lit(s) + lit(0.5)) / lit(s)
+  }
+
+  /** Back to a 2-decimal double amount. */
+  def fromCents(c: Column): Column = c.cast("double") / lit(100.0)
+}

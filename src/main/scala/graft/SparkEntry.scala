@@ -1,13 +1,155 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.etl.Retention
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §6
+  * (correctness gate). Every implemented operator has a `queries`
+  * entry; every SQL-expressible one has a DuckDB `oracleSql` twin with
+  * IDENTICAL column names and the deterministic numeric policy of
+  * [[graft.Det]] (integer-cents sums + floor-based rounding) so both
+  * engines produce bit-identical values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the cutoff-sliced customer-feature + churn-label table
+    * (reference pipeline/etl.py:33-142). Driver smoke-checks rows>0 on
+    * sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_customer_features")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- A. Relational / ETL core -----------------------------------
+    "q_clean_lines" -> ((s, dir) => Retention.cleanLines(Tables.lineitem(s, dir))),
+    "q_order_rollup" -> ((s, dir) => Retention.orderRollup(Tables.lineitem(s, dir))),
+    "q_customer_features" -> ((s, dir) =>
+      Retention.customerFeatures(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q_churn_labels" -> ((s, dir) => Retention.churnLabels(Tables.orders(s, dir))),
+    "q_segments" -> ((s, dir) =>
+      Retention.segments(
+        Retention.customerFeatures(Tables.orders(s, dir), Tables.lineitem(s, dir)))),
+    "q_class_weights" -> ((s, dir) =>
+      Retention.classWeightTable(
+        Retention.customerFeatures(Tables.orders(s, dir), Tables.lineitem(s, dir)))),
+    "q_splits" -> ((s, dir) =>
+      Retention.splitSummary(
+        Retention.customerFeatures(Tables.orders(s, dir), Tables.lineitem(s, dir))))
+  )
+
+  // ---------------------------------------------------------------
+  // DuckDB oracles. Shared CTE fragments keep the SQL in lockstep
+  // with the Scala plans; constants mirror Retention.Config defaults.
+  // SQL twins of graft.Det: cents(x) = CAST(floor(x*100.0+0.5) AS
+  // BIGINT); r_n(x) = floor(x*10^n + 0.5)/10^n.
+  // ---------------------------------------------------------------
+  private val T  = "TIMESTAMP '2000-06-30 23:59:59'"
+  private val T1 = "TIMESTAMP '2000-12-27 23:59:59'" // cutoff + 180d
+  private val R  = "TIMESTAMP '2000-04-01 23:59:59'" // cutoff - 90d
+
+  private def cents(x: String)         = s"CAST(floor($x * 100.0 + 0.5) AS BIGINT)"
+  private def r(x: String, n: Int)     = { val s = "1" + "0" * n + ".0"; s"floor($x * $s + 0.5) / $s" }
+
+  /** Features CTE — the DuckDB twin of Retention.customerFeatures. */
+  private val featuresCte: String =
+    s"""WITH j AS (
+       |  SELECT o.o_custkey AS custkey, o.o_orderdate AS od,
+       |         l.l_orderkey, l.l_partkey, l.l_quantity, l.l_extendedprice
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  WHERE l.l_quantity > 0 AND l.l_extendedprice > 0 AND o.o_custkey IS NOT NULL
+       |), f AS (
+       |  SELECT custkey,
+       |    count(DISTINCT CASE WHEN od <= $T THEN l_orderkey END) AS total_orders,
+       |    sum(CASE WHEN od <= $T THEN l_quantity END) AS total_qty_raw,
+       |    sum(CASE WHEN od <= $T THEN ${cents("l_extendedprice")} END) AS total_cents,
+       |    count(DISTINCT CASE WHEN od <= $T THEN l_partkey END) AS distinct_products,
+       |    max(CASE WHEN od <= $T THEN od END) AS last_purchase_ts,
+       |    count(DISTINCT CASE WHEN od > $R AND od <= $T THEN l_orderkey END) AS recent90_orders,
+       |    sum(CASE WHEN od > $R AND od <= $T THEN ${cents("l_extendedprice")} END) AS recent90_cents,
+       |    max(CASE WHEN od > $T AND od <= $T1 THEN 1.0 ELSE 0.0 END) AS has_future
+       |  FROM j GROUP BY 1
+       |), d AS (
+       |  SELECT custkey, total_orders, total_qty_raw, distinct_products, recent90_orders,
+       |    CAST(coalesce(total_cents, 0) AS DOUBLE) / 100.0 AS total_amount,
+       |    CAST(coalesce(recent90_cents, 0) AS DOUBLE) / 100.0 AS recent90_amount,
+       |    CAST(datediff('day', CAST(last_purchase_ts AS DATE), DATE '2000-06-30') AS INTEGER) AS recency_days,
+       |    has_future
+       |  FROM f WHERE total_orders >= 1
+       |), feats AS (
+       |  SELECT custkey, total_orders,
+       |    coalesce(total_qty_raw, 0.0) AS total_qty,
+       |    total_amount,
+       |    ${r("total_amount / total_orders", 4)} AS avg_order_amount,
+       |    distinct_products, recent90_orders, recent90_amount, recency_days,
+       |    ${r("ln(1.0 + total_amount)", 6)} AS total_amount_log,
+       |    ${r("ln(1.0 + recent90_amount)", 6)} AS recent90_amount_log,
+       |    CASE WHEN has_future = 1.0 THEN 0.0 ELSE 1.0 END AS label
+       |  FROM d
+       |), cohort AS (
+       |  SELECT * FROM feats WHERE total_orders >= 2 OR recency_days <= 180
+       |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_clean_lines" ->
+      s"""SELECT l_orderkey AS orderkey, l_linenumber AS linenumber, l_partkey AS partkey,
+         |  l_quantity AS qty, l_extendedprice AS amount,
+         |  ${r("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 2)} AS net_amount
+         |FROM lineitem
+         |WHERE l_orderkey IS NOT NULL AND l_quantity > 0 AND l_extendedprice > 0""".stripMargin,
+    "q_order_rollup" ->
+      s"""SELECT l_orderkey AS orderkey, count(*) AS order_lines,
+         |  sum(l_quantity) AS order_qty,
+         |  CAST(sum(${cents("l_extendedprice")}) AS DOUBLE) / 100.0 AS order_amount,
+         |  count(DISTINCT l_partkey) AS distinct_parts,
+         |  strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship_date
+         |FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0
+         |GROUP BY 1""".stripMargin,
+    "q_customer_features" -> s"$featuresCte SELECT * FROM cohort",
+    "q_churn_labels" ->
+      s"""SELECT o_custkey AS custkey,
+         |  sum(CASE WHEN o_orderdate <= $T THEN 1 ELSE 0 END) AS hist_orders,
+         |  CASE WHEN max(CASE WHEN o_orderdate > $T AND o_orderdate <= $T1 THEN 1.0 ELSE 0.0 END) = 1.0
+         |       THEN 0.0 ELSE 1.0 END AS label
+         |FROM orders WHERE o_custkey IS NOT NULL
+         |GROUP BY 1
+         |HAVING sum(CASE WHEN o_orderdate <= $T THEN 1 ELSE 0 END) >= 1""".stripMargin,
+    "q_segments" ->
+      s"""$featuresCte, seg AS (
+         |  SELECT *, CASE WHEN total_orders = 1 AND recency_days <= 180 THEN 'new'
+         |                 WHEN recency_days > 180 THEN 'churned'
+         |                 ELSE 'active_repeat' END AS segment
+         |  FROM cohort
+         |), rolled AS (
+         |  SELECT segment, count(*) AS n_customers,
+         |    sum(total_orders) AS sum_orders,
+         |    sum(${cents("total_amount")}) AS seg_cents
+         |  FROM seg GROUP BY 1
+         |)
+         |SELECT segment, n_customers,
+         |  ${r("CAST(sum_orders AS DOUBLE) / n_customers", 4)} AS avg_orders,
+         |  ${r("CAST(seg_cents AS DOUBLE) / 100.0 / n_customers", 2)} AS avg_amount,
+         |  ${r("CAST(seg_cents AS DOUBLE) / CAST(sum(seg_cents) OVER () AS DOUBLE)", 6)} AS revenue_share
+         |FROM rolled""".stripMargin,
+    "q_class_weights" ->
+      s"""$featuresCte, counts AS (
+         |  SELECT label, count(*) AS n FROM cohort GROUP BY 1
+         |), w AS (
+         |  SELECT label, n,
+         |    sum(CASE WHEN label = 1.0 THEN n ELSE 0 END) OVER () AS pos,
+         |    sum(CASE WHEN label = 0.0 THEN n ELSE 0 END) OVER () AS neg
+         |  FROM counts
+         |)
+         |SELECT label, n,
+         |  ${r("CASE WHEN label = 1.0 THEN CAST(neg AS DOUBLE) / CAST(greatest(pos, 1) AS DOUBLE) ELSE 1.0 END", 6)} AS class_weight
+         |FROM w""".stripMargin,
+    "q_splits" ->
+      s"""$featuresCte
+         |SELECT CASE WHEN custkey % 20 < 14 THEN 'train'
+         |            WHEN custkey % 20 < 17 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  count(*) AS n_customers,
+         |  ${r("sum(label) / count(*)", 6)} AS pos_rate
+         |FROM cohort GROUP BY 1""".stripMargin
+  )
 }

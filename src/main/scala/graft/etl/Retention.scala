@@ -1,0 +1,243 @@
+package graft.etl
+
+import java.sql.Timestamp
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Det
+
+/** Time-sliced retention/churn feature engineering.
+  *
+  * Re-expresses the reference ETL (reference: pipeline/etl.py:33-142)
+  * Spark-first. The reference computes the customer feature table with
+  * four separate `groupBy`s (history agg, distinct products, recent-90d,
+  * lookahead label) stitched by three joins — at 100 TB that is four
+  * shuffles of the fact table. Here the entire table is ONE
+  * orders⋈lineitem join followed by ONE `groupBy(custkey)` using
+  * conditional aggregation (`agg(fn(when(slice, col)))`), so the fact
+  * data is shuffled exactly once and every aggregate is computed with
+  * map-side partial aggregation inside whole-stage codegen.
+  *
+  * Money is aggregated as integer cents (order-independent, exact at
+  * any parallelism — see graft.Det); derived ratios/logs are rounded
+  * with the deterministic formula shared with the DuckDB oracle.
+  */
+object Retention {
+
+  /** Cutoff semantics of reference pipeline/etl.py:53-63 (defaults
+    * lookahead=180d from etl.py:159, recent window=90d from etl.py:87,
+    * cohort rule from etl.py:127).
+    */
+  final case class Config(
+      cutoff: LocalDateTime = LocalDateTime.parse("2000-06-30T23:59:59"),
+      lookaheadDays: Int = 180,
+      recentDays: Int = 90,
+      cohortMinOrders: Int = 2,
+      cohortRecencyDays: Int = 180) {
+    def cutoffTs: Column    = lit(Timestamp.valueOf(cutoff))
+    def lookaheadTs: Column = lit(Timestamp.valueOf(cutoff.plusDays(lookaheadDays.toLong)))
+    def recentTs: Column    = lit(Timestamp.valueOf(cutoff.minusDays(recentDays.toLong)))
+    def cutoffDate: Column  = to_date(cutoffTs)
+  }
+
+  /** Valid-transaction filter + line amount (reference etl.py:35-39:
+    * CustomerID notnull, Quantity>0, UnitPrice>0, Amount=qty*price).
+    * `l_extendedprice` is already the line amount (qty*price);
+    * `net_amount` additionally applies discount/tax to show the
+    * expression battery. All predicates push down to the parquet scan.
+    */
+  def cleanLines(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_orderkey").isNotNull && col("l_quantity") > 0 && col("l_extendedprice") > 0)
+      .select(
+        col("l_orderkey").as("orderkey"),
+        col("l_linenumber").as("linenumber"),
+        col("l_partkey").as("partkey"),
+        col("l_quantity").as("qty"),
+        col("l_extendedprice").as("amount"),
+        Det.r(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 2)
+          .as("net_amount"))
+
+  /** Order-level rollup from lines (reference etl.py:42-51: groupBy
+    * Invoice → max date, sum amount, countDistinct products, sum qty).
+    */
+  def orderRollup(lineitem: DataFrame): DataFrame =
+    cleanLinesForAgg(lineitem)
+      .groupBy(col("l_orderkey").as("orderkey"))
+      .agg(
+        count(lit(1)).as("order_lines"),
+        sum(col("l_quantity")).as("order_qty"),
+        Det.fromCents(sum(Det.cents(col("l_extendedprice")))).as("order_amount"),
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("last_ship_date"))
+
+  private def cleanLinesForAgg(lineitem: DataFrame): DataFrame =
+    lineitem.filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+
+  /** The flagship: full cutoff-sliced customer feature + churn label
+    * table (reference etl.py:33-142) in ONE join + ONE groupBy.
+    *
+    * Slices (all relative to cutoff T, lookahead T1=T+180d, R=T-90d):
+    *   hist      o_orderdate <= T        → behavioural features
+    *   recent    R < o_orderdate <= T    → recent-90d features
+    *   lookahead T < o_orderdate <= T1   → churn label (no purchase ⇒ 1)
+    * Cohort rule: total_orders >= 2 OR recency_days <= 180
+    * (reference etl.py:127). Customers with no history are excluded
+    * (the reference aggregates hist_orders only, etl.py:66-75).
+    */
+  def customerFeatures(orders: DataFrame, lineitem: DataFrame, cfg: Config = Config()): DataFrame = {
+    val lines = cleanLinesForAgg(lineitem)
+    val o = orders.filter(col("o_custkey").isNotNull)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+
+    // One fact-fact shuffle join; AQE handles skew. Only the three
+    // order columns survive the join (column pruning keeps the
+    // shuffle narrow).
+    val joined = lines.join(o, col("l_orderkey") === col("o_orderkey"))
+
+    val hist      = col("o_orderdate") <= cfg.cutoffTs
+    val recent    = col("o_orderdate") > cfg.recentTs && hist
+    val lookahead = col("o_orderdate") > cfg.cutoffTs && col("o_orderdate") <= cfg.lookaheadTs
+
+    val feats = joined
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        countDistinct(when(hist, col("l_orderkey"))).as("total_orders"),
+        sum(when(hist, col("l_quantity"))).as("total_qty_raw"),
+        sum(when(hist, Det.cents(col("l_extendedprice")))).as("total_cents"),
+        countDistinct(when(hist, col("l_partkey"))).as("distinct_products"),
+        max(when(hist, col("o_orderdate"))).as("last_purchase_ts"),
+        countDistinct(when(recent, col("l_orderkey"))).as("recent90_orders"),
+        sum(when(recent, Det.cents(col("l_extendedprice")))).as("recent90_cents"),
+        max(when(lookahead, lit(1.0)).otherwise(lit(0.0))).as("has_future_purchase"))
+      .filter(col("total_orders") >= 1)
+
+    val withDerived = feats
+      .withColumn("recency_days", datediff(cfg.cutoffDate, to_date(col("last_purchase_ts"))))
+      .withColumn("total_amount", Det.fromCents(coalesce(col("total_cents"), lit(0L))))
+      .withColumn("recent90_amount", Det.fromCents(coalesce(col("recent90_cents"), lit(0L))))
+      .withColumn("label",
+        when(col("has_future_purchase") === 1.0, lit(0.0)).otherwise(lit(1.0)))
+
+    // Null handling (reference etl.py:106-118) + cohort rule
+    // (etl.py:127) + feature selection (etl.py:130-141).
+    withDerived
+      .filter(col("total_orders") >= cfg.cohortMinOrders ||
+        col("recency_days") <= cfg.cohortRecencyDays)
+      .select(
+        col("custkey"),
+        col("total_orders"),
+        coalesce(col("total_qty_raw"), lit(0.0)).as("total_qty"),
+        col("total_amount"),
+        Det.r(col("total_amount") / col("total_orders"), 4).as("avg_order_amount"),
+        col("distinct_products"),
+        col("recent90_orders"),
+        col("recent90_amount"),
+        col("recency_days"),
+        Det.r(log1p(col("total_amount")), 6).as("total_amount_log"),
+        Det.r(log1p(col("recent90_amount")), 6).as("recent90_amount_log"),
+        col("label"))
+  }
+
+  /** Lookahead churn labels only (reference etl.py:58-63,120-124):
+    * every customer with history, label 1 unless a purchase lands in
+    * (T, T1]. Single groupBy over orders (no lineitem needed).
+    */
+  def churnLabels(orders: DataFrame, cfg: Config = Config()): DataFrame = {
+    val hist      = col("o_orderdate") <= cfg.cutoffTs
+    val lookahead = col("o_orderdate") > cfg.cutoffTs && col("o_orderdate") <= cfg.lookaheadTs
+    orders.filter(col("o_custkey").isNotNull)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        sum(when(hist, lit(1L)).otherwise(lit(0L))).as("hist_orders"),
+        max(when(lookahead, lit(1.0)).otherwise(lit(0.0))).as("has_future_purchase"))
+      .filter(col("hist_orders") >= 1)
+      .select(
+        col("custkey"),
+        col("hist_orders"),
+        when(col("has_future_purchase") === 1.0, lit(0.0)).otherwise(lit(1.0)).as("label"))
+  }
+
+  /** Behavioural segmentation (reference README:31-38 EDA): new /
+    * churned / active_repeat by recency+frequency, with per-segment
+    * rollup including revenue share (computed with a full-frame window
+    * over the 3-row aggregate — no driver collect). Money re-enters
+    * cents before summing (order-independent).
+    */
+  def segments(features: DataFrame): DataFrame = {
+    val seg = features.withColumn("segment",
+      when(col("total_orders") === 1 && col("recency_days") <= 180, lit("new"))
+        .when(col("recency_days") > 180, lit("churned"))
+        .otherwise(lit("active_repeat")))
+    val rolled = seg.groupBy("segment").agg(
+      count(lit(1)).as("n_customers"),
+      sum(col("total_orders")).as("sum_orders"),
+      sum(Det.cents(col("total_amount"))).as("seg_cents"))
+    rolled
+      .select(
+        col("segment"),
+        col("n_customers"),
+        Det.r(col("sum_orders").cast("double") / col("n_customers"), 4).as("avg_orders"),
+        Det.r(Det.fromCents(col("seg_cents")) / col("n_customers"), 2).as("avg_amount"),
+        Det.r(col("seg_cents").cast("double") /
+          sum(col("seg_cents")).over(Window.partitionBy()).cast("double"), 6).as("revenue_share"))
+  }
+
+  /** Class-imbalance weights (reference train.py:40-55) WITHOUT the
+    * reference's driver-side collect: the two label counts stay in the
+    * plan via a full-frame window over the 2-row aggregate.
+    * w_pos = N_neg / max(N_pos, 1); w_neg = 1.0.
+    */
+  def classWeightTable(labeled: DataFrame): DataFrame = {
+    val counts = labeled.groupBy("label").agg(count(lit(1)).as("n"))
+    val all    = Window.partitionBy()
+    counts
+      .withColumn("pos", sum(when(col("label") === 1.0, col("n")).otherwise(0L)).over(all))
+      .withColumn("neg", sum(when(col("label") === 0.0, col("n")).otherwise(0L)).over(all))
+      .select(
+        col("label"), col("n"),
+        Det.r(when(col("label") === 1.0,
+          col("neg").cast("double") / greatest(col("pos"), lit(1L)).cast("double"))
+          .otherwise(lit(1.0)), 6).as("class_weight"))
+  }
+
+  /** Attach a class_weight column to a labeled DataFrame for training
+    * (broadcast of the 1-row count aggregate; collect-free).
+    */
+  def withClassWeights(labeled: DataFrame): DataFrame = {
+    val counts = labeled.agg(
+      sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("_pos"),
+      sum(when(col("label") === 0.0, 1L).otherwise(0L)).as("_neg"))
+    labeled
+      .crossJoin(broadcast(counts))
+      .withColumn("class_weight",
+        when(col("label") === 1.0,
+          col("_neg").cast("double") / greatest(col("_pos"), lit(1L)).cast("double"))
+          .otherwise(lit(1.0)))
+      .drop("_pos", "_neg")
+  }
+
+  /** Deterministic train/val/test split (reference etl.py:145-151 uses
+    * randomSplit 70/15/15; a modulo split keeps the same proportions
+    * while being reproducible across engines and cluster sizes — at
+    * 100 TB a seed-based randomSplit is also re-evaluated per attempt,
+    * a hash split is not).
+    */
+  def splitColumn(key: Column): Column =
+    when(pmod(key, lit(20)) < 14, lit("train"))
+      .when(pmod(key, lit(20)) < 17, lit("val"))
+      .otherwise(lit("test"))
+
+  def withSplit(features: DataFrame, key: String = "custkey"): DataFrame =
+    features.withColumn("split", splitColumn(col(key)))
+
+  def splitSummary(features: DataFrame): DataFrame =
+    withSplit(features)
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        Det.r(sum(col("label")) / count(lit(1)), 6).as("pos_rate"))
+}
