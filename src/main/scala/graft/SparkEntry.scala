@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.Retention
+import graft.ops.Relational
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §6
   * (correctness gate). Every implemented operator has a `queries`
@@ -35,7 +36,15 @@ object SparkEntry {
         Retention.customerFeatures(Tables.orders(s, dir), Tables.lineitem(s, dir)))),
     "q_splits" -> ((s, dir) =>
       Retention.splitSummary(
-        Retention.customerFeatures(Tables.orders(s, dir), Tables.lineitem(s, dir))))
+        Retention.customerFeatures(Tables.orders(s, dir), Tables.lineitem(s, dir)))),
+    "q_pricing_summary" -> ((s, dir) => Relational.pricingSummary(Tables.lineitem(s, dir))),
+    "q_join_enrich" -> ((s, dir) =>
+      Relational.joinEnrich(Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir))),
+    "q_topn_per_group" -> ((s, dir) =>
+      Relational.topNPerGroup(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir))),
+    "q_cohort_retention" -> ((s, dir) => Relational.cohortRetention(Tables.events(s, dir)))
   )
 
   // ---------------------------------------------------------------
@@ -150,6 +159,69 @@ object SparkEntry {
          |            ELSE 'test' END AS split,
          |  count(*) AS n_customers,
          |  ${r("sum(label) / count(*)", 6)} AS pos_rate
-         |FROM cohort GROUP BY 1""".stripMargin
+         |FROM cohort GROUP BY 1""".stripMargin,
+    "q_pricing_summary" ->
+      s"""SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+         |  sum(l_quantity) AS sum_qty,
+         |  CAST(sum(${cents("l_extendedprice")}) AS DOUBLE) / 100.0 AS sum_base_price,
+         |  ${r("CAST(sum(" + cents("l_extendedprice") + ") AS DOUBLE) / 100.0 / count(*)", 4)} AS avg_price,
+         |  ${r("CAST(sum(" + cents("l_discount") + ") AS DOUBLE) / 100.0 / count(*)", 6)} AS avg_disc,
+         |  count(*) AS count_order,
+         |  count(DISTINCT l_orderkey) AS n_orders
+         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_join_enrich" ->
+      s"""WITH dims AS (
+         |  SELECT c_custkey, n_name AS nation, r_name AS region
+         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |                JOIN region ON n_regionkey = r_regionkey
+         |), pc AS (
+         |  SELECT o_custkey, count(*) AS cust_orders,
+         |    sum(${cents("o_totalprice")}) AS cust_cents
+         |  FROM orders GROUP BY 1
+         |)
+         |SELECT region, nation, count(*) AS n_customers,
+         |  sum(cust_orders) AS n_orders,
+         |  CAST(sum(cust_cents) AS DOUBLE) / 100.0 AS revenue
+         |FROM pc JOIN dims ON o_custkey = c_custkey
+         |GROUP BY 1, 2""".stripMargin,
+    "q_topn_per_group" ->
+      s"""WITH pp AS (
+         |  SELECT l_partkey, sum(${cents("l_extendedprice")}) AS part_cents
+         |  FROM lineitem GROUP BY 1
+         |), rk AS (
+         |  SELECT p_brand AS brand, l_partkey AS partkey, part_cents,
+         |    row_number() OVER (PARTITION BY p_brand ORDER BY part_cents DESC, l_partkey ASC) AS "rank"
+         |  FROM pp JOIN part ON l_partkey = p_partkey
+         |)
+         |SELECT brand, "rank", partkey,
+         |  CAST(part_cents AS DOUBLE) / 100.0 AS part_revenue
+         |FROM rk WHERE "rank" <= 3""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events
+        |), g AS (
+        |  SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ms FROM e
+        |), s AS (
+        |  SELECT *, CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS is_new FROM g
+        |), c AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM s
+        |)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  max(ts_ms) - min(ts_ms) AS duration_ms,
+        |  count(DISTINCT event_type) AS n_event_types,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+        |), fw AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1
+        |)
+        |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+        |  CAST(datediff('day', cohort_week, week) / 7 AS INTEGER) AS week_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM a JOIN fw USING (user_id)
+        |GROUP BY fw.cohort_week, a.week""".stripMargin
   )
 }
