@@ -1,0 +1,184 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Det
+
+/** Text-analysis operators for LLM-data pipelines: tokenization,
+  * quality scoring, language ID, document fingerprinting.
+  *
+  * Everything is pure `Column` expression code (zero UDFs): splits,
+  * regexes, and higher-order array functions all stay inside
+  * whole-stage codegen, and each operator has an exact DuckDB twin
+  * (the `sql*` builders) generated from the SAME constants so the
+  * oracle can never drift from the Spark plan.
+  */
+object Text {
+
+  /** Whitespace tokens, empties dropped (so leading/trailing/double
+    * spaces cannot skew counts).
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > lit(0))
+
+  def sqlTokens(x: String): String =
+    s"list_filter(regexp_split_to_array($x, '\\s+'), t -> len(t) > 0)"
+
+  /** BPE-ish lexer tokens: letter runs, digit runs, single other
+    * non-space chars — the classic pre-tokenization regex.
+    */
+  val bpeFragment = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(bpeFragment), lit(0))
+  def sqlBpeTokens(x: String): String = s"regexp_extract_all($x, '$bpeFragment')"
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Per-document token statistics (whitespace + BPE-ish counts,
+    * mean word length).
+    */
+  def tokenStats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(bpeTokens(col("text"))).as("n_bpe_tokens"),
+      Det.r(
+        aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
+          greatest(size(toks), lit(1)).cast("double"), 4).as("mean_token_len"))
+  }
+
+  def sqlTokenStats: String = {
+    val toks = sqlTokens("text")
+    s"""SELECT doc_id,
+       |  len($toks) AS n_tokens,
+       |  len(${sqlBpeTokens("text")}) AS n_bpe_tokens,
+       |  floor(CAST(list_sum(list_transform($toks, t -> len(t))) AS DOUBLE)
+       |        / CAST(greatest(len($toks), 1) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS mean_token_len
+       |FROM documents""".stripMargin
+  }
+
+  /** Quality scoring: stopword ratio, alpha-char ratio, punctuation
+    * ratio, length credit — combined into one deterministic [0,1]
+    * score (the usual cheap pre-filter before expensive dedup).
+    */
+  def quality(documents: DataFrame): DataFrame = {
+    val toks     = tokens(col("text"))
+    val nToks    = greatest(size(toks), lit(1)).cast("double")
+    val nChars   = greatest(length(col("text")), lit(1)).cast("double")
+    val stopHits = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+    val alpha    = size(regexp_extract_all(col("text"), lit("[a-zA-Z]"), lit(0))).cast("double")
+    val punct    = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
+    val swRatio    = stopHits / nToks
+    val alphaRatio = alpha / nChars
+    val punctRatio = punct / nChars
+    val lenCredit  = least(size(toks).cast("double") / lit(50.0), lit(1.0))
+    documents.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      Det.r(swRatio, 6).as("stopword_ratio"),
+      Det.r(alphaRatio, 6).as("alpha_ratio"),
+      Det.r(punctRatio, 6).as("punct_ratio"),
+      Det.r(swRatio * lit(0.3) + alphaRatio * lit(0.3) + lenCredit * lit(0.2) +
+        (lit(1.0) - punctRatio) * lit(0.2), 6).as("quality_score"))
+  }
+
+  def sqlQuality: String = {
+    val toks = sqlTokens("text")
+    val r6   = (x: String) => s"floor(($x) * 1000000.0 + 0.5) / 1000000.0"
+    val sw    = s"CAST(len(list_filter($toks, t -> list_contains(${sqlList(stopwords)}, t))) AS DOUBLE) / CAST(greatest(len($toks), 1) AS DOUBLE)"
+    val alpha = s"CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE)"
+    val punct = s"CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE)"
+    val cred  = s"least(CAST(len($toks) AS DOUBLE) / 50.0, 1.0)"
+    s"""SELECT doc_id,
+       |  len($toks) AS n_tokens,
+       |  ${r6(sw)} AS stopword_ratio,
+       |  ${r6(alpha)} AS alpha_ratio,
+       |  ${r6(punct)} AS punct_ratio,
+       |  ${r6(s"($sw) * 0.3 + ($alpha) * 0.3 + ($cred) * 0.2 + (1.0 - ($punct)) * 0.2")} AS quality_score
+       |FROM documents""".stripMargin
+  }
+
+  /** Stopword-hit language ID: hit counts per language's marker set,
+    * argmax with a fixed tie-break order. A cheap n-gram-free heuristic
+    * that is exactly reproducible in SQL (real systems plug a model in
+    * at this seam; the Spark plumbing is identical).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "une"),
+    "zh" -> Seq("shi", "bu", "wo", "zhe", "ge"))
+
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val hits = langMarkers.map { case (lang, ws) =>
+      lang -> size(filter(toks, t => t.isInCollection(ws)))
+    }
+    val best = hits.tail.foldLeft(
+      struct(hits.head._2.as("h"), lit(hits.head._1).as("l"))) { case (acc, (lang, h)) =>
+      when(h > acc.getField("h"), struct(h.as("h"), lit(lang).as("l"))).otherwise(acc)
+    }
+    documents.select(
+      col("doc_id"),
+      col("lang").as("declared_lang"),
+      best.getField("l").as("predicted_lang"),
+      best.getField("h").as("marker_hits"))
+  }
+
+  def sqlLangId: String = {
+    val toks = sqlTokens("text")
+    val hits = langMarkers.map { case (lang, ws) =>
+      lang -> s"len(list_filter($toks, t -> list_contains(${sqlList(ws)}, t)))"
+    }
+    // same left fold as the Spark plan: strictly-greater replaces
+    val bestExpr = hits.tail.foldLeft(s"struct_pack(h := ${hits.head._2}, l := '${hits.head._1}')") {
+      case (acc, (lang, h)) =>
+        s"CASE WHEN $h > ($acc).h THEN struct_pack(h := $h, l := '$lang') ELSE $acc END"
+    }
+    s"""WITH b AS (SELECT doc_id, lang, $bestExpr AS best FROM documents)
+       |SELECT doc_id, lang AS declared_lang, best.l AS predicted_lang,
+       |  CAST(best.h AS INTEGER) AS marker_hits
+       |FROM b""".stripMargin
+  }
+
+  /** Shingle fingerprint: minimum md5 over 3-token shingles (a
+    * content-defined fingerprint stable under doc reordering of
+    * surrounding corpus; md5-hex string min is exactly portable across
+    * engines). Docs shorter than 3 tokens fall back to md5(text).
+    */
+  val shingleSize = 3
+
+  def shingles(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= shingleSize,
+      transform(sequence(lit(1), size(toks) - lit(shingleSize - 1)),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array(c))
+  }
+
+  def sqlShingles(x: String): String = {
+    val toks = sqlTokens(x)
+    s"""CASE WHEN len($toks) >= $shingleSize
+       | THEN list_transform(range(1, len($toks) - ${shingleSize - 2}),
+       |        i -> $toks[i] || ' ' || $toks[i + 1] || ' ' || $toks[i + 2])
+       | ELSE [$x] END""".stripMargin.replace("\n", "")
+  }
+
+  def fingerprint(documents: DataFrame): DataFrame = {
+    val sh = shingles(col("text"))
+    documents.select(
+      col("doc_id"),
+      size(sh).as("n_shingles"),
+      array_min(transform(sh, s => md5(s.cast("binary")))).as("fingerprint"))
+  }
+
+  def sqlFingerprint: String =
+    s"""SELECT doc_id,
+       |  len(${sqlShingles("text")}) AS n_shingles,
+       |  list_aggregate(list_transform(${sqlShingles("text")}, s -> md5(s)), 'min') AS fingerprint
+       |FROM documents""".stripMargin
+}
