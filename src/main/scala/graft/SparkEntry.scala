@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.Retention
 import graft.ops.Relational
+import graft.text.Text
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §6
   * (correctness gate). Every implemented operator has a `queries`
@@ -44,7 +45,12 @@ object SparkEntry {
     "q_topn_per_group" -> ((s, dir) =>
       Relational.topNPerGroup(Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir))),
-    "q_cohort_retention" -> ((s, dir) => Relational.cohortRetention(Tables.events(s, dir)))
+    "q_cohort_retention" -> ((s, dir) => Relational.cohortRetention(Tables.events(s, dir))),
+    // --- C. Text analysis -------------------------------------------
+    "q_token_stats" -> ((s, dir) => Text.tokenStats(Tables.documents(s, dir))),
+    "q_text_quality" -> ((s, dir) => Text.quality(Tables.documents(s, dir))),
+    "q_lang_id" -> ((s, dir) => Text.langId(Tables.documents(s, dir))),
+    "q_fingerprint" -> ((s, dir) => Text.fingerprint(Tables.documents(s, dir)))
   )
 
   // ---------------------------------------------------------------
@@ -117,9 +123,9 @@ object SparkEntry {
     "q_customer_features" -> s"$featuresCte SELECT * FROM cohort",
     "q_churn_labels" ->
       s"""SELECT o_custkey AS custkey,
-         |  sum(CASE WHEN o_orderdate <= $T THEN 1 ELSE 0 END) AS hist_orders,
-         |  CASE WHEN max(CASE WHEN o_orderdate > $T AND o_orderdate <= $T1 THEN 1.0 ELSE 0.0 END) = 1.0
-         |       THEN 0.0 ELSE 1.0 END AS label
+         |  CAST(sum(CASE WHEN o_orderdate <= $T THEN 1 ELSE 0 END) AS BIGINT) AS hist_orders,
+         |  CAST(CASE WHEN max(CASE WHEN o_orderdate > $T AND o_orderdate <= $T1 THEN 1.0 ELSE 0.0 END) = 1.0
+         |       THEN 0.0 ELSE 1.0 END AS DOUBLE) AS label
          |FROM orders WHERE o_custkey IS NOT NULL
          |GROUP BY 1
          |HAVING sum(CASE WHEN o_orderdate <= $T THEN 1 ELSE 0 END) >= 1""".stripMargin,
@@ -180,7 +186,7 @@ object SparkEntry {
          |  FROM orders GROUP BY 1
          |)
          |SELECT region, nation, count(*) AS n_customers,
-         |  sum(cust_orders) AS n_orders,
+         |  CAST(sum(cust_orders) AS BIGINT) AS n_orders,
          |  CAST(sum(cust_cents) AS DOUBLE) / 100.0 AS revenue
          |FROM pc JOIN dims ON o_custkey = c_custkey
          |GROUP BY 1, 2""".stripMargin,
@@ -222,6 +228,10 @@ object SparkEntry {
         |  CAST(datediff('day', cohort_week, week) / 7 AS INTEGER) AS week_offset,
         |  count(DISTINCT user_id) AS n_users
         |FROM a JOIN fw USING (user_id)
-        |GROUP BY fw.cohort_week, a.week""".stripMargin
+        |GROUP BY fw.cohort_week, a.week""".stripMargin,
+    "q_token_stats" -> Text.sqlTokenStats,
+    "q_text_quality" -> Text.sqlQuality,
+    "q_lang_id" -> Text.sqlLangId,
+    "q_fingerprint" -> Text.sqlFingerprint
   )
 }

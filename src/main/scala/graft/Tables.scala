@@ -27,6 +27,10 @@ object Tables {
     * nanos natively.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Session builders (Verify/Bench/tests) set this at construction;
+    // the set here is a defensive no-op for externally-built sessions
+    // that call `SparkEntry.queries` directly. It is scoped to the
+    // nanos-typed events read — other tables never carry nanos.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

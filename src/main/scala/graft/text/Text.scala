@@ -43,10 +43,12 @@ object Text {
     val toks = tokens(col("text"))
     documents.select(
       col("doc_id"),
-      size(toks).as("n_tokens"),
-      size(bpeTokens(col("text"))).as("n_bpe_tokens"),
+      size(toks).cast("long").as("n_tokens"),
+      size(bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"),
       Det.r(
-        aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
+        // lit(0L): accumulate lengths in LongType (an IntegerType
+        // accumulator could overflow on very large documents).
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
           greatest(size(toks), lit(1)).cast("double"), 4).as("mean_token_len"))
   }
 
@@ -77,7 +79,7 @@ object Text {
     val lenCredit  = least(size(toks).cast("double") / lit(50.0), lit(1.0))
     documents.select(
       col("doc_id"),
-      size(toks).as("n_tokens"),
+      size(toks).cast("long").as("n_tokens"),
       Det.r(swRatio, 6).as("stopword_ratio"),
       Det.r(alphaRatio, 6).as("alpha_ratio"),
       Det.r(punctRatio, 6).as("punct_ratio"),
@@ -126,7 +128,7 @@ object Text {
       col("doc_id"),
       col("lang").as("declared_lang"),
       best.getField("l").as("predicted_lang"),
-      best.getField("h").as("marker_hits"))
+      best.getField("h").cast("long").as("marker_hits"))
   }
 
   def sqlLangId: String = {
@@ -141,7 +143,7 @@ object Text {
     }
     s"""WITH b AS (SELECT doc_id, lang, $bestExpr AS best FROM documents)
        |SELECT doc_id, lang AS declared_lang, best.l AS predicted_lang,
-       |  CAST(best.h AS INTEGER) AS marker_hits
+       |  CAST(best.h AS BIGINT) AS marker_hits
        |FROM b""".stripMargin
   }
 
@@ -172,7 +174,7 @@ object Text {
     val sh = shingles(col("text"))
     documents.select(
       col("doc_id"),
-      size(sh).as("n_shingles"),
+      size(sh).cast("long").as("n_shingles"),
       array_min(transform(sh, s => md5(s.cast("binary")))).as("fingerprint"))
   }
 
