@@ -93,26 +93,55 @@ object Retention {
     val o = orders.filter(col("o_custkey").isNotNull)
       .select("o_orderkey", "o_custkey", "o_orderdate")
 
-    // One fact-fact shuffle join; AQE handles skew. Only the three
-    // order columns survive the join (column pruning keeps the
-    // shuffle narrow).
-    val joined = lines.join(o, col("l_orderkey") === col("o_orderkey"))
-
     val hist      = col("o_orderdate") <= cfg.cutoffTs
     val recent    = col("o_orderdate") > cfg.recentTs && hist
     val lookahead = col("o_orderdate") > cfg.cutoffTs && col("o_orderdate") <= cfg.lookaheadTs
 
-    val feats = joined
+    // Two aggregation branches instead of one multi-countDistinct agg:
+    // putting countDistinct(orderkey) + countDistinct(partkey) in a
+    // single agg makes Catalyst insert an Expand node that replicates
+    // every joined fact row once per distinct group (~4x the shuffled
+    // bytes at 100 TB). Branch A reduces to order grain first — after
+    // which "distinct orders" is a plain count — and branch B keeps the
+    // single partkey distinct (one distinct per agg never Expands; it
+    // plans as a two-phase hash aggregate with map-side dedup). Each
+    // branch's join shuffle carries only that branch's columns, and the
+    // final A-join-B runs on two custkey-partitioned aggregates, so it
+    // reuses their partitioning instead of shuffling again.
+
+    // Branch A: order-grain rollup -> per-customer counts/sums/dates.
+    val orderGrain = lines
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_orderkey"))
+      .agg(
+        max(col("o_orderdate")).as("od"), // constant within an order
+        sum(col("l_quantity")).as("order_qty"),
+        sum(Det.cents(col("l_extendedprice"))).as("order_cents"))
+    val histO      = col("od") <= cfg.cutoffTs
+    val recentO    = col("od") > cfg.recentTs && histO
+    val lookaheadO = col("od") > cfg.cutoffTs && col("od") <= cfg.lookaheadTs
+    val perCustomer = orderGrain
       .groupBy(col("o_custkey").as("custkey"))
       .agg(
-        countDistinct(when(hist, col("l_orderkey"))).as("total_orders"),
-        sum(when(hist, col("l_quantity"))).as("total_qty_raw"),
-        sum(when(hist, Det.cents(col("l_extendedprice")))).as("total_cents"),
-        countDistinct(when(hist, col("l_partkey"))).as("distinct_products"),
-        max(when(hist, col("o_orderdate"))).as("last_purchase_ts"),
-        countDistinct(when(recent, col("l_orderkey"))).as("recent90_orders"),
-        sum(when(recent, Det.cents(col("l_extendedprice")))).as("recent90_cents"),
-        max(when(lookahead, lit(1.0)).otherwise(lit(0.0))).as("has_future_purchase"))
+        count(when(histO, lit(1))).as("total_orders"),
+        sum(when(histO, col("order_qty"))).as("total_qty_raw"),
+        sum(when(histO, col("order_cents"))).as("total_cents"),
+        max(when(histO, col("od"))).as("last_purchase_ts"),
+        count(when(recentO, lit(1))).as("recent90_orders"),
+        sum(when(recentO, col("order_cents"))).as("recent90_cents"),
+        max(when(lookaheadO, lit(1.0)).otherwise(lit(0.0))).as("has_future_purchase"))
+
+    // Branch B: the one remaining distinct (products per customer).
+    val perProducts = lines
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("pcustkey"))
+      .agg(countDistinct(when(hist, col("l_partkey"))).as("distinct_products"))
+
+    val feats = perCustomer
+      .join(perProducts, col("custkey") === col("pcustkey"))
+      .drop("pcustkey")
       .filter(col("total_orders") >= 1)
 
     val withDerived = feats

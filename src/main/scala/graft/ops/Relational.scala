@@ -30,8 +30,11 @@ object Relational {
         countDistinct(col("l_orderkey")).as("n_orders"))
 
   /** Customer revenue enriched through the dim chain customer ⋈ nation
-    * ⋈ region — both dims broadcast (25 / 5 rows; at 100 TB these stay
-    * tiny). One shuffle: the orders groupBy.
+    * ⋈ region. Only nation (25 rows) and region (5 rows) are broadcast
+    * — they stay tiny at any scale. The customer-cardinality side is
+    * NOT broadcast: at 100 TB the customer dimension is billions of
+    * rows, so perCust ⋈ customer is a shuffle join on custkey and AQE
+    * picks the physical strategy at runtime.
     */
   def joinEnrich(orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame = {
     val dims = customer
@@ -44,7 +47,7 @@ object Relational {
         count(lit(1)).as("cust_orders"),
         sum(Det.cents(col("o_totalprice"))).as("cust_cents"))
     perCust
-      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
       .groupBy(col("region"), col("nation"))
       .agg(
         count(lit(1)).as("n_customers"),
@@ -61,8 +64,10 @@ object Relational {
     val perPart = lineitem
       .groupBy(col("l_partkey"))
       .agg(sum(Det.cents(col("l_extendedprice"))).as("part_cents"))
+    // part is SF-scaled (200k x SF rows) — no explicit broadcast; AQE
+    // decides between broadcast and shuffle join from runtime sizes.
     val withBrand = perPart
-      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+      .join(part.select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(col("part_cents").desc, col("l_partkey").asc)
