@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.dedup.Dedup
 import graft.etl.Retention
 import graft.ops.Relational
 import graft.text.Text
@@ -50,7 +51,13 @@ object SparkEntry {
     "q_token_stats" -> ((s, dir) => Text.tokenStats(Tables.documents(s, dir))),
     "q_text_quality" -> ((s, dir) => Text.quality(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => Text.langId(Tables.documents(s, dir))),
-    "q_fingerprint" -> ((s, dir) => Text.fingerprint(Tables.documents(s, dir)))
+    "q_fingerprint" -> ((s, dir) => Text.fingerprint(Tables.documents(s, dir))),
+    // --- D. Deduplication -------------------------------------------
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "q_dedup_ngram" -> ((s, dir) => Dedup.ngramPairs(Tables.documents(s, dir))),
+    "q_dedup_minhash" -> ((s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))),
+    "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
+    "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingPairs(Tables.embeddings(s, dir)))
   )
 
   // ---------------------------------------------------------------
@@ -232,6 +239,11 @@ object SparkEntry {
     "q_token_stats" -> Text.sqlTokenStats,
     "q_text_quality" -> Text.sqlQuality,
     "q_lang_id" -> Text.sqlLangId,
-    "q_fingerprint" -> Text.sqlFingerprint
+    "q_fingerprint" -> Text.sqlFingerprint,
+    // q_dedup_minhash / q_dedup_simhash are sketch-based (not
+    // SQL-expressible) => rows-only driver gate + ScalaTest invariants.
+    "q_dedup_exact" -> Dedup.sqlExact,
+    "q_dedup_ngram" -> Dedup.sqlNgramPairs(),
+    "q_dedup_embedding" -> Dedup.sqlEmbeddingPairs()
   )
 }
