@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.etl.Retention
 import graft.ops.Relational
+import graft.sim.Similarity
 import graft.text.Text
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §6
@@ -57,7 +58,11 @@ object SparkEntry {
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramPairs(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
-    "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingPairs(Tables.embeddings(s, dir)))
+    "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingPairs(Tables.embeddings(s, dir))),
+    // --- E. Similarity search ---------------------------------------
+    "q_knn_brute" -> ((s, dir) => Similarity.bruteKnn(Tables.embeddings(s, dir))),
+    "q_ann_lsh" -> ((s, dir) => Similarity.lshAnn(Tables.embeddings(s, dir))),
+    "q_ann_ivf" -> ((s, dir) => Similarity.ivfAnn(Tables.embeddings(s, dir)))
   )
 
   // ---------------------------------------------------------------
@@ -244,6 +249,9 @@ object SparkEntry {
     // SQL-expressible) => rows-only driver gate + ScalaTest invariants.
     "q_dedup_exact" -> Dedup.sqlExact,
     "q_dedup_ngram" -> Dedup.sqlNgramPairs(),
-    "q_dedup_embedding" -> Dedup.sqlEmbeddingPairs()
+    "q_dedup_embedding" -> Dedup.sqlEmbeddingPairs(),
+    // q_ann_lsh / q_ann_ivf are approximate => rows-only driver gate +
+    // recall-vs-brute ScalaTest.
+    "q_knn_brute" -> Similarity.sqlBruteKnn()
   )
 }

@@ -1,0 +1,166 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Det
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Three operators with identical output contracts
+  * (query_id, rank, vec_id, cosine):
+  *   - bruteKnn — exact top-k; the query side broadcasts, the corpus
+  *     streams once. Correctness baseline, oracle-checked.
+  *   - lshAnn  — random-hyperplane multi-probe LSH: candidates come
+  *     from equi-joins on (table, bucket), never from an n x n compare.
+  *   - ivfAnn  — IVF-style: assign every vector to its nearest of
+  *     nCells deterministic centroids, probe the nProbe best cells per
+  *     query.
+  *
+  * All arithmetic widens float -> double BEFORE any op so results are
+  * bit-identical to the DuckDB oracle (same IEEE sequence); every
+  * vector op is a Catalyst higher-order function (codegen, no UDFs).
+  */
+object Similarity {
+
+  /** (vec_id, v: array<double>, nrm) — the prepared corpus. */
+  private def prepared(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0.0D, (acc, x) -> acc + x * x))"))
+
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+  /** Exact brute-force cosine top-k. The corpus is scanned ONCE and
+    * compared against the broadcast query set — at 100 TB this is a
+    * single map-side pass (no corpus shuffle; only the tiny
+    * nQueries-key window shuffle afterward).
+    */
+  def bruteKnn(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame = {
+    val e = prepared(embeddings)
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(dot("v", "qv")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), Det.r(col("cos"), 6).as("cosine"))
+  }
+
+  def sqlBruteKnn(nQueries: Int = 10, k: Int = 10): String = {
+    val dotSql = "list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * q.qv[i]))"
+    s"""WITH p AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM p
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $nQueries
+       |), c AS (
+       |  SELECT q.query_id, e.vec_id, ($dotSql) / (e.nrm * q.qn) AS cos
+       |  FROM n e JOIN q ON e.vec_id != q.query_id
+       |), r AS (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS "rank"
+       |  FROM c
+       |)
+       |SELECT query_id, "rank", vec_id,
+       |  floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cosine
+       |FROM r WHERE "rank" <= $k""".stripMargin
+  }
+
+  /** Deterministic pseudo-random hyperplane component i of bit b of
+    * table t, in [-1, 1]: xxhash64 of the mixed index, scaled by 2^63.
+    * Pure expression => identical on every executor, no side data.
+    */
+  private def bucketArrayExpr(tables: Int, bits: Int): String =
+    s"""transform(sequence(0, ${tables - 1}), t ->
+       |  aggregate(sequence(0, ${bits - 1}), 0L, (acc, b) ->
+       |    acc * 2L + if(aggregate(zip_with(v,
+       |        transform(sequence(0, size(v) - 1), i ->
+       |          CAST(xxhash64(t * 1000003 + b * 1009 + i) AS DOUBLE) / 9.223372036854776E18),
+       |        (x, h) -> x * h), 0.0D, (a2, x) -> a2 + x) > 0.0D, 1L, 0L)))""".stripMargin
+
+  /** Approximate top-k via multi-probe random-hyperplane LSH.
+    *
+    * Corpus side: one (table, bucket) key per table. Query side: the
+    * exact bucket plus every 1-bit-flip probe (bits+1 probes/table),
+    * which buys most of the recall lost to quantization. Candidates =
+    * equi-join on (t, bkt) — the plan must never contain a cartesian.
+    * Verification re-scores candidates exactly, so precision is 1;
+    * only recall is approximate (driver gate: rows-only; ScalaTest
+    * checks recall vs bruteKnn).
+    */
+  def lshAnn(
+      embeddings: DataFrame,
+      nQueries: Int = 10,
+      k: Int = 10,
+      tables: Int = 8,
+      bits: Int = 8): DataFrame = {
+    val e = prepared(embeddings).withColumn("buckets", expr(bucketArrayExpr(tables, bits)))
+    val corpus = e.select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bkt")))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), posexplode(col("buckets")).as(Seq("t", "qbkt")))
+      .select(col("query_id"), col("t"),
+        explode(expr(
+          s"transform(sequence(-1, ${bits - 1}), j -> if(j < 0, qbkt, qbkt ^ shiftleft(1L, j)))"))
+          .as("bkt"))
+    val pairs = corpus.join(broadcast(probes), Seq("t", "bkt"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct() // the same pair can collide in several tables/probes
+    rankTopK(pairs, prepared(embeddings), nQueries, k)
+  }
+
+  /** IVF-style ANN: nCells deterministic centroids (the lowest-id
+    * vectors — a stand-in seam where a k-means pass would plug in),
+    * every vector assigned to its nearest centroid by cosine, queries
+    * probe their nProbe best cells. Assignment is a broadcast of the
+    * centroid table against one corpus scan; candidates come from the
+    * cell equi-join. At 100 TB the cell table is what you'd persist +
+    * bucket by cell.
+    */
+  def ivfAnn(
+      embeddings: DataFrame,
+      nQueries: Int = 10,
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 2): DataFrame = {
+    val e = prepared(embeddings)
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr(dot("v", "cv")) / (col("nrm") * col("cn")))
+    // nearest cell per vector; ties resolved to the smallest cell id
+    val assigned = scored.groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("ccos"), (-col("cell")).as("tb"))).as("cell"))
+    val w = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cell").asc)
+    val qProbes = scored.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("cell"), col("ccos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    // corpus vector sits in exactly one cell and probe cells are
+    // distinct per query => each (query, vec) pair matches at most once
+    val pairs = assigned.join(broadcast(qProbes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    rankTopK(pairs, e, nQueries, k)
+  }
+
+  /** Re-score candidate pairs exactly and keep the top k per query. */
+  private def rankTopK(pairs: DataFrame, e: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    pairs
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(broadcast(qs), "query_id")
+      .withColumn("cos", expr(dot("v", "qv")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), Det.r(col("cos"), 6).as("cosine"))
+  }
+}
