@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
 import graft.etl.Retention
+import graft.ml.Churn
 import graft.ops.Relational
 import graft.sim.Similarity
 import graft.text.Text
@@ -62,7 +63,13 @@ object SparkEntry {
     // --- E. Similarity search ---------------------------------------
     "q_knn_brute" -> ((s, dir) => Similarity.bruteKnn(Tables.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => Similarity.lshAnn(Tables.embeddings(s, dir))),
-    "q_ann_ivf" -> ((s, dir) => Similarity.ivfAnn(Tables.embeddings(s, dir)))
+    "q_ann_ivf" -> ((s, dir) => Similarity.ivfAnn(Tables.embeddings(s, dir))),
+    // --- B. ML pipeline (model-dependent => rows-only gate) ---------
+    "q_train_coefficients" -> ((s, dir) => Churn.coefficientTable(s, dir)),
+    "q_predict_batch" -> ((s, dir) => Churn.predictBatch(s, dir)),
+    "q_threshold_sweep" -> ((s, dir) => Churn.thresholdSweepQuery(s, dir)),
+    "q_eval_confusion" -> ((s, dir) => Churn.evalConfusion(s, dir)),
+    "q_eval_auc" -> ((s, dir) => Churn.evalAuc(s, dir))
   )
 
   // ---------------------------------------------------------------
