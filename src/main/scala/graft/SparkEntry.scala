@@ -5,7 +5,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.etl.Retention
 import graft.ml.Churn
+import graft.mm.Multimodal
 import graft.ops.Relational
+import graft.streaming.Events
 import graft.sim.Similarity
 import graft.text.Text
 
@@ -69,7 +71,13 @@ object SparkEntry {
     "q_predict_batch" -> ((s, dir) => Churn.predictBatch(s, dir)),
     "q_threshold_sweep" -> ((s, dir) => Churn.thresholdSweepQuery(s, dir)),
     "q_eval_confusion" -> ((s, dir) => Churn.evalConfusion(s, dir)),
-    "q_eval_auc" -> ((s, dir) => Churn.evalAuc(s, dir))
+    "q_eval_auc" -> ((s, dir) => Churn.evalAuc(s, dir)),
+    // --- F. Multimodal ----------------------------------------------
+    "q_media_meta" -> ((s, dir) => Multimodal.mediaMeta(Tables.documents(s, dir))),
+    "q_media_frames" -> ((s, dir) => Multimodal.mediaFrames(Tables.documents(s, dir))),
+    // --- G. Streaming (batch-equivalent form; the readStream path is
+    // exercised in ScalaTest with a memory sink) ---------------------
+    "q_stream_hourly" -> ((s, dir) => Events.hourlyAgg(Tables.events(s, dir)))
   )
 
   // ---------------------------------------------------------------
@@ -259,6 +267,9 @@ object SparkEntry {
     "q_dedup_embedding" -> Dedup.sqlEmbeddingPairs(),
     // q_ann_lsh / q_ann_ivf are approximate => rows-only driver gate +
     // recall-vs-brute ScalaTest.
-    "q_knn_brute" -> Similarity.sqlBruteKnn()
+    "q_knn_brute" -> Similarity.sqlBruteKnn(),
+    "q_media_meta" -> Multimodal.sqlMediaMeta,
+    "q_media_frames" -> Multimodal.sqlMediaFrames,
+    "q_stream_hourly" -> Events.sqlHourlyAgg
   )
 }

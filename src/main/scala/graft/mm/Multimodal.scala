@@ -1,0 +1,112 @@
+package graft.mm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media assets as opaque `binary`
+  * payloads plus typed metadata, with decode / frame-sampling
+  * operators.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A
+  * DETERMINISTIC STUB: metadata fields are derived from the payload
+  * bytes with integer arithmetic (exactly reproducible in the DuckDB
+  * oracle). Everything around the stub — the binary column, the
+  * schema, the explode-based frame sampling, the partitioning story —
+  * is the real Spark plumbing a production pipeline would keep. To
+  * plug in a real decoder, replace [[decodedMeta]]'s arithmetic with a
+  * `mapPartitions` over the payload bytes (JVM codec) or a
+  * `mapInPandas`-style batch UDF (Python codec); the output schema is
+  * already what such a decoder produces.
+  */
+object Multimodal {
+
+  /** Synthesize the media table from `documents`: every doc becomes an
+    * asset whose payload is its UTF-8 bytes and whose modality cycles
+    * deterministically through image/audio/video.
+    */
+  def mediaTable(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
+      col("text").cast("binary").as("payload"))
+
+  /** Decode-stub metadata: width/height/duration derived from byte
+    * length + id with pure integer arithmetic (THE seam a real codec
+    * replaces), content id = md5 of the payload.
+    */
+  private def decodedMeta(df: DataFrame): DataFrame =
+    df
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("content_id", md5(col("payload")))
+      .withColumn("width", lit(160L) + pmod(col("doc_id") * 7 + col("n_bytes"), lit(1760L)))
+      .withColumn("height", lit(90L) + pmod(col("doc_id") * 13 + col("n_bytes") * 3, lit(990L)))
+      .withColumn("duration_ms", lit(500L) + pmod(col("n_bytes") * 37, lit(59500L)))
+
+  /** q30: per-asset metadata extraction (bytes -> format/dims/id). */
+  def mediaMeta(documents: DataFrame): DataFrame =
+    decodedMeta(mediaTable(documents))
+      .select(col("doc_id"), col("format"), col("n_bytes"), col("content_id"),
+        col("width"), col("height"), col("duration_ms"))
+
+  def sqlMediaMeta: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    ['image', 'audio', 'video'][(doc_id % 3) + 1] AS format,
+      |    encode(text) AS payload,
+      |    md5(text) AS content_id
+      |  FROM documents
+      |), d AS (
+      |  SELECT doc_id, format,
+      |    CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+      |    content_id
+      |  FROM m
+      |)
+      |SELECT doc_id, format, n_bytes, content_id,
+      |  160 + (doc_id * 7 + n_bytes) % 1760 AS width,
+      |  90 + (doc_id * 13 + n_bytes * 3) % 990 AS height,
+      |  500 + (n_bytes * 37) % 59500 AS duration_ms
+      |FROM d""".stripMargin
+
+  /** q31: frame-sampling plumbing — one row per sampled frame of every
+    * video asset (1 fps), frame ids content-derived. The explode runs
+    * inside the scan stage (no shuffle); at 100 TB the frame fan-out
+    * is the classic row-multiplier you want BEFORE the expensive
+    * per-frame work so it parallelizes, which is exactly this shape.
+    */
+  def mediaFrames(documents: DataFrame): DataFrame =
+    decodedMeta(mediaTable(documents))
+      .filter(col("format") === "video")
+      .withColumn("n_frames", lit(1L) + (col("duration_ms") / 1000L).cast("long"))
+      .select(col("doc_id"), col("content_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        (col("frame_idx") * 1000L).as("ts_ms"),
+        md5(concat(col("content_id"), lit(":"), col("frame_idx").cast("string"))).as("frame_id"))
+
+  def sqlMediaFrames: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    ['image', 'audio', 'video'][(doc_id % 3) + 1] AS format,
+      |    encode(text) AS payload,
+      |    md5(text) AS content_id
+      |  FROM documents
+      |), d AS (
+      |  SELECT doc_id, format,
+      |    CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+      |    content_id
+      |  FROM m
+      |), v AS (
+      |  SELECT doc_id, content_id,
+      |    1 + (500 + (n_bytes * 37) % 59500) // 1000 AS n_frames
+      |  FROM d WHERE format = 'video'
+      |), f AS (
+      |  SELECT doc_id, content_id, unnest(range(0, n_frames)) AS frame_idx FROM v
+      |)
+      |SELECT doc_id, frame_idx, frame_idx * 1000 AS ts_ms,
+      |  md5(content_id || ':' || CAST(frame_idx AS VARCHAR)) AS frame_id
+      |FROM f""".stripMargin
+}

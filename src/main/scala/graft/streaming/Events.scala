@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.Det
+
+/** Streaming operators over the events stream.
+  *
+  * The tumbling-window aggregate exists twice on purpose: [[hourlyAgg]]
+  * is the batch shape (oracle-checkable, q32) and [[hourlyStream]] the
+  * Structured Streaming shape (`readStream` -> watermark -> windowed
+  * agg); ScalaTest proves the two produce identical results on the
+  * same data through a memory sink. Stateful sessionization uses
+  * `flatMapGroupsWithState` — the state survives micro-batches keyed
+  * by user, so a session spanning batches is stitched correctly.
+  */
+object Events {
+
+  /** q32: tumbling 1-hour event aggregation (batch form). value is
+    * 2-decimal => summed as exact integer cents (order-independent at
+    * any parallelism). countDistinct(user_id) is the single distinct
+    * (no Expand). One shuffle on (hour, event_type).
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("hour_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Det.fromCents(sum(Det.cents(col("value")))).as("sum_value"))
+      .select(
+        date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("n_users"), col("sum_value"))
+
+  def sqlHourlyAgg: String =
+    """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |  event_type,
+      |  count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  /** The same aggregate as a Structured Streaming query over a parquet
+    * directory source. The 2-hour watermark bounds state: at 100 TB/day
+    * the state store holds only the open windows, and late events
+    * beyond the watermark are dropped deterministically.
+    */
+  def hourlyStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Det.fromCents(sum(Det.cents(col("value")))).as("sum_value"))
+  }
+
+  // ------------------------------------------------------------------
+  // Stateful sessionization (flatMapGroupsWithState).
+  // ------------------------------------------------------------------
+  final case class Ev(user_id: Long, event_id: Long, ts_ms: Long, event_type: String)
+  final case class SessionState(seq: Long, lastTs: Long)
+  final case class SessionEvent(user_id: Long, event_id: Long, ts_ms: Long, session_seq: Long)
+
+  /** Assign a session sequence number to every event; a session breaks
+    * after `gapMinutes` of inactivity. State per user = (current
+    * session seq, last timestamp), so sessions stitch across
+    * micro-batches. Within one invocation events are processed in
+    * (ts, event_id) order; in streaming mode the watermark must be >=
+    * the session gap for this ordering to hold per batch.
+    */
+  def sessionizeStateful(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionEvent] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val out = sorted.map { e =>
+            val isNew = st.lastTs == Long.MinValue || e.ts_ms - st.lastTs > gapMs
+            st = SessionState(if (isNew) st.seq + 1 else st.seq, e.ts_ms)
+            SessionEvent(uid, e.event_id, e.ts_ms, st.seq)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Events table -> typed event stream (epoch-ms). */
+  def typedEvents(events: DataFrame): Dataset[Ev] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"), col("event_type"))
+      .as[Ev]
+  }
+
+  /** Session-level rollup of the stateful assignment — same output
+    * contract as the window-based Relational.sessionize, proven
+    * equivalent in ScalaTest.
+    */
+  def sessionizeStatefulRollup(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionizeStateful(typedEvents(events), gapMinutes)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("ts_ms")) - min(col("ts_ms"))).as("duration_ms"))
+}
