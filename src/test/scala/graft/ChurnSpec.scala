@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.sql.functions._
+
+import graft.etl.Retention
+import graft.ml.Churn
+
+class ChurnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("aucTable: exact Mann-Whitney on a hand-computed example") {
+    // pos@0.9, neg@0.8, pos@0.7, neg@0.6 -> 3 of 4 pairs ordered -> 0.75
+    val pred = Seq((1.0, 0.9), (0.0, 0.8), (1.0, 0.7), (0.0, 0.6)).toDF("label", "p1")
+    val r = Churn.aucTable(pred).head()
+    assert(r.getDouble(0) === 0.75)
+    assert(r.getLong(2) === 2L && r.getLong(3) === 2L)
+  }
+
+  test("aucTable: ties contribute half (all-tied scores give AUC 0.5)") {
+    val pred = Seq((1.0, 0.5), (0.0, 0.5), (1.0, 0.5), (0.0, 0.5)).toDF("label", "p1")
+    assert(Churn.aucTable(pred).head().getDouble(0) === 0.5)
+  }
+
+  test("aucTable matches MLlib's evaluator on real model predictions") {
+    val pred = Churn.predictions(spark, sf, "test").cache()
+    val ours = Churn.aucTable(pred).head().getDouble(0)
+    val mllib = new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("p1").setMetricName("areaUnderROC")
+      .evaluate(pred)
+    assert(math.abs(ours - mllib) < 1e-6, s"ours=$ours mllib=$mllib")
+  }
+
+  test("the pipeline learns a separable synthetic problem (AUC > 0.9)") {
+    // testdata's synthetic dates carry no churn signal (~0.5 AUC
+    // ceiling), so the learning gate runs on a constructed separable
+    // set: one informative feature + deterministic noise.
+    val rows = (0 until 400).map { i =>
+      val label = (i % 2).toDouble
+      val noise = (i % 7) * 0.1
+      (i.toLong, 2.0 + label, 10.0 + noise, label * 10.0 + noise, 5.0, 3.0 + label,
+        1.0, noise, 30.0 - label * 5, math.log1p(label * 10.0 + noise), 0.5, label)
+    }.toDF(("custkey" +: Churn.featureCols :+ "label"): _*)
+    val train = Retention.withClassWeights(rows)
+    val model = Churn.buildPipeline()._1.fit(train)
+    val pred = model.transform(train)
+      .select(col("label"),
+        org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1).as("p1"))
+    val auc = Churn.aucTable(pred).head().getDouble(0)
+    assert(auc > 0.9, s"separable AUC $auc")
+  }
+
+  test("thresholdSweep: hand-computed confusion counts at key thresholds") {
+    val pred = Seq((1.0, 0.95), (0.0, 0.85), (1.0, 0.75), (0.0, 0.65), (1.0, 0.55), (1.0, 1.0))
+      .toDF("label", "p1")
+    val sweep = Churn.thresholdSweep(pred).cache()
+    assert(sweep.count() === 101)
+    val at = sweep.collect().map(r => r.getDouble(0) -> r).toMap
+    val t80 = at(0.8)
+    assert(t80.getLong(1) === 2L && t80.getLong(2) === 1L) // tp=0.95,1.0; fp=0.85
+    val t0 = at(0.0)
+    assert(t0.getLong(1) === 4L && t0.getLong(3) === 0L) // everything positive
+    val t100 = at(1.0)
+    assert(t100.getLong(1) === 1L) // only p1 == 1.0 survives the last cut
+  }
+
+  test("thresholdSweep on real predictions: recall and tp non-increasing") {
+    val sweep = Churn.thresholdSweepQuery(spark, sf)
+      .orderBy("threshold").collect()
+    val tps = sweep.map(_.getLong(1))
+    assert(tps.zip(tps.tail).forall { case (a, b) => a >= b })
+    val recalls = sweep.map(_.getDouble(6))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("evalConfusion: cells partition the test split; pos_rate consistent") {
+    val r = Churn.evalConfusion(spark, sf).head()
+    val (tp, fp, tn, fn) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val n = Churn.split(spark, sf, "test").count()
+    assert(tp + fp + tn + fn === n)
+    val posRate = r.getDouble(8)
+    val expected = math.floor((tp + fn).toDouble / n * 1e6 + 0.5) / 1e6
+    assert(posRate === expected)
+  }
+
+  test("coefficient table: one row per feature, sorted by |coef| desc") {
+    val rows = Churn.coefficientTable(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet === Churn.featureCols.toSet)
+    val abs = rows.map(_.getDouble(2))
+    assert(abs.zip(abs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("Scorer: missing features default to 0.0 and produce a valid score") {
+    val sc = Churn.scorer(spark, sf)
+    val (p1, predLabel) = sc.scoreOne(spark, Map("total_orders" -> 3.0, "unknown_feature" -> 99.0))
+    assert(p1 >= 0.0 && p1 <= 1.0)
+    assert(predLabel === 0.0 || predLabel === 1.0)
+    val (pEmpty, _) = sc.scoreOne(spark, Map.empty)
+    assert(pEmpty >= 0.0 && pEmpty <= 1.0)
+  }
+
+  test("cross-validator wiring: 3 folds over the 3x3 grid (train.py:160-173)") {
+    val cv = Churn.buildCrossValidator()
+    assert(cv.getNumFolds === 3)
+    assert(cv.getEstimatorParamMaps.length === 9)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("topNPerGroup keeps at most n rows per brand, ranked by revenue") {
+    val top = Relational.topNPerGroup(Tables.lineitem(spark, sf), Tables.part(spark, sf), n = 3)
+    val perBrand = top.groupBy("brand").count().filter(col("count") > 3)
+    assert(perBrand.count() === 0)
+    val badRank = top.filter(col("rank") < 1 || col("rank") > 3)
+    assert(badRank.count() === 0)
+    // within a brand, revenue is non-increasing in rank
+    val rows = top.orderBy(col("brand"), col("rank")).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val revs = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("sessionize conserves events and produces non-negative durations") {
+    val events = Tables.events(spark, sf)
+    val sessions = Relational.sessionize(events)
+    assert(sessions.agg(sum(col("n_events"))).head().getLong(0) === events.count())
+    assert(sessions.filter(col("duration_ms") < 0).count() === 0)
+    // a 30-min-gap session's duration is bounded by its event count
+    assert(sessions.filter(col("n_events") === 1 && col("duration_ms") =!= 0).count() === 0)
+  }
+
+  test("joinEnrich covers every nation exactly once and is cartesian-free") {
+    val out = Relational.joinEnrich(Tables.orders(spark, sf), Tables.customer(spark, sf),
+      Tables.nation(spark, sf), Tables.region(spark, sf))
+    val plan = planOf(out)
+    assert(!plan.contains("CartesianProduct"))
+    val n = out.collect()
+    assert(n.length === 25) // TPC-H nations
+    assert(n.map(_.getString(1)).distinct.length === 25)
+  }
+
+  test("cohortRetention: offsets non-negative, week-0 cell per cohort equals cohort size") {
+    val ret = Relational.cohortRetention(Tables.events(spark, sf))
+    assert(ret.filter(col("week_offset") < 0).count() === 0)
+    // retention at offset k never exceeds the cohort's week-0 count
+    val w0 = ret.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    val joined = ret.join(w0, "cohort_week")
+    assert(joined.filter(col("n_users") > col("cohort_size")).count() === 0)
+  }
+
+  test("pricingSummary aggregates are internally consistent") {
+    val p = Relational.pricingSummary(Tables.lineitem(spark, sf))
+    val bad = p.filter(col("n_orders") > col("count_order") || col("count_order") <= 0)
+    assert(bad.count() === 0)
+  }
+}

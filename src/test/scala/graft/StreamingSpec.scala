@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+import graft.streaming.Events
+
+class StreamingSpec extends SparkSpec {
+
+  test("readStream hourly aggregate equals the batch aggregate (memory sink)") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    Files.copy(
+      Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$tmp/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q = Events.hourlyStream(spark, tmp)
+      .writeStream.format("memory").queryName("hourly_test").outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("hourly_test")
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    val batch = Events.hourlyAgg(Tables.events(spark, sf))
+      .select("hour_start", "event_type", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("stateful flatMapGroupsWithState sessionization equals the window-based one") {
+    val events = Tables.events(spark, sf)
+    val stateful = Events.sessionizeStatefulRollup(events)
+      .select("user_id", "session_seq", "n_events", "duration_ms")
+      .collect().map(_.toSeq).toSet
+    val windowed = Relational.sessionize(events)
+      .select("user_id", "session_seq", "n_events", "duration_ms")
+      .collect().map(_.toSeq).toSet
+    assert(stateful === windowed)
+    assert(stateful.nonEmpty)
+  }
+}

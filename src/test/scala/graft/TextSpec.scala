@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Text
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: (Long, String)*) =
+    texts.toSeq.toDF("doc_id", "text").withColumn("lang", lit("en"))
+
+  test("tokenStats: whitespace tokens drop empties; mean length exact") {
+    val out = Text.tokenStats(docs(1L -> "  hello   world  ")).head()
+    assert(out.getLong(1) === 2L) // n_tokens
+    assert(out.getDouble(3) === 5.0) // mean_token_len
+  }
+
+  test("bpe tokens split letter runs, digit runs, and single punctuation") {
+    val out = Text.tokenStats(docs(1L -> "abc123!?")).head()
+    // abc | 123 | ! | ?
+    assert(out.getLong(2) === 4L)
+  }
+
+  test("quality score stays in [0, 1] on real documents") {
+    val q = Text.quality(Tables.documents(spark, sf))
+    assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() === 0)
+    assert(q.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() === 0)
+  }
+
+  test("langId picks the language with most marker hits, en markers win here") {
+    val out = Text.langId(docs(1L -> "the and of to a the")).head()
+    assert(out.getString(2) === "en")
+    assert(out.getLong(3) === 6L)
+  }
+
+  test("fingerprint: docs shorter than 3 tokens fall back to md5(text)") {
+    val out = Text.fingerprint(docs(1L -> "two words")).head()
+    assert(out.getLong(1) === 1L)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("two words".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.getString(2) === expected)
+  }
+
+  test("fingerprint is invariant to document order in the corpus") {
+    val a = Text.fingerprint(docs(1L -> "a b c d e", 2L -> "x y z w v"))
+      .orderBy("doc_id").collect().map(_.getString(2))
+    val b = Text.fingerprint(docs(2L -> "x y z w v", 1L -> "a b c d e"))
+      .orderBy("doc_id").collect().map(_.getString(2))
+    assert(a.toSeq === b.toSeq)
+  }
+}
