@@ -23,13 +23,31 @@ import graft.text.Text
   */
 object Dedup {
 
-  /** Distinct 3-token shingles (the Jaccard universe for q23/q24).
-    * Reuses Text.shingles so the fingerprint (q21), near-dup (q23) and
-    * MinHash (q24) operators all agree on the shingle definition.
+  /** (doc_id, sh) where sh = the doc's distinct 3-token shingles,
+    * xxhash64-mapped to longs. The Jaccard of two hashed sets equals
+    * the Jaccard of the string sets (the hash is injective on any
+    * realistic corpus; a 64-bit collision would need ~2^32 distinct
+    * shingles per document pair), and long set-intersection is ~an
+    * order of magnitude cheaper than string set-intersection — at
+    * 100 TB the candidate-verification pass is exactly where that
+    * factor lands. Tokens and shingles are materialized as columns so
+    * the regex split runs once per document (CollapseProject keeps
+    * non-cheap projections separate).
+    *
+    * The DuckDB twin applies DuckDB's own hash() — the hash VALUES
+    * differ from Spark's, but set sizes, and therefore Jaccard, agree.
     */
-  def shingleSet(c: Column): Column = array_distinct(Text.shingles(c))
+  def hashedShingleSets(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("shs", Text.shinglesFrom(col("toks"), col("text")))
+      // sorted so pair verification can use the zero-allocation merge
+      // walk (graft.functions.SortedIntersectSize)
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(col("shs"), s => xxhash64(s)))).as("sh"))
 
-  def sqlShingleSet(x: String): String = s"list_distinct(${Text.sqlShingles(x)})"
+  def sqlHashedShingleSet(x: String): String =
+    s"list_distinct(list_transform(${Text.sqlShingles(x)}, s -> hash(s)))"
 
   // ------------------------------------------------------------------
   // q22: exact dedup — one row per distinct content hash with the
@@ -49,40 +67,60 @@ object Dedup {
       |FROM documents GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------------
-  // q23: n-gram Jaccard near-dup pairs with length-band blocking.
-  //
-  // Band = bit-length of the shingle-set size. For a pair with
-  // Jaccard >= 0.5 the set sizes differ by at most 2x, so their
-  // bit-length bands differ by at most 1 — probing {band-1, band,
-  // band+1} on one side of the equi-join is therefore LOSSLESS at
-  // tau >= 0.5 (each qualifying pair matches on exactly one key, so no
-  // distinct pass is needed). Blocking keys are few => band skew is
-  // real; the MinHash path (q24) is the 100-TB candidate generator,
-  // this operator is the exactly-verifiable baseline of the same
-  // semantics.
+  // q23: exact n-gram Jaccard near-dup pairs (inverted index).
   // ------------------------------------------------------------------
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+  /** Jaccard via inclusion-exclusion: |A∪B| = |A|+|B|-|A∩B|, so only
+    * the intersection is materialized — array_union would allocate an
+    * (m+n)-element array per candidate pair for a number we can get
+    * from sizes.
+    */
+  private def withJaccard(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("inter",
+        graft.functions.GraftFunctions.sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double"))
+      .withColumn("jac",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
 
+  /** Necessary size condition for jac >= tau: |A∩B| <= min(|A|,|B|)
+    * implies jac <= min/max, so any qualifying pair has min >= tau*max.
+    * Filtering on the (already materialized) sizes before the merge
+    * walk prunes candidates for free without changing the output.
+    */
+  private def sizeRatioFilter(tau: Double): Column =
+    size(col("sh_a")).cast("double") >= lit(tau) * size(col("sh_b")).cast("double") &&
+      size(col("sh_b")).cast("double") >= lit(tau) * size(col("sh_a")).cast("double")
+
+  /** Exact n-gram Jaccard pairs via an INVERTED-INDEX co-occurrence
+    * join: explode every document's shingle hashes, equi-join the
+    * index with itself on the hash, and count matches per (doc_a,
+    * doc_b) — that count IS |A∩B| (sets are distinct), and |A∪B|
+    * follows by inclusion-exclusion from the carried set sizes. This
+    * is exact (a pair with jac >= tau > 0 shares at least one shingle,
+    * so it appears in the join) and never compares full documents: the
+    * join volume is Σ_h n_h² over shingle document-frequencies, all
+    * narrow codegen rows, no array materialization. At 100 TB this is
+    * the standard all-pairs-similarity shape; ultra-frequent shingles
+    * (stop-phrases) would get a document-frequency cap before the
+    * self-join — unnecessary on this corpus, noted for scale.
+    */
   def ngramPairs(documents: DataFrame, tau: Double = 0.5): DataFrame = {
-    val base = documents
-      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
-      .withColumn("band", length(bin(size(col("sh")).cast("long"))))
-    val left = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("band").as("k"))
-    val right = base
-      .select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-        explode(array(col("band") - 1, col("band"), col("band") + 1)).as("k"))
-    left.join(right, Seq("k"))
+    val inv = hashedShingleSets(documents)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("h"))
+    val x = inv.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("h"))
+    val y = inv.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("h"))
+    x.join(y, Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+      .withColumn("jac", col("inter") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jac") >= tau)
       .select(col("doc_a"), col("doc_b"), Det.r(col("jac"), 6).as("jaccard"))
   }
 
   def sqlNgramPairs(tau: Double = 0.5): String = {
-    val jac = "CAST(len(list_intersect(a.sh, r.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, r.sh))) AS DOUBLE)"
+    val jac = "CAST(len(list_intersect(a.sh, r.sh)) AS DOUBLE) / CAST(len(a.sh) + len(r.sh) - len(list_intersect(a.sh, r.sh)) AS DOUBLE)"
     s"""WITH s AS (
-       |  SELECT doc_id, ${sqlShingleSet("text")} AS sh FROM documents
+       |  SELECT doc_id, ${sqlHashedShingleSet("text")} AS sh FROM documents
        |), b AS (
        |  SELECT doc_id, sh, length(bin(len(sh))) AS band FROM s
        |), r AS (
@@ -108,12 +146,22 @@ object Dedup {
   // ScalaTest asserts no cartesian in the plan and agreement with
   // ngramPairs at tau=0.5.
   // ------------------------------------------------------------------
-  def minhashSignatures(documents: DataFrame, numHashes: Int = 32): DataFrame =
-    documents
-      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
-      .withColumn("sigs",
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          i => array_min(transform(col("sh"), s => xxhash64(i, s)))))
+  /** (doc_id, sig0..sigN-1): numHashes independent min-hash
+    * permutations, computed by EXPLODING the hashed shingle set and
+    * running numHashes plain `min(xxhash64(i, h))` aggregate columns —
+    * whole-stage codegen with map-side partial aggregation, vs an
+    * interpreted per-shingle-per-permutation lambda for the
+    * higher-order-function formulation (~10x at sf0.1). The string
+    * shingle is hashed exactly once (in hashedShingleSets); each
+    * permutation re-mixes the LONG.
+    */
+  def minhashSignatures(documents: DataFrame, numHashes: Int = 32): DataFrame = {
+    val sigCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"sig$i"))
+    hashedShingleSets(documents)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+  }
 
   def minhashLshPairs(
       documents: DataFrame,
@@ -123,22 +171,23 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(documents, numHashes)
+    val bandKeys = (0 until bands).map { b =>
+      xxhash64((lit(b) +: (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))): _*)
+    }
     val banded = sigs
-      .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("b"), col("sigs"))
-      .select(col("doc_id"), col("b"),
-        xxhash64(col("b"), slice(col("sigs"), col("b") * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))
-          .as("bkey"))
+      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("b", "bkey")))
     val cands = banded.as("x")
       .join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct() // a true near-dup pair collides in many bands
-    val sets = documents.select(col("doc_id"), shingleSet(col("text")).as("sh"))
-    cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+    val sets = hashedShingleSets(documents)
+    withJaccard(
+      cands
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .filter(sizeRatioFilter(tau)))
       .filter(col("jac") >= tau)
       .select(col("doc_a"), col("doc_b"), Det.r(col("jac"), 6).as("jaccard"))
   }
@@ -154,36 +203,58 @@ object Dedup {
   // lossless for maxHamming <= 3. Expression-only: the fold runs in
   // `aggregate` over the token-hash array inside codegen.
   // ------------------------------------------------------------------
-  def simhashTable(documents: DataFrame): DataFrame =
-    documents
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .withColumn("hs", expr("transform(toks, t -> xxhash64(t))"))
-      .withColumn("bits", expr(
-        """transform(
-          |  aggregate(hs, array_repeat(0L, 64),
-          |    (acc, h) -> zip_with(acc,
-          |       transform(sequence(0, 63), j -> if(((shiftright(h, j)) % 2) != 0, 1L, -1L)),
-          |       (a, b) -> a + b)),
-          |  c -> if(c > 0, 1L, 0L))""".stripMargin))
-      .withColumn("bands", expr(
-        "transform(sequence(0, 3), k -> aggregate(slice(bits, k * 16 + 1, 16), 0L, (a, b) -> a * 2L + b))"))
-      .select(col("doc_id"), col("bits"), col("bands"))
+  /** (doc_id, band0..band3): the 64-bit SimHash as four 16-bit band
+    * values. Tokens are EXPLODED and the per-bit +1/-1 sums run as 64
+    * plain conditional-sum aggregate columns: unlike a higher-order
+    * `aggregate` fold (interpreted, one closure call per token*bit),
+    * every op here is whole-stage-codegen primitive arithmetic with
+    * map-side partial aggregation — the shuffle carries 64 longs per
+    * DOCUMENT, not per token. The four band values together encode all
+    * 64 fingerprint bits, so downstream Hamming math needs no bit
+    * array.
+    */
+  def simhashTable(documents: DataFrame): DataFrame = {
+    val tokenHashes = documents
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(expr(s"(shiftright(h, $j) % 2) != 0"), 1L).otherwise(-1L)).as(s"c$j")
+    }
+    val sums = tokenHashes.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val bandCols = (0 until 4).map { k =>
+      (0 until 16).map { i =>
+        val j = k * 16 + i
+        when(col(s"c$j") > 0, lit(1L << (15 - i))).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"band$k")
+    }
+    sums.select(col("doc_id") +: bandCols: _*)
+  }
 
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4 bands of 16 bits are lossless only up to Hamming distance 3")
     val base = simhashTable(documents)
-    val exploded = base.select(col("doc_id"), posexplode(col("bands")).as(Seq("k", "bval")))
+    val bandArr = array(col("band0"), col("band1"), col("band2"), col("band3"))
+    val exploded = base.select(
+      col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"),
+      posexplode(bandArr).as(Seq("k", "bval")))
+    // band values ride along through the candidate join, so Hamming
+    // needs no re-join against the base table
     val cands = exploded.as("x")
       .join(exploded.as("y"),
         col("x.k") === col("y.k") && col("x.bval") === col("y.bval") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+      .select(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.band0").as("a0"), col("x.band1").as("a1"),
+        col("x.band2").as("a2"), col("x.band3").as("a3"),
+        col("y.band0").as("b0"), col("y.band1").as("b1"),
+        col("y.band2").as("b2"), col("y.band3").as("b3"))
+      .dropDuplicates("doc_a", "doc_b")
     cands
-      .join(base.select(col("doc_id").as("doc_a"), col("bits").as("bits_a")), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("bits").as("bits_b")), "doc_b")
       .withColumn("hamming",
-        expr("aggregate(zip_with(bits_a, bits_b, (a, b) -> abs(a - b)), 0L, (a, b) -> a + b)"))
+        (bit_count(expr("a0 ^ b0")) + bit_count(expr("a1 ^ b1")) +
+          bit_count(expr("a2 ^ b2")) + bit_count(expr("a3 ^ b3"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }

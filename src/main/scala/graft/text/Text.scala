@@ -154,13 +154,20 @@ object Text {
     */
   val shingleSize = 3
 
-  def shingles(c: Column): Column = {
-    val toks = tokens(c)
+  /** Shingles from an ALREADY-MATERIALIZED token column. Callers must
+    * bind `toks` to a real column (withColumn), not pass the tokens()
+    * expression inline: this expression references `toks` four times
+    * (size + three element_at), and an inlined regex split would be
+    * re-evaluated for every reference — the difference is ~40x on the
+    * minhash path at sf0.1.
+    */
+  def shinglesFrom(toks: Column, full: Column): Column =
     when(size(toks) >= shingleSize,
       transform(sequence(lit(1), size(toks) - lit(shingleSize - 1)),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-      .otherwise(array(c))
-  }
+      .otherwise(array(full))
+
+  def shingles(c: Column): Column = shinglesFrom(tokens(c), c)
 
   def sqlShingles(x: String): String = {
     val toks = sqlTokens(x)
@@ -170,13 +177,14 @@ object Text {
        | ELSE [$x] END""".stripMargin.replace("\n", "")
   }
 
-  def fingerprint(documents: DataFrame): DataFrame = {
-    val sh = shingles(col("text"))
-    documents.select(
-      col("doc_id"),
-      size(sh).cast("long").as("n_shingles"),
-      array_min(transform(sh, s => md5(s.cast("binary")))).as("fingerprint"))
-  }
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", shinglesFrom(col("toks"), col("text")))
+      .select(
+        col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        array_min(transform(col("sh"), s => md5(s.cast("binary")))).as("fingerprint"))
 
   def sqlFingerprint: String =
     s"""SELECT doc_id,

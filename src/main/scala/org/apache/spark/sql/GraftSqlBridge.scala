@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into the `private[sql]` Column <-> Expression
+  * converters, so graft's native Catalyst expressions (e.g.
+  * graft.functions.SortedIntersectSize) can be exposed as ordinary
+  * `Column`s. This is the conventional extension-library technique for
+  * Spark 4 (the public `Column(expr)` constructor was removed when
+  * Column moved to ColumnNode).
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
