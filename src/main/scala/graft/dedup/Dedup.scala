@@ -108,7 +108,12 @@ object Dedup {
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("h"))
     val x = inv.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("h"))
     val y = inv.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("h"))
-    x.join(y, Seq("h"))
+    // force the sort-merge join: BOTH sides are corpus-sized, so a
+    // broadcast of the inverted index is wrong at scale, and it also
+    // serializes the probe+aggregate work onto the (single-file) scan's
+    // one partition. The shuffle on h gives full parallelism and is the
+    // plan you'd want at 100 TB.
+    x.join(y.hint("merge"), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).cast("double").as("inter"))
@@ -270,10 +275,15 @@ object Dedup {
   // and the oracle run the identical IEEE operation sequence.
   // ------------------------------------------------------------------
   def embeddingPairs(embeddings: DataFrame, tau: Double = 0.35): DataFrame = {
+    val spark = embeddings.sparkSession
     val e = embeddings
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr("sqrt(aggregate(v, 0.0D, (acc, x) -> acc + x * x))"))
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    // the nested-loop stream side inherits the scan's partitioning (a
+    // single file => a single partition => one thread does all n^2/2
+    // work); spread it across the session's shuffle parallelism
+    val a = e.repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("cos",

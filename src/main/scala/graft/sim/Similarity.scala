@@ -43,7 +43,10 @@ object Similarity {
     val qs = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-    e.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+    // spread the corpus scan: a single-file corpus would otherwise run
+    // the whole corpus-x-queries compare on one thread
+    e.repartition(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .join(broadcast(qs), col("vec_id") =!= col("query_id"))
       .withColumn("cos", expr(dot("v", "qv")) / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -39,18 +39,18 @@ object Text {
   /** Per-document token statistics (whitespace + BPE-ish counts,
     * mean word length).
     */
-  def tokenStats(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    documents.select(
+  def tokenStats(documents: DataFrame): DataFrame =
+    // toks materialized once — the expression is referenced three
+    // times below and an inlined regex split would run per reference
+    documents.withColumn("toks", tokens(col("text"))).select(
       col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
+      size(col("toks")).cast("long").as("n_tokens"),
       size(bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"),
       Det.r(
         // lit(0L): accumulate lengths in LongType (an IntegerType
         // accumulator could overflow on very large documents).
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-          greatest(size(toks), lit(1)).cast("double"), 4).as("mean_token_len"))
-  }
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          greatest(size(col("toks")), lit(1)).cast("double"), 4).as("mean_token_len"))
 
   def sqlTokenStats: String = {
     val toks = sqlTokens("text")
@@ -67,7 +67,7 @@ object Text {
     * score (the usual cheap pre-filter before expensive dedup).
     */
   def quality(documents: DataFrame): DataFrame = {
-    val toks     = tokens(col("text"))
+    val toks     = col("toks")
     val nToks    = greatest(size(toks), lit(1)).cast("double")
     val nChars   = greatest(length(col("text")), lit(1)).cast("double")
     val stopHits = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
@@ -77,7 +77,7 @@ object Text {
     val alphaRatio = alpha / nChars
     val punctRatio = punct / nChars
     val lenCredit  = least(size(toks).cast("double") / lit(50.0), lit(1.0))
-    documents.select(
+    documents.withColumn("toks", tokens(col("text"))).select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
       Det.r(swRatio, 6).as("stopword_ratio"),
@@ -116,7 +116,7 @@ object Text {
     "zh" -> Seq("shi", "bu", "wo", "zhe", "ge"))
 
   def langId(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = col("toks") // materialized below; referenced per language
     val hits = langMarkers.map { case (lang, ws) =>
       lang -> size(filter(toks, t => t.isInCollection(ws)))
     }
@@ -124,7 +124,7 @@ object Text {
       struct(hits.head._2.as("h"), lit(hits.head._1).as("l"))) { case (acc, (lang, h)) =>
       when(h > acc.getField("h"), struct(h.as("h"), lit(lang).as("l"))).otherwise(acc)
     }
-    documents.select(
+    documents.withColumn("toks", tokens(col("text"))).select(
       col("doc_id"),
       col("lang").as("declared_lang"),
       best.getField("l").as("predicted_lang"),
