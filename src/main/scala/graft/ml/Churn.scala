@@ -77,9 +77,18 @@ object Churn {
   // ------------------------------------------------------------------
   // Data plumbing: feature table + deterministic split + class weights.
   // ------------------------------------------------------------------
+  /** Feature table per data directory, persisted: five ML queries (and
+    * train + val + test splits within each) reuse it, so recomputing
+    * the flagship join+aggregate per query would dominate their cost.
+    * The reference caches its splits the same way (train.py:146-148).
+    */
+  private val featureCache = TrieMap.empty[String, DataFrame]
+
   def featuresWithSplit(spark: SparkSession, dir: String): DataFrame =
-    Retention.withSplit(
-      Retention.customerFeatures(Tables.orders(spark, dir), Tables.lineitem(spark, dir)))
+    featureCache.getOrElseUpdate(dir,
+      Retention.withSplit(
+        Retention.customerFeatures(Tables.orders(spark, dir), Tables.lineitem(spark, dir)))
+        .persist())
 
   def split(spark: SparkSession, dir: String, name: String): DataFrame =
     featuresWithSplit(spark, dir).filter(col("split") === name).drop("split")
@@ -99,13 +108,23 @@ object Churn {
       finally train.unpersist()
     })
 
-  /** (custkey, label, p1) scored rows for one split. */
-  def predictions(spark: SparkSession, dir: String, splitName: String): DataFrame = {
-    val m = fitted(spark, dir)
-    m.transform(split(spark, dir, splitName))
-      .select(col("custkey"), col("label"),
-        vector_to_array(col("probability")).getItem(1).as("p1"))
-  }
+  /** Model persistence (reference train.py:178 / eval.py:50). */
+  def save(model: PipelineModel, path: String): Unit = model.write.overwrite().save(path)
+  def load(path: String): PipelineModel = PipelineModel.load(path)
+
+  private val predictionCache = TrieMap.empty[(String, String), DataFrame]
+
+  /** (custkey, label, p1) scored rows for one split; persisted because
+    * the sweep, confusion, and AUC queries all re-read them.
+    */
+  def predictions(spark: SparkSession, dir: String, splitName: String): DataFrame =
+    predictionCache.getOrElseUpdate((dir, splitName), {
+      val m = fitted(spark, dir)
+      m.transform(split(spark, dir, splitName))
+        .select(col("custkey"), col("label"),
+          vector_to_array(col("probability")).getItem(1).as("p1"))
+        .persist()
+    })
 
   // ------------------------------------------------------------------
   // q13: coefficient table (reference train.py:110-122) — feature,

@@ -99,6 +99,20 @@ class ChurnSpec extends SparkSpec {
     assert(pEmpty >= 0.0 && pEmpty <= 1.0)
   }
 
+  test("model save/load round-trips: loaded model scores identically") {
+    val model = Churn.fitted(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
+    Churn.save(model, dir)
+    val loaded = Churn.load(dir)
+    val data = Churn.split(spark, sf, "test").limit(20)
+    val p = (m: org.apache.spark.ml.PipelineModel) =>
+      m.transform(data)
+        .select(col("custkey"),
+          org.apache.spark.ml.functions.vector_to_array(col("probability")).getItem(1).as("p1"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p(model) === p(loaded))
+  }
+
   test("cross-validator wiring: 3 folds over the 3x3 grid (train.py:160-173)") {
     val cv = Churn.buildCrossValidator()
     assert(cv.getNumFolds === 3)
