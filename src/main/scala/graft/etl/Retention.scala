@@ -263,6 +263,16 @@ object Retention {
   def withSplit(features: DataFrame, key: String = "custkey"): DataFrame =
     features.withColumn("split", splitColumn(col(key)))
 
+  /** Persist the feature table as train/val/test parquet directories
+    * (reference etl.py:145-151 writes three parquet outputs).
+    * `partitionBy("split")` yields one directory per split, each
+    * independently readable with partition pruning; at 100 TB you
+    * would additionally bucket by custkey so downstream training joins
+    * co-locate.
+    */
+  def writeSplits(features: DataFrame, outDir: String): Unit =
+    withSplit(features).write.mode("overwrite").partitionBy("split").parquet(outDir)
+
   def splitSummary(features: DataFrame): DataFrame =
     withSplit(features)
       .groupBy("split")

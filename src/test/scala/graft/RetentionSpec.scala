@@ -42,6 +42,18 @@ class RetentionSpec extends SparkSpec {
     assert(bySplit("train") / total > 0.5)
   }
 
+  test("writeSplits persists three partition directories that reunion to the cohort") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-splits").toString
+    Retention.writeSplits(feats, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === feats.count())
+    val names = back.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(names === Set("train", "val", "test"))
+    // partition pruning: reading one split touches only its directory
+    val train = spark.read.parquet(dir).filter(col("split") === "train")
+    assert(train.count() > 0)
+  }
+
   test("class weights: negative class 1.0, positive class neg/pos") {
     val w = Retention.classWeightTable(feats).collect()
       .map(r => r.getDouble(0) -> (r.getLong(1), r.getDouble(2))).toMap
