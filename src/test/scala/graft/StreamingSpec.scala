@@ -30,6 +30,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("watermark bounds state: aggregate streams incrementally across two batches") {
+    // two micro-batches (two files): the aggregate must still equal the
+    // batch result over the union — watermarked windowed agg stitches
+    // in-window late rows from batch 2 into batch 1's hours
+    val tmp = Files.createTempDirectory("graft-stream2").toString
+    val events = Tables.events(spark, sf).orderBy("ts")
+    val n = events.count()
+    val half = (n / 2).toInt
+    import org.apache.spark.sql.SaveMode
+    // batch 1 = later half, batch 2 = earlier half (arrives "late" but
+    // events span 30 days, far beyond the 2h watermark: the stream
+    // result over both files must still match batch exactly in
+    // complete mode, which never drops state)
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    raw.limit(half).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val q = Events.hourlyStream(spark, tmp)
+      .writeStream.format("memory").queryName("hourly_inc").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      raw.exceptAll(raw.limit(half)).write.mode(SaveMode.Append).parquet(tmp)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hourly_inc")
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    val batch = Events.hourlyAgg(Tables.events(spark, sf))
+      .select("hour_start", "event_type", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
   test("stateful flatMapGroupsWithState sessionization equals the window-based one") {
     val events = Tables.events(spark, sf)
     val stateful = Events.sessionizeStatefulRollup(events)
