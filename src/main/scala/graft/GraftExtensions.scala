@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.SortedIntersectSize
+
+/** Session-extension entry point: registers graft's native Catalyst
+  * expressions as SQL functions. Users opt in with
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`), after which
+  * `SELECT sorted_intersect_size(a, b)` works from plain SQL and the
+  * expression participates in whole-stage codegen like any built-in.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.sortedIntersectSize)
+  }
+}
+
+object GraftExtensions {
+  val sortedIntersectSize: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sorted_intersect_size"),
+    new ExpressionInfo(
+      classOf[SortedIntersectSize].getName,
+      null,
+      "sorted_intersect_size",
+      "sorted_intersect_size(a, b) - intersection size of two sorted bigint arrays",
+      ""),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "sorted_intersect_size takes exactly 2 arguments")
+      SortedIntersectSize(children.head, children(1))
+    })
+}

@@ -300,4 +300,16 @@ object Churn {
 
   def scorer(spark: SparkSession, dir: String, threshold: Double = 0.5): Scorer =
     new Scorer(fitted(spark, dir), threshold)
+
+  /** Drop all per-directory cached state (features, predictions,
+    * models) and unpersist the backing blocks — for long-lived
+    * sessions that move between data directories.
+    */
+  def clearCaches(): Unit = {
+    featureCache.values.foreach(_.unpersist())
+    featureCache.clear()
+    predictionCache.values.foreach(_.unpersist())
+    predictionCache.clear()
+    modelCache.clear()
+  }
 }

@@ -13,4 +13,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function builder into an EXISTING session's registry
+    * (same shape as SparkSessionExtensions.injectFunction, which only
+    * applies at session construction).
+    */
+  def registerFunction(
+      spark: SparkSession,
+      fn: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+           org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+           Seq[Expression] => Expression)): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(fn._1, fn._2, fn._3)
 }
