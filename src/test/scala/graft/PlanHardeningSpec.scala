@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.Text
+
+/** Cross-cutting regression net: every non-ML query must plan, and no
+  * plan may contain a cartesian product except the two documented
+  * brute-force baselines. Degenerate (empty) inputs must produce empty
+  * results, not exceptions.
+  */
+class PlanHardeningSpec extends SparkSpec {
+
+  // ML queries excluded: planning them fits a model (minutes, covered
+  // by ChurnSpec); brute baselines legitimately nested-loop against a
+  // broadcast side.
+  private val mlQueries = Set(
+    "q_train_coefficients", "q_predict_batch", "q_threshold_sweep",
+    "q_eval_confusion", "q_eval_auc")
+  private val bruteBaselines = Set("q_knn_brute", "q_dedup_embedding")
+
+  test("every non-ML query plans without a CartesianProduct") {
+    SparkEntry.queries.filterNot(q => mlQueries(q._1)).foreach { case (name, fn) =>
+      val plan = planOf(fn(spark, sf))
+      assert(!plan.contains("CartesianProduct"), s"$name has a CartesianProduct")
+      if (!bruteBaselines(name)) {
+        assert(!plan.contains("BroadcastNestedLoopJoin") || name == "q_ann_ivf",
+          s"$name has an unexpected BroadcastNestedLoopJoin")
+      }
+    }
+  }
+
+  test("every oracle entry has a matching query and vice versa for SQL-expressible ops") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // exactly the documented model-dependent / sketch-based set
+    assert(rowsOnly === mlQueries ++ Set(
+      "q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf"))
+  }
+
+  private lazy val emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[Row],
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType))))
+
+  private lazy val emptyEmb = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[Row],
+    StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType))))
+
+  test("text and dedup operators return empty results on an empty corpus") {
+    assert(Text.tokenStats(emptyDocs).count() === 0)
+    assert(Text.quality(emptyDocs).count() === 0)
+    assert(Text.langId(emptyDocs).count() === 0)
+    assert(Text.fingerprint(emptyDocs).count() === 0)
+    assert(Dedup.exact(emptyDocs).count() === 0)
+    assert(Dedup.ngramPairs(emptyDocs).count() === 0)
+    assert(Dedup.minhashLshPairs(emptyDocs).count() === 0)
+    assert(Dedup.simhashPairs(emptyDocs).count() === 0)
+  }
+
+  test("similarity operators return empty results on an empty corpus") {
+    assert(Dedup.embeddingPairs(emptyEmb).count() === 0)
+    assert(Similarity.bruteKnn(emptyEmb).count() === 0)
+    assert(Similarity.lshAnn(emptyEmb).count() === 0)
+    assert(Similarity.ivfAnn(emptyEmb).count() === 0)
+  }
+
+  test("single-document and single-token corpora do not break the pair operators") {
+    import spark.implicits._
+    val one = Seq((1L, "only one document here")).toDF("doc_id", "text")
+    assert(Dedup.ngramPairs(one).count() === 0)
+    assert(Dedup.minhashLshPairs(one).count() === 0)
+    assert(Dedup.simhashPairs(one).count() === 0)
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "text")
+    // sub-shingle docs fall back to whole-text shingles: identical
+    // single-token docs are a perfect pair
+    assert(Dedup.ngramPairs(tiny).count() === 1)
+  }
+}
