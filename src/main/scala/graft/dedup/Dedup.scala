@@ -303,6 +303,41 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), Det.r(col("cos"), 6).as("cosine"))
   }
 
+  /** The SCALE PATH for embeddingPairs' semantics: random-hyperplane
+    * LSH blocking (one exact bucket per table on one side, that bucket
+    * plus every 1-bit flip on the other) generates candidates through
+    * equi-joins on (table, bucket); candidates are re-scored with the
+    * EXACT cosine, so precision is 1 and only recall is approximate
+    * (~0.5-0.7 near tau=0.35 on random vectors, rising toward 1 for
+    * true near-duplicates). Never materializes n² — this is what
+    * replaces the brute baseline at 100 TB.
+    */
+  def embeddingPairsLsh(
+      embeddings: DataFrame,
+      tau: Double = 0.35,
+      tables: Int = 8,
+      bits: Int = 8): DataFrame = {
+    val e = graft.sim.Similarity.bucketedCorpus(embeddings, tables, bits)
+    val left = e.select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bkt")))
+    val right = e
+      .select(col("vec_id").as("vid_b"), posexplode(col("buckets")).as(Seq("t", "qbkt")))
+      .select(col("vid_b"), col("t"),
+        explode(expr(
+          s"transform(sequence(-1, ${bits - 1}), j -> if(j < 0, qbkt, qbkt ^ shiftleft(1L, j)))"))
+          .as("bkt"))
+    val cands = left.join(right, Seq("t", "bkt"))
+      .filter(col("vec_id") < col("vid_b"))
+      .select(col("vec_id").as("vec_a"), col("vid_b").as("vec_b"))
+      .distinct()
+    val side = e.select(col("vec_id"), col("v"), col("nrm"))
+    cands
+      .join(side.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(side.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("cos", graft.sim.Similarity.cosineExpr("va", "vb") / (col("na") * col("nb")))
+      .filter(col("cos") >= tau)
+      .select(col("vec_a"), col("vec_b"), Det.r(col("cos"), 6).as("cosine"))
+  }
+
   def sqlEmbeddingPairs(tau: Double = 0.35): String = {
     val dot = "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))"
     val cos = s"($dot) / (a.nrm * b.nrm)"

@@ -86,6 +86,16 @@ object Similarity {
        |          CAST(xxhash64(t * 1000003 + b * 1009 + i) AS DOUBLE) / 9.223372036854776E18),
        |        (x, h) -> x * h), 0.0D, (a2, x) -> a2 + x) > 0.0D, 1L, 0L)))""".stripMargin
 
+  /** (vec_id, v, nrm, buckets) — prepared vectors with their
+    * per-table hyperplane buckets; shared by the ANN search here and
+    * the LSH-blocked near-dup pair generator in graft.dedup.
+    */
+  private[graft] def bucketedCorpus(embeddings: DataFrame, tables: Int, bits: Int): DataFrame =
+    prepared(embeddings).withColumn("buckets", expr(bucketArrayExpr(tables, bits)))
+
+  private[graft] def cosineExpr: (String, String) => org.apache.spark.sql.Column =
+    (v, q) => expr(dot(v, q))
+
   /** Approximate top-k via multi-probe random-hyperplane LSH.
     *
     * Corpus side: one (table, bucket) key per table. Query side: the
@@ -102,7 +112,7 @@ object Similarity {
       k: Int = 10,
       tables: Int = 8,
       bits: Int = 8): DataFrame = {
-    val e = prepared(embeddings).withColumn("buckets", expr(bucketArrayExpr(tables, bits)))
+    val e = bucketedCorpus(embeddings, tables, bits)
     val corpus = e.select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bkt")))
     val probes = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), posexplode(col("buckets")).as(Seq("t", "qbkt")))

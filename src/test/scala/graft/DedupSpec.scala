@@ -58,6 +58,19 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("LSH-blocked embedding pairs: subset of brute with usable recall, cartesian-free") {
+    val brute = Dedup.embeddingPairs(Tables.embeddings(spark, sf))
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshDf = Dedup.embeddingPairsLsh(Tables.embeddings(spark, sf))
+    val lsh = lshDf.select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), "exact re-scoring means precision 1")
+    assert(lsh.size.toDouble / brute.size >= 0.25, s"recall ${lsh.size.toDouble / brute.size}")
+    val plan = planOf(lshDf)
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("embedding pairs are symmetric-free and above threshold") {
     val pairs = Dedup.embeddingPairs(Tables.embeddings(spark, sf)).cache()
     assert(pairs.count() > 0)
