@@ -281,11 +281,12 @@ object Churn {
   // ------------------------------------------------------------------
   final class Scorer(model: PipelineModel, threshold: Double = 0.5) {
     def scoreBatch(spark: SparkSession, batch: Seq[Map[String, Double]]): DataFrame = {
-      import spark.implicits._
-      val rows = batch.map(m => featureCols.map(f => m.getOrElse(f, 0.0)))
-      val df = rows.map {
-        case Seq(a, b, c, d, e, f, g, h, i, j) => (a, b, c, d, e, f, g, h, i, j)
-      }.toDF(featureCols: _*)
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+      val schema = StructType(featureCols.map(f => StructField(f, DoubleType, nullable = false)))
+      val rows = batch.map(m => Row.fromSeq(featureCols.map(f => m.getOrElse(f, 0.0))))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, math.max(1, rows.size / 1000)), schema)
       model.transform(df)
         .withColumn("p1", vector_to_array(col("probability")).getItem(1))
         .withColumn("prediction", (col("p1") >= threshold).cast("double"))
