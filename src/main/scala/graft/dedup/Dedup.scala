@@ -43,9 +43,13 @@ object Dedup {
     * expression work behind it is the expensive part. On a well-split
     * 100 TB input the shuffle is a balanced no-op.
     */
-  private def spread(documents: DataFrame): DataFrame =
-    documents.repartition(
-      documents.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+  private def spread(documents: DataFrame): DataFrame = {
+    val target = documents.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // only shuffle when the input is actually under-partitioned — on a
+    // well-split 100 TB corpus this must stay a true no-op
+    if (documents.rdd.getNumPartitions >= target) documents
+    else documents.repartition(target)
+  }
 
   def hashedShingleSets(documents: DataFrame): DataFrame =
     spread(documents)
@@ -133,6 +137,10 @@ object Dedup {
   }
 
   def sqlNgramPairs(tau: Double = 0.5): String = {
+    // the oracle uses band/band±1 length blocking, which is lossless
+    // ONLY for tau >= 0.5 (set-size ratio <= 2 => adjacent bit-length
+    // bands); the Spark side's inverted index is exact for any tau > 0
+    require(tau >= 0.5, "the band-blocked oracle is only lossless for tau >= 0.5")
     val jac = "CAST(len(list_intersect(a.sh, r.sh)) AS DOUBLE) / CAST(len(a.sh) + len(r.sh) - len(list_intersect(a.sh, r.sh)) AS DOUBLE)"
     s"""WITH s AS (
        |  SELECT doc_id, ${sqlHashedShingleSet("text")} AS sh FROM documents

@@ -21,10 +21,22 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs must be array<bigint>; enforced by the only call site
-  // (GraftFunctions.sortedIntersectSize over hashed shingle sets)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_size"
+
+  // registered as a SQL function (GraftExtensions), so malformed input
+  // must fail analysis — getLong over a non-bigint array would return
+  // garbage, not throw
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

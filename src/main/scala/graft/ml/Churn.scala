@@ -82,10 +82,18 @@ object Churn {
     * the flagship join+aggregate per query would dominate their cost.
     * The reference caches its splits the same way (train.py:146-148).
     */
+  // DataFrame caches are keyed by (session, dir): a cached plan is
+  // bound to the session that built it, and returning it to a NEW
+  // session (after the old one stopped) would throw at execution time.
+  // Fitted models are session-independent (coefficients live on the
+  // driver) so the model cache keys by dir alone.
+  private def sessionKey(spark: SparkSession, dir: String): String =
+    System.identityHashCode(spark) + "@" + dir
+
   private val featureCache = TrieMap.empty[String, DataFrame]
 
   def featuresWithSplit(spark: SparkSession, dir: String): DataFrame =
-    featureCache.getOrElseUpdate(dir,
+    featureCache.getOrElseUpdate(sessionKey(spark, dir),
       Retention.withSplit(
         Retention.customerFeatures(Tables.orders(spark, dir), Tables.lineitem(spark, dir)))
         .persist())
@@ -118,7 +126,7 @@ object Churn {
     * the sweep, confusion, and AUC queries all re-read them.
     */
   def predictions(spark: SparkSession, dir: String, splitName: String): DataFrame =
-    predictionCache.getOrElseUpdate((dir, splitName), {
+    predictionCache.getOrElseUpdate((sessionKey(spark, dir), splitName), {
       val m = fitted(spark, dir)
       m.transform(split(spark, dir, splitName))
         .select(col("custkey"), col("label"),
@@ -152,10 +160,13 @@ object Churn {
   // q15: the 101-threshold sweep as ONE aggregation.
   //
   // floor(p1*100) buckets every prediction; "p1 >= i/100" is then
-  // exactly "bucket >= i", so TP/FP/FN/TN at every threshold are
-  // suffix sums of the 101-row histogram — window work over 101 rows,
-  // not 303 jobs over the full data (reference train.py:58-102).
-  // Denominators use max(x, 1) like the reference.
+  // "bucket >= i", so TP/FP/FN/TN at every threshold are suffix sums
+  // of the 101-row histogram — window work over 101 rows, not 303 jobs
+  // over the full data (reference train.py:58-102). The equivalence is
+  // exact except when p1 lands within a double ulp of a threshold
+  // whose *100 product rounds down (e.g. 0.29*100 = 28.999...) —
+  // measure-zero for sigmoid outputs. Denominators use max(x, 1) like
+  // the reference.
   // ------------------------------------------------------------------
   def thresholdSweep(pred: DataFrame): DataFrame = {
     val spark = pred.sparkSession
@@ -264,7 +275,8 @@ object Churn {
         (col("recall") - col("recall_prev")) * (col("prec") + col("prec_prev")) / 2.0)
     scored.agg(
       Det.r(sum(col("roc_contrib")) /
-        (max(col("p_tot")).cast("double") * greatest(max(col("n_tot")), lit(1L)).cast("double")), 6)
+        (greatest(max(col("p_tot")), lit(1L)).cast("double") *
+          greatest(max(col("n_tot")), lit(1L)).cast("double")), 6)
         .as("auc_roc"),
       Det.r(sum(col("pr_contrib")), 6).as("auc_pr"),
       max(col("p_tot")).as("n_pos"),

@@ -17,20 +17,7 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // InferFiltersFromGenerate rewrites explode(expensiveArrayExpr)
-      // into a pushed-down filter that re-evaluates the array expression
-      // twice more per row (10x on the dedup inverted-index paths);
-      // explode already skips empty/null arrays on its own.
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.ui.enabled", "false")
-      .appName("graft-test")
-      .getOrCreate()
+    val s = GraftSession.builder("local[4]", "4").appName("graft-test").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }

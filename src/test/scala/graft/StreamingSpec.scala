@@ -49,7 +49,10 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("hourly_inc").outputMode("complete").start()
     try {
       q.processAllAvailable()
-      raw.exceptAll(raw.limit(half)).write.mode(SaveMode.Append).parquet(tmp)
+      // batch 2 = everything not already on disk — re-evaluating
+      // raw.limit(half) here could pick a different (unordered) subset
+      raw.exceptAll(spark.read.parquet(tmp).select(raw.columns.map(col): _*))
+        .write.mode(SaveMode.Append).parquet(tmp)
       q.processAllAvailable()
     } finally q.stop()
     val streamed = spark.table("hourly_inc")
