@@ -26,6 +26,11 @@ object Bench {
           failures ::= name
           false
         }
+      // isolate measurements: drop the previous query's broadcast /
+      // cache debris outside the timed section (shared-JVM GC pressure
+      // showed up as 4x run-to-run swings on the join-heavy queries)
+      spark.catalog.clearCache()
+      System.gc()
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
