@@ -122,12 +122,13 @@ object Dedup {
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("h"))
     val x = inv.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("h"))
     val y = inv.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("h"))
-    // force the sort-merge join: BOTH sides are corpus-sized, so a
+    // force a shuffled hash join: BOTH sides are corpus-sized, so a
     // broadcast of the inverted index is wrong at scale, and it also
     // serializes the probe+aggregate work onto the (single-file) scan's
-    // one partition. The shuffle on h gives full parallelism and is the
-    // plan you'd want at 100 TB.
-    x.join(y.hint("merge"), Seq("h"))
+    // one partition. The shuffle on h gives full parallelism (AQE still
+    // handles skewed shingles), and hashing beats sort-merge here —
+    // equi-join on a long key with small per-key groups needs no order.
+    x.join(y.hint("shuffle_hash"), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).cast("double").as("inter"))
