@@ -9,7 +9,7 @@ import graft.mm.Multimodal
 import graft.ops.Relational
 import graft.streaming.Events
 import graft.sim.Similarity
-import graft.text.Text
+import graft.text.{Corpus, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §6
   * (correctness gate). Every implemented operator has a `queries`
@@ -77,7 +77,11 @@ object SparkEntry {
     "q_media_frames" -> ((s, dir) => Multimodal.mediaFrames(Tables.documents(s, dir))),
     // --- G. Streaming (batch-equivalent form; the readStream path is
     // exercised in ScalaTest with a memory sink) ---------------------
-    "q_stream_hourly" -> ((s, dir) => Events.hourlyAgg(Tables.events(s, dir)))
+    "q_stream_hourly" -> ((s, dir) => Events.hourlyAgg(Tables.events(s, dir))),
+    // --- H. Corpus reporting & mixing (round-2 additions) -----------
+    "q_corpus_stats" -> ((s, dir) => Corpus.stats(Tables.documents(s, dir))),
+    "q_stratified_sample" -> ((s, dir) =>
+      Corpus.stratifiedSample(Tables.documents(s, dir), Corpus.defaultMix))
   )
 
   // ---------------------------------------------------------------
@@ -270,6 +274,8 @@ object SparkEntry {
     "q_knn_brute" -> Similarity.sqlBruteKnn(),
     "q_media_meta" -> Multimodal.sqlMediaMeta,
     "q_media_frames" -> Multimodal.sqlMediaFrames,
-    "q_stream_hourly" -> Events.sqlHourlyAgg
+    "q_stream_hourly" -> Events.sqlHourlyAgg,
+    "q_corpus_stats" -> Corpus.sqlStats,
+    "q_stratified_sample" -> Corpus.sqlStratifiedSample()
   )
 }

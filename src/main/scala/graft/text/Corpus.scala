@@ -1,0 +1,114 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Det
+
+/** Corpus-level reporting and sampling — the two operations a
+  * training-data pipeline runs between cleaning and mixing: per-slice
+  * statistics (how big/long is each language slice?) and
+  * deterministic stratified sampling (rebalance slices by keeping a
+  * fixed per-slice fraction).
+  */
+object Corpus {
+
+  /** Per-language corpus statistics with EXACT discrete percentiles
+    * (value at rank ceil(p*n) in (n_tokens, doc_id) order — a pure
+    * selection, no interpolation, so the DuckDB oracle matches
+    * hash-exactly). The per-language sort is fine while slice counts
+    * are modest; at 100 TB swap the window for percentile_approx
+    * ([[statsApprox]]) — same schema, sketch-based, one aggregation.
+    */
+  def stats(documents: DataFrame): DataFrame = {
+    val base = documents
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+    val ranked = base
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n_tokens"), col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    def pct(p: Double): Column =
+      max(when(col("rk") === ceil(lit(p) * col("cnt")).cast("long"), col("n_tokens")))
+    ranked.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        Det.r(sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"), 4)
+          .as("avg_chars"),
+        pct(0.5).as("p50_tokens"),
+        pct(0.9).as("p90_tokens"),
+        pct(0.99).as("p99_tokens"))
+  }
+
+  def sqlStats: String = {
+    val toks = Text.sqlTokens("text")
+    def pct(p: String, as: String) =
+      s"CAST(max(CASE WHEN rk = CAST(ceil($p * cnt) AS BIGINT) THEN n_tokens END) AS BIGINT) AS $as"
+    s"""WITH b AS (
+       |  SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) AS BIGINT) AS n_chars
+       |  FROM documents
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY lang) AS cnt
+       |  FROM b
+       |)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  floor(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS avg_chars,
+       |  ${pct("0.5", "p50_tokens")},
+       |  ${pct("0.9", "p90_tokens")},
+       |  ${pct("0.99", "p99_tokens")}
+       |FROM r GROUP BY 1""".stripMargin
+  }
+
+  /** Sketch-based variant for 100 TB: single aggregation, no sort;
+    * approximate percentiles (accuracy 1/relativeError). Not
+    * oracle-checkable (sketch) — covered by ScalaTest against the
+    * exact variant.
+    */
+  def statsApprox(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("lang"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        Det.r(sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"), 4)
+          .as("avg_chars"),
+        percentile_approx(col("n_tokens"), lit(0.5), lit(10000)).as("p50_tokens"),
+        percentile_approx(col("n_tokens"), lit(0.9), lit(10000)).as("p90_tokens"),
+        percentile_approx(col("n_tokens"), lit(0.99), lit(10000)).as("p99_tokens"))
+
+  /** Deterministic stratified (systematic) sampling: keep a document
+    * iff doc_id % 100 < rate(lang). Reproducible across engines,
+    * cluster sizes, and retries — at 100 TB a seeded random sample is
+    * re-drawn per task attempt, a modulo filter is not. The filter is
+    * a pure scan-side predicate (no shuffle at all).
+    */
+  def stratifiedSample(documents: DataFrame, pctByLang: Map[String, Int], defaultPct: Int = 10): DataFrame = {
+    val rate = pctByLang.foldLeft(lit(defaultPct): Column) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    documents
+      .filter(pmod(col("doc_id"), lit(100)) < rate)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  /** Default mix: downsample the majority language, keep the rest. */
+  val defaultMix: Map[String, Int] = Map("en" -> 20, "zh" -> 60, "es" -> 60, "de" -> 60, "fr" -> 60)
+
+  def sqlStratifiedSample(pctByLang: Map[String, Int] = defaultMix, defaultPct: Int = 10): String = {
+    val cases = pctByLang.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+    s"""SELECT doc_id, lang, source, n_chars
+       |FROM documents
+       |WHERE doc_id % 100 < (CASE $cases ELSE $defaultPct END)""".stripMargin
+  }
+}

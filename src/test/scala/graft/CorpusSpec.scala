@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Corpus
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stats: percentiles are exact discrete selections on a hand-built corpus") {
+    // 10 docs, token counts 1..10 -> p50 = value at rank ceil(0.5*10)=5,
+    // p90 at rank 9, p99 at rank 10
+    val docs = (1 to 10).map(i => (i.toLong, Seq.fill(i)("w").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = Corpus.stats(docs).head()
+    assert(r.getLong(1) === 10L) // n_docs
+    assert(r.getLong(2) === 55L) // total tokens
+    assert(r.getLong(4) === 5L)  // p50
+    assert(r.getLong(5) === 9L)  // p90
+    assert(r.getLong(6) === 10L) // p99
+  }
+
+  test("stats and statsApprox agree on counts and are close on percentiles") {
+    val exact = Corpus.stats(Tables.documents(spark, sf))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = Corpus.statsApprox(Tables.documents(spark, sf))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (lang, e) =>
+      val a = approx(lang)
+      assert(e.getLong(1) === a.getLong(1)) // n_docs
+      assert(e.getLong(2) === a.getLong(2)) // total_tokens
+      assert(math.abs(e.getLong(4) - a.getLong(4)) <= 2, s"$lang p50")
+    }
+  }
+
+  test("stratified sample keeps ~rate(lang)% deterministically, repeatably") {
+    val docs = Tables.documents(spark, sf)
+    val s1 = Corpus.stratifiedSample(docs, Corpus.defaultMix)
+    val s2 = Corpus.stratifiedSample(docs, Corpus.defaultMix)
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === s2.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // rates hold approximately (doc_id uniform mod 100)
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Corpus.defaultMix.foreach { case (lang, rate) =>
+      val frac = kept.getOrElse(lang, 0L).toDouble / byLang(lang)
+      assert(math.abs(frac - rate / 100.0) < 0.2, s"$lang kept $frac expected ~${rate / 100.0}")
+    }
+  }
+}
