@@ -62,6 +62,10 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingPairs(Tables.embeddings(s, dir))),
+    // the 100 TB path for the same semantics (LSH blocking, exact
+    // re-score => precision 1, recall-gated in DedupSpec); approximate
+    // recall => rows-only driver gate
+    "q_dedup_embedding_lsh" -> ((s, dir) => Dedup.embeddingPairsLsh(Tables.embeddings(s, dir))),
     // --- E. Similarity search ---------------------------------------
     "q_knn_brute" -> ((s, dir) => Similarity.bruteKnn(Tables.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => Similarity.lshAnn(Tables.embeddings(s, dir))),
@@ -80,6 +84,10 @@ object SparkEntry {
     "q_stream_hourly" -> ((s, dir) => Events.hourlyAgg(Tables.events(s, dir))),
     // --- H. Corpus reporting & mixing (round-2 additions) -----------
     "q_corpus_stats" -> ((s, dir) => Corpus.stats(Tables.documents(s, dir))),
+    // the 100 TB path: sketch percentiles, one aggregation, no
+    // per-language sort (agreement-gated in CorpusSpec); sketch-based
+    // => rows-only driver gate
+    "q_corpus_stats_approx" -> ((s, dir) => Corpus.statsApprox(Tables.documents(s, dir))),
     "q_stratified_sample" -> ((s, dir) =>
       Corpus.stratifiedSample(Tables.documents(s, dir), Corpus.defaultMix))
   )

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Det
@@ -104,35 +105,61 @@ object Dedup {
     size(col("sh_a")).cast("double") >= lit(tau) * size(col("sh_b")).cast("double") &&
       size(col("sh_b")).cast("double") >= lit(tau) * size(col("sh_a")).cast("double")
 
-  /** Exact n-gram Jaccard pairs via an INVERTED-INDEX co-occurrence
-    * join: explode every document's shingle hashes, equi-join the
-    * index with itself on the hash, and count matches per (doc_a,
-    * doc_b) — that count IS |A∩B| (sets are distinct), and |A∪B|
-    * follows by inclusion-exclusion from the carried set sizes. This
-    * is exact (a pair with jac >= tau > 0 shares at least one shingle,
-    * so it appears in the join) and never compares full documents: the
-    * join volume is Σ_h n_h² over shingle document-frequencies, all
-    * narrow codegen rows, no array materialization. At 100 TB this is
-    * the standard all-pairs-similarity shape; ultra-frequent shingles
-    * (stop-phrases) would get a document-frequency cap before the
-    * self-join — unnecessary on this corpus, noted for scale.
+  /** Exact n-gram Jaccard pairs via a PREFIX-FILTERED inverted-index
+    * join (the all-pairs-similarity shape of Chaudhuri et al.'s SSJoin
+    * / Bayardo et al. WWW'07): rank every document's shingle hashes by
+    * global document frequency ascending (rarest first, ties by hash —
+    * one consistent total order), index only the first
+    * n - ceil(tau*n) + 1 of them, equi-join the prefix index with
+    * itself on the hash, and verify the surviving candidates with the
+    * exact merge-walk intersection over the full sorted sets.
+    *
+    * Losslessness (any tau > 0): jac(A,B) >= tau implies
+    * |A∩B| >= ceil(tau*max(|A|,|B|)) =: α, and for sets sorted by one
+    * global order the smallest common element must sit within the
+    * first |A|-α+1 positions of A (else all α common elements would
+    * fit in A's last α-1 slots) — and likewise within B's first
+    * |B|-α+1. Each side's indexed prefix n-ceil(tau*n)+1 is at least
+    * that long, so every qualifying pair collides on >= 1 indexed
+    * hash. Precision is 1 because candidates are re-scored exactly.
+    *
+    * This is what bounds the stop-phrase blowup at 100 TB: the join
+    * volume is Σ_h p_h² over PREFIX frequencies, and a shingle shared
+    * by a million documents lands in a document's prefix only when the
+    * document has almost nothing rarer — df-ascending ordering is the
+    * document-frequency cap, without the recall loss of hard-dropping
+    * frequent shingles.
     */
   def ngramPairs(documents: DataFrame, tau: Double = 0.5): DataFrame = {
-    val inv = hashedShingleSets(documents)
+    val sets = hashedShingleSets(documents)
+    val inv = sets
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("h"))
-    val x = inv.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("h"))
-    val y = inv.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("h"))
+    val dfreq = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // rarest-first rank within each document; the window partitions by
+    // doc_id, so partition size is bounded by shingles-per-document
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h").asc)
+    val prefix = inv
+      .join(dfreq.hint("shuffle_hash"), Seq("h"))
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <= col("n_sh") - ceil(lit(tau) * col("n_sh")).cast("int") + 1)
+      .select(col("doc_id"), col("h"))
+    val x = prefix.select(col("doc_id").as("doc_a"), col("h"))
+    val y = prefix.select(col("doc_id").as("doc_b"), col("h"))
     // force a shuffled hash join: BOTH sides are corpus-sized, so a
     // broadcast of the inverted index is wrong at scale, and it also
     // serializes the probe+aggregate work onto the (single-file) scan's
     // one partition. The shuffle on h gives full parallelism (AQE still
     // handles skewed shingles), and hashing beats sort-merge here —
     // equi-join on a long key with small per-key groups needs no order.
-    x.join(y.hint("shuffle_hash"), Seq("h"))
+    val cands = x.join(y.hint("shuffle_hash"), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).cast("double").as("inter"))
-      .withColumn("jac", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    withJaccard(
+      cands
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .filter(sizeRatioFilter(tau)))
       .filter(col("jac") >= tau)
       .select(col("doc_a"), col("doc_b"), Det.r(col("jac"), 6).as("jaccard"))
   }

@@ -175,9 +175,12 @@ object Churn {
       .groupBy("bucket")
       .agg(sum(col("label")).cast("long").as("pos"), count(lit(1)).as("n"))
     val full = spark.range(0, 101).select(col("id").cast("int").as("bucket"))
-    val wDesc = Window.orderBy(col("bucket").desc)
+    // constant-partition windows: the input is exactly 101 rows at any
+    // data size, and the constant key keeps Spark off its
+    // "no partition defined" single-partition warning path
+    val wDesc = Window.partitionBy(lit(0)).orderBy(col("bucket").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
+    val wAll = Window.partitionBy(lit(0))
     val cum = full.join(hist, Seq("bucket"), "left")
       .na.fill(0L, Seq("pos", "n"))
       .withColumn("tp", sum(col("pos")).over(wDesc))
@@ -247,30 +250,69 @@ object Churn {
   // half the tied negatives), normalized by P*N.
   // AUC-PR: trapezoid over the distinct-score PR curve (first point
   // (recall 0, precision 1), one point per distinct score descending).
-  // One shuffle (the score groupBy); the windows run over distinct
-  // scores only. At 100 TB you would quantize p1 (e.g. 1e-6) to bound
-  // the distinct-score cardinality; the math is unchanged.
+  //
+  // Scale shape: scores are quantized to 6 dp FIRST (standard for AUC
+  // at scale; a 1e-6 score grid moves the statistic by less than the
+  // reporting precision), so the score groupBy — the only data-sized
+  // shuffle — emits at most 1e6+1 rows. The cumulative statistics are
+  // then two-level: per-score rows carry a coarse bucket key
+  // (floor(p1*1000), <=1001 buckets), bucket-level prefix sums run over
+  // the <=1001-row bucket rollup, and the within-bucket windows are
+  // PARTITIONED BY bucket (partition size <=1001 distinct scores), so
+  // no window ever funnels unbounded data through one task.
   // ------------------------------------------------------------------
   def aucTable(pred: DataFrame): DataFrame = {
-    val byScore = pred.groupBy(col("p1"))
+    val byScore = pred
+      .groupBy(Det.r(col("p1"), 6).as("p1"))
       .agg(sum(col("label")).cast("long").as("pos"), count(lit(1)).as("n"))
       .withColumn("neg", col("n") - col("pos"))
-    val wBelow = Window.orderBy(col("p1").asc).rowsBetween(Window.unboundedPreceding, -1)
-    val wDesc  = Window.orderBy(col("p1").desc).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll   = Window.partitionBy()
+      .withColumn("bkt", floor(col("p1") * 1000).cast("int"))
+    // Bucket rollup: <=1001 rows at ANY data size. The prefix windows
+    // over it are partitioned by a constant so the (bounded,
+    // constant-cardinality) single partition is explicit and Spark's
+    // "no partition defined" path is never taken.
+    val wBktAsc = Window.partitionBy(lit(0)).orderBy(col("bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBktDesc = Window.partitionBy(lit(0)).orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktPrefix = byScore
+      .groupBy(col("bkt"))
+      .agg(sum(col("pos")).as("bpos"), sum(col("neg")).as("bneg"), sum(col("n")).as("bn"))
+      .withColumn("bkt_neg_below", coalesce(sum(col("bneg")).over(wBktAsc), lit(0L)))
+      .withColumn("bkt_pos_above", coalesce(sum(col("bpos")).over(wBktDesc), lit(0L)))
+      .withColumn("bkt_n_above", coalesce(sum(col("bn")).over(wBktDesc), lit(0L)))
+      .withColumn("p_tot", sum(col("bpos")).over(Window.partitionBy(lit(0))))
+      .withColumn("n_tot", sum(col("bneg")).over(Window.partitionBy(lit(0))))
+      .select("bkt", "bkt_neg_below", "bkt_pos_above", "bkt_n_above", "p_tot", "n_tot")
+    // Within-bucket cumulative sums; boundary values come from the
+    // broadcast bucket prefix, so cross-bucket state never crosses a
+    // window partition. The previous PR-curve point for a bucket's
+    // highest score is the bucket-above cumulative (recall 0 /
+    // precision 1 when nothing is above).
+    val wInAsc = Window.partitionBy(col("bkt")).orderBy(col("p1").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wInDesc = Window.partitionBy(col("bkt")).orderBy(col("p1").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wInLag = Window.partitionBy(col("bkt")).orderBy(col("p1").desc)
     val scored = byScore
-      .withColumn("neg_below", coalesce(sum(col("neg")).over(wBelow), lit(0L)))
-      .withColumn("cum_pos", sum(col("pos")).over(wDesc))
-      .withColumn("cum_n", sum(col("n")).over(wDesc))
-      .withColumn("p_tot", sum(col("pos")).over(wAll))
-      .withColumn("n_tot", sum(col("neg")).over(wAll))
+      .join(broadcast(bktPrefix), "bkt")
+      .withColumn("neg_below",
+        col("bkt_neg_below") + coalesce(sum(col("neg")).over(wInAsc), lit(0L)))
+      .withColumn("cum_pos", col("bkt_pos_above") + sum(col("pos")).over(wInDesc))
+      .withColumn("cum_n", col("bkt_n_above") + sum(col("n")).over(wInDesc))
       .withColumn("roc_contrib",
         col("pos").cast("double") *
           (col("neg_below").cast("double") + col("neg").cast("double") / 2.0))
       .withColumn("recall", col("cum_pos").cast("double") / greatest(col("p_tot"), lit(1L)).cast("double"))
       .withColumn("prec", col("cum_pos").cast("double") / col("cum_n").cast("double"))
-      .withColumn("recall_prev", coalesce(lag(col("recall"), 1).over(Window.orderBy(col("p1").desc)), lit(0.0)))
-      .withColumn("prec_prev", coalesce(lag(col("prec"), 1).over(Window.orderBy(col("p1").desc)), lit(1.0)))
+      .withColumn("recall_prev",
+        coalesce(lag(col("recall"), 1).over(wInLag),
+          col("bkt_pos_above").cast("double") / greatest(col("p_tot"), lit(1L)).cast("double")))
+      .withColumn("prec_prev",
+        coalesce(lag(col("prec"), 1).over(wInLag),
+          when(col("bkt_n_above") > 0,
+            col("bkt_pos_above").cast("double") / col("bkt_n_above").cast("double"))
+            .otherwise(lit(1.0))))
       .withColumn("pr_contrib",
         (col("recall") - col("recall_prev")) * (col("prec") + col("prec_prev")) / 2.0)
     scored.agg(

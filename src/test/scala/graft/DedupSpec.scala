@@ -26,6 +26,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter(col("doc_a") >= col("doc_b")).count() === 0)
   }
 
+  test("prefix-filtered ngram pairs stay exact under an adversarial stop-phrase corpus") {
+    // every document shares a stop-phrase (ultra-frequent shingles, the
+    // Σ df² blowup case); the prefix filter must drop it from the index
+    // without losing the planted near-dup pair
+    val stop = "alpha beta gamma delta epsilon"
+    val corpus = (0 until 60).map(i =>
+      (i.toLong, s"$stop unique$i filler$i token$i more$i words$i here$i")) ++
+      Seq((100L, s"$stop common tail one two three four five six seven eight nine"),
+          (101L, s"$stop common tail one two three four five six seven eight ten"))
+    val df = corpus.toDF("doc_id", "text")
+    // expected = brute-force exact Jaccard over the same hashed shingle sets
+    val sets = Dedup.hashedShingleSets(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size.toDouble
+      jac = inter / (sets(a).size + sets(b).size - inter)
+      if jac >= 0.5
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "the adversarial corpus must contain a planted pair")
+    val got = Dedup.ngramPairs(df).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
   test("minhash LSH agrees with the exact ngram path at tau=0.5") {
     val exact = Dedup.ngramPairs(Tables.documents(spark, sf))
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -38,7 +38,8 @@ class PlanHardeningSpec extends SparkSpec {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // exactly the documented model-dependent / sketch-based set
     assert(rowsOnly === mlQueries ++ Set(
-      "q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf"))
+      "q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf",
+      "q_dedup_embedding_lsh", "q_corpus_stats_approx"))
   }
 
   private lazy val emptyDocs = spark.createDataFrame(
