@@ -30,6 +30,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- A. Relational / ETL core -----------------------------------
     "q_clean_lines" -> ((s, dir) => Retention.cleanLines(Tables.lineitem(s, dir))),
+    // raw-CSV ingestion gate (reference etl.py:13-30): the same clean
+    // over a header CSV round-trip of the table — proves the
+    // standardization/typecast path is value-exact vs the parquet scan
+    "q_csv_clean" -> ((s, dir) =>
+      Retention.cleanLines(graft.sources.Csv.lineitemViaCsv(s, dir))),
     "q_order_rollup" -> ((s, dir) => Retention.orderRollup(Tables.lineitem(s, dir))),
     "q_customer_features" -> ((s, dir) =>
       Retention.customerFeatures(Tables.orders(s, dir), Tables.lineitem(s, dir))),
@@ -144,13 +149,18 @@ object SparkEntry {
        |  SELECT * FROM feats WHERE total_orders >= 2 OR recency_days <= 180
        |)""".stripMargin
 
+  private val cleanLinesSql: String =
+    s"""SELECT l_orderkey AS orderkey, l_linenumber AS linenumber, l_partkey AS partkey,
+       |  l_quantity AS qty, l_extendedprice AS amount,
+       |  ${r("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 2)} AS net_amount
+       |FROM lineitem
+       |WHERE l_orderkey IS NOT NULL AND l_quantity > 0 AND l_extendedprice > 0""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    "q_clean_lines" ->
-      s"""SELECT l_orderkey AS orderkey, l_linenumber AS linenumber, l_partkey AS partkey,
-         |  l_quantity AS qty, l_extendedprice AS amount,
-         |  ${r("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 2)} AS net_amount
-         |FROM lineitem
-         |WHERE l_orderkey IS NOT NULL AND l_quantity > 0 AND l_extendedprice > 0""".stripMargin,
+    "q_clean_lines" -> cleanLinesSql,
+    // the CSV round-trip must be value-exact vs the parquet source, so
+    // the oracle is the parquet-table query itself
+    "q_csv_clean" -> cleanLinesSql,
     "q_order_rollup" ->
       s"""SELECT l_orderkey AS orderkey, count(*) AS order_lines,
          |  sum(l_quantity) AS order_qty,

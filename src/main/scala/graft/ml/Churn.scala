@@ -220,9 +220,19 @@ object Churn {
   // validation threshold (reference eval.py:72-88) — a single
   // conditional aggregation over the scored test split.
   // ------------------------------------------------------------------
-  def evalConfusion(spark: SparkSession, dir: String): DataFrame = {
-    val pred = predictions(spark, dir, "test")
-    val agg = pred.crossJoin(broadcast(bestThreshold(spark, dir)))
+  def evalConfusion(spark: SparkSession, dir: String): DataFrame =
+    confusionFrom(predictions(spark, dir, "test"), bestThreshold(spark, dir))
+
+  /** Confusion matrix at an explicit operating threshold — the
+    * eval-later path where the threshold comes from a persisted
+    * metrics artifact (reference eval.py:30-40), not the in-plan sweep.
+    */
+  def evalConfusionAt(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    confusionFrom(predictions(spark, dir, "test"),
+      spark.range(1).select(lit(threshold).as("thr")))
+
+  private def confusionFrom(pred: DataFrame, thrDf: DataFrame): DataFrame = {
+    val agg = pred.crossJoin(broadcast(thrDf))
       .agg(
         first(col("thr")).as("threshold"),
         sum(when(col("label") === 1.0 && col("p1") >= col("thr"), 1L).otherwise(0L)).as("tp"),
@@ -329,6 +339,86 @@ object Churn {
     aucTable(predictions(spark, dir, "test"))
 
   // ------------------------------------------------------------------
+  // metrics.json artifact contract. The reference persists validation
+  // AUCs and the chosen operating threshold after training
+  // (train.py:176-189) and eval reads the threshold back from the file
+  // (eval.py:30-40) — that round-trip is what makes a train-now /
+  // eval-later workflow reproducible. Values here are the final
+  // scalars of terminal aggregations, so driver-side materialization
+  // is the artifact write, not a data move.
+  // ------------------------------------------------------------------
+  final case class Metrics(
+      valAucRoc: Double, valAucPr: Double,
+      bestThreshold: Double, precision: Double, recall: Double, f1: Double)
+
+  /** Validation metrics + best operating threshold (the reference
+    * evaluates the sweep and AUCs on the val split, train.py:178-186).
+    */
+  def computeMetrics(spark: SparkSession, dir: String): Metrics = {
+    val auc = aucTable(predictions(spark, dir, "val")).head()
+    val best = thresholdSweepQuery(spark, dir)
+      .orderBy(col("f1").desc, col("threshold").asc).limit(1)
+      .select("threshold", "precision", "recall", "f1").head()
+    Metrics(auc.getDouble(0), auc.getDouble(1),
+      best.getDouble(0), best.getDouble(1), best.getDouble(2), best.getDouble(3))
+  }
+
+  /** Write the metrics artifact with the reference's key layout
+    * (nested best_threshold object, train.py:95-102,186).
+    */
+  def saveMetrics(m: Metrics, path: String): Unit = {
+    val json =
+      s"""{
+         |  "val_auc_roc": ${m.valAucRoc},
+         |  "val_auc_pr": ${m.valAucPr},
+         |  "best_threshold": {
+         |    "threshold": ${m.bestThreshold},
+         |    "precision": ${m.precision},
+         |    "recall": ${m.recall},
+         |    "f1": ${m.f1}
+         |  }
+         |}""".stripMargin
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, json)
+  }
+
+  def loadMetrics(path: String): Metrics = {
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    def num(key: String): Double = {
+      val m = ("\"" + key + "\"\\s*:\\s*(-?[0-9.eE+]+)").r.findFirstMatchIn(text)
+      m.getOrElse(throw new IllegalArgumentException(s"metrics artifact missing '$key': $path"))
+        .group(1).toDouble
+    }
+    Metrics(num("val_auc_roc"), num("val_auc_pr"),
+      num("threshold"), num("precision"), num("recall"), num("f1"))
+  }
+
+  /** Train-now/eval-later loop: fit, persist metrics, and evaluate the
+    * test confusion at the threshold read BACK from the artifact.
+    */
+  def evalConfusionFromArtifact(spark: SparkSession, dir: String, metricsPath: String): DataFrame =
+    evalConfusionAt(spark, dir, loadMetrics(metricsPath).bestThreshold)
+
+  // ------------------------------------------------------------------
+  // CSV artifact exports (reference plot_threshold.py:24-60 writes
+  // docs/threshold_curve.csv; train.py:110-122 coefficients.csv). The
+  // chart rendering itself is out of scope for a Spark library; the
+  // tables carry the same columns the plots consume.
+  // ------------------------------------------------------------------
+  def exportThresholdCurve(spark: SparkSession, dir: String, outDir: String): Unit =
+    thresholdSweepQuery(spark, dir)
+      .select("threshold", "precision", "recall", "f1")
+      .orderBy("threshold")
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(outDir)
+
+  def exportCoefficients(spark: SparkSession, dir: String, outDir: String): Unit =
+    coefficientTable(spark, dir)
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(outDir)
+
+  // ------------------------------------------------------------------
   // Serving contract (reference serve_api.py:113-160): feature dicts,
   // unknown features ignored, missing features -> 0.0, everything cast
   // double, p1 >= threshold decides.
@@ -355,6 +445,13 @@ object Churn {
 
   def scorer(spark: SparkSession, dir: String, threshold: Double = 0.5): Scorer =
     new Scorer(fitted(spark, dir), threshold)
+
+  /** Serving at the trained operating point: the threshold comes from
+    * the persisted metrics artifact, like the reference's serve layer
+    * reading metrics.json at startup.
+    */
+  def scorerFromArtifact(spark: SparkSession, dir: String, metricsPath: String): Scorer =
+    new Scorer(fitted(spark, dir), loadMetrics(metricsPath).bestThreshold)
 
   /** Drop all per-directory cached state (features, predictions,
     * models) and unpersist the backing blocks — for long-lived

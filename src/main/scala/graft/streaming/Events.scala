@@ -85,6 +85,15 @@ object Events {
       .flatMapGroupsWithState[SessionState, SessionEvent](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          // Memory bound: this materializes ONE user's events from ONE
+          // micro-batch (the sort needs them all; cross-batch state is
+          // just (seq, lastTs)). In streaming that is bounded by
+          // trigger interval x per-user event rate — a power user at
+          // 100 events/s on a 1-minute trigger is ~6k rows, and the
+          // watermark caps how late a batch can grow. A key hot enough
+          // to break this (millions of events per user per trigger)
+          // needs sub-key salting upstream, not a bigger buffer;
+          // StreamingSpec pins a 100k-event single-user batch.
           val sorted = evs.toSeq.sortBy(e => (e.ts_ms, e.event_id))
           var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
           val out = sorted.map { e =>

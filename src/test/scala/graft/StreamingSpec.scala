@@ -76,4 +76,20 @@ class StreamingSpec extends SparkSpec {
     assert(stateful === windowed)
     assert(stateful.nonEmpty)
   }
+
+  test("stateful sessionization survives a pathological single-user batch (100k events)") {
+    import spark.implicits._
+    // one power user, 100k events in one batch: runs of 10 events 1s
+    // apart, then a 31-minute gap -> 10k sessions of exactly 10 events
+    val gapMs = 31L * 60L * 1000L
+    val evs = (0 until 100000).map { i =>
+      val session = i / 10
+      val offset = i % 10
+      Events.Ev(1L, i.toLong, session * gapMs + offset * 1000L, "click")
+    }.toDS()
+    val out = Events.sessionizeStateful(evs)
+      .groupBy("session_seq").count()
+    assert(out.count() === 10000L)
+    assert(out.filter(col("count") =!= 10L).count() === 0L)
+  }
 }
