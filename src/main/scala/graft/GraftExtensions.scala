@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.SortedIntersectSize
+import graft.functions.{SortedIntersectSize, VecDot}
 
 /** Session-extension entry point: registers graft's native Catalyst
   * expressions as SQL functions. Users opt in with
@@ -16,6 +16,7 @@ import graft.functions.SortedIntersectSize
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.sortedIntersectSize)
+    ext.injectFunction(GraftExtensions.vecDot)
   }
 }
 
@@ -31,5 +32,18 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "sorted_intersect_size takes exactly 2 arguments")
       SortedIntersectSize(children.head, children(1))
+    })
+
+  val vecDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(
+      classOf[VecDot].getName,
+      null,
+      "vec_dot",
+      "vec_dot(a, b) - dot product of two double arrays",
+      ""),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "vec_dot takes exactly 2 arguments")
+      VecDot(children.head, children(1))
     })
 }

@@ -322,9 +322,10 @@ object Dedup {
   // ------------------------------------------------------------------
   def embeddingPairs(embeddings: DataFrame, tau: Double = 0.35): DataFrame = {
     val spark = embeddings.sparkSession
+    val dot = graft.functions.GraftFunctions.vecDot _
     val e = embeddings
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0.0D, (acc, x) -> acc + x * x))"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     // the nested-loop stream side inherits the scan's partitioning (a
     // single file => a single partition => one thread does all n^2/2
     // work); spread it across the session's shuffle parallelism
@@ -332,9 +333,7 @@ object Dedup {
       .select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos",
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)") /
-          (col("na") * col("nb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= tau)
       .select(col("vec_a"), col("vec_b"), Det.r(col("cos"), 6).as("cosine"))
   }

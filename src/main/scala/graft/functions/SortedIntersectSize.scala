@@ -74,4 +74,9 @@ object GraftFunctions {
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       SortedIntersectSize(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Column wrapper for [[VecDot]]. */
+  def vecDot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      VecDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }

@@ -24,14 +24,21 @@ import graft.Det
   */
 object Similarity {
 
-  /** (vec_id, v: array<double>, nrm) — the prepared corpus. */
+  /** (vec_id, v: array<double>, nrm) — the prepared corpus. The norm
+    * is vec_dot(v, v): same left-to-right IEEE sequence as the
+    * aggregate() fold it replaces, but native codegen (see VecDot).
+    */
   private def prepared(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0.0D, (acc, x) -> acc + x * x))"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
-  private def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+  /** Codegen'd dot product ([[graft.functions.VecDot]]) — the hot loop
+    * of every scoring path; bit-identical to the interpreted
+    * aggregate(zip_with(...)) form and to the DuckDB oracle.
+    */
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.functions.GraftFunctions.vecDot(a, b)
 
   /** Exact brute-force cosine top-k. The corpus is scanned ONCE and
     * compared against the broadcast query set — at 100 TB this is a
@@ -47,7 +54,7 @@ object Similarity {
     // the whole corpus-x-queries compare on one thread
     e.repartition(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
       .join(broadcast(qs), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", expr(dot("v", "qv")) / (col("nrm") * col("qn")))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), Det.r(col("cos"), 6).as("cosine"))
@@ -74,27 +81,45 @@ object Similarity {
        |FROM r WHERE "rank" <= $k""".stripMargin
   }
 
-  /** Deterministic pseudo-random hyperplane component i of bit b of
-    * table t, in [-1, 1]: xxhash64 of the mixed index, scaled by 2^63.
-    * Pure expression => identical on every executor, no side data.
-    */
-  private def bucketArrayExpr(tables: Int, bits: Int): String =
-    s"""transform(sequence(0, ${tables - 1}), t ->
-       |  aggregate(sequence(0, ${bits - 1}), 0L, (acc, b) ->
-       |    acc * 2L + if(aggregate(zip_with(v,
-       |        transform(sequence(0, size(v) - 1), i ->
-       |          CAST(xxhash64(t * 1000003 + b * 1009 + i) AS DOUBLE) / 9.223372036854776E18),
-       |        (x, h) -> x * h), 0.0D, (a2, x) -> a2 + x) > 0.0D, 1L, 0L)))""".stripMargin
-
   /** (vec_id, v, nrm, buckets) — prepared vectors with their
-    * per-table hyperplane buckets; shared by the ANN search here and
-    * the LSH-blocked near-dup pair generator in graft.dedup.
+    * per-table random-hyperplane buckets; shared by the ANN search
+    * here and the LSH-blocked near-dup pair generator in graft.dedup.
+    *
+    * Hyperplane component i of bit b of table t is deterministic
+    * pseudo-random in [-1, 1]: xxhash64 of the mixed (t, b, i) index,
+    * scaled by 2^63 — a pure expression, identical on every executor,
+    * no side data to ship. The tables*bits projections are computed by
+    * EXPLODING the vector and running plain codegen sum-aggregate
+    * columns (map-side partial agg), not by nested higher-order-
+    * function folds — the same explode-beats-interpreted-lambda lesson
+    * as MinHash/SimHash (~10-40x on this, the dominant per-row cost of
+    * the LSH paths). The shuffle carries tables*bits doubles per
+    * VECTOR, not per element.
     */
-  private[graft] def bucketedCorpus(embeddings: DataFrame, tables: Int, bits: Int): DataFrame =
-    prepared(embeddings).withColumn("buckets", expr(bucketArrayExpr(tables, bits)))
+  private[graft] def bucketedCorpus(embeddings: DataFrame, tables: Int, bits: Int): DataFrame = {
+    val e = prepared(embeddings)
+    val exploded = e.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+    // int arithmetic on purpose: the hash input must stay IntegerType
+    // (t*1000003 + b*1009 + i fits comfortably) for stable hash values
+    val projections = for (t <- 0 until tables; b <- 0 until bits) yield
+      sum(col("x") *
+        expr(s"CAST(xxhash64(${t * 1000003 + b * 1009} + i) AS DOUBLE) / 9.223372036854776E18"))
+        .as(s"p_${t}_$b")
+    val sums = exploded.groupBy(col("vec_id")).agg(projections.head, projections.tail: _*)
+    // bit b of table t's bucket has weight 2^(bits-1-b): sign-of-projection
+    val bucketCols = (0 until tables).map { t =>
+      (0 until bits).map { b =>
+        when(col(s"p_${t}_$b") > 0.0, lit(1L << (bits - 1 - b))).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"bkt$t")
+    }
+    val buckets = sums.select(col("vec_id") +: bucketCols: _*)
+      .select(col("vec_id"),
+        array((0 until tables).map(t => col(s"bkt$t")): _*).as("buckets"))
+    e.join(buckets, "vec_id")
+  }
 
   private[graft] def cosineExpr: (String, String) => org.apache.spark.sql.Column =
-    (v, q) => expr(dot(v, q))
+    (v, q) => dot(col(v), col(q))
 
   /** Approximate top-k via multi-probe random-hyperplane LSH.
     *
@@ -145,7 +170,7 @@ object Similarity {
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
     val scored = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", expr(dot("v", "cv")) / (col("nrm") * col("cn")))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
     // nearest cell per vector; ties resolved to the smallest cell id
     val assigned = scored.groupBy(col("vec_id"))
       .agg(max_by(col("cell"), struct(col("ccos"), (-col("cell")).as("tb"))).as("cell"))
@@ -171,7 +196,7 @@ object Similarity {
     pairs
       .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
       .join(broadcast(qs), "query_id")
-      .withColumn("cos", expr(dot("v", "qv")) / (col("nrm") * col("qn")))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), Det.r(col("cos"), 6).as("cosine"))

@@ -16,6 +16,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(empty === 0)
   }
 
+  test("vec_dot is SQL-callable and matches the interpreted HOF form bit-for-bit") {
+    GraftSqlBridge.registerFunction(spark, GraftExtensions.vecDot)
+    val r = spark.sql(
+      """SELECT vec_dot(a, b) AS native,
+        |  aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) AS hof
+        |FROM (SELECT array(0.1D, 2.5D, -3.25D, 7.0D) AS a,
+        |             array(1.5D, 0.3D, 2.0D, -0.125D) AS b)""".stripMargin).head()
+    assert(r.getDouble(0) === r.getDouble(1))
+    // null semantics: mismatched lengths and null elements yield null
+    assert(spark.sql("SELECT vec_dot(array(1.0D), array(1.0D, 2.0D))").head().isNullAt(0))
+    assert(spark.sql("SELECT vec_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D))")
+      .head().isNullAt(0))
+    assert(spark.sql("SELECT vec_dot(CAST(array() AS ARRAY<DOUBLE>), CAST(array() AS ARRAY<DOUBLE>))")
+      .head().getDouble(0) === 0.0)
+  }
+
   test("the extension class injects the function at session build time") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builder shape checked below
