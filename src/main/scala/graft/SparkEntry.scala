@@ -64,6 +64,9 @@ object SparkEntry {
     // --- D. Deduplication -------------------------------------------
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramPairs(Tables.documents(s, dir))),
+    // survivor selection: connected components of the pair graph,
+    // keep = min doc_id per component (round-3 addition)
+    "q_dedup_clusters" -> ((s, dir) => Dedup.clustersQuery(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingPairs(Tables.embeddings(s, dir))),
@@ -286,6 +289,7 @@ object SparkEntry {
     // SQL-expressible) => rows-only driver gate + ScalaTest invariants.
     "q_dedup_exact" -> Dedup.sqlExact,
     "q_dedup_ngram" -> Dedup.sqlNgramPairs(),
+    "q_dedup_clusters" -> Dedup.sqlClusters(),
     "q_dedup_embedding" -> Dedup.sqlEmbeddingPairs(),
     // q_ann_lsh / q_ann_ivf are approximate => rows-only driver gate +
     // recall-vs-brute ScalaTest.

@@ -164,23 +164,124 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), Det.r(col("jac"), 6).as("jaccard"))
   }
 
-  def sqlNgramPairs(tau: Double = 0.5): String = {
+  /** Shared CTE body + pair select for the ngram oracle, so the
+    * cluster oracle can splice the identical pair derivation into its
+    * own recursive query.
+    */
+  private def sqlNgramCtes(tau: Double): (String, String) = {
     // the oracle uses band/band±1 length blocking, which is lossless
     // ONLY for tau >= 0.5 (set-size ratio <= 2 => adjacent bit-length
     // bands); the Spark side's inverted index is exact for any tau > 0
     require(tau >= 0.5, "the band-blocked oracle is only lossless for tau >= 0.5")
     val jac = "CAST(len(list_intersect(a.sh, r.sh)) AS DOUBLE) / CAST(len(a.sh) + len(r.sh) - len(list_intersect(a.sh, r.sh)) AS DOUBLE)"
-    s"""WITH s AS (
-       |  SELECT doc_id, ${sqlHashedShingleSet("text")} AS sh FROM documents
-       |), b AS (
-       |  SELECT doc_id, sh, length(bin(len(sh))) AS band FROM s
-       |), r AS (
-       |  SELECT doc_id, sh, unnest([band - 1, band, band + 1]) AS k FROM b
+    val ctes =
+      s"""s AS (
+         |  SELECT doc_id, ${sqlHashedShingleSet("text")} AS sh FROM documents
+         |), b AS (
+         |  SELECT doc_id, sh, length(bin(len(sh))) AS band FROM s
+         |), r AS (
+         |  SELECT doc_id, sh, unnest([band - 1, band, band + 1]) AS k FROM b
+         |)""".stripMargin
+    val select =
+      s"""SELECT a.doc_id AS doc_a, r.doc_id AS doc_b,
+         |  floor(($jac) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+         |FROM b a JOIN r ON a.band = r.k AND a.doc_id < r.doc_id
+         |WHERE ($jac) >= $tau""".stripMargin
+    (ctes, select)
+  }
+
+  def sqlNgramPairs(tau: Double = 0.5): String = {
+    val (ctes, select) = sqlNgramCtes(tau)
+    s"WITH $ctes\n$select"
+  }
+
+  // ------------------------------------------------------------------
+  // q38: near-dup cluster resolution (connected components + keep-id).
+  //
+  // Finding pairs is only half of dedup — the pipeline must then pick
+  // ONE survivor per duplicate GROUP, and near-dup relations are not
+  // transitive-closed (a~b, b~c but not a~c), so groups are the
+  // connected components of the pair graph. cluster_id = min doc_id of
+  // the component; keep the doc where doc_id = cluster_id.
+  //
+  // Algorithm: iterative min-label propagation with pointer jumping
+  // (label(x) <- min(label(x), min label of neighbors, label(label(x)))),
+  // the standard Spark-joins formulation of connected components.
+  // Pointer jumping halves the remaining diameter every round, so
+  // convergence is O(log diameter) shuffles; near-dup components have
+  // tiny diameters, so 2-3 rounds in practice. The driver loop reads
+  // ONE scalar per round (the sum of labels — strictly decreasing
+  // until fixpoint) to decide termination; the data never leaves the
+  // cluster. Output covers every doc that appears in a pair;
+  // singletons are trivially their own cluster and are not emitted.
+  // ------------------------------------------------------------------
+  def clusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist()
+    // each round references the previous labels THREE times (neighbor
+    // join, pointer join, carry-through), so lineage grows 3^rounds —
+    // localCheckpoint truncates it to the materialized blocks every
+    // round (the standard move for iterative DataFrame algorithms; on
+    // a real cluster with a checkpoint dir you would use the reliable
+    // checkpoint() instead for fault tolerance)
+    var labels = edges
+      .groupBy(col("src").as("doc_id"))
+      .agg(min(least(col("src"), col("dst"))).as("cluster_id"))
+      .localCheckpoint()
+    var labelSum = labels.agg(sum(col("cluster_id"))).head().getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbors = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nb_label")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nb_label")).as("nb_label"))
+      val viaPointer = labels
+        .select(col("doc_id").as("cluster_id"), col("cluster_id").as("pj_label"))
+      val next = labels
+        .join(viaNeighbors, Seq("doc_id"))
+        .join(viaPointer, Seq("cluster_id"))
+        .select(col("doc_id"),
+          least(col("cluster_id"), col("nb_label"), col("pj_label")).as("cluster_id"))
+        .localCheckpoint()
+      val nextSum = next.agg(sum(col("cluster_id"))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == labelSum
+      labelSum = nextSum
+      i += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxIters rounds — pathological graph diameter")
+    labels
+  }
+
+  /** Driver-gated cluster query: components of the exact ngram pair
+    * graph (oracle: recursive transitive closure over the same pairs).
+    */
+  def clustersQuery(documents: DataFrame, tau: Double = 0.5): DataFrame =
+    clusters(ngramPairs(documents, tau).select(col("doc_a"), col("doc_b")))
+
+  def sqlClusters(tau: Double = 0.5): String = {
+    val (ctes, select) = sqlNgramCtes(tau)
+    s"""WITH RECURSIVE $ctes, p AS (
+       |  $select
+       |), e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION
+       |  SELECT doc_b, doc_a FROM p
+       |), reach(src, x) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM e)
+       |  UNION
+       |  SELECT w.src, e.dst FROM reach w JOIN e ON w.x = e.src
        |)
-       |SELECT a.doc_id AS doc_a, r.doc_id AS doc_b,
-       |  floor(($jac) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
-       |FROM b a JOIN r ON a.band = r.k AND a.doc_id < r.doc_id
-       |WHERE ($jac) >= $tau""".stripMargin
+       |SELECT src AS doc_id, min(x) AS cluster_id
+       |FROM reach GROUP BY 1""".stripMargin
   }
 
   // ------------------------------------------------------------------

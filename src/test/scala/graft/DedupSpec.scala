@@ -51,6 +51,34 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("clusters: hand-built components resolve to min-id labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("clusters: a 64-node path converges (pointer jumping, O(log diameter) rounds)") {
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(chain, maxIters = 10).collect()
+    assert(got.length === 64)
+    assert(got.forall(_.getLong(1) === 0L))
+  }
+
+  test("clusters on real near-dup pairs: endpoints co-labelled, keeper is the min member") {
+    val pairs = Dedup.ngramPairs(Tables.documents(spark, sf))
+      .select("doc_a", "doc_b").cache()
+    val labels = Dedup.clustersQuery(Tables.documents(spark, sf)).cache()
+    val lab = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every pair's endpoints are in the same cluster
+    assert(pairs.collect().forall(r => lab(r.getLong(0)) === lab(r.getLong(1))))
+    // cluster_id is a member of its own cluster and the minimum one
+    val byCluster = lab.groupBy(_._2).view.mapValues(_.keys.min).toMap
+    assert(byCluster.forall { case (cid, minMember) => cid === minMember })
+  }
+
   test("minhash LSH agrees with the exact ngram path at tau=0.5") {
     val exact = Dedup.ngramPairs(Tables.documents(spark, sf))
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
