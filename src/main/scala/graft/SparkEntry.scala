@@ -97,7 +97,11 @@ object SparkEntry {
     // => rows-only driver gate
     "q_corpus_stats_approx" -> ((s, dir) => Corpus.statsApprox(Tables.documents(s, dir))),
     "q_stratified_sample" -> ((s, dir) =>
-      Corpus.stratifiedSample(Tables.documents(s, dir), Corpus.defaultMix))
+      Corpus.stratifiedSample(Tables.documents(s, dir), Corpus.defaultMix)),
+    // the composed end-to-end pipeline: lang allow-list + mixture
+    // sample (scan-side) -> quality filter -> global-dedup survivor
+    // anti-join (round-3 addition)
+    "q_corpus_curation" -> ((s, dir) => Corpus.curate(Tables.documents(s, dir)))
   )
 
   // ---------------------------------------------------------------
@@ -298,6 +302,7 @@ object SparkEntry {
     "q_media_frames" -> Multimodal.sqlMediaFrames,
     "q_stream_hourly" -> Events.sqlHourlyAgg,
     "q_corpus_stats" -> Corpus.sqlStats,
-    "q_stratified_sample" -> Corpus.sqlStratifiedSample()
+    "q_stratified_sample" -> Corpus.sqlStratifiedSample(),
+    "q_corpus_curation" -> Corpus.sqlCurate()
   )
 }

@@ -267,9 +267,14 @@ object Dedup {
   def clustersQuery(documents: DataFrame, tau: Double = 0.5): DataFrame =
     clusters(ngramPairs(documents, tau).select(col("doc_a"), col("doc_b")))
 
-  def sqlClusters(tau: Double = 0.5): String = {
+  /** All oracle CTEs through `labels` (doc_id, cluster_id) — exposed
+    * so composed oracles (corpus curation) reuse the exact same
+    * component derivation. The result must be prefixed with
+    * `WITH RECURSIVE`.
+    */
+  def sqlClusterCtes(tau: Double = 0.5): String = {
     val (ctes, select) = sqlNgramCtes(tau)
-    s"""WITH RECURSIVE $ctes, p AS (
+    s"""$ctes, p AS (
        |  $select
        |), e AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM p
@@ -279,10 +284,13 @@ object Dedup {
        |  SELECT src, src FROM (SELECT DISTINCT src FROM e)
        |  UNION
        |  SELECT w.src, e.dst FROM reach w JOIN e ON w.x = e.src
-       |)
-       |SELECT src AS doc_id, min(x) AS cluster_id
-       |FROM reach GROUP BY 1""".stripMargin
+       |), labels AS (
+       |  SELECT src AS doc_id, min(x) AS cluster_id FROM reach GROUP BY 1
+       |)""".stripMargin
   }
+
+  def sqlClusters(tau: Double = 0.5): String =
+    s"WITH RECURSIVE ${sqlClusterCtes(tau)}\nSELECT doc_id, cluster_id FROM labels"
 
   // ------------------------------------------------------------------
   // q24: MinHash signatures + LSH band-bucket join.

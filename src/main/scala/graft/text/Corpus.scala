@@ -111,4 +111,69 @@ object Corpus {
        |FROM documents
        |WHERE doc_id % 100 < (CASE $cases ELSE $defaultPct END)""".stripMargin
   }
+
+  /** End-to-end corpus curation — the composed pipeline a
+    * training-data run actually executes, as ONE declarative plan:
+    *
+    *   1. language allow-list + deterministic mixture sample — both
+    *      pure scan-side predicates, so they prune BEFORE any
+    *      expression work (at 100 TB this is most of the win: the
+    *      expensive per-row quality expressions only run on the kept
+    *      slice);
+    *   2. quality scoring on the surviving rows (pure Column
+    *      expressions, no self-join — [[Text.qualityColumns]]);
+    *   3. near-dup survivor selection: left-anti join against the
+    *      losers of the GLOBAL dedup clustering
+    *      ([[graft.dedup.Dedup.clusters]] over the exact ngram pair
+    *      graph — global, because a kept doc's duplicate may sit
+    *      outside the sampled slice, and the survivor set must not
+    *      depend on the mixture).
+    *
+    * The anti-join shuffles on doc_id; the loser set is duplicates
+    * only (≪ corpus) so AQE usually broadcasts it.
+    */
+  def curate(
+      documents: DataFrame,
+      qualityTau: Double = 0.6,
+      allowedLangs: Seq[String] = Seq("en", "es", "de", "zh"),
+      mix: Map[String, Int] = defaultMix,
+      defaultPct: Int = 10,
+      dedupTau: Double = 0.5): DataFrame = {
+    import graft.dedup.Dedup
+    val losers = Dedup
+      .clusters(Dedup.ngramPairs(documents, dedupTau).select(col("doc_a"), col("doc_b")))
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id"))
+    val rate = mix.foldLeft(lit(defaultPct): Column) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    val q = Text.qualityColumns(col("toks"), col("text"))
+    documents
+      .filter(col("lang").isInCollection(allowedLangs) && pmod(col("doc_id"), lit(100)) < rate)
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"), col("lang"),
+        q.nTokens.as("n_tokens"), q.score.as("quality_score"))
+      .filter(col("quality_score") >= qualityTau)
+      .join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  def sqlCurate(
+      qualityTau: Double = 0.6,
+      allowedLangs: Seq[String] = Seq("en", "es", "de", "zh"),
+      mix: Map[String, Int] = defaultMix,
+      defaultPct: Int = 10,
+      dedupTau: Double = 0.5): String = {
+    val langs = allowedLangs.map(l => s"'$l'").mkString(", ")
+    val cases = mix.map { case (l, r) => s"WHEN d.lang = '$l' THEN $r" }.mkString(" ")
+    s"""WITH RECURSIVE ${graft.dedup.Dedup.sqlClusterCtes(dedupTau)}, q AS (
+       |${Text.sqlQuality}
+       |)
+       |SELECT d.doc_id, d.lang, q.n_tokens, q.quality_score
+       |FROM documents d JOIN q ON d.doc_id = q.doc_id
+       |WHERE d.lang IN ($langs)
+       |  AND d.doc_id % 100 < (CASE $cases ELSE $defaultPct END)
+       |  AND q.quality_score >= $qualityTau
+       |  AND NOT EXISTS (SELECT 1 FROM labels l
+       |                  WHERE l.doc_id = d.doc_id AND l.cluster_id <> l.doc_id)""".stripMargin
+  }
 }

@@ -66,25 +66,44 @@ object Text {
     * ratio, length credit — combined into one deterministic [0,1]
     * score (the usual cheap pre-filter before expensive dedup).
     */
-  def quality(documents: DataFrame): DataFrame = {
-    val toks     = col("toks")
+  /** The quality expressions over a MATERIALIZED token column — the
+    * reusable core of [[quality]], exposed so composed pipelines
+    * (corpus curation) can compute the score alongside other columns
+    * without a self-join. All values are rounded to 6 dp identically
+    * to the SQL twin.
+    */
+  final case class QualityCols(
+      nTokens: Column, stopwordRatio: Column, alphaRatio: Column,
+      punctRatio: Column, score: Column)
+
+  def qualityColumns(toks: Column, text: Column): QualityCols = {
     val nToks    = greatest(size(toks), lit(1)).cast("double")
-    val nChars   = greatest(length(col("text")), lit(1)).cast("double")
+    val nChars   = greatest(length(text), lit(1)).cast("double")
     val stopHits = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
-    val alpha    = size(regexp_extract_all(col("text"), lit("[a-zA-Z]"), lit(0))).cast("double")
-    val punct    = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
+    val alpha    = size(regexp_extract_all(text, lit("[a-zA-Z]"), lit(0))).cast("double")
+    val punct    = size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
     val swRatio    = stopHits / nToks
     val alphaRatio = alpha / nChars
     val punctRatio = punct / nChars
     val lenCredit  = least(size(toks).cast("double") / lit(50.0), lit(1.0))
+    QualityCols(
+      size(toks).cast("long"),
+      Det.r(swRatio, 6),
+      Det.r(alphaRatio, 6),
+      Det.r(punctRatio, 6),
+      Det.r(swRatio * lit(0.3) + alphaRatio * lit(0.3) + lenCredit * lit(0.2) +
+        (lit(1.0) - punctRatio) * lit(0.2), 6))
+  }
+
+  def quality(documents: DataFrame): DataFrame = {
+    val q = qualityColumns(col("toks"), col("text"))
     documents.withColumn("toks", tokens(col("text"))).select(
       col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      Det.r(swRatio, 6).as("stopword_ratio"),
-      Det.r(alphaRatio, 6).as("alpha_ratio"),
-      Det.r(punctRatio, 6).as("punct_ratio"),
-      Det.r(swRatio * lit(0.3) + alphaRatio * lit(0.3) + lenCredit * lit(0.2) +
-        (lit(1.0) - punctRatio) * lit(0.2), 6).as("quality_score"))
+      q.nTokens.as("n_tokens"),
+      q.stopwordRatio.as("stopword_ratio"),
+      q.alphaRatio.as("alpha_ratio"),
+      q.punctRatio.as("punct_ratio"),
+      q.score.as("quality_score"))
   }
 
   def sqlQuality: String = {

@@ -50,4 +50,34 @@ class CorpusSpec extends SparkSpec {
       assert(math.abs(frac - rate / 100.0) < 0.2, s"$lang kept $frac expected ~${rate / 100.0}")
     }
   }
+
+  test("curate composes filters, mixture sample, and global dedup survivor selection") {
+    val docs = Tables.documents(spark, sf)
+    val allowed = Set("en", "es", "de", "zh")
+    val out = Corpus.curate(docs).collect()
+    assert(out.nonEmpty)
+    // every row respects the three filters
+    out.foreach { r =>
+      val (id, lang, score) = (r.getLong(0), r.getString(1), r.getDouble(3))
+      assert(allowed.contains(lang), s"doc $id lang $lang outside allow-list")
+      val rate = Corpus.defaultMix.getOrElse(lang, 10)
+      assert(((id % 100) + 100) % 100 < rate, s"doc $id fails the mixture sample")
+      assert(score >= 0.6, s"doc $id quality $score below tau")
+    }
+    // no near-dup loser survives: losers = cluster members with a
+    // smaller-id representative, computed over the FULL corpus
+    val losers = graft.dedup.Dedup
+      .clustersQuery(docs)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val kept = out.map(_.getLong(0)).toSet
+    assert(kept.intersect(losers).isEmpty, "a dedup loser survived curation")
+    // and curation only ever REMOVES rows relative to the plain
+    // sample+quality pipeline; the delta is exactly the losers present there
+    val noDedup = docs
+      .filter(col("lang").isInCollection(allowed.toSeq) &&
+        pmod(col("doc_id"), lit(100)) < when(col("lang") === "en", 20).otherwise(60))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(noDedup))
+  }
 }
