@@ -64,6 +64,36 @@ object Events {
   }
 
   // ------------------------------------------------------------------
+  // Streaming exact dedup (ingest-time duplicate suppression).
+  // ------------------------------------------------------------------
+
+  /** Keep the FIRST arrival per content hash.
+    * `dropDuplicatesWithinWatermark` bounds the dedup state by the
+    * event-time watermark: at 100 TB/day the state store holds only
+    * the hashes seen inside the watermark horizon, never the full
+    * corpus history. That makes this the INGEST-side dedup — it
+    * suppresses the within-horizon duplicates (crawler refetches,
+    * retry storms) as documents stream in; the corpus-global
+    * guarantee still comes from running the batch [[graft.dedup.Dedup.exact]]
+    * over the compacted store. Works on a batch frame too (falls back
+    * to plain first-per-key semantics), which is what the
+    * batch-equivalence test exploits.
+    */
+  def dedupStream(docs: DataFrame, tsCol: String = "ingest_ts", watermark: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** File-source form: stream a parquet directory of documents with an
+    * `ingest_ts` column through the dedup.
+    */
+  def dedupDocStream(spark: SparkSession, dir: String, watermark: String = "2 hours"): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    dedupStream(spark.readStream.schema(schema).parquet(dir), watermark = watermark)
+  }
+
+  // ------------------------------------------------------------------
   // Stateful sessionization (flatMapGroupsWithState).
   // ------------------------------------------------------------------
   final case class Ev(user_id: Long, event_id: Long, ts_ms: Long, event_type: String)

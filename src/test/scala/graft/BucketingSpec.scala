@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Skew
+import graft.sources.Bucketing
+
+class BucketingSpec extends SparkSpec {
+
+  private def withConf[A](key: String, value: String)(body: => A): A = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Managed-table dirs survive a dead JVM while the in-memory catalog
+    * does not — clear both so reruns start clean.
+    */
+  private def resetTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val dir = new java.io.File(s"spark-warehouse/$name")
+    if (dir.exists()) rm(dir)
+  }
+
+  test("co-bucketed fact tables join with ZERO exchanges and no sort") {
+    resetTable("orders_b"); resetTable("lineitem_b")
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lines = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    Bucketing.writeBucketed(orders, "orders_b", "o_orderkey", 8)
+    Bucketing.writeBucketed(lines, "lineitem_b", "l_orderkey", 8)
+    val ob = Bucketing.readBucketed(spark, "orders_b")
+    val lb = Bucketing.readBucketed(spark, "lineitem_b")
+    // disable broadcast so the join must pick sort-merge — the shape
+    // the big-fact-join takes at 100 TB, which is what bucketing serves.
+    // Since 3.0 Spark only trusts per-bucket sortedness behind the
+    // legacy flag (it must verify one-file-per-bucket at planning);
+    // with it on, the pre-sorted single-file buckets also kill the Sort
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      withConf("spark.sql.legacy.bucketedTableScan.outputOrdering", "true") {
+        val joined = ob.join(lb, col("o_orderkey") === col("l_orderkey"))
+        val plan = planOf(joined)
+        assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+        assert(!plan.contains("Sort "), s"bucketed join re-sorts sorted buckets:\n$plan")
+        // same answer as the plain (shuffling) join
+        val expected = Tables.orders(spark, sf)
+          .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+          .count()
+        assert(joined.count() === expected)
+      }
+    }
+  }
+
+  test("salted join equals the plain join on an adversarially skewed key") {
+    import spark.implicits._
+    // 10k fact rows, 90% on ONE key — the shape AQE alone cannot fix
+    // when the per-key state has to be co-resident
+    val fact = (0 until 10000).map { i =>
+      val k = if (i % 10 == 0) (i / 10) % 100 + 1L else 0L
+      (k, i.toLong)
+    }.toDF("k", "payload")
+    val dim = (0L until 101L).map(k => (k, s"name_$k")).toDF("k", "name")
+    val salted = Skew.saltedJoin(fact, dim, "k", salts = 16)
+    val plain = fact.join(dim, Seq("k"))
+    assert(salted.columns.toSeq === plain.columns.toSeq)
+    val a = salted.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val b = plain.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(a === b)
+  }
+
+  test("salting spreads the hot key across all salt values deterministically") {
+    import spark.implicits._
+    val fact = (0 until 9000).map(i => (0L, i.toLong)).toDF("k", "payload")
+    val s1 = Skew.saltFact(fact, 16)
+    // every salt bucket gets a share of the hot key (9000 distinct rows
+    // hash across 16 salts), and the assignment is retry-deterministic
+    val counts = s1.groupBy("__salt").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === (0 until 16).toSet)
+    assert(counts.values.max < 9000L / 16 * 3, s"salt distribution too skewed: $counts")
+    val s2 = Skew.saltFact(fact, 16).groupBy("__salt").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts === s2)
+  }
+}

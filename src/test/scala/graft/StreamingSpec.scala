@@ -65,6 +65,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming dedup keeps first arrival per content hash across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val tmp = Files.createTempDirectory("graft-dedup-stream").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // batch 1: 50 docs over 30 distinct texts (duplicates WITHIN the batch)
+    val b1 = (0 until 50).map(i => (i.toLong, s"text ${i % 30}", ts(i)))
+      .toDF("doc_id", "text", "ingest_ts")
+    // batch 2: 50 more docs, 30 texts repeat batch 1 (within the 2h
+    // watermark => must be dropped), 10 are new
+    val b2 = (50 until 100).map(i => (i.toLong, s"text ${i % 40}", ts(60 + i)))
+      .toDF("doc_id", "text", "ingest_ts")
+    b1.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val q = Events.dedupDocStream(spark, tmp)
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("dedup_stream").count()
+      assert(afterB1 === 30L, "batch 1: one survivor per distinct text")
+      b2.write.mode(SaveMode.Append).parquet(tmp)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dedup_stream")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    // exactly one survivor per distinct text over BOTH batches
+    assert(out.length === 40)
+    assert(out.map(_._2).distinct.length === 40)
+    // survivors of texts present in batch 1 are batch-1 docs (first
+    // arrival wins; batch-2 repeats were suppressed by state)
+    out.filter { case (_, t) => t.stripPrefix("text ").toInt < 30 }
+      .foreach { case (id, t) => assert(id < 50L, s"$t survived as late doc $id") }
+    // agrees with the batch-global exact dedup on the hash set
+    val batchHashes = graft.dedup.Dedup.exact(b1.unionByName(b2))
+      .select("content_hash").collect().map(_.getString(0)).toSet
+    val streamHashes = spark.table("dedup_stream")
+      .select("content_hash").collect().map(_.getString(0)).toSet
+    assert(streamHashes === batchHashes)
+  }
+
   test("stateful flatMapGroupsWithState sessionization equals the window-based one") {
     val events = Tables.events(spark, sf)
     val stateful = Events.sessionizeStatefulRollup(events)
