@@ -56,9 +56,13 @@ object SparkEntry {
       Relational.topNPerGroup(Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir))),
     "q_cohort_retention" -> ((s, dir) => Relational.cohortRetention(Tables.events(s, dir))),
+    // as-of join (last-touch attribution): one shuffle + running-last
+    // window, no range explosion (round-3 addition)
+    "q_asof_join" -> ((s, dir) => ops.AsOf.attribution(Tables.events(s, dir))),
     // --- C. Text analysis -------------------------------------------
     "q_token_stats" -> ((s, dir) => Text.tokenStats(Tables.documents(s, dir))),
     "q_text_quality" -> ((s, dir) => Text.quality(Tables.documents(s, dir))),
+    "q_text_repetition" -> ((s, dir) => Text.repetition(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => Text.langId(Tables.documents(s, dir))),
     "q_fingerprint" -> ((s, dir) => Text.fingerprint(Tables.documents(s, dir))),
     // --- D. Deduplication -------------------------------------------
@@ -258,6 +262,7 @@ object SparkEntry {
          |SELECT brand, "rank", partkey,
          |  CAST(part_cents AS DOUBLE) / 100.0 AS part_revenue
          |FROM rk WHERE "rank" <= 3""".stripMargin,
+    "q_asof_join" -> ops.AsOf.sqlAttribution(),
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events
@@ -287,6 +292,7 @@ object SparkEntry {
         |GROUP BY fw.cohort_week, a.week""".stripMargin,
     "q_token_stats" -> Text.sqlTokenStats,
     "q_text_quality" -> Text.sqlQuality,
+    "q_text_repetition" -> Text.sqlRepetition,
     "q_lang_id" -> Text.sqlLangId,
     "q_fingerprint" -> Text.sqlFingerprint,
     // q_dedup_minhash / q_dedup_simhash are sketch-based (not

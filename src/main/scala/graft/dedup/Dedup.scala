@@ -38,19 +38,7 @@ object Dedup {
     * The DuckDB twin applies DuckDB's own hash() — the hash VALUES
     * differ from Spark's, but set sizes, and therefore Jaccard, agree.
     */
-  /** Spread a (possibly single-file, hence single-partition) document
-    * scan across the session's shuffle parallelism before the per-row
-    * token/shingle work — the raw-text shuffle is narrow and the
-    * expression work behind it is the expensive part. On a well-split
-    * 100 TB input the shuffle is a balanced no-op.
-    */
-  private def spread(documents: DataFrame): DataFrame = {
-    val target = documents.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // only shuffle when the input is actually under-partitioned — on a
-    // well-split 100 TB corpus this must stay a true no-op
-    if (documents.rdd.getNumPartitions >= target) documents
-    else documents.repartition(target)
-  }
+  private def spread(documents: DataFrame): DataFrame = graft.Spread(documents)
 
   def hashedShingleSets(documents: DataFrame): DataFrame =
     spread(documents)

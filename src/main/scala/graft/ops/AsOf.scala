@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join — match each probe row to the LATEST
+  * candidate row at or before it, per key. Spark has no native ASOF
+  * operator; the naive formulation (range join + per-probe top-1) is
+  * O(probes × candidates) per key and explodes at scale.
+  *
+  * This is the scalable composition: UNION the two sides, tag them,
+  * and take a running `last(candidate, ignoreNulls)` over a window
+  * ordered by (ts, side, id) within each key — ONE shuffle on the key,
+  * one sort, zero range explosion; cost is linear in the event count
+  * regardless of how candidates and probes interleave. Candidates sort
+  * BEFORE probes at equal timestamps, so a same-millisecond candidate
+  * is visible to its probe (`ts_candidate <= ts_probe` semantics), and
+  * the (ts, id) ordering makes the winner among equal-timestamp
+  * candidates deterministic: max (ts_ms, event_id).
+  *
+  * Window partitioning is by user key — at production scale keys
+  * number in the millions, so parallelism is not language-skew-shaped;
+  * per-key window size is the user's event history.
+  */
+object AsOf {
+
+  /** Last-touch attribution on the events stream: for every
+    * `probeType` event, the most recent `candidateType` event of the
+    * same user at or before it (probes with no prior candidate are
+    * dropped — inner as-of semantics).
+    */
+  def attribution(
+      events: DataFrame,
+      probeType: String = "purchase",
+      candidateType: String = "click"): DataFrame = {
+    require(probeType != candidateType, "probe and candidate types must differ")
+    val e = events
+      .filter(col("event_type").isin(probeType, candidateType))
+      .select(
+        col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        (col("event_type") === probeType).cast("int").as("is_probe"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("is_probe"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("cand",
+        when(col("is_probe") === 0, struct(col("ts_ms"), col("event_id"))))
+      .withColumn("last_cand", last(col("cand"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1 && col("last_cand").isNotNull)
+      .select(
+        col("event_id").as("probe_id"),
+        col("user_id"),
+        col("last_cand.event_id").as("matched_id"),
+        (col("ts_ms") - col("last_cand.ts_ms")).as("gap_ms"))
+  }
+
+  /** Oracle: the quadratic-per-key reference formulation (range join +
+    * per-probe rank). Independent of the Spark plan on purpose — it
+    * validates the semantics, not the trick.
+    */
+  def sqlAttribution(probeType: String = "purchase", candidateType: String = "click"): String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events
+       |), p AS (SELECT * FROM e WHERE event_type = '$probeType'),
+       |c AS (SELECT * FROM e WHERE event_type = '$candidateType'),
+       |j AS (
+       |  SELECT p.event_id AS probe_id, p.user_id, p.ts_ms AS probe_ms,
+       |    c.event_id AS matched_id, c.ts_ms AS matched_ms,
+       |    row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts_ms DESC, c.event_id DESC) AS rk
+       |  FROM p JOIN c ON p.user_id = c.user_id AND c.ts_ms <= p.ts_ms
+       |)
+       |SELECT probe_id, user_id, matched_id, probe_ms - matched_ms AS gap_ms
+       |FROM j WHERE rk = 1""".stripMargin
+}

@@ -196,6 +196,83 @@ object Text {
        | ELSE [$x] END""".stripMargin.replace("\n", "")
   }
 
+  /** Repetition scoring (the Gopher/C4-style repetitiousness filters):
+    * per document, the fraction of all bigrams taken by the single most
+    * frequent bigram (`top_bigram_frac`) and the fraction of trigram
+    * occurrences that are repeats (`dup_trigram_frac` = 1 −
+    * distinct/total). High values flag boilerplate, keyword stuffing,
+    * and degenerate generations — the standard cheap repetition signal
+    * on corpora with no line structure.
+    *
+    * Shape: n-grams are EXPLODED and counted with plain codegen
+    * aggregates (two keyed shuffles with map-side partial agg), never
+    * folded with interpreted higher-order lambdas — same lesson as the
+    * MinHash path. Short docs (no bigrams/trigrams) score 0 via the
+    * left join back to the doc list.
+    */
+  def repetition(documents: DataFrame): DataFrame = {
+    def grams(n: Int) = {
+      val toks = col("toks")
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - lit(n - 1)),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*).as("gram"))))
+        .otherwise(array().cast(s"array<struct<n:int,gram:string>>"))
+    }
+    val exploded = graft.Spread(documents)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), explode(concat(grams(2), grams(3))).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+    val agg = exploded
+      .groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("n") === 2, col("cnt"))).as("top2"),
+        sum(when(col("n") === 2, col("cnt"))).as("tot2"),
+        count(when(col("n") === 3, lit(1))).as("dis3"),
+        sum(when(col("n") === 3, col("cnt"))).as("tot3"))
+    documents.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("tot2"), lit(0L)).cast("long").as("n_bigrams"),
+        Det.r(coalesce(col("top2").cast("double") / col("tot2").cast("double"), lit(0.0)), 6)
+          .as("top_bigram_frac"),
+        Det.r(coalesce(lit(1.0) - col("dis3").cast("double") / col("tot3").cast("double"), lit(0.0)), 6)
+          .as("dup_trigram_frac"))
+  }
+
+  def sqlRepetition: String = {
+    val toks = sqlTokens("text")
+    def gramSel(n: Int) = {
+      val parts = (0 until n).map(k => s"toks[i + $k]").mkString(" || ' ' || ")
+      s"""SELECT doc_id, $n AS n,
+         |  unnest(list_transform(range(1, len(toks) - ${n - 2}), i -> $parts)) AS gram
+         |FROM t WHERE len(toks) >= $n""".stripMargin
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks FROM documents
+       |), g AS (
+       |${gramSel(2)}
+       |UNION ALL
+       |${gramSel(3)}
+       |), c AS (
+       |  SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3
+       |), a AS (
+       |  SELECT doc_id,
+       |    max(CASE WHEN n = 2 THEN cnt END) AS top2,
+       |    sum(CASE WHEN n = 2 THEN cnt END) AS tot2,
+       |    count(CASE WHEN n = 3 THEN 1 END) AS dis3,
+       |    sum(CASE WHEN n = 3 THEN cnt END) AS tot3
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(tot2, 0) AS BIGINT) AS n_bigrams,
+       |  floor(COALESCE(CAST(top2 AS DOUBLE) / CAST(tot2 AS DOUBLE), 0.0) * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_frac,
+       |  floor(COALESCE(1.0 - CAST(dis3 AS DOUBLE) / CAST(tot3 AS DOUBLE), 0.0) * 1000000.0 + 0.5) / 1000000.0 AS dup_trigram_frac
+       |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin
+  }
+
   def fingerprint(documents: DataFrame): DataFrame =
     documents
       .withColumn("toks", tokens(col("text")))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.Relational
+import graft.ops.{AsOf, Relational}
 
 class RelationalSpec extends SparkSpec {
 
@@ -47,6 +47,34 @@ class RelationalSpec extends SparkSpec {
       .select(col("cohort_week"), col("n_users").as("cohort_size"))
     val joined = ret.join(w0, "cohort_week")
     assert(joined.filter(col("n_users") > col("cohort_size")).count() === 0)
+  }
+
+  test("asof attribution matches hand-built timeline including ties") {
+    import spark.implicits._
+    // user 1: click@1000(id=1), click@2000(id=2), purchase@3000(id=3)
+    //         -> matched to id=2, gap 1000
+    // user 2: purchase@500(id=4) with no prior click -> dropped
+    // user 3: clicks id=5,6 both @5000, purchase @5000(id=7)
+    //         -> same-ms candidate visible; deterministic winner id=6
+    val ev = Seq(
+      (1L, 1L, 1000L, "click"), (2L, 1L, 2000L, "click"), (3L, 1L, 3000L, "purchase"),
+      (4L, 2L, 500L, "purchase"),
+      (5L, 3L, 5000L, "click"), (6L, 3L, 5000L, "click"), (7L, 3L, 5000L, "purchase"))
+      .toDF("event_id", "user_id", "ts_ms", "event_type")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val got = AsOf.attribution(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set((3L, 1L, 2L, 1000L), (7L, 3L, 6L, 0L)))
+  }
+
+  test("asof attribution invariants on real events: non-negative gaps, one match per probe") {
+    val events = Tables.events(spark, sf)
+    val out = AsOf.attribution(events)
+    assert(out.filter(col("gap_ms") < 0).count() === 0)
+    val nPurchases = events.filter(col("event_type") === "purchase").count()
+    assert(out.count() <= nPurchases)
+    assert(out.select("probe_id").distinct().count() === out.count())
+    assert(out.count() > 0)
   }
 
   test("pricingSummary aggregates are internally consistent") {

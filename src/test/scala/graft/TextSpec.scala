@@ -34,6 +34,23 @@ class TextSpec extends SparkSpec {
     assert(out.getLong(3) === 6L)
   }
 
+  test("repetition: hand-computed n-gram fractions, short docs score 0") {
+    val out = Text.repetition(docs(
+      1L -> "a b a b a b",          // 5 bigrams, top "a b" x3; 4 trigrams, 2 distinct
+      2L -> "one two three four",   // all bigrams distinct (top 1/3); 2 distinct trigrams of 2
+      3L -> "hi"))                  // no bigrams at all
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 5L)
+    assert(out(1L).getDouble(2) === 0.6)      // 3/5
+    assert(out(1L).getDouble(3) === 0.5)      // 1 - 2/4
+    assert(out(2L).getLong(1) === 3L)
+    assert(out(2L).getDouble(2) === 0.333333) // 1/3 rounded to 6 dp
+    assert(out(2L).getDouble(3) === 0.0)
+    assert(out(3L).getLong(1) === 0L)
+    assert(out(3L).getDouble(2) === 0.0)
+    assert(out(3L).getDouble(3) === 0.0)
+  }
+
   test("fingerprint: docs shorter than 3 tokens fall back to md5(text)") {
     val out = Text.fingerprint(docs(1L -> "two words")).head()
     assert(out.getLong(1) === 1L)
