@@ -63,6 +63,7 @@ object SparkEntry {
     "q_token_stats" -> ((s, dir) => Text.tokenStats(Tables.documents(s, dir))),
     "q_text_quality" -> ((s, dir) => Text.quality(Tables.documents(s, dir))),
     "q_text_repetition" -> ((s, dir) => Text.repetition(Tables.documents(s, dir))),
+    "q_text_scrub" -> ((s, dir) => Text.scrub(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => Text.langId(Tables.documents(s, dir))),
     "q_fingerprint" -> ((s, dir) => Text.fingerprint(Tables.documents(s, dir))),
     // --- D. Deduplication -------------------------------------------
@@ -293,6 +294,7 @@ object SparkEntry {
     "q_token_stats" -> Text.sqlTokenStats,
     "q_text_quality" -> Text.sqlQuality,
     "q_text_repetition" -> Text.sqlRepetition,
+    "q_text_scrub" -> Text.sqlScrub,
     "q_lang_id" -> Text.sqlLangId,
     "q_fingerprint" -> Text.sqlFingerprint,
     // q_dedup_minhash / q_dedup_simhash are sketch-based (not

@@ -196,6 +196,39 @@ object Text {
        | ELSE [$x] END""".stripMargin.replace("\n", "")
   }
 
+  /** Scrub regexes — raw strings valid in BOTH Java regex and RE2
+    * (DuckDB), so one constant feeds both engines.
+    */
+  val emailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  val urlRe   = """https?://[^\s]+"""
+
+  /** Normalization + redaction scrub — the standard pre-tokenization
+    * cleaning pass of a training-data pipeline: lowercase, redact
+    * emails and URLs to fixed placeholder tokens (with counts kept as
+    * signals), collapse whitespace runs, trim. Pure per-row Column
+    * expressions: scan-side, no shuffle at all.
+    */
+  def scrub(documents: DataFrame): DataFrame = {
+    val lowered = lower(col("text"))
+    val scrubbed = trim(regexp_replace(
+      regexp_replace(regexp_replace(lowered, emailRe, "<email>"), urlRe, "<url>"),
+      """\s+""", " "))
+    documents.select(
+      col("doc_id"),
+      size(regexp_extract_all(lowered, lit(emailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(lowered, lit(urlRe), lit(0))).cast("long").as("n_urls"),
+      scrubbed.as("scrub_text"))
+  }
+
+  def sqlScrub: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(lower(text), '$emailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(lower(text), '$urlRe')) AS BIGINT) AS n_urls,
+       |  trim(regexp_replace(
+       |    regexp_replace(regexp_replace(lower(text), '$emailRe', '<email>', 'g'), '$urlRe', '<url>', 'g'),
+       |    '\\s+', ' ', 'g')) AS scrub_text
+       |FROM documents""".stripMargin
+
   /** Repetition scoring (the Gopher/C4-style repetitiousness filters):
     * per document, the fraction of all bigrams taken by the single most
     * frequent bigram (`top_bigram_frac`) and the fraction of trigram

@@ -34,6 +34,17 @@ class TextSpec extends SparkSpec {
     assert(out.getLong(3) === 6L)
   }
 
+  test("scrub lowercases, redacts emails/urls with counts, collapses whitespace") {
+    val out = Text.scrub(docs(
+      1L -> "Contact Bob@Example.COM or  visit https://x.io/page   NOW",
+      2L -> "  plain   text  ")).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 1L) // n_emails
+    assert(out(1L).getLong(2) === 1L) // n_urls
+    assert(out(1L).getString(3) === "contact <email> or visit <url> now")
+    assert(out(2L).getLong(1) === 0L)
+    assert(out(2L).getString(3) === "plain text")
+  }
+
   test("repetition: hand-computed n-gram fractions, short docs score 0") {
     val out = Text.repetition(docs(
       1L -> "a b a b a b",          // 5 bigrams, top "a b" x3; 4 trigrams, 2 distinct
