@@ -215,11 +215,15 @@ object Dedup {
     // round (the standard move for iterative DataFrame algorithms; on
     // a real cluster with a checkpoint dir you would use the reliable
     // checkpoint() instead for fault tolerance)
+    // coalesce: sum over an EMPTY label table is NULL — an empty pair
+    // set must converge to an empty result, not throw
+    def sumOf(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("cluster_id")), lit(0L))).head().getLong(0)
     var labels = edges
       .groupBy(col("src").as("doc_id"))
       .agg(min(least(col("src"), col("dst"))).as("cluster_id"))
       .localCheckpoint()
-    var labelSum = labels.agg(sum(col("cluster_id"))).head().getLong(0)
+    var labelSum = sumOf(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -235,7 +239,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster_id"), col("nb_label"), col("pj_label")).as("cluster_id"))
         .localCheckpoint()
-      val nextSum = next.agg(sum(col("cluster_id"))).head().getLong(0)
+      val nextSum = sumOf(next)
       labels.unpersist()
       labels = next
       converged = nextSum == labelSum

@@ -61,10 +61,25 @@ class PlanHardeningSpec extends SparkSpec {
     assert(Text.quality(emptyDocs).count() === 0)
     assert(Text.langId(emptyDocs).count() === 0)
     assert(Text.fingerprint(emptyDocs).count() === 0)
+    assert(Text.repetition(emptyDocs).count() === 0)
+    assert(Text.scrub(emptyDocs).count() === 0)
     assert(Dedup.exact(emptyDocs).count() === 0)
     assert(Dedup.ngramPairs(emptyDocs).count() === 0)
     assert(Dedup.minhashLshPairs(emptyDocs).count() === 0)
     assert(Dedup.simhashPairs(emptyDocs).count() === 0)
+    // empty pair graph: label propagation must converge to empty, not
+    // NPE on the null scalar sum
+    assert(Dedup.clustersQuery(emptyDocs).count() === 0)
+    assert(graft.text.Corpus.curate(emptyDocs).count() === 0)
+  }
+
+  test("asof attribution returns empty on an empty event stream") {
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType))))
+    assert(graft.ops.AsOf.attribution(emptyEvents).count() === 0)
   }
 
   test("similarity operators return empty results on an empty corpus") {
