@@ -77,6 +77,14 @@ class RelationalSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("asof plan: exactly one shuffle, event-type filter pushed to the scan") {
+    val plan = planOf(AsOf.attribution(Tables.events(spark, sf)))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles === 1, s"expected the single key shuffle, got $shuffles:\n$plan")
+    assert(plan.contains("PushedFilters: [In(event_type"),
+      s"event-type filter not pushed to the parquet scan:\n$plan")
+  }
+
   test("pricingSummary aggregates are internally consistent") {
     val p = Relational.pricingSummary(Tables.lineitem(spark, sf))
     val bad = p.filter(col("n_orders") > col("count_order") || col("count_order") <= 0)
