@@ -106,7 +106,11 @@ object SparkEntry {
     // the composed end-to-end pipeline: lang allow-list + mixture
     // sample (scan-side) -> quality filter -> global-dedup survivor
     // anti-join (round-3 addition)
-    "q_corpus_curation" -> ((s, dir) => Corpus.curate(Tables.documents(s, dir)))
+    "q_corpus_curation" -> ((s, dir) => Corpus.curate(Tables.documents(s, dir))),
+    // token-budget mixing: data-dependent keep rate from a tiny
+    // per-lang aggregate, broadcast, pure scan-side predicate
+    // (round-3 addition)
+    "q_token_budget_mix" -> ((s, dir) => Corpus.tokenBudgetSample(Tables.documents(s, dir)))
   )
 
   // ---------------------------------------------------------------
@@ -311,6 +315,7 @@ object SparkEntry {
     "q_stream_hourly" -> Events.sqlHourlyAgg,
     "q_corpus_stats" -> Corpus.sqlStats,
     "q_stratified_sample" -> Corpus.sqlStratifiedSample(),
-    "q_corpus_curation" -> Corpus.sqlCurate()
+    "q_corpus_curation" -> Corpus.sqlCurate(),
+    "q_token_budget_mix" -> Corpus.sqlTokenBudgetSample()
   )
 }

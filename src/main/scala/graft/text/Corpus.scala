@@ -112,6 +112,71 @@ object Corpus {
        |WHERE doc_id % 100 < (CASE $cases ELSE $defaultPct END)""".stripMargin
   }
 
+  /** Token-budget corpus mixing — sample each language slice down to
+    * ≈ a target TOKEN budget (how mixtures are actually specified),
+    * with a DATA-DEPENDENT rate: pass 1 aggregates per-language total
+    * tokens (one tiny aggregate), pass 2 broadcasts the 5-row rate
+    * table and keeps `doc_id % granularity < keep_q` — a pure
+    * scan-side predicate, so the operator is two linear passes with no
+    * data-sized shuffle at any scale.
+    *
+    * keep_q = min(granularity, (budget * granularity) DIV total) in
+    * INTEGER arithmetic — exact and identical in both engines (a
+    * double division could round differently at a boundary).
+    *
+    * granularity sets the rate resolution AND must be far smaller
+    * than the per-language doc_id span — `doc_id % granularity` is
+    * only a uniform systematic sample when every residue class is
+    * populated many times over (granularity 100 = percent resolution;
+    * raise it on corpora with billions of docs for finer rates).
+    */
+  def tokenBudgetSample(
+      documents: DataFrame,
+      budgetByLang: Map[String, Long] = defaultBudgets,
+      defaultBudget: Long = 3000L,
+      granularity: Int = 100): DataFrame = {
+    val budget = budgetByLang.foldLeft(lit(defaultBudget): Column) { case (acc, (l, b)) =>
+      when(col("lang") === l, lit(b)).otherwise(acc)
+    }
+    val rates = documents
+      .withColumn("toks", Text.tokens(col("text")))
+      .groupBy(col("lang"))
+      .agg(sum(size(col("toks")).cast("long")).as("total_tokens"))
+      .withColumn("budget", budget)
+      .withColumn("keep_q",
+        least(lit(granularity.toLong),
+          expr(s"(budget * CAST($granularity AS BIGINT)) DIV total_tokens")))
+      .select(col("lang"), col("keep_q"))
+    documents
+      .join(broadcast(rates), Seq("lang"))
+      .filter(pmod(col("doc_id"), lit(granularity.toLong)) < col("keep_q"))
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"), col("lang"), size(col("toks")).cast("long").as("n_tokens"))
+  }
+
+  /** Default per-language token budgets: cap the majority language
+    * hard, give the rest a smaller uniform budget.
+    */
+  val defaultBudgets: Map[String, Long] = Map("en" -> 10000L)
+
+  def sqlTokenBudgetSample(
+      budgetByLang: Map[String, Long] = defaultBudgets,
+      defaultBudget: Long = 3000L,
+      granularity: Int = 100): String = {
+    val toks = Text.sqlTokens("text")
+    val cases = budgetByLang.map { case (l, b) => s"WHEN lang = '$l' THEN $b" }.mkString(" ")
+    s"""WITH t AS (
+       |  SELECT lang, CAST(sum(len($toks)) AS BIGINT) AS total_tokens FROM documents GROUP BY 1
+       |), r AS (
+       |  SELECT lang, least(CAST($granularity AS BIGINT),
+       |    (CAST((CASE $cases ELSE $defaultBudget END) AS BIGINT) * $granularity) // total_tokens) AS keep_q
+       |  FROM t
+       |)
+       |SELECT d.doc_id, d.lang, CAST(len($toks) AS BIGINT) AS n_tokens
+       |FROM documents d JOIN r ON d.lang = r.lang
+       |WHERE d.doc_id % $granularity < r.keep_q""".stripMargin
+  }
+
   /** End-to-end corpus curation — the composed pipeline a
     * training-data run actually executes, as ONE declarative plan:
     *

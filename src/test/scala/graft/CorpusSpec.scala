@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.text.Corpus
+import graft.text.{Corpus, Text}
 
 class CorpusSpec extends SparkSpec {
   import spark.implicits._
@@ -49,6 +49,32 @@ class CorpusSpec extends SparkSpec {
       val frac = kept.getOrElse(lang, 0L).toDouble / byLang(lang)
       assert(math.abs(frac - rate / 100.0) < 0.2, s"$lang kept $frac expected ~${rate / 100.0}")
     }
+  }
+
+  test("tokenBudgetSample hits each language's token budget within sampling noise") {
+    val docs = Tables.documents(spark, sf)
+    val budgets = Map("en" -> 5000L, "zh" -> 2000L)
+    val out = Corpus.tokenBudgetSample(docs, budgets, defaultBudget = 2500L).cache()
+    val keptTokens = out.groupBy("lang").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs
+      .select(col("lang"), size(Text.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("lang").agg(sum("n").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, total) =>
+      val budget = budgets.getOrElse(lang, 2500L)
+      val kept = keptTokens.getOrElse(lang, 0L)
+      // a slice under budget is kept whole; otherwise the modulo
+      // sample lands within noise of the budget (doc_id uniform)
+      if (total <= budget) assert(kept === total, s"$lang under-budget slice must be kept whole")
+      else assert(math.abs(kept - budget) < budget / 2 + 500,
+        s"$lang kept $kept tokens for budget $budget (total $total)")
+    }
+    // deterministic: same call, same kept set
+    val ids1 = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Corpus.tokenBudgetSample(docs, budgets, defaultBudget = 2500L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
   }
 
   test("curate composes filters, mixture sample, and global dedup survivor selection") {
