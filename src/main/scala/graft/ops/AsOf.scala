@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** As-of (temporal) join — match each probe row to the LATEST
   * candidate row at or before it, per key. Spark has no native ASOF
@@ -11,24 +12,72 @@ import org.apache.spark.sql.functions._
   *
   * This is the scalable composition: UNION the two sides, tag them,
   * and take a running `last(candidate, ignoreNulls)` over a window
-  * ordered by (ts, side, id) within each key — ONE shuffle on the key,
-  * one sort, zero range explosion; cost is linear in the event count
-  * regardless of how candidates and probes interleave. Candidates sort
-  * BEFORE probes at equal timestamps, so a same-millisecond candidate
-  * is visible to its probe (`ts_candidate <= ts_probe` semantics), and
-  * the (ts, id) ordering makes the winner among equal-timestamp
-  * candidates deterministic: max (ts_ms, event_id).
+  * ordered by (ts, side, tie) within each key — ONE shuffle on the
+  * key, one sort, zero range explosion; cost is linear in the row
+  * count regardless of how candidates and probes interleave.
+  * Candidates sort BEFORE probes at equal timestamps, so a same-tick
+  * candidate is visible to its probe (`ts_candidate <= ts_probe`
+  * semantics), and the optional tie column makes the winner among
+  * equal-timestamp candidates deterministic.
   *
-  * Window partitioning is by user key — at production scale keys
+  * Window partitioning is by the join key — at production scale keys
   * number in the millions, so parallelism is not language-skew-shaped;
-  * per-key window size is the user's event history.
+  * per-key window size is that key's history.
   */
 object AsOf {
+
+  /** Generic two-frame as-of join. Both frames must carry `key` and
+    * `tsCol` under the same names; every candidate column comes back
+    * prefixed (`prefix`) next to the probe's own columns. Probes with
+    * no candidate at or before them are dropped (inner as-of).
+    *
+    * @param tieCol candidate column that breaks equal-timestamp ties
+    *               deterministically (max wins); None = ties resolve
+    *               by encounter order within the sorted partition.
+    */
+  def asofJoin(
+      probes: DataFrame,
+      candidates: DataFrame,
+      key: String,
+      tsCol: String,
+      tieCol: Option[String] = None,
+      prefix: String = "asof_"): DataFrame = {
+    require(probes.columns.contains(key) && candidates.columns.contains(key),
+      s"both sides need key column '$key'")
+    require(probes.columns.contains(tsCol) && candidates.columns.contains(tsCol),
+      s"both sides need timestamp column '$tsCol'")
+    val pType = StructType(probes.schema.fields)
+    val cType = StructType(candidates.schema.fields)
+    val p = probes.select(
+      col(key).as("__k"), col(tsCol).as("__ts"), lit(1).as("__side"), lit(0L).as("__tie"),
+      struct(probes.columns.map(col).toIndexedSeq: _*).as("__pp"),
+      lit(null).cast(cType).as("__cp"))
+    val c = candidates.select(
+      col(key).as("__k"), col(tsCol).as("__ts"), lit(0).as("__side"),
+      tieCol.map(col(_).cast("long")).getOrElse(lit(0L)).as("__tie"),
+      lit(null).cast(pType).as("__pp"),
+      struct(candidates.columns.map(col).toIndexedSeq: _*).as("__cp"))
+    val w = Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flat: Seq[Column] =
+      probes.columns.toIndexedSeq.map(n => col(s"__pp.$n").as(n)) ++
+        candidates.columns.toIndexedSeq.map(n => col(s"__cp_last.$n").as(s"$prefix$n"))
+    p.unionByName(c)
+      .withColumn("__cp_last", last(col("__cp"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__cp_last").isNotNull)
+      .select(flat: _*)
+  }
 
   /** Last-touch attribution on the events stream: for every
     * `probeType` event, the most recent `candidateType` event of the
     * same user at or before it (probes with no prior candidate are
-    * dropped — inner as-of semantics).
+    * dropped). Same running-last trick as [[asofJoin]], but both sides
+    * come from ONE events scan with a pushed-down IN filter — the
+    * generic two-frame API would read the table twice, and at 100 TB
+    * the second scan is the dominant cost. AsOfSpec proves the two
+    * formulations identical.
     */
   def attribution(
       events: DataFrame,

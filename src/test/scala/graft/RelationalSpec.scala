@@ -77,6 +77,21 @@ class RelationalSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("generic asofJoin on two frames agrees with the single-scan attribution") {
+    val events = Tables.events(spark, sf)
+    def side(t: String) = events
+      .filter(col("event_type") === t)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+    val generic = AsOf.asofJoin(side("purchase"), side("click"),
+        key = "user_id", tsCol = "ts_ms", tieCol = Some("event_id"))
+      .select(col("event_id"), col("user_id"), col("asof_event_id"),
+        (col("ts_ms") - col("asof_ts_ms")).as("gap_ms"))
+      .collect().map(_.toSeq).toSet
+    val bespoke = AsOf.attribution(events).collect().map(_.toSeq).toSet
+    assert(generic === bespoke)
+    assert(generic.nonEmpty)
+  }
+
   test("asof plan: exactly one shuffle, event-type filter pushed to the scan") {
     val plan = planOf(AsOf.attribution(Tables.events(spark, sf)))
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
