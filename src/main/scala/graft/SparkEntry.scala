@@ -92,6 +92,9 @@ object SparkEntry {
     // --- F. Multimodal ----------------------------------------------
     "q_media_meta" -> ((s, dir) => Multimodal.mediaMeta(Tables.documents(s, dir))),
     "q_media_frames" -> ((s, dir) => Multimodal.mediaFrames(Tables.documents(s, dir))),
+    // batched mapPartitions codec seam; imperative => rows-only gate +
+    // MultimodalSpec reimplementation equality (round-3 addition)
+    "q_media_features" -> ((s, dir) => Multimodal.mediaFeatures(Tables.documents(s, dir))),
     // --- G. Streaming (batch-equivalent form; the readStream path is
     // exercised in ScalaTest with a memory sink) ---------------------
     "q_stream_hourly" -> ((s, dir) => Events.hourlyAgg(Tables.events(s, dir))),

@@ -1,6 +1,6 @@
 package graft.mm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media assets as opaque `binary`
@@ -86,6 +86,54 @@ object Multimodal {
         col("frame_idx"),
         (col("frame_idx") * 1000L).as("ts_ms"),
         md5(concat(col("content_id"), lit(":"), col("frame_idx").cast("string"))).as("frame_id"))
+
+  // ------------------------------------------------------------------
+  // Batched codec seam (mapPartitions).
+  // ------------------------------------------------------------------
+  final case class MediaAsset(doc_id: Long, format: String, payload: Array[Byte])
+  final case class MediaFeatures(
+      doc_id: Long, format: String, n_bytes: Long,
+      embedding: Array[Float], batch_size: Int)
+
+  /** The imperative codec seam: typed `mapPartitions` over asset rows,
+    * decoding in BATCHES of `batchSize` — the JVM analog of a
+    * `mapInPandas` Arrow-batch UDF. Real codecs amortize per-batch
+    * setup (model load, codec context) across the batch; the batch
+    * loop, the typed schema in and out, and the recorded batch_size
+    * (so tests pin the batch shape) are the production plumbing. The
+    * DECODER ITSELF IS THE STUB: a deterministic 16-bin normalized
+    * byte histogram stands in for the real feature extractor —
+    * [[decodeBatch]] is the only function a real codec replaces.
+    *
+    * Scale shape: mapPartitions keeps rows streaming (only one batch
+    * is materialized at a time), inherits the scan's partitioning, and
+    * shuffles nothing.
+    */
+  def decodeFeatures(documents: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    mediaTable(documents).as[MediaAsset].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(decodeBatch)
+    }
+  }
+
+  /** One batched "codec" call — per-batch init would live here. */
+  private[mm] def decodeBatch(batch: Seq[MediaAsset]): Seq[MediaFeatures] = {
+    val bs = batch.size
+    batch.map { a =>
+      val hist = new Array[Float](16)
+      a.payload.foreach(b => hist((b & 0xff) % 16) += 1f)
+      val n = math.max(a.payload.length, 1).toFloat
+      MediaFeatures(a.doc_id, a.format, a.payload.length.toLong, hist.map(_ / n), bs)
+    }
+  }
+
+  /** q_media_features: the batched-decode query (rows-only gate — a
+    * mapPartitions pipeline has no SQL twin; MultimodalSpec recomputes
+    * the histogram directly and asserts equality).
+    */
+  def mediaFeatures(documents: DataFrame): DataFrame =
+    decodeFeatures(documents).toDF()
 
   def sqlMediaFrames: String =
     """WITH m AS (

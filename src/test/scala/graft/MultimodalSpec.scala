@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.mm.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  test("batched decode: features match a direct reimplementation, no rows lost") {
+    val docs = Tables.documents(spark, sf)
+    val out = Multimodal.decodeFeatures(docs, batchSize = 64).collect()
+      .map(f => f.doc_id -> f).toMap
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet === raw.keySet)
+    raw.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val hist = new Array[Float](16)
+      bytes.foreach(b => hist((b & 0xff) % 16) += 1f)
+      val expected = hist.map(_ / math.max(bytes.length, 1).toFloat)
+      val got = out(id)
+      assert(got.n_bytes === bytes.length.toLong)
+      assert(got.embedding.toSeq === expected.toSeq, s"doc $id histogram mismatch")
+    }
+  }
+
+  test("batch shape: every batch is full except at most one tail per partition") {
+    val docs = Tables.documents(spark, sf)
+    val bs = 32
+    val out = Multimodal.decodeFeatures(docs, batchSize = bs)
+    // per partition: sizes seen must be {bs} plus at most one remainder
+    val perPartition = out
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid", "batch_size").count()
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    perPartition.foreach { case (pid, rows) =>
+      val tails = rows.filter(_._2 != bs)
+      assert(tails.length <= 1, s"partition $pid has multiple tail batches: ${rows.toSeq}")
+      tails.foreach { case (_, size, cnt) =>
+        assert(cnt === size.toLong, s"partition $pid tail batch inconsistent")
+      }
+      rows.filter(_._2 == bs).foreach { case (_, _, cnt) =>
+        assert(cnt % bs === 0)
+      }
+    }
+    // decode is deterministic across runs
+    val e1 = out.orderBy("doc_id").select("embedding").collect().map(_.getSeq[Float](0))
+    val e2 = Multimodal.decodeFeatures(docs, batchSize = bs)
+      .orderBy("doc_id").select("embedding").collect().map(_.getSeq[Float](0))
+    assert(e1.toSeq === e2.toSeq)
+  }
+}
