@@ -49,6 +49,10 @@ object Bench {
           failures ::= name
           false
         }
+      // capture the elapsed time BEFORE the isolation GC — the forced
+      // full collection is cleanup for the NEXT query, not this one's
+      // cost, and charging it here inflated every per-query number
+      val elapsed = (System.nanoTime() - t0) / 1e9
       // isolate measurements: collect the previous query's broadcast /
       // shuffle debris outside the timed section (shared-JVM GC
       // pressure showed up as 4x run-to-run swings on the join-heavy
@@ -56,7 +60,7 @@ object Bench {
       // would also unpersist graft's managed feature/prediction frames
       // and turn every ML query timing into a hidden refit.
       System.gc()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

@@ -88,10 +88,13 @@ object Dedup {
     * implies jac <= min/max, so any qualifying pair has min >= tau*max.
     * Filtering on the (already materialized) sizes before the merge
     * walk prunes candidates for free without changing the output.
+    * The epsilon guards the exact-boundary case against FP error in
+    * tau*max (11 >= 0.55*20 is FALSE in doubles); it can only admit
+    * extra candidates for verification, never drop a qualifying pair.
     */
   private def sizeRatioFilter(tau: Double): Column =
-    size(col("sh_a")).cast("double") >= lit(tau) * size(col("sh_b")).cast("double") &&
-      size(col("sh_b")).cast("double") >= lit(tau) * size(col("sh_a")).cast("double")
+    size(col("sh_a")).cast("double") >= lit(tau) * size(col("sh_b")).cast("double") - lit(1e-9) &&
+      size(col("sh_b")).cast("double") >= lit(tau) * size(col("sh_a")).cast("double") - lit(1e-9)
 
   /** Exact n-gram Jaccard pairs via a PREFIX-FILTERED inverted-index
     * join (the all-pairs-similarity shape of Chaudhuri et al.'s SSJoin
@@ -119,7 +122,12 @@ object Dedup {
     * frequent shingles.
     */
   def ngramPairs(documents: DataFrame, tau: Double = 0.5): DataFrame = {
-    val sets = hashedShingleSets(documents)
+    // materialize the hashed sets ONCE: four consumers below (the df
+    // aggregate, the prefix index, both verify-side joins) would each
+    // re-run the tokenize+shingle+hash scan otherwise — per the perf
+    // notes that per-row expression work dominates this operator. The
+    // checkpoint blocks free when the frame is GC'd (ContextCleaner).
+    val sets = hashedShingleSets(documents).localCheckpoint()
     val inv = sets
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("h"))
     val dfreq = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -129,7 +137,14 @@ object Dedup {
     val prefix = inv
       .join(dfreq.hint("shuffle_hash"), Seq("h"))
       .withColumn("rk", row_number().over(wDoc))
-      .filter(col("rk") <= col("n_sh") - ceil(lit(tau) * col("n_sh")).cast("int") + 1)
+      // ceil over an epsilon-lowered product: tau*n can carry +2e-16
+      // representation error (0.55*20 = 11.000000000000002), and
+      // over-ceiling SHORTENS the prefix below the losslessness bound
+      // — silently dropping qualifying pairs. Under-ceiling merely
+      // lengthens the prefix (a candidate superset), so the epsilon
+      // only ever errs toward extra verification work, never recall.
+      .filter(col("rk") <=
+        col("n_sh") - ceil(lit(tau) * col("n_sh") - lit(1e-9)).cast("int") + 1)
       .select(col("doc_id"), col("h"))
     val x = prefix.select(col("doc_id").as("doc_a"), col("h"))
     val y = prefix.select(col("doc_id").as("doc_b"), col("h"))

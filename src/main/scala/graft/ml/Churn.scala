@@ -205,15 +205,19 @@ object Churn {
   def thresholdSweepQuery(spark: SparkSession, dir: String): DataFrame =
     thresholdSweep(predictions(spark, dir, "val"))
 
-  /** Best operating threshold = max F1 on the validation sweep; ties
-    * resolve to the lowest threshold (the reference's strict-greater
-    * replacement keeps the first/lowest too, train.py:95-102).
+  /** Best operating row = max F1 on the validation sweep; ties resolve
+    * to the lowest threshold (the reference's strict-greater
+    * replacement keeps the first/lowest too, train.py:95-102). ONE
+    * definition — bestThreshold (in-plan) and computeMetrics (the
+    * persisted artifact) must never diverge on the tie-break.
     */
-  def bestThreshold(spark: SparkSession, dir: String): DataFrame =
+  def bestSweepRow(spark: SparkSession, dir: String): DataFrame =
     thresholdSweepQuery(spark, dir)
       .orderBy(col("f1").desc, col("threshold").asc)
       .limit(1)
-      .select(col("threshold").as("thr"))
+
+  def bestThreshold(spark: SparkSession, dir: String): DataFrame =
+    bestSweepRow(spark, dir).select(col("threshold").as("thr"))
 
   // ------------------------------------------------------------------
   // q16: test-set confusion matrix + point metrics at the best
@@ -356,8 +360,7 @@ object Churn {
     */
   def computeMetrics(spark: SparkSession, dir: String): Metrics = {
     val auc = aucTable(predictions(spark, dir, "val")).head()
-    val best = thresholdSweepQuery(spark, dir)
-      .orderBy(col("f1").desc, col("threshold").asc).limit(1)
+    val best = bestSweepRow(spark, dir)
       .select("threshold", "precision", "recall", "f1").head()
     Metrics(auc.getDouble(0), auc.getDouble(1),
       best.getDouble(0), best.getDouble(1), best.getDouble(2), best.getDouble(3))
@@ -386,7 +389,10 @@ object Churn {
   def loadMetrics(path: String): Metrics = {
     val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
     def num(key: String): Double = {
-      val m = ("\"" + key + "\"\\s*:\\s*(-?[0-9.eE+]+)").r.findFirstMatchIn(text)
+      // the char class must include '-' INSIDE it too, or scientific
+      // notation with a negative exponent ("5.0E-4", which Double
+      // .toString emits below 1e-3) truncates at the exponent sign
+      val m = ("\"" + key + "\"\\s*:\\s*(-?[0-9.eE+-]+)").r.findFirstMatchIn(text)
       m.getOrElse(throw new IllegalArgumentException(s"metrics artifact missing '$key': $path"))
         .group(1).toDouble
     }

@@ -117,14 +117,19 @@ object Multimodal {
     }
   }
 
-  /** One batched "codec" call — per-batch init would live here. */
+  /** One batched "codec" call — per-batch init would live here. A
+    * null payload (null source text) decodes like an empty asset
+    * instead of NPE-ing the partition, matching how the expression
+    * operators propagate nulls.
+    */
   private[mm] def decodeBatch(batch: Seq[MediaAsset]): Seq[MediaFeatures] = {
     val bs = batch.size
     batch.map { a =>
+      val bytes = if (a.payload == null) Array.emptyByteArray else a.payload
       val hist = new Array[Float](16)
-      a.payload.foreach(b => hist((b & 0xff) % 16) += 1f)
-      val n = math.max(a.payload.length, 1).toFloat
-      MediaFeatures(a.doc_id, a.format, a.payload.length.toLong, hist.map(_ / n), bs)
+      bytes.foreach(b => hist((b & 0xff) % 16) += 1f)
+      val n = math.max(bytes.length, 1).toFloat
+      MediaFeatures(a.doc_id, a.format, bytes.length.toLong, hist.map(_ / n), bs)
     }
   }
 

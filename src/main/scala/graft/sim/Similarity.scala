@@ -95,6 +95,12 @@ object Similarity {
     * as MinHash/SimHash (~10-40x on this, the dominant per-row cost of
     * the LSH paths). The shuffle carries tables*bits doubles per
     * VECTOR, not per element.
+    *
+    * A vector with an EMPTY embedding array produces no explode rows
+    * and drops out of the bucketed corpus (and so out of every LSH
+    * path). That is consistent, not accidental: such a vector has norm
+    * 0, its cosine is NaN, and the brute paths drop it too (NaN fails
+    * every >= tau / top-k comparison).
     */
   private[graft] def bucketedCorpus(embeddings: DataFrame, tables: Int, bits: Int): DataFrame = {
     val e = prepared(embeddings)

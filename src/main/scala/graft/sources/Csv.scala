@@ -78,6 +78,11 @@ object Csv {
   // shortest representation that parses back to the same bits).
   private val exported = TrieMap.empty[String, String]
 
+  // Scratch paths are per-JVM: the TrieMap only guards THIS process,
+  // and two JVMs (a bench run next to a test run) sharing one fixed
+  // /tmp path would race an overwrite against a read.
+  private val jvmId = java.util.UUID.randomUUID().toString.take(8)
+
   /** lineitem via a full CSV round-trip (parquet -> raw-header CSV ->
     * standardized read). This is the driver-gated entry for the CSV
     * ingestion path; library users call [[readLineitem]] directly on
@@ -86,7 +91,7 @@ object Csv {
   def lineitemViaCsv(spark: SparkSession, dir: String): DataFrame = {
     val path = exported.getOrElseUpdate(dir, {
       val out = System.getProperty("java.io.tmpdir") +
-        "/graft_csv/" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + "/lineitem"
+        s"/graft_csv/$jvmId/" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + "/lineitem"
       writeRawLineitem(graft.Tables.lineitem(spark, dir), out)
       out
     })

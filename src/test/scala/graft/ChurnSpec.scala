@@ -23,7 +23,13 @@ class ChurnSpec extends SparkSpec {
   }
 
   test("aucTable matches MLlib's evaluator on real model predictions") {
-    val pred = Churn.predictions(spark, sf, "test").cache()
+    // like-for-like: aucTable quantizes p1 to 6 dp (the bounded-window
+    // scale design), so MLlib must score the SAME quantized column —
+    // comparing against raw scores would differ by 1/(2·P·N) whenever
+    // two raw scores land in one quantization cell, and whether that
+    // happens depends on the fit's seed/data, a latent flake
+    val pred = Churn.predictions(spark, sf, "test")
+      .withColumn("p1", Det.r(col("p1"), 6)).cache()
     val ours = Churn.aucTable(pred).head().getDouble(0)
     val mllib = new BinaryClassificationEvaluator()
       .setLabelCol("label").setRawPredictionCol("p1").setMetricName("areaUnderROC")

@@ -51,6 +51,27 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("ngramPairs is lossless at a non-dyadic tau (FP ceil boundary)") {
+    // brute-force truth: all-pairs exact Jaccard over the hashed
+    // shingle sets, computed driver-side. tau=0.55 exercises the
+    // ceil(tau*n) representation-error boundary (0.55*20 -> 11.0000…02)
+    // that a naive FP prefix bound gets wrong.
+    val docs = Tables.documents(spark, sf).limit(200)
+    val tau = 0.55
+    val sets = Dedup.hashedShingleSets(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val truth = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+      inter = (sa & sb).size.toDouble
+      jac = inter / (sa.size + sb.size - inter)
+      if jac >= tau
+    } yield (a, b)).toSet
+    val got = Dedup.ngramPairs(docs, tau).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === truth)
+    assert(truth.nonEmpty, "test corpus must contain at least one qualifying pair")
+  }
+
   test("clusters: hand-built components resolve to min-id labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L), (11L, 12L), (10L, 12L))
       .toDF("doc_a", "doc_b")
