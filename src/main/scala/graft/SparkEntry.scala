@@ -59,6 +59,9 @@ object SparkEntry {
     // as-of join (last-touch attribution): one shuffle + running-last
     // window, no range explosion (round-3 addition)
     "q_asof_join" -> ((s, dir) => ops.AsOf.attribution(Tables.events(s, dir))),
+    // strict sequential funnel: one shuffle + layered running-min
+    // windows (round-3 addition)
+    "q_funnel" -> ((s, dir) => Relational.funnel(Tables.events(s, dir))),
     // --- C. Text analysis -------------------------------------------
     "q_token_stats" -> ((s, dir) => Text.tokenStats(Tables.documents(s, dir))),
     "q_text_quality" -> ((s, dir) => Text.quality(Tables.documents(s, dir))),
@@ -271,6 +274,7 @@ object SparkEntry {
          |  CAST(part_cents AS DOUBLE) / 100.0 AS part_revenue
          |FROM rk WHERE "rank" <= 3""".stripMargin,
     "q_asof_join" -> ops.AsOf.sqlAttribution(),
+    "q_funnel" -> Relational.sqlFunnel(),
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events

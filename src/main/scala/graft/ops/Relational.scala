@@ -106,6 +106,71 @@ object Relational {
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
   }
 
+  /** Strict sequential funnel over events: how many users performed
+    * stage 1, then stage 2 STRICTLY AFTER their first stage-1 event,
+    * then stage 3 strictly after that qualified stage-2 event.
+    *
+    * Plan: ONE shuffle+sort (user window ordered by ts), then layered
+    * window columns — r1 = running min stage-1 ts, a stage-2 row
+    * qualifies iff its ts > r1, r2 = running min of QUALIFIED stage-2
+    * ts, and so on. Because events are scanned in time order, the
+    * running minima at each row equal the global "first qualified"
+    * times the textbook per-stage-min-after-min definition uses (the
+    * oracle computes it that way, independently, via chained
+    * aggregates) — layering windows over one spec adds Window nodes
+    * but NO extra exchange or sort. Output: one row per stage with
+    * the surviving user count.
+    */
+  def funnel(events: DataFrame, stages: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
+    require(stages.size >= 2 && stages.distinct.size == stages.size, "need >= 2 distinct stages")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var df = events
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("q0", when(col("event_type") === stages.head, col("ts_ms")))
+      .withColumn("r0", min(col("q0")).over(w))
+    stages.zipWithIndex.tail.foreach { case (s, i) =>
+      df = df
+        .withColumn(s"q$i",
+          when(col("event_type") === s && col("ts_ms") > col(s"r${i - 1}"), col("ts_ms")))
+        .withColumn(s"r$i", min(col(s"q$i")).over(w))
+    }
+    val perUser = df.groupBy(col("user_id"))
+      .agg(stages.indices.map(i => min(col(s"q$i")).as(s"t$i")).head,
+        stages.indices.map(i => min(col(s"q$i")).as(s"t$i")).tail: _*)
+    val counts = perUser.agg(
+      stages.indices.map(i => sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L)).as(s"c$i")).head,
+      stages.indices.map(i => sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L)).as(s"c$i")).tail: _*)
+    val stackArgs = stages.zipWithIndex
+      .map { case (s, i) => s"${i + 1}, '$s', c$i" }.mkString(", ")
+    counts.select(expr(
+      s"stack(${stages.size}, $stackArgs) AS (stage_idx, stage, n_users)"))
+  }
+
+  def sqlFunnel(stages: Seq[String] = Seq("signup", "click", "purchase")): String = {
+    val ctes = stages.zipWithIndex.map { case (s, i) =>
+      if (i == 0)
+        s"u0 AS (SELECT user_id, min(ts_ms) AS t FROM e WHERE event_type = '$s' GROUP BY 1)"
+      else
+        s"""u$i AS (
+           |  SELECT e.user_id, min(e.ts_ms) AS t
+           |  FROM e JOIN u${i - 1} ON e.user_id = u${i - 1}.user_id
+           |  WHERE e.event_type = '$s' AND e.ts_ms > u${i - 1}.t
+           |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val selects = stages.zipWithIndex.map { case (s, i) =>
+      s"SELECT ${i + 1} AS stage_idx, '$s' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM u$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events
+       |),
+       |$ctes
+       |$selects""".stripMargin
+  }
+
   /** Weekly cohort retention matrix on events: cohort = ISO week of a
     * user's first event; one row per (cohort_week, week_offset) with
     * distinct active users. Two shuffles (per-user min, then matrix

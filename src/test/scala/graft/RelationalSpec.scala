@@ -100,6 +100,32 @@ class RelationalSpec extends SparkSpec {
       s"event-type filter not pushed to the parquet scan:\n$plan")
   }
 
+  test("funnel: hand-built timelines pin strict sequential semantics") {
+    import spark.implicits._
+    // u1 completes in order; u2 clicks BEFORE signup (click must not
+    // count) then purchases (no qualified click -> no purchase);
+    // u3 signup+click at the SAME ms (strictness: click rejected);
+    // u4 signup only
+    val ev = Seq(
+      (1L, 1L, 1000L, "signup"), (2L, 1L, 2000L, "click"), (3L, 1L, 3000L, "purchase"),
+      (4L, 2L, 1000L, "click"), (5L, 2L, 2000L, "signup"), (6L, 2L, 3000L, "purchase"),
+      (7L, 3L, 1000L, "signup"), (8L, 3L, 1000L, "click"),
+      (9L, 4L, 1000L, "signup"))
+      .toDF("event_id", "user_id", "ts_ms", "event_type")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val got = Relational.funnel(ev).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got === Map("signup" -> 4L, "click" -> 1L, "purchase" -> 1L))
+  }
+
+  test("funnel counts are monotone non-increasing on real events") {
+    val rows = Relational.funnel(Tables.events(spark, sf))
+      .orderBy("stage_idx").collect().map(_.getLong(2))
+    assert(rows.length === 3)
+    assert(rows.sliding(2).forall(p => p(0) >= p(1)), rows.toSeq.toString)
+    assert(rows.head > 0)
+  }
+
   test("pricingSummary aggregates are internally consistent") {
     val p = Relational.pricingSummary(Tables.lineitem(spark, sf))
     val bad = p.filter(col("n_orders") > col("count_order") || col("count_order") <= 0)
