@@ -94,6 +94,51 @@ object Events {
   }
 
   // ------------------------------------------------------------------
+  // Stream-stream interval join (windowed attribution).
+  // ------------------------------------------------------------------
+
+  /** All (purchase, click) pairs of the same user with the click
+    * inside the attribution window [purchase − windowMinutes,
+    * purchase] — the STREAMING attribution contract. A running
+    * last-touch (the batch [[graft.ops.AsOf]] form) needs total order
+    * per user and is not stream-expressible; the interval join is:
+    * both sides carry watermarks and the time-range predicate bounds
+    * the join state to the window + watermark horizon, so state stays
+    * finite at any throughput. Downstream picks max(click_ts) per
+    * purchase if it wants last-touch.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    val c = clicks.select(
+      col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val p = purchases.select(
+      col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("click_id"),
+        unix_millis(col("p_ts")) - unix_millis(col("c_ts")) as "gap_ms")
+  }
+
+  /** File-source streaming form: two readStreams over the same event
+    * directory, each filtered and watermarked (the click side keeps
+    * state for window + watermark; the purchase side for its
+    * watermark).
+    */
+  def attributionStream(spark: SparkSession, dir: String, windowMinutes: Int = 60): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    def side(t: String, wm: String) = spark.readStream
+      .schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .filter(col("event_type") === t)
+      .withWatermark("ts", wm)
+    attributionJoin(
+      side("click", s"${windowMinutes * 2} minutes"),
+      side("purchase", "30 minutes"),
+      windowMinutes)
+  }
+
+  // ------------------------------------------------------------------
   // Stateful sessionization (flatMapGroupsWithState).
   // ------------------------------------------------------------------
   final case class Ev(user_id: Long, event_id: Long, ts_ms: Long, event_type: String)

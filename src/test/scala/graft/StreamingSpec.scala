@@ -65,6 +65,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-stream interval join equals the batch interval join (memory sink)") {
+    val tmp = Files.createTempDirectory("graft-ssjoin").toString
+    Files.copy(
+      Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$tmp/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q = Events.attributionStream(spark, tmp)
+      .writeStream.format("memory").queryName("attr_join").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("attr_join").collect().map(_.toSeq).toSet
+    val events = Tables.events(spark, sf)
+    val batch = Events.attributionJoin(
+      events.filter(col("event_type") === "click"),
+      events.filter(col("event_type") === "purchase"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // windowed-pairs contract: every pair respects the interval
+    assert(batch.forall { r =>
+      val gap = r(3).asInstanceOf[Long]; gap >= 0 && gap <= 60L * 60000L
+    })
+  }
+
   test("streaming dedup keeps first arrival per content hash across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.SaveMode
