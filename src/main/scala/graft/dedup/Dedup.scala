@@ -322,9 +322,12 @@ object Dedup {
     * shingle is hashed exactly once (in hashedShingleSets); each
     * permutation re-mixes the LONG.
     */
-  def minhashSignatures(documents: DataFrame, numHashes: Int = 32): DataFrame = {
+  def minhashSignatures(documents: DataFrame, numHashes: Int = 32): DataFrame =
+    minhashSignaturesFrom(hashedShingleSets(documents), numHashes)
+
+  private def minhashSignaturesFrom(sets: DataFrame, numHashes: Int): DataFrame = {
     val sigCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"sig$i"))
-    hashedShingleSets(documents)
+    sets
       .select(col("doc_id"), explode(col("sh")).as("h"))
       .groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
@@ -337,7 +340,12 @@ object Dedup {
       tau: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rowsPerBand = numHashes / bands
-    val sigs = minhashSignatures(documents, numHashes)
+    // one tokenize+shingle+hash scan shared by the signature and
+    // verification paths (same move as ngramPairs); signatures also
+    // checkpointed — the band self-join references them from BOTH
+    // sides, which would run the 32-min aggregation twice
+    val sets = hashedShingleSets(documents).localCheckpoint()
+    val sigs = minhashSignaturesFrom(sets, numHashes).localCheckpoint()
     val bandKeys = (0 until bands).map { b =>
       xxhash64((lit(b) +: (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))): _*)
     }
@@ -349,7 +357,6 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct() // a true near-dup pair collides in many bands
-    val sets = hashedShingleSets(documents)
     withJaccard(
       cands
         .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -400,7 +407,9 @@ object Dedup {
 
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4 bands of 16 bits are lossless only up to Hamming distance 3")
-    val base = simhashTable(documents)
+    // the band self-join references the fingerprint table from both
+    // sides — checkpoint so the 64-conditional-sum aggregation runs once
+    val base = simhashTable(documents).localCheckpoint()
     val bandArr = array(col("band0"), col("band1"), col("band2"), col("band3"))
     val exploded = base.select(
       col("doc_id"), col("band0"), col("band1"), col("band2"), col("band3"),
@@ -468,7 +477,9 @@ object Dedup {
       tau: Double = 0.35,
       tables: Int = 8,
       bits: Int = 8): DataFrame = {
-    val e = graft.sim.Similarity.bucketedCorpus(embeddings, tables, bits)
+    // referenced by the left/right candidate sides AND both re-score
+    // joins — checkpoint so the bucket projection aggregation runs once
+    val e = graft.sim.Similarity.bucketedCorpus(embeddings, tables, bits).localCheckpoint()
     val left = e.select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bkt")))
     val right = e
       .select(col("vec_id").as("vid_b"), posexplode(col("buckets")).as(Seq("t", "qbkt")))

@@ -141,9 +141,11 @@ object Relational {
     val perUser = df.groupBy(col("user_id"))
       .agg(stages.indices.map(i => min(col(s"q$i")).as(s"t$i")).head,
         stages.indices.map(i => min(col(s"q$i")).as(s"t$i")).tail: _*)
-    val counts = perUser.agg(
-      stages.indices.map(i => sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L)).as(s"c$i")).head,
-      stages.indices.map(i => sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L)).as(s"c$i")).tail: _*)
+    // coalesce: the global aggregate over an EMPTY event set returns
+    // one row of NULL sums — an empty stream must report 0 per stage
+    val countCols = stages.indices.map(i =>
+      coalesce(sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L)), lit(0L)).as(s"c$i"))
+    val counts = perUser.agg(countCols.head, countCols.tail: _*)
     val stackArgs = stages.zipWithIndex
       .map { case (s, i) => s"${i + 1}, '$s', c$i" }.mkString(", ")
     counts.select(expr(

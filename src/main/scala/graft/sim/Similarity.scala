@@ -143,7 +143,9 @@ object Similarity {
       k: Int = 10,
       tables: Int = 8,
       bits: Int = 8): DataFrame = {
-    val e = bucketedCorpus(embeddings, tables, bits)
+    // corpus and probe sides both read the bucketed corpus — checkpoint
+    // so the explode + tables*bits-sum aggregation runs once
+    val e = bucketedCorpus(embeddings, tables, bits).localCheckpoint()
     val corpus = e.select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bkt")))
     val probes = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), posexplode(col("buckets")).as(Seq("t", "qbkt")))
@@ -181,7 +183,11 @@ object Similarity {
     val assigned = scored.groupBy(col("vec_id"))
       .agg(max_by(col("cell"), struct(col("ccos"), (-col("cell")).as("tb"))).as("cell"))
     val w = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cell").asc)
-    val qProbes = scored.filter(col("vec_id") < nQueries)
+    // probe selection scores only the nQueries query vectors against
+    // the centroids — branching it off `scored` would evaluate the
+    // corpus-sized cross join a second time for a queries-sized result
+    val qProbes = e.filter(col("vec_id") < nQueries).crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
       .select(col("vec_id").as("query_id"), col("cell"), col("ccos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= nProbe)

@@ -73,13 +73,17 @@ class PlanHardeningSpec extends SparkSpec {
     assert(graft.text.Corpus.curate(emptyDocs).count() === 0)
   }
 
-  test("asof attribution returns empty on an empty event stream") {
+  test("asof attribution and funnel behave on an empty event stream") {
     val emptyEvents = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
       StructType(Seq(
         StructField("event_id", LongType), StructField("ts", TimestampType),
         StructField("user_id", LongType), StructField("event_type", StringType))))
     assert(graft.ops.AsOf.attribution(emptyEvents).count() === 0)
+    // funnel must report 0 per stage, not NULL sums from the empty agg
+    val f = graft.ops.Relational.funnel(emptyEvents).collect()
+    assert(f.length === 3)
+    assert(f.forall(r => !r.isNullAt(2) && r.getLong(2) === 0L))
   }
 
   test("similarity operators return empty results on an empty corpus") {
