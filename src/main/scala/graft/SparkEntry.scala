@@ -62,6 +62,9 @@ object SparkEntry {
     // strict sequential funnel: one shuffle + layered running-min
     // windows (round-3 addition)
     "q_funnel" -> ((s, dir) => Relational.funnel(Tables.events(s, dir))),
+    // trailing-window per-event features via a RANGE frame
+    // (round-3 addition)
+    "q_rolling_features" -> ((s, dir) => Relational.rollingUserStats(Tables.events(s, dir))),
     // --- C. Text analysis -------------------------------------------
     "q_token_stats" -> ((s, dir) => Text.tokenStats(Tables.documents(s, dir))),
     "q_text_quality" -> ((s, dir) => Text.quality(Tables.documents(s, dir))),
@@ -275,6 +278,7 @@ object SparkEntry {
          |FROM rk WHERE "rank" <= 3""".stripMargin,
     "q_asof_join" -> ops.AsOf.sqlAttribution(),
     "q_funnel" -> Relational.sqlFunnel(),
+    "q_rolling_features" -> Relational.sqlRollingUserStats(),
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events

@@ -173,6 +173,36 @@ object Relational {
        |$selects""".stripMargin
   }
 
+  /** Rolling time-window features: at every event, the user's event
+    * count and spend over the trailing `windowDays` — the per-event
+    * generalization of the reference's fixed-cutoff recent-90-day
+    * aggregates (etl.py:87-96). A RANGE frame over epoch-millis: the
+    * frame is value-based, so equal-timestamp rows are all included
+    * regardless of row order — deterministic without a tie-break.
+    * One shuffle+sort on user_id; money summed as exact cents.
+    */
+  def rollingUserStats(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val spanMs = windowDays * 86400000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-spanMs, 0)
+    events
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"))
+      .withColumn("n_roll", count(lit(1)).over(w))
+      .withColumn("value_roll", Det.fromCents(sum(Det.cents(col("value"))).over(w)))
+      .select(col("event_id"), col("user_id"), col("n_roll"), col("value_roll"))
+  }
+
+  def sqlRollingUserStats(windowDays: Int = 7): String = {
+    val spanMs = windowDays * 86400000L
+    s"""SELECT event_id, user_id,
+       |  CAST(count(*) OVER w AS BIGINT) AS n_roll,
+       |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 100.0 AS value_roll
+       |FROM (SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value FROM events)
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+       |             RANGE BETWEEN $spanMs PRECEDING AND CURRENT ROW)""".stripMargin
+  }
+
   /** Weekly cohort retention matrix on events: cohort = ISO week of a
     * user's first event; one row per (cohort_week, week_offset) with
     * distinct active users. Two shuffles (per-user min, then matrix

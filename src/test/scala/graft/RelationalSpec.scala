@@ -126,6 +126,20 @@ class RelationalSpec extends SparkSpec {
     assert(rows.head > 0)
   }
 
+  test("rollingUserStats: hand-built timeline pins the trailing range frame") {
+    import spark.implicits._
+    // user 1 events at day 0, 3, 8, 20 (value 1.00 each); 7-day window:
+    // day 0 -> {0}, day 3 -> {0,3}, day 8 -> {3,8}, day 20 -> {20}
+    val day = 86400000L
+    val ev = Seq((1L, 1L, 0L * day, 1.0), (2L, 1L, 3L * day, 1.0),
+      (3L, 1L, 8L * day, 1.0), (4L, 1L, 20L * day, 1.0))
+      .toDF("event_id", "user_id", "ts_ms", "value")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val got = Relational.rollingUserStats(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got === Map(1L -> (1L, 1.0), 2L -> (2L, 2.0), 3L -> (2L, 2.0), 4L -> (1L, 1.0)))
+  }
+
   test("pricingSummary aggregates are internally consistent") {
     val p = Relational.pricingSummary(Tables.lineitem(spark, sf))
     val bad = p.filter(col("n_orders") > col("count_order") || col("count_order") <= 0)
