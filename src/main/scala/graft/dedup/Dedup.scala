@@ -89,7 +89,8 @@ object Dedup {
     * Filtering on the (already materialized) sizes before the merge
     * walk prunes candidates for free without changing the output.
     * The epsilon guards the exact-boundary case against FP error in
-    * tau*max (11 >= 0.55*20 is FALSE in doubles); it can only admit
+    * tau*max (0.55*100 = 55.00000000000001 in doubles, so the true
+    * boundary pair 55 >= 0.55*100 evaluates FALSE); it can only admit
     * extra candidates for verification, never drop a qualifying pair.
     */
   private def sizeRatioFilter(tau: Double): Column =
@@ -137,12 +138,14 @@ object Dedup {
     val prefix = inv
       .join(dfreq.hint("shuffle_hash"), Seq("h"))
       .withColumn("rk", row_number().over(wDoc))
-      // ceil over an epsilon-lowered product: tau*n can carry +2e-16
-      // representation error (0.55*20 = 11.000000000000002), and
-      // over-ceiling SHORTENS the prefix below the losslessness bound
-      // — silently dropping qualifying pairs. Under-ceiling merely
-      // lengthens the prefix (a candidate superset), so the epsilon
-      // only ever errs toward extra verification work, never recall.
+      // ceil over an epsilon-lowered product: tau*n can carry +1e-14
+      // representation error (0.55*100 = 55.00000000000001, first at
+      // n=100), and over-ceiling SHORTENS the prefix below the
+      // losslessness bound — silently dropping qualifying pairs
+      // (DedupSpec constructs that exact boundary). Under-ceiling
+      // merely lengthens the prefix (a candidate superset), so the
+      // epsilon only ever errs toward extra verification work, never
+      // recall.
       .filter(col("rk") <=
         col("n_sh") - ceil(lit(tau) * col("n_sh") - lit(1e-9)).cast("int") + 1)
       .select(col("doc_id"), col("h"))

@@ -138,13 +138,11 @@ object Relational {
           when(col("event_type") === s && col("ts_ms") > col(s"r${i - 1}"), col("ts_ms")))
         .withColumn(s"r$i", min(col(s"q$i")).over(w))
     }
-    val perUser = df.groupBy(col("user_id"))
-      .agg(stages.indices.map(i => min(col(s"q$i")).as(s"t$i")).head,
-        stages.indices.map(i => min(col(s"q$i")).as(s"t$i")).tail: _*)
-    // coalesce: the global aggregate over an EMPTY event set returns
-    // one row of NULL sums — an empty stream must report 0 per stage
-    val countCols = stages.indices.map(i =>
-      coalesce(sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L)), lit(0L)).as(s"c$i"))
+    val tCols = stages.indices.map(i => min(col(s"q$i")).as(s"t$i"))
+    val perUser = df.groupBy(col("user_id")).agg(tCols.head, tCols.tail: _*)
+    // count(col) skips NULLs and yields 0 (never NULL) on the empty
+    // global aggregate — exactly the empty-stream contract
+    val countCols = stages.indices.map(i => count(col(s"t$i")).as(s"c$i"))
     val counts = perUser.agg(countCols.head, countCols.tail: _*)
     val stackArgs = stages.zipWithIndex
       .map { case (s, i) => s"${i + 1}, '$s', c$i" }.mkString(", ")

@@ -80,8 +80,21 @@ object Csv {
 
   // Scratch paths are per-JVM: the TrieMap only guards THIS process,
   // and two JVMs (a bench run next to a test run) sharing one fixed
-  // /tmp path would race an overwrite against a read.
+  // /tmp path would race an overwrite against a read. The shutdown
+  // hook reclaims the scratch dir so repeated runs don't accumulate
+  // CSV exports in /tmp.
   private val jvmId = java.util.UUID.randomUUID().toString.take(8)
+  private lazy val scratchRoot: String = {
+    val root = System.getProperty("java.io.tmpdir") + s"/graft_csv/$jvmId"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }))
+    root
+  }
 
   /** lineitem via a full CSV round-trip (parquet -> raw-header CSV ->
     * standardized read). This is the driver-gated entry for the CSV
@@ -90,8 +103,7 @@ object Csv {
     */
   def lineitemViaCsv(spark: SparkSession, dir: String): DataFrame = {
     val path = exported.getOrElseUpdate(dir, {
-      val out = System.getProperty("java.io.tmpdir") +
-        s"/graft_csv/$jvmId/" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + "/lineitem"
+      val out = scratchRoot + "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + "/lineitem"
       writeRawLineitem(graft.Tables.lineitem(spark, dir), out)
       out
     })

@@ -10,6 +10,21 @@ class DedupSpec extends SparkSpec {
   private def docs(texts: (Long, String)*) =
     texts.toSeq.toDF("doc_id", "text")
 
+  /** Driver-side brute-force truth: all-pairs exact Jaccard over the
+    * hashed shingle sets — the reference computation every exactness
+    * test compares against.
+    */
+  private def bruteJaccardPairs(df: org.apache.spark.sql.DataFrame, tau: Double): Set[(Long, Long)] = {
+    val sets = Dedup.hashedShingleSets(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+      inter = (sa & sb).size.toDouble
+      jac = inter / (sa.size + sb.size - inter)
+      if jac >= tau
+    } yield (a, b)).toSet
+  }
+
   test("exact dedup groups identical texts and keeps the minimum id") {
     val out = Dedup.exact(docs(7L -> "same text", 3L -> "same text", 9L -> "other"))
       .orderBy("keep_id").collect()
@@ -36,40 +51,43 @@ class DedupSpec extends SparkSpec {
       Seq((100L, s"$stop common tail one two three four five six seven eight nine"),
           (101L, s"$stop common tail one two three four five six seven eight ten"))
     val df = corpus.toDF("doc_id", "text")
-    // expected = brute-force exact Jaccard over the same hashed shingle sets
-    val sets = Dedup.hashedShingleSets(df).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
-    val expected = (for {
-      a <- sets.keys; b <- sets.keys if a < b
-      inter = (sets(a) & sets(b)).size.toDouble
-      jac = inter / (sets(a).size + sets(b).size - inter)
-      if jac >= 0.5
-    } yield (a, b)).toSet
+    val expected = bruteJaccardPairs(df, 0.5)
     assert(expected.nonEmpty, "the adversarial corpus must contain a planted pair")
     val got = Dedup.ngramPairs(df).select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === expected)
   }
 
-  test("ngramPairs is lossless at a non-dyadic tau (FP ceil boundary)") {
-    // brute-force truth: all-pairs exact Jaccard over the hashed
-    // shingle sets, computed driver-side. tau=0.55 exercises the
-    // ceil(tau*n) representation-error boundary (0.55*20 -> 11.0000…02)
-    // that a naive FP prefix bound gets wrong.
-    val docs = Tables.documents(spark, sf).limit(200)
+  test("ngramPairs is lossless at a non-dyadic tau on real data") {
+    val corpus = Tables.documents(spark, sf).limit(200)
     val tau = 0.55
-    val sets = Dedup.hashedShingleSets(docs).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
-    val truth = (for {
-      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
-      inter = (sa & sb).size.toDouble
-      jac = inter / (sa.size + sb.size - inter)
-      if jac >= tau
-    } yield (a, b)).toSet
-    val got = Dedup.ngramPairs(docs, tau).select("doc_a", "doc_b")
+    val truth = bruteJaccardPairs(corpus, tau)
+    val got = Dedup.ngramPairs(corpus, tau).select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === truth)
     assert(truth.nonEmpty, "test corpus must contain at least one qualifying pair")
+  }
+
+  test("ngramPairs survives the exact FP ceil boundary (0.55*100 = 55.00000000000001)") {
+    // CONSTRUCTED boundary: doc A = 102 distinct tokens -> 100 distinct
+    // shingles; doc B = A's last 57 tokens -> its 55 shingles are a
+    // subset of A's. jac = 55/100 = 0.55 exactly, and the minimal
+    // intersection bound is ceil(0.55*100) = 55 in real arithmetic —
+    // but 0.55*100 = 55.00000000000001 in doubles, so BOTH the naive
+    // size-ratio filter (55 >= 55.000…01 false) and the naive prefix
+    // bound (ceil -> 56, one slot short of the first shared shingle in
+    // df order) silently drop this qualifying pair. The n=20 sf0.001
+    // corpus never reaches n=100, so only this construction pins the
+    // epsilon fix.
+    val aTokens = (0 until 102).map(i => s"tok$i")
+    val bTokens = aTokens.takeRight(57)
+    val df = docs(1L -> aTokens.mkString(" "), 2L -> bTokens.mkString(" "))
+    val tau = 0.55
+    assert(bruteJaccardPairs(df, tau) === Set((1L, 2L)))
+    val got = Dedup.ngramPairs(df, tau).collect()
+    assert(got.length === 1, "the boundary pair must be found")
+    assert(got.head.getLong(0) === 1L && got.head.getLong(1) === 2L)
+    assert(got.head.getDouble(2) === 0.55)
   }
 
   test("clusters: hand-built components resolve to min-id labels") {
