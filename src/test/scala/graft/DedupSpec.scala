@@ -106,6 +106,11 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_.getLong(1) === 0L))
   }
 
+  test("clusters throws on iteration exhaustion instead of returning wrong labels") {
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    assertThrows[IllegalStateException](Dedup.clusters(chain, maxIters = 1))
+  }
+
   test("clusters on real near-dup pairs: endpoints co-labelled, keeper is the min member") {
     val pairs = Dedup.ngramPairs(Tables.documents(spark, sf))
       .select("doc_a", "doc_b").cache()
