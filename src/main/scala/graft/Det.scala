@@ -29,4 +29,10 @@ object Det {
 
   /** Back to a 2-decimal double amount. */
   def fromCents(c: Column): Column = c.cast("double") / lit(100.0)
+
+  /** A string as an ANSI-SQL literal for the DuckDB oracle: quotes
+    * doubled, wrapped in quotes — so a stage/lang name containing `'`
+    * cannot break (or inject into) the generated oracle SQL.
+    */
+  def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 }

@@ -233,15 +233,14 @@ object Dedup {
     // round (the standard move for iterative DataFrame algorithms; on
     // a real cluster with a checkpoint dir you would use the reliable
     // checkpoint() instead for fault tolerance)
-    // coalesce: sum over an EMPTY label table is NULL — an empty pair
-    // set must converge to an empty result, not throw
-    def sumOf(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("cluster_id")), lit(0L))).head().getLong(0)
-    var labels = edges
+    // `ckpt` is the frame actually holding checkpoint blocks (so
+    // unpersist targets the right one); `labels` is at most a cheap
+    // projection over it
+    var ckpt = edges
       .groupBy(col("src").as("doc_id"))
       .agg(min(least(col("src"), col("dst"))).as("cluster_id"))
       .localCheckpoint()
-    var labelSum = sumOf(labels)
+    var labels = ckpt
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -251,17 +250,26 @@ object Dedup {
         .agg(min(col("nb_label")).as("nb_label"))
       val viaPointer = labels
         .select(col("doc_id").as("cluster_id"), col("cluster_id").as("pj_label"))
+      // labels only ever decrease, so "changed" == "strictly smaller";
+      // convergence = a round with ZERO changed labels. (A label-sum
+      // comparison would be one job cheaper to think about but can in
+      // principle alias across rounds once sums exceed Long range at
+      // full scale — non-ANSI sum wraps silently.) coalesce: sum over
+      // an EMPTY label table is NULL — an empty pair set must converge
+      // to an empty result, not throw.
       val next = labels
         .join(viaNeighbors, Seq("doc_id"))
         .join(viaPointer, Seq("cluster_id"))
         .select(col("doc_id"),
-          least(col("cluster_id"), col("nb_label"), col("pj_label")).as("cluster_id"))
+          least(col("cluster_id"), col("nb_label"), col("pj_label")).as("new_label"),
+          (least(col("cluster_id"), col("nb_label"), col("pj_label")) < col("cluster_id"))
+            .cast("long").as("chg"))
         .localCheckpoint()
-      val nextSum = sumOf(next)
-      labels.unpersist()
-      labels = next
-      converged = nextSum == labelSum
-      labelSum = nextSum
+      val changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
+      ckpt.unpersist()
+      ckpt = next
+      labels = next.select(col("doc_id"), col("new_label").as("cluster_id"))
+      converged = changed == 0L
       i += 1
     }
     edges.unpersist()

@@ -136,9 +136,18 @@ object Multimodal {
   /** q_media_features: the batched-decode query (rows-only gate — a
     * mapPartitions pipeline has no SQL twin; MultimodalSpec recomputes
     * the histogram directly and asserts equality).
+    *
+    * The driver gate canonicalizes results by sorting every column, so
+    * the raw `array<float>` embedding is projected to a stable string
+    * signature (6-dp components, comma-joined) — the typed embedding
+    * stays on [[decodeFeatures]] for library callers.
     */
   def mediaFeatures(documents: DataFrame): DataFrame =
     decodeFeatures(documents).toDF()
+      .withColumn("embedding_sig",
+        concat_ws(",",
+          expr("transform(embedding, x -> format_string('%.6f', CAST(x AS DOUBLE)))")))
+      .drop("embedding")
 
   def sqlMediaFrames: String =
     """WITH m AS (

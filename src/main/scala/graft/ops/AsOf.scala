@@ -48,13 +48,23 @@ object AsOf {
       s"both sides need timestamp column '$tsCol'")
     val pType = StructType(probes.schema.fields)
     val cType = StructType(candidates.schema.fields)
+    // the tie column is ordered RAW (any orderable type) — a cast to
+    // long would silently null out e.g. string ids and turn the
+    // advertised deterministic tie-break into a no-op. Probes carry a
+    // null tie: order among probes at one timestamp is irrelevant
+    // (each emits its own row) and candidates-vs-probes is decided by
+    // __side alone.
+    val tieType = tieCol
+      .map(tc => candidates.schema(tc).dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
     val p = probes.select(
-      col(key).as("__k"), col(tsCol).as("__ts"), lit(1).as("__side"), lit(0L).as("__tie"),
+      col(key).as("__k"), col(tsCol).as("__ts"), lit(1).as("__side"),
+      lit(null).cast(tieType).as("__tie"),
       struct(probes.columns.map(col).toIndexedSeq: _*).as("__pp"),
       lit(null).cast(cType).as("__cp"))
     val c = candidates.select(
       col(key).as("__k"), col(tsCol).as("__ts"), lit(0).as("__side"),
-      tieCol.map(col(_).cast("long")).getOrElse(lit(0L)).as("__tie"),
+      tieCol.map(col(_).cast(tieType)).getOrElse(lit(0L).cast(tieType)).as("__tie"),
       lit(null).cast(pType).as("__pp"),
       struct(candidates.columns.map(col).toIndexedSeq: _*).as("__cp"))
     val w = Window
@@ -112,8 +122,8 @@ object AsOf {
   def sqlAttribution(probeType: String = "purchase", candidateType: String = "click"): String =
     s"""WITH e AS (
        |  SELECT event_id, user_id, event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events
-       |), p AS (SELECT * FROM e WHERE event_type = '$probeType'),
-       |c AS (SELECT * FROM e WHERE event_type = '$candidateType'),
+       |), p AS (SELECT * FROM e WHERE event_type = ${graft.Det.sqlStr(probeType)}),
+       |c AS (SELECT * FROM e WHERE event_type = ${graft.Det.sqlStr(candidateType)}),
        |j AS (
        |  SELECT p.event_id AS probe_id, p.user_id, p.ts_ms AS probe_ms,
        |    c.event_id AS matched_id, c.ts_ms AS matched_ms,

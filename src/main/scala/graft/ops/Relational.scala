@@ -144,25 +144,30 @@ object Relational {
     // global aggregate — exactly the empty-stream contract
     val countCols = stages.indices.map(i => count(col(s"t$i")).as(s"c$i"))
     val counts = perUser.agg(countCols.head, countCols.tail: _*)
-    val stackArgs = stages.zipWithIndex
-      .map { case (s, i) => s"${i + 1}, '$s', c$i" }.mkString(", ")
-    counts.select(expr(
-      s"stack(${stages.size}, $stackArgs) AS (stage_idx, stage, n_users)"))
+    // unpivot via explode of typed structs — stage names travel as
+    // Column literals, never spliced into a SQL string (a name with a
+    // quote must not be able to break or inject into the plan)
+    val stageRows = stages.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).as("stage_idx"), lit(s).as("stage"), col(s"c$i").as("n_users"))
+    }
+    counts
+      .select(explode(array(stageRows: _*)).as("st"))
+      .select(col("st.stage_idx"), col("st.stage"), col("st.n_users"))
   }
 
   def sqlFunnel(stages: Seq[String] = Seq("signup", "click", "purchase")): String = {
     val ctes = stages.zipWithIndex.map { case (s, i) =>
       if (i == 0)
-        s"u0 AS (SELECT user_id, min(ts_ms) AS t FROM e WHERE event_type = '$s' GROUP BY 1)"
+        s"u0 AS (SELECT user_id, min(ts_ms) AS t FROM e WHERE event_type = ${Det.sqlStr(s)} GROUP BY 1)"
       else
         s"""u$i AS (
            |  SELECT e.user_id, min(e.ts_ms) AS t
            |  FROM e JOIN u${i - 1} ON e.user_id = u${i - 1}.user_id
-           |  WHERE e.event_type = '$s' AND e.ts_ms > u${i - 1}.t
+           |  WHERE e.event_type = ${Det.sqlStr(s)} AND e.ts_ms > u${i - 1}.t
            |  GROUP BY 1)""".stripMargin
     }.mkString(",\n")
     val selects = stages.zipWithIndex.map { case (s, i) =>
-      s"SELECT ${i + 1} AS stage_idx, '$s' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM u$i"
+      s"SELECT ${i + 1} AS stage_idx, ${Det.sqlStr(s)} AS stage, CAST(count(*) AS BIGINT) AS n_users FROM u$i"
     }.mkString("\nUNION ALL\n")
     s"""WITH e AS (
        |  SELECT user_id, event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events

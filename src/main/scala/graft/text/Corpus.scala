@@ -106,7 +106,7 @@ object Corpus {
   val defaultMix: Map[String, Int] = Map("en" -> 20, "zh" -> 60, "es" -> 60, "de" -> 60, "fr" -> 60)
 
   def sqlStratifiedSample(pctByLang: Map[String, Int] = defaultMix, defaultPct: Int = 10): String = {
-    val cases = pctByLang.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+    val cases = pctByLang.map { case (l, r) => s"WHEN lang = ${Det.sqlStr(l)} THEN $r" }.mkString(" ")
     s"""SELECT doc_id, lang, source, n_chars
        |FROM documents
        |WHERE doc_id % 100 < (CASE $cases ELSE $defaultPct END)""".stripMargin
@@ -164,7 +164,7 @@ object Corpus {
       defaultBudget: Long = 3000L,
       granularity: Int = 100): String = {
     val toks = Text.sqlTokens("text")
-    val cases = budgetByLang.map { case (l, b) => s"WHEN lang = '$l' THEN $b" }.mkString(" ")
+    val cases = budgetByLang.map { case (l, b) => s"WHEN lang = ${Det.sqlStr(l)} THEN $b" }.mkString(" ")
     s"""WITH t AS (
        |  SELECT lang, CAST(sum(len($toks)) AS BIGINT) AS total_tokens FROM documents GROUP BY 1
        |), r AS (
@@ -228,8 +228,8 @@ object Corpus {
       mix: Map[String, Int] = defaultMix,
       defaultPct: Int = 10,
       dedupTau: Double = 0.5): String = {
-    val langs = allowedLangs.map(l => s"'$l'").mkString(", ")
-    val cases = mix.map { case (l, r) => s"WHEN d.lang = '$l' THEN $r" }.mkString(" ")
+    val langs = allowedLangs.map(Det.sqlStr).mkString(", ")
+    val cases = mix.map { case (l, r) => s"WHEN d.lang = ${Det.sqlStr(l)} THEN $r" }.mkString(" ")
     s"""WITH RECURSIVE ${graft.dedup.Dedup.sqlClusterCtes(dedupTau)}, q AS (
        |${Text.sqlQuality}
        |)

@@ -37,6 +37,19 @@ class ChurnSpec extends SparkSpec {
     assert(math.abs(ours - mllib) < 1e-6, s"ours=$ours mllib=$mllib")
   }
 
+  test("quantized AUC drifts < 1e-4 from MLlib on the RAW scores") {
+    // aucTable quantizes p1 to 6 dp internally (the bounded-window
+    // scale design); this pins the documented claim that quantization
+    // moves the statistic by less than reporting precision — the
+    // like-for-like test above can't catch a large quantization error
+    val pred = Churn.predictions(spark, sf, "test").cache()
+    val ours = Churn.aucTable(pred).head().getDouble(0)
+    val mllibRaw = new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("p1").setMetricName("areaUnderROC")
+      .evaluate(pred)
+    assert(math.abs(ours - mllibRaw) < 1e-4, s"ours=$ours mllibRaw=$mllibRaw")
+  }
+
   test("the pipeline learns a separable synthetic problem (AUC > 0.9)") {
     // testdata's synthetic dates carry no churn signal (~0.5 AUC
     // ceiling), so the learning gate runs on a constructed separable

@@ -50,4 +50,20 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("doc_id").select("embedding").collect().map(_.getSeq[Float](0))
     assert(e1.toSeq === e2.toSeq)
   }
+
+  test("q_media_features emits a gate-friendly shape: no array columns, stable signature") {
+    val docs = Tables.documents(spark, sf)
+    val out = Multimodal.mediaFeatures(docs)
+    // the driver correctness gate sorts every column with pandas —
+    // array columns are unhashable there, so none may ship
+    out.schema.fields.foreach { f =>
+      assert(!f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+        s"column ${f.name} is an array — unhashable in the driver gate")
+    }
+    val sig = out.orderBy("doc_id").select("embedding_sig").head().getString(0)
+    assert(sig.split(",").length === 16)
+    // signature is the rounded embedding, 1:1 with the typed API
+    val emb = Multimodal.decodeFeatures(docs).orderBy("doc_id").head().embedding
+    assert(sig === emb.map(x => f"${x.toDouble}%.6f").mkString(","))
+  }
 }

@@ -140,6 +140,35 @@ class RelationalSpec extends SparkSpec {
     assert(got === Map(1L -> (1L, 1.0), 2L -> (2L, 2.0), 3L -> (2L, 2.0), 4L -> (1L, 1.0)))
   }
 
+  test("funnel: a quote-bearing stage name neither breaks the plan nor the oracle SQL") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 1000L, "it's a signup"), (2L, 1L, 2000L, "click"))
+      .toDF("event_id", "user_id", "ts_ms", "event_type")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val stages = Seq("it's a signup", "click")
+    val got = Relational.funnel(ev, stages).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got === Map("it's a signup" -> 1L, "click" -> 1L))
+    // the DuckDB twin must double embedded quotes, never emit the raw
+    // literal mid-string
+    val sql = Relational.sqlFunnel(stages)
+    assert(sql.contains("'it''s a signup'"))
+    assert(!sql.contains("'it's"))
+  }
+
+  test("asofJoin: a STRING tie column breaks equal-timestamp ties (max wins), not nulled out") {
+    import spark.implicits._
+    val probes = Seq((10L, "k", 5000L)).toDF("pid", "user_id", "ts_ms")
+    val candidates = Seq(
+      ("a-low", "k", 5000L), ("z-high", "k", 5000L), ("m-mid", "k", 5000L))
+      .toDF("cand_id", "user_id", "ts_ms")
+    val got = AsOf.asofJoin(probes, candidates,
+        key = "user_id", tsCol = "ts_ms", tieCol = Some("cand_id"))
+      .select("asof_cand_id").collect().map(_.getString(0))
+    assert(got.toSeq === Seq("z-high"))
+  }
+
   test("pricingSummary aggregates are internally consistent") {
     val p = Relational.pricingSummary(Tables.lineitem(spark, sf))
     val bad = p.filter(col("n_orders") > col("count_order") || col("count_order") <= 0)
