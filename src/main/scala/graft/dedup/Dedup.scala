@@ -489,7 +489,8 @@ object Dedup {
       tables: Int = 8,
       bits: Int = 8): DataFrame = {
     // referenced by the left/right candidate sides AND both re-score
-    // joins — checkpoint so the bucket projection aggregation runs once
+    // joins (4 consumers, all corpus-sized) — checkpoint so the scan +
+    // bucket projection run once instead of four times
     val e = graft.sim.Similarity.bucketedCorpus(embeddings, tables, bits).localCheckpoint()
     val left = e.select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bkt")))
     val right = e

@@ -79,4 +79,9 @@ object GraftFunctions {
   def vecDot(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       VecDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Column wrapper for [[HyperplaneBuckets]]. */
+  def hyperplaneBuckets(v: Column, tables: Int, bits: Int, dims: Int): Column =
+    GraftSqlBridge.column(
+      HyperplaneBuckets(GraftSqlBridge.expression(v), tables, bits, dims))
 }

@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -85,44 +85,30 @@ object Similarity {
     * per-table random-hyperplane buckets; shared by the ANN search
     * here and the LSH-blocked near-dup pair generator in graft.dedup.
     *
-    * Hyperplane component i of bit b of table t is deterministic
-    * pseudo-random in [-1, 1]: xxhash64 of the mixed (t, b, i) index,
-    * scaled by 2^63 — a pure expression, identical on every executor,
-    * no side data to ship. The tables*bits projections are computed by
-    * EXPLODING the vector and running plain codegen sum-aggregate
-    * columns (map-side partial agg), not by nested higher-order-
-    * function folds — the same explode-beats-interpreted-lambda lesson
-    * as MinHash/SimHash (~10-40x on this, the dominant per-row cost of
-    * the LSH paths). The shuffle carries tables*bits doubles per
-    * VECTOR, not per element.
+    * All `tables` buckets come from ONE native expression
+    * ([[graft.functions.HyperplaneBuckets]]) — a pure SCAN-SIDE
+    * PROJECTION: no explode, no wide aggregate, no shuffle, no
+    * join-back, and a generated loop small enough to JIT (see the
+    * expression's scaladoc for why the two composed-Column
+    * formulations both failed at this). Plane values are bit-identical
+    * to the original `xxhash64`-expression definition, pinned by a
+    * SimilaritySpec parity test.
     *
-    * A vector with an EMPTY embedding array produces no explode rows
-    * and drops out of the bucketed corpus (and so out of every LSH
-    * path). That is consistent, not accidental: such a vector has norm
-    * 0, its cosine is NaN, and the brute paths drop it too (NaN fails
-    * every >= tau / top-k comparison).
+    * `dims` is the embedding dimensionality (planes are materialized
+    * at that length). Vectors of any OTHER length (or with null
+    * elements) bucket to null and are dropped here — consistent, not
+    * a new restriction: a mismatched-length pair yields a null/NaN
+    * cosine in every exact path (VecDot returns null, a zero norm
+    * makes NaN), so such vectors could never survive re-scoring
+    * anyway. This also covers the empty-embedding case the old
+    * explode formulation dropped implicitly.
     */
-  private[graft] def bucketedCorpus(embeddings: DataFrame, tables: Int, bits: Int): DataFrame = {
-    val e = prepared(embeddings)
-    val exploded = e.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
-    // int arithmetic on purpose: the hash input must stay IntegerType
-    // (t*1000003 + b*1009 + i fits comfortably) for stable hash values
-    val projections = for (t <- 0 until tables; b <- 0 until bits) yield
-      sum(col("x") *
-        expr(s"CAST(xxhash64(${t * 1000003 + b * 1009} + i) AS DOUBLE) / 9.223372036854776E18"))
-        .as(s"p_${t}_$b")
-    val sums = exploded.groupBy(col("vec_id")).agg(projections.head, projections.tail: _*)
-    // bit b of table t's bucket has weight 2^(bits-1-b): sign-of-projection
-    val bucketCols = (0 until tables).map { t =>
-      (0 until bits).map { b =>
-        when(col(s"p_${t}_$b") > 0.0, lit(1L << (bits - 1 - b))).otherwise(lit(0L))
-      }.reduce(_ + _).as(s"bkt$t")
-    }
-    val buckets = sums.select(col("vec_id") +: bucketCols: _*)
-      .select(col("vec_id"),
-        array((0 until tables).map(t => col(s"bkt$t")): _*).as("buckets"))
-    e.join(buckets, "vec_id")
-  }
+  private[graft] def bucketedCorpus(
+      embeddings: DataFrame, tables: Int, bits: Int, dims: Int = 64): DataFrame =
+    prepared(embeddings)
+      .withColumn("buckets",
+        graft.functions.GraftFunctions.hyperplaneBuckets(col("v"), tables, bits, dims))
+      .filter(col("buckets").isNotNull)
 
   private[graft] def cosineExpr: (String, String) => org.apache.spark.sql.Column =
     (v, q) => dot(col(v), col(q))
@@ -143,9 +129,12 @@ object Similarity {
       k: Int = 10,
       tables: Int = 8,
       bits: Int = 8): DataFrame = {
-    // corpus and probe sides both read the bucketed corpus — checkpoint
-    // so the explode + tables*bits-sum aggregation runs once
-    val e = bucketedCorpus(embeddings, tables, bits).localCheckpoint()
+    // bucketing is a pure projection now, so no checkpoint: the corpus
+    // side scans once and the probe side re-scans with the vec_id
+    // filter PUSHED DOWN to the source — at 100 TB that second "scan"
+    // touches only the query rows, where a checkpoint would have
+    // materialized the whole corpus
+    val e = bucketedCorpus(embeddings, tables, bits)
     val corpus = e.select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bkt")))
     val probes = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), posexplode(col("buckets")).as(Seq("t", "qbkt")))

@@ -48,4 +48,51 @@ class SimilaritySpec extends SparkSpec {
     val recall = pairSet(ivf).intersect(pairSet(brute)).size.toDouble / pairSet(brute).size
     assert(recall >= 0.5, s"IVF recall@10 $recall below floor")
   }
+
+  test("HyperplaneBuckets planes are bit-identical to the xxhash64-expression definition") {
+    // the native expression precomputes planes via XXH64.hashInt; the
+    // original definition was CAST(xxhash64(t*1000003+b*1009+j) AS
+    // DOUBLE)/2^63 over an INT input — these must never drift, or
+    // every persisted bucket table silently invalidates
+    val (tables, bits, dims) = (2, 3, 4)
+    val planes = graft.functions.HyperplaneBuckets.planes(tables, bits, dims)
+    for (t <- 0 until tables; b <- 0 until bits; j <- 0 until dims) {
+      val k = t * 1000003 + b * 1009 + j
+      val viaExpr = spark
+        .sql(s"SELECT CAST(xxhash64($k) AS DOUBLE) / 9.223372036854776E18")
+        .head().getDouble(0)
+      assert(planes((t * bits + b) * dims + j) === viaExpr, s"plane ($t,$b,$j) drifted")
+    }
+  }
+
+  test("bucketedCorpus: sign-of-projection buckets match a driver-side recomputation") {
+    val rows = Similarity.bucketedCorpus(Tables.embeddings(spark, sf), 4, 8)
+      .select("vec_id", "v", "buckets").limit(20).collect()
+    val planes = graft.functions.HyperplaneBuckets.planes(4, 8, 64)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      val expected = (0 until 4).map { t =>
+        (0 until 8).foldLeft(0L) { (acc, b) =>
+          val base = (t * 8 + b) * 64
+          val p = (0 until 64).foldLeft(0.0)((s, j) => s + v(j) * planes(base + j))
+          if (p > 0.0) acc | (1L << (7 - b)) else acc
+        }
+      }
+      assert(r.getSeq[Long](2).toSeq === expected, s"vec ${r.getLong(0)} buckets mismatch")
+    }
+  }
+
+  test("bucketedCorpus drops malformed vectors (wrong dims / null element) instead of mis-bucketing") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array.fill(64)(0.5f)),
+      (2L, Array.fill(63)(0.5f)),          // wrong dimensionality
+      (3L, Array.empty[Float])             // empty
+    ).toDF("vec_id", "embedding")
+    val withNull = rows.union(
+      Seq((4L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val kept = Similarity.bucketedCorpus(withNull, 2, 4).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L))
+  }
 }
