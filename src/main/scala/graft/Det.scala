@@ -30,6 +30,18 @@ object Det {
   /** Back to a 2-decimal double amount. */
   def fromCents(c: Column): Column = c.cast("double") / lit(100.0)
 
+  /** A constant window-partition key for BOUNDED tiny frames (101-row
+    * sweeps, ≤1001-row bucket rollups, 2-3-row segment tables) that
+    * the optimizer cannot fold away. `partitionBy(lit(0))` LOOKS like
+    * an explicit single constant partition, but Catalyst folds the
+    * literal out of the partition spec, leaving WindowExec on its
+    * "No Partition Defined" warning path — this pmod of a real column
+    * evaluates to 0 for every row (null-safe) while staying
+    * non-foldable, so the plan keeps an honest hash partitioning by a
+    * constant. Pass any column of the frame.
+    */
+  def constKey(c: Column): Column = pmod(coalesce(c.cast("long"), lit(0L)), lit(1L))
+
   /** A string as an ANSI-SQL literal for the DuckDB oracle: quotes
     * doubled, wrapped in quotes — so a stage/lang name containing `'`
     * cannot break (or inject into) the generated oracle SQL.

@@ -213,8 +213,10 @@ object Retention {
         Det.r(Det.fromCents(col("seg_cents")) / col("n_customers"), 2).as("avg_amount"),
         Det.r(col("seg_cents").cast("double") /
           // constant key: the frame is the <=3-row segment rollup at any
-          // data size; avoids the "no partition defined" warning path
-          sum(col("seg_cents")).over(Window.partitionBy(lit(0))).cast("double"), 6).as("revenue_share"))
+          // data size; Det.constKey (non-foldable, unlike lit(0)) keeps
+          // the plan off the "no partition defined" warning path
+          sum(col("seg_cents")).over(
+            Window.partitionBy(Det.constKey(col("seg_cents")))).cast("double"), 6).as("revenue_share"))
   }
 
   /** Class-imbalance weights (reference train.py:40-55) WITHOUT the
@@ -224,7 +226,7 @@ object Retention {
     */
   def classWeightTable(labeled: DataFrame): DataFrame = {
     val counts = labeled.groupBy("label").agg(count(lit(1)).as("n"))
-    val all    = Window.partitionBy(lit(0)) // 2-row frame; constant key, see segments()
+    val all    = Window.partitionBy(Det.constKey(col("n"))) // 2-row frame; constant key, see segments()
     counts
       .withColumn("pos", sum(when(col("label") === 1.0, col("n")).otherwise(0L)).over(all))
       .withColumn("neg", sum(when(col("label") === 0.0, col("n")).otherwise(0L)).over(all))

@@ -176,11 +176,11 @@ object Churn {
       .agg(sum(col("label")).cast("long").as("pos"), count(lit(1)).as("n"))
     val full = spark.range(0, 101).select(col("id").cast("int").as("bucket"))
     // constant-partition windows: the input is exactly 101 rows at any
-    // data size, and the constant key keeps Spark off its
+    // data size; Det.constKey (not a foldable lit) keeps Spark off its
     // "no partition defined" single-partition warning path
-    val wDesc = Window.partitionBy(lit(0)).orderBy(col("bucket").desc)
+    val wDesc = Window.partitionBy(Det.constKey(col("bucket"))).orderBy(col("bucket").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(lit(0))
+    val wAll = Window.partitionBy(Det.constKey(col("bucket")))
     val cum = full.join(hist, Seq("bucket"), "left")
       .na.fill(0L, Seq("pos", "n"))
       .withColumn("tp", sum(col("pos")).over(wDesc))
@@ -282,21 +282,23 @@ object Churn {
       .withColumn("neg", col("n") - col("pos"))
       .withColumn("bkt", floor(col("p1") * 1000).cast("int"))
     // Bucket rollup: <=1001 rows at ANY data size. The prefix windows
-    // over it are partitioned by a constant so the (bounded,
-    // constant-cardinality) single partition is explicit and Spark's
-    // "no partition defined" path is never taken.
-    val wBktAsc = Window.partitionBy(lit(0)).orderBy(col("bkt").asc)
+    // over it are partitioned by a non-foldable constant key
+    // (Det.constKey) so the (bounded, constant-cardinality) single
+    // partition is explicit and Spark's "no partition defined" path is
+    // never taken.
+    val wBktAsc = Window.partitionBy(Det.constKey(col("bkt"))).orderBy(col("bkt").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wBktDesc = Window.partitionBy(lit(0)).orderBy(col("bkt").desc)
+    val wBktDesc = Window.partitionBy(Det.constKey(col("bkt"))).orderBy(col("bkt").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wBktAll = Window.partitionBy(Det.constKey(col("bkt")))
     val bktPrefix = byScore
       .groupBy(col("bkt"))
       .agg(sum(col("pos")).as("bpos"), sum(col("neg")).as("bneg"), sum(col("n")).as("bn"))
       .withColumn("bkt_neg_below", coalesce(sum(col("bneg")).over(wBktAsc), lit(0L)))
       .withColumn("bkt_pos_above", coalesce(sum(col("bpos")).over(wBktDesc), lit(0L)))
       .withColumn("bkt_n_above", coalesce(sum(col("bn")).over(wBktDesc), lit(0L)))
-      .withColumn("p_tot", sum(col("bpos")).over(Window.partitionBy(lit(0))))
-      .withColumn("n_tot", sum(col("bneg")).over(Window.partitionBy(lit(0))))
+      .withColumn("p_tot", sum(col("bpos")).over(wBktAll))
+      .withColumn("n_tot", sum(col("bneg")).over(wBktAll))
       .select("bkt", "bkt_neg_below", "bkt_pos_above", "bkt_n_above", "p_tot", "n_tot")
     // Within-bucket cumulative sums; boundary values come from the
     // broadcast bucket prefix, so cross-bucket state never crosses a
