@@ -119,7 +119,24 @@ object SparkEntry {
     // token-budget mixing: data-dependent keep rate from a tiny
     // per-lang aggregate, broadcast, pure scan-side predicate
     // (round-3 addition)
-    "q_token_budget_mix" -> ((s, dir) => Corpus.tokenBudgetSample(Tables.documents(s, dir)))
+    "q_token_budget_mix" -> ((s, dir) => Corpus.tokenBudgetSample(Tables.documents(s, dir))),
+    // --- Round-4 additions ------------------------------------------
+    // benchmark decontamination: shared-shingle report + kept corpus
+    // (eval shingle set broadcasts; corpus never shuffles by shingle)
+    "q_contamination" -> ((s, dir) => Dedup.contamination(Tables.documents(s, dir))),
+    "q_decontaminate" -> ((s, dir) => Dedup.decontaminate(Tables.documents(s, dir))),
+    // concat-and-chunk sequence packing via the two-level cumsum
+    "q_pack_sequences" -> ((s, dir) => Corpus.packSequences(Tables.documents(s, dir))),
+    // per-language top-k bigram vocabulary (two-phase exact top-k)
+    "q_ngram_vocab" -> ((s, dir) => Corpus.ngramVocab(Tables.documents(s, dir))),
+    // JSONL ingestion gate: parquet -> JSONL -> schema-declared read;
+    // md5(text) pins byte-exact round-tripping of the text column
+    "q_jsonl_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, md5}
+      graft.sources.Jsonl.documentsViaJsonl(s, dir).select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text").cast("binary")).as("text_md5"))
+    })
   )
 
   // ---------------------------------------------------------------
@@ -327,6 +344,15 @@ object SparkEntry {
     "q_corpus_stats" -> Corpus.sqlStats,
     "q_stratified_sample" -> Corpus.sqlStratifiedSample(),
     "q_corpus_curation" -> Corpus.sqlCurate(),
-    "q_token_budget_mix" -> Corpus.sqlTokenBudgetSample()
+    "q_token_budget_mix" -> Corpus.sqlTokenBudgetSample(),
+    "q_contamination" -> Dedup.sqlContamination(),
+    "q_decontaminate" -> Dedup.sqlDecontaminate(),
+    "q_pack_sequences" -> Corpus.sqlPackSequences(),
+    "q_ngram_vocab" -> Corpus.sqlNgramVocab(),
+    // the JSONL round-trip must be value-exact vs the parquet source,
+    // so the oracle reads the parquet table directly
+    "q_jsonl_ingest" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents""".stripMargin
   )
 }

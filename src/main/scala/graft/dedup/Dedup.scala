@@ -525,4 +525,73 @@ object Dedup {
        |FROM n a JOIN n b ON a.vec_id < b.vec_id
        |WHERE ($cos) >= $tau""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // q47/q48: benchmark decontamination (the GPT-3/PaLM-style n-gram
+  // overlap check): a TRAINING document is contaminated iff it shares
+  // at least one shingle with any EVAL-set document. The eval set here
+  // is the deterministic slice doc_id % evalMod == 0 — a stand-in for
+  // the held-out benchmark suite a production run loads separately.
+  //
+  // Scale shape: the eval side is, by construction, tiny relative to
+  // the corpus (benchmarks are MBs against TBs), so its distinct
+  // shingle-hash set BROADCASTS and contamination detection is one
+  // map-side hash-join pass over the exploded training shingles plus
+  // one keyed count — the corpus is never shuffled by shingle. Each
+  // side tokenizes only its own slice (the filters run before the
+  // shingle expressions), so total expression work is one corpus pass.
+  // ------------------------------------------------------------------
+  /** Contamination report: (doc_id, n_shared_grams) for every training
+    * document sharing >= 1 distinct shingle with the eval slice.
+    * Counts are over HASHED shingles on the Spark side and shingle
+    * STRINGS in the oracle — equal modulo 64-bit collisions (same
+    * argument as [[hashedShingleSets]]).
+    */
+  def contamination(documents: DataFrame, evalMod: Long = 50): DataFrame = {
+    val evalGrams = hashedShingleSets(documents.filter(pmod(col("doc_id"), lit(evalMod)) === 0))
+      .select(explode(col("sh")).as("h")).distinct()
+    val trainGrams = hashedShingleSets(documents.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0))
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+    trainGrams
+      .join(broadcast(evalGrams), Seq("h"))
+      .groupBy(col("doc_id"))
+      // sh is per-doc distinct, so this count is distinct shared grams
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** The kept corpus: training docs with zero eval overlap (the eval
+    * slice itself is excluded — it is not training data). Anti-join on
+    * doc_id against the (duplicates-sized, tiny) contaminated set.
+    */
+  def decontaminate(documents: DataFrame, evalMod: Long = 50): DataFrame =
+    documents
+      .filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+      .join(contamination(documents, evalMod).select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  /** Shared oracle CTEs: `t` = per-training-doc exploded distinct
+    * shingles, `e` = the distinct eval shingle set, `c` = the
+    * contamination report.
+    */
+  private def sqlContaminationCtes(evalMod: Long): String =
+    s"""s AS (
+       |  SELECT doc_id, list_distinct(${graft.text.Text.sqlShingles("text")}) AS sh FROM documents
+       |), e AS (
+       |  SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % $evalMod = 0
+       |), t AS (
+       |  SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % $evalMod <> 0
+       |), c AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+       |  FROM t JOIN e USING (g) GROUP BY 1
+       |)""".stripMargin
+
+  def sqlContamination(evalMod: Long = 50): String =
+    s"WITH ${sqlContaminationCtes(evalMod)}\nSELECT doc_id, n_shared_grams FROM c"
+
+  def sqlDecontaminate(evalMod: Long = 50): String =
+    s"""WITH ${sqlContaminationCtes(evalMod)}
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |WHERE d.doc_id % $evalMod <> 0
+       |  AND NOT EXISTS (SELECT 1 FROM c WHERE c.doc_id = d.doc_id)""".stripMargin
 }

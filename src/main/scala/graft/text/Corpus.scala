@@ -222,6 +222,127 @@ object Corpus {
       .join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Sequence packing — the concat-and-chunk layout LLM training
+    * actually uses: documents are concatenated in deterministic
+    * doc_id order and chunked into fixed `seqLen`-token training
+    * sequences; each document is tagged with the sequence it STARTS in
+    * and its token offset inside it (a document may span a boundary —
+    * that is the point of chunk packing: zero padding waste).
+    *
+    * The global running token offset is computed TWO-LEVEL, exactly
+    * like the AUC cumulative stats: documents carry a coarse block key
+    * (doc_id DIV blockSize); block totals roll up to a tiny frame
+    * whose prefix sums run under a constant key; the within-block
+    * running sums are windows PARTITIONED BY block (bounded by
+    * blockSize rows) with the block's global offset joined back in via
+    * broadcast. No window ever sees more than max(blockSize, #blocks)
+    * rows in one partition — a single global `orderBy(doc_id)` cumsum
+    * would funnel the entire corpus through one task.
+    *
+    * All offset arithmetic is integer (DIV / %), bit-identical in both
+    * engines.
+    */
+  def packSequences(
+      documents: DataFrame,
+      seqLen: Long = 2048,
+      blockSize: Long = 256): DataFrame = {
+    val base = documents
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr(s"doc_id DIV ${blockSize}L").as("blk"))
+    val wBlk = Window.partitionBy(Det.constKey(col("blk"))).orderBy(col("blk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkOffsets = base
+      .groupBy(col("blk"))
+      .agg(sum(col("n_tokens")).as("blk_tokens"))
+      .withColumn("blk_offset", coalesce(sum(col("blk_tokens")).over(wBlk), lit(0L)))
+      .select(col("blk"), col("blk_offset"))
+    val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(blkOffsets), Seq("blk"))
+      .withColumn("start_off",
+        col("blk_offset") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        expr(s"start_off DIV ${seqLen}L").as("seq_id"),
+        pmod(col("start_off"), lit(seqLen)).as("seq_offset"))
+  }
+
+  def sqlPackSequences(seqLen: Long = 2048): String = {
+    // the oracle is the straightforward single-window formulation — it
+    // validates the two-level decomposition against the plain cumsum
+    val toks = Text.sqlTokens("text")
+    s"""WITH b AS (
+       |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents
+       |), c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+       |  FROM b
+       |)
+       |SELECT doc_id, n_tokens,
+       |  start_off // $seqLen AS seq_id,
+       |  start_off % $seqLen AS seq_offset
+       |FROM c""".stripMargin
+  }
+
+  /** Per-language n-gram vocabulary: the k most frequent bigrams of
+    * every language slice (corpus drift / boilerplate reporting).
+    *
+    * Exact TWO-PHASE top-k: bigram counts (one keyed shuffle with
+    * map-side partial agg) are first reduced to the top k per
+    * (lang, hash-bucket) — every gram lives in exactly one bucket, so
+    * the global per-language top k is a subset of the union of bucket
+    * top-ks — and only then ranked per language over <= buckets*k
+    * rows. The dominant language's full distinct-gram table never
+    * sorts in one window partition (the q_corpus_stats weakness, fixed
+    * by construction here).
+    */
+  def ngramVocab(documents: DataFrame, k: Int = 10, buckets: Int = 64): DataFrame = {
+    val grams = graft.Spread(documents)
+      .withColumn("toks", Text.tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(col("lang"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+          .as("gram"))
+    val counts = grams
+      .groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val wBucket = Window
+      .partitionBy(col("lang"), pmod(xxhash64(col("gram")), lit(buckets)))
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+    val wLang = Window.partitionBy(col("lang"))
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+    counts
+      .withColumn("brk", row_number().over(wBucket))
+      .filter(col("brk") <= k)
+      .withColumn("rank", row_number().over(wLang).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("gram"), col("n_occurrences"))
+  }
+
+  def sqlNgramVocab(k: Int = 10): String = {
+    val toks = Text.sqlTokens("text")
+    s"""WITH t AS (
+       |  SELECT lang, $toks AS toks FROM documents
+       |), g AS (
+       |  SELECT lang,
+       |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS gram
+       |  FROM t WHERE len(toks) >= 2
+       |), c AS (
+       |  SELECT lang, gram, CAST(count(*) AS BIGINT) AS n_occurrences FROM g GROUP BY 1, 2
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY lang
+       |    ORDER BY n_occurrences DESC, gram ASC) AS "rank"
+       |  FROM c
+       |)
+       |SELECT lang, "rank", gram, n_occurrences FROM r WHERE "rank" <= $k""".stripMargin
+  }
+
   def sqlCurate(
       qualityTau: Double = 0.6,
       allowedLangs: Seq[String] = Seq("en", "es", "de", "zh"),

@@ -77,6 +77,48 @@ class CorpusSpec extends SparkSpec {
     assert(ids1 === ids2)
   }
 
+  test("packSequences: hand-built docs pin the concat-and-chunk layout") {
+    // token counts 4, 4, 4, 4 with seqLen 10: start offsets 0,4,8,12 →
+    // sequences 0,0,0,1 at offsets 0,4,8,2 (doc 2 spans the boundary —
+    // the point of chunk packing)
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "e f g h"), (2L, "i j k l"), (3L, "m n o p"))
+      .toDF("doc_id", "text")
+    val got = Corpus.packSequences(docs, seqLen = 10, blockSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((0L, 4L, 0L, 0L), (1L, 4L, 0L, 4L), (2L, 4L, 0L, 8L), (3L, 4L, 1L, 2L)))
+  }
+
+  test("packSequences: the two-level cumsum equals the single-block formulation on real data") {
+    val docs = Tables.documents(spark, sf)
+    def rows(blockSize: Long) =
+      Corpus.packSequences(docs, blockSize = blockSize).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // blockSize larger than the corpus = a single block = the plain
+    // global cumsum; tiny blocks exercise the block-offset join path
+    assert(rows(7) === rows(1000000))
+  }
+
+  test("ngramVocab: hand-built corpus pins ranks and the bucket pre-prune is lossless") {
+    val docs = Seq(
+      (0L, "x y x y x z", "en"), (1L, "x y q r", "en"), (2L, "s t s t", "de"))
+      .toDF("doc_id", "text", "lang")
+    // en bigrams: "x y"×3 (docs 0,0,1), "y x"×2, "x z"×1, "y q"×1, "q r"×1
+    val got = Corpus.ngramVocab(docs, k = 2)
+      .orderBy("lang", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("de", 1L, "s t", 2L), ("de", 2L, "t s", 1L),
+      ("en", 1L, "x y", 3L), ("en", 2L, "y x", 2L)))
+    // exactness of the two-phase top-k: any bucket count gives the
+    // same answer as a single bucket (= the plain one-window top-k)
+    val real = Tables.documents(spark, sf)
+    val b1 = Corpus.ngramVocab(real, k = 5, buckets = 1).collect().map(_.toSeq).toSet
+    val b64 = Corpus.ngramVocab(real, k = 5, buckets = 64).collect().map(_.toSeq).toSet
+    assert(b1 === b64)
+  }
+
   test("curate composes filters, mixture sample, and global dedup survivor selection") {
     val docs = Tables.documents(spark, sf)
     val allowed = Set("en", "es", "de", "zh")

@@ -30,4 +30,28 @@ class CsvSpec extends SparkSpec {
     val b = Retention.cleanLines(Tables.lineitem(spark, sf))
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("JSONL round-trip reproduces the parquet documents exactly") {
+    val viaJsonl = graft.sources.Jsonl.documentsViaJsonl(spark, sf)
+    val parquet = Tables.documents(spark, sf)
+      .select(viaJsonl.columns.map(org.apache.spark.sql.functions.col): _*)
+    assert(viaJsonl.schema === parquet.schema)
+    assert(viaJsonl.exceptAll(parquet).isEmpty && parquet.exceptAll(viaJsonl).isEmpty)
+  }
+
+  test("JSONL preserves hostile text bytes: newlines, quotes, backslashes, unicode") {
+    import spark.implicits._
+    val nasty = Seq(
+      (0L, "line one\nline two\r\nwindows", "en", "s", 1L),
+      (1L, "quotes \" and \\ backslash \t tab", "en", "s", 2L),
+      (2L, "unicode: café 中文 😀 end", "zh", "s", 3L),
+      (3L, null.asInstanceOf[String], "de", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/docs"
+    graft.sources.Jsonl.writeDocuments(nasty, dir)
+    val back = graft.sources.Jsonl.readDocuments(spark, dir)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    val expect = nasty.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(back === expect)
+  }
 }

@@ -174,4 +174,37 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter(col("cosine") < 0.35).count() === 0)
     assert(pairs.filter(col("vec_a") >= col("vec_b")).count() === 0)
   }
+
+  test("contamination: a train doc sharing an eval shingle is flagged, unrelated docs are not") {
+    import spark.implicits._
+    // doc 0 is the eval slice (0 % 50 == 0); doc 1 embeds one of its
+    // 3-gram shingles ("quick brown fox"); doc 2 shares nothing
+    val docs = Seq(
+      (0L, "the quick brown fox jumps high"),
+      (1L, "they saw a quick brown fox running away from the farm"),
+      (2L, "completely unrelated words in this document entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contamination(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L))
+    assert(got(1L) === 1L) // exactly the one shared shingle
+  }
+
+  test("decontaminate partitions the training slice: kept + contaminated, no eval ids") {
+    val docs = Tables.documents(spark, sf)
+    val kept = Dedup.decontaminate(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val flagged = Dedup.contamination(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val train = docs.filter(col("doc_id") % 50 =!= 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(flagged).isEmpty)
+    assert(kept.union(flagged) === train)
+    assert(kept.forall(_ % 50 != 0))
+  }
+
+  test("contamination plan broadcasts the eval shingle set (corpus never shuffles by shingle)") {
+    val plan = planOf(Dedup.contamination(Tables.documents(spark, sf)))
+    assert(plan.contains("BroadcastHashJoin"), s"expected eval-side broadcast:\n$plan")
+  }
 }
