@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{SortedIntersectSize, VecDot}
+import graft.functions.{HyperplaneBuckets, SortedIntersectSize, VecDot}
 
 /** Session-extension entry point: registers graft's native Catalyst
   * expressions as SQL functions. Users opt in with
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.sortedIntersectSize)
     ext.injectFunction(GraftExtensions.vecDot)
+    ext.injectFunction(GraftExtensions.hyperplaneBuckets)
   }
 }
 
@@ -45,5 +46,24 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "vec_dot takes exactly 2 arguments")
       VecDot(children.head, children(1))
+    })
+
+  val hyperplaneBuckets: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hyperplane_buckets"),
+    new ExpressionInfo(
+      classOf[HyperplaneBuckets].getName,
+      null,
+      "hyperplane_buckets",
+      "hyperplane_buckets(v, tables, bits, dims) - per-table random-hyperplane " +
+        "LSH bucket values of a double-array vector (tables/bits/dims are int literals)",
+      ""),
+    (children: Seq[Expression]) => {
+      require(children.length == 4, "hyperplane_buckets takes exactly 4 arguments")
+      def intLit(e: Expression, name: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException(s"$name must be an integer literal")
+      }
+      HyperplaneBuckets(children.head,
+        intLit(children(1), "tables"), intLit(children(2), "bits"), intLit(children(3), "dims"))
     })
 }

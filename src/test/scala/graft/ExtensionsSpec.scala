@@ -32,6 +32,28 @@ class ExtensionsSpec extends SparkSpec {
       .head().getDouble(0) === 0.0)
   }
 
+  test("hyperplane_buckets is SQL-callable and matches the expression eval") {
+    GraftSqlBridge.registerFunction(spark, GraftExtensions.hyperplaneBuckets)
+    val got = spark.sql(
+      "SELECT hyperplane_buckets(array(1.0D, -2.0D, 0.5D), 2, 4, 3) AS b")
+      .head().getSeq[Long](0)
+    val planes = graft.functions.HyperplaneBuckets.planes(2, 4, 3)
+    val v = Array(1.0, -2.0, 0.5)
+    val expected = (0 until 2).map { t =>
+      (0 until 4).foldLeft(0L) { (acc, b) =>
+        val base = (t * 4 + b) * 3
+        val p = v.indices.foldLeft(0.0)((s, j) => s + v(j) * planes(base + j))
+        if (p > 0.0) acc | (1L << (3 - b)) else acc
+      }
+    }
+    assert(got.toSeq === expected)
+    // wrong dims and null elements are null, not mis-bucketed
+    assert(spark.sql("SELECT hyperplane_buckets(array(1.0D), 2, 4, 3)").head().isNullAt(0))
+    assert(spark.sql(
+      "SELECT hyperplane_buckets(array(1.0D, CAST(NULL AS DOUBLE), 2.0D), 2, 4, 3)")
+      .head().isNullAt(0))
+  }
+
   test("the extension class injects the function at session build time") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builder shape checked below

@@ -33,6 +33,20 @@ class PlanHardeningSpec extends SparkSpec {
     }
   }
 
+  test("pack/vocab plans never funnel data through an unpartitioned exchange") {
+    // the scale contract of the round-4 two-level/two-phase designs:
+    // a plain global-cumsum or one-window top-k would plan an
+    // Exchange SinglePartition over data-sized input
+    for (q <- Seq("q_pack_sequences", "q_ngram_vocab")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$q funnels through a single-partition exchange:\n$plan")
+    }
+    // pack: the block-offset table joins back via broadcast
+    assert(planOf(SparkEntry.queries("q_pack_sequences")(spark, sf))
+      .contains("BroadcastHashJoin"))
+  }
+
   test("every oracle entry has a matching query and vice versa for SQL-expressible ops") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -71,6 +85,10 @@ class PlanHardeningSpec extends SparkSpec {
     // NPE on the null scalar sum
     assert(Dedup.clustersQuery(emptyDocs).count() === 0)
     assert(graft.text.Corpus.curate(emptyDocs).count() === 0)
+    assert(Dedup.contamination(emptyDocs).count() === 0)
+    assert(Dedup.decontaminate(emptyDocs).count() === 0)
+    assert(graft.text.Corpus.packSequences(emptyDocs).count() === 0)
+    assert(graft.text.Corpus.ngramVocab(emptyDocs).count() === 0)
   }
 
   test("asof attribution and funnel behave on an empty event stream") {
