@@ -104,6 +104,9 @@ object SparkEntry {
     // --- G. Streaming (batch-equivalent form; the readStream path is
     // exercised in ScalaTest with a memory sink) ---------------------
     "q_stream_hourly" -> ((s, dir) => Events.hourlyAgg(Tables.events(s, dir))),
+    // sliding-window aggregation (each event in window/slide windows;
+    // fan-out inside the scan stage, one shuffle) (round-4 addition)
+    "q_stream_sliding" -> ((s, dir) => Events.slidingAgg(Tables.events(s, dir))),
     // --- H. Corpus reporting & mixing (round-2 additions) -----------
     "q_corpus_stats" -> ((s, dir) => Corpus.stats(Tables.documents(s, dir))),
     // the 100 TB path: sketch percentiles, one aggregation, no
@@ -341,6 +344,7 @@ object SparkEntry {
     "q_media_meta" -> Multimodal.sqlMediaMeta,
     "q_media_frames" -> Multimodal.sqlMediaFrames,
     "q_stream_hourly" -> Events.sqlHourlyAgg,
+    "q_stream_sliding" -> Events.sqlSlidingAgg(),
     "q_corpus_stats" -> Corpus.sqlStats,
     "q_stratified_sample" -> Corpus.sqlStratifiedSample(),
     "q_corpus_curation" -> Corpus.sqlCurate(),

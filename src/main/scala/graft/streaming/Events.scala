@@ -45,6 +45,69 @@ object Events {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** q52: SLIDING-window aggregation (batch form): `windowMinutes`
+    * windows advancing every `slideMinutes`, so each event lands in
+    * window/slide overlapping windows (the standard
+    * rates-over-trailing-windows monitoring shape). Spark's `window()`
+    * handles the fan-out inside the scan stage before the single
+    * (window_start, event_type) shuffle — the row multiplier runs
+    * BEFORE the aggregation exactly like the frame-sampling explode,
+    * and map-side partial aggregation collapses it again, so the
+    * shuffle carries near-aggregated data. The DuckDB oracle derives
+    * the same epoch-aligned window starts arithmetically.
+    */
+  def slidingAgg(events: DataFrame, windowMinutes: Int = 60, slideMinutes: Int = 15): DataFrame = {
+    require(windowMinutes % slideMinutes == 0, "window must be a multiple of slide")
+    events
+      .groupBy(
+        window(col("ts"), s"$windowMinutes minutes", s"$slideMinutes minutes")
+          .getField("start").as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Det.fromCents(sum(Det.cents(col("value")))).as("sum_value"))
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  def sqlSlidingAgg(windowMinutes: Int = 60, slideMinutes: Int = 15): String = {
+    val slideMs = slideMinutes * 60000L
+    val k = windowMinutes / slideMinutes
+    s"""WITH e AS (
+       |  SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_type, value FROM events
+       |), w AS (
+       |  SELECT (ms // $slideMs) * $slideMs - k.k * $slideMs AS ws_ms, event_type, value
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $k)) AS k) k
+       |)
+       |SELECT strftime(make_timestamp(ws_ms * 1000), '%Y-%m-%d %H:%M:%S') AS window_start,
+       |  event_type,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+       |FROM w GROUP BY 1, 2""".stripMargin
+  }
+
+  /** The sliding aggregate as a Structured Streaming query (same
+    * watermark/state story as [[hourlyStream]]; open state = windows
+    * inside watermark + window length).
+    */
+  def slidingStream(spark: SparkSession, dir: String,
+      windowMinutes: Int = 60, slideMinutes: Int = 15): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(
+        window(col("ts"), s"$windowMinutes minutes", s"$slideMinutes minutes")
+          .getField("start").as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Det.fromCents(sum(Det.cents(col("value")))).as("sum_value"))
+  }
+
   /** The same aggregate as a Structured Streaming query over a parquet
     * directory source. The 2-hour watermark bounds state: at 100 TB/day
     * the state store holds only the open windows, and late events

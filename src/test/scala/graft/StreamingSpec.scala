@@ -30,6 +30,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("sliding aggregate: every event lands in window/slide windows; stream equals batch") {
+    // row-count conservation: Σ n_events over sliding windows =
+    // 4 × event count (60-min windows sliding every 15)
+    val batch = Events.slidingAgg(Tables.events(spark, sf)).cache()
+    val nEvents = Tables.events(spark, sf).count()
+    val total = batch.agg(sum("n_events")).head().getLong(0)
+    assert(total === 4L * nEvents)
+    // every hourly tumbling bucket exists among the sliding starts
+    val hourly = Events.hourlyAgg(Tables.events(spark, sf))
+      .select("hour_start").collect().map(_.getString(0)).toSet
+    val slides = batch.select("window_start").collect().map(_.getString(0)).toSet
+    assert(hourly.subsetOf(slides))
+    // streaming form produces the identical result through a memory sink
+    val tmp = Files.createTempDirectory("graft-slide").toString
+    Files.copy(
+      Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$tmp/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q = Events.slidingStream(spark, tmp)
+      .writeStream.format("memory").queryName("sliding_test").outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("sliding_test")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch.collect().map(_.toSeq).toSet)
+  }
+
   test("watermark bounds state: aggregate streams incrementally across two batches") {
     // two micro-batches (two files): the aggregate must still equal the
     // batch result over the union — watermarked windowed agg stitches
