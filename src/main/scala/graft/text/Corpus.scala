@@ -15,29 +15,42 @@ import graft.Det
 object Corpus {
 
   /** Per-language corpus statistics with EXACT discrete percentiles
-    * (value at rank ceil(p*n) in (n_tokens, doc_id) order — a pure
-    * selection, no interpolation, so the DuckDB oracle matches
-    * hash-exactly). The per-language sort is fine while slice counts
-    * are modest; at 100 TB swap the window for percentile_approx
-    * ([[statsApprox]]) — same schema, sketch-based, one aggregation.
+    * (value at rank ceil(p*n) in n_tokens order — a pure selection, no
+    * interpolation, so the DuckDB oracle matches hash-exactly).
+    *
+    * Scale shape: documents first roll up to (lang, n_tokens) COUNTS —
+    * one keyed shuffle with map-side partial agg — and the cumulative
+    * rank runs over that rollup, whose per-language size is bounded by
+    * the number of DISTINCT token counts (≤ the longest document's
+    * length, independent of corpus size). The exact percentile is then
+    * the smallest value whose cumulative count reaches ceil(p·n) —
+    * identical to ranking every document (equal values are
+    * interchangeable at a rank boundary), without the per-language
+    * whole-slice sort that made the row_number formulation a one-task
+    * bottleneck for the dominant language at 100 TB. [[statsApprox]]
+    * remains the single-aggregation sketch alternative.
     */
   def stats(documents: DataFrame): DataFrame = {
-    val base = documents
+    val rollup = documents
       .withColumn("toks", Text.tokens(col("text")))
-      .select(col("doc_id"), col("lang"),
+      .select(col("lang"),
         size(col("toks")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars"))
-    val ranked = base
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("lang")).orderBy(col("n_tokens"), col("doc_id"))))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .groupBy(col("lang"), col("n_tokens"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("n_tokens").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLang = Window.partitionBy(col("lang"))
+    val cum = rollup
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wLang))
     def pct(p: Double): Column =
-      max(when(col("rk") === ceil(lit(p) * col("cnt")).cast("long"), col("n_tokens")))
-    ranked.groupBy(col("lang"))
+      min(when(col("cum") >= ceil(lit(p) * col("n")).cast("long"), col("n_tokens")))
+    cum.groupBy(col("lang"))
       .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("total_tokens"),
-        Det.r(sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"), 4)
+        max(col("n")).as("n_docs"),
+        sum(col("n_tokens") * col("cnt")).as("total_tokens"),
+        Det.r(sum(col("chars")).cast("double") / max(col("n")).cast("double"), 4)
           .as("avg_chars"),
         pct(0.5).as("p50_tokens"),
         pct(0.9).as("p90_tokens"),
