@@ -55,12 +55,17 @@ object Relational {
         Det.fromCents(sum(col("cust_cents"))).as("revenue"))
   }
 
-  /** Top-N parts per brand by revenue: window rank over a pre-aggregated
-    * (brand, part) rollup — the window runs on the *aggregate*, not the
-    * fact table, so the sort is tiny at any scale. Deterministic
-    * tie-break on partkey.
+  /** Top-N parts per brand by revenue over a pre-aggregated
+    * (brand, part) rollup, with an exact TWO-PHASE rank: parts first
+    * rank inside (brand, hash-bucket) and only the ≤ buckets·n
+    * survivors rank per brand. A part in the global brand top-n is
+    * necessarily in its bucket's top-n (fewer competitors), so the
+    * prune is lossless — and the per-brand sort never sees the whole
+    * SF-scaled part catalog of a brand in one window task (25 brands ×
+    * millions of parts each at 100 TB). Deterministic tie-break on
+    * partkey.
     */
-  def topNPerGroup(lineitem: DataFrame, part: DataFrame, n: Int = 3): DataFrame = {
+  def topNPerGroup(lineitem: DataFrame, part: DataFrame, n: Int = 3, buckets: Int = 64): DataFrame = {
     val perPart = lineitem
       .groupBy(col("l_partkey"))
       .agg(sum(Det.cents(col("l_extendedprice"))).as("part_cents"))
@@ -69,9 +74,14 @@ object Relational {
     val withBrand = perPart
       .join(part.select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
+    val wBucket = Window
+      .partitionBy(col("p_brand"), pmod(xxhash64(col("l_partkey")), lit(buckets)))
+      .orderBy(col("part_cents").desc, col("l_partkey").asc)
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(col("part_cents").desc, col("l_partkey").asc)
     withBrand
+      .withColumn("brk", row_number().over(wBucket))
+      .filter(col("brk") <= n)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= n)
       .select(
