@@ -98,6 +98,9 @@ object SparkEntry {
     // --- F. Multimodal ----------------------------------------------
     "q_media_meta" -> ((s, dir) => Multimodal.mediaMeta(Tables.documents(s, dir))),
     "q_media_frames" -> ((s, dir) => Multimodal.mediaFrames(Tables.documents(s, dir))),
+    // aspect-preserving resize planning in exact integer arithmetic;
+    // the pixel resample is the codec-stub seam (round-4 addition)
+    "q_media_resize" -> ((s, dir) => Multimodal.mediaResize(Tables.documents(s, dir))),
     // batched mapPartitions codec seam; imperative => rows-only gate +
     // MultimodalSpec reimplementation equality (round-3 addition)
     "q_media_features" -> ((s, dir) => Multimodal.mediaFeatures(Tables.documents(s, dir))),
@@ -343,6 +346,7 @@ object SparkEntry {
     "q_knn_brute" -> Similarity.sqlBruteKnn(),
     "q_media_meta" -> Multimodal.sqlMediaMeta,
     "q_media_frames" -> Multimodal.sqlMediaFrames,
+    "q_media_resize" -> Multimodal.sqlMediaResize(),
     "q_stream_hourly" -> Events.sqlHourlyAgg,
     "q_stream_sliding" -> Events.sqlSlidingAgg(),
     "q_corpus_stats" -> Corpus.sqlStats,

@@ -87,6 +87,54 @@ object Multimodal {
         (col("frame_idx") * 1000L).as("ts_ms"),
         md5(concat(col("content_id"), lit(":"), col("frame_idx").cast("string"))).as("frame_id"))
 
+  /** q_media_resize: resize planning for image/video assets — the
+    * target geometry every thumbnailing/normalization stage needs:
+    * fit each asset into a `box`×`box` square preserving aspect ratio,
+    * never upscaling. All arithmetic is INTEGER (scaled by 10^6 with
+    * floor division) so the computed output dimensions are
+    * bit-identical in the oracle — float scale factors would round
+    * differently at the boundary. The actual pixel resampling is the
+    * codec-stub seam (same contract as [[decodedMeta]]): a real
+    * implementation keeps exactly this plan — dims scan-side, the
+    * per-asset byte work in a `mapPartitions`/`mapInPandas` batch —
+    * and swaps the stub for the codec call.
+    */
+  def mediaResize(documents: DataFrame, box: Long = 224L): DataFrame = {
+    val scaled = decodedMeta(mediaTable(documents))
+      .filter(col("format").isin("image", "video"))
+      // scale = min(box/w, box/h, 1) in millionths; DIV (integer floor
+      // division — `/` on longs is DOUBLE division in Spark SQL)
+      .withColumn("scale_ppm",
+        least(expr(s"${box * 1000000L}L DIV width"),
+          expr(s"${box * 1000000L}L DIV height"), lit(1000000L)))
+    scaled.select(
+      col("doc_id"), col("format"), col("width"), col("height"),
+      expr("(width * scale_ppm) DIV 1000000").as("out_w"),
+      expr("(height * scale_ppm) DIV 1000000").as("out_h"),
+      col("scale_ppm"))
+  }
+
+  def sqlMediaResize(box: Long = 224L): String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    ['image', 'audio', 'video'][(doc_id % 3) + 1] AS format,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       |  FROM documents
+       |), d AS (
+       |  SELECT doc_id, format,
+       |    160 + (doc_id * 7 + n_bytes) % 1760 AS width,
+       |    90 + (doc_id * 13 + n_bytes * 3) % 990 AS height
+       |  FROM m WHERE format IN ('image', 'video')
+       |), s AS (
+       |  SELECT *, least((${box * 1000000L}) // width, (${box * 1000000L}) // height, 1000000) AS scale_ppm
+       |  FROM d
+       |)
+       |SELECT doc_id, format, width, height,
+       |  (width * scale_ppm) // 1000000 AS out_w,
+       |  (height * scale_ppm) // 1000000 AS out_h,
+       |  scale_ppm
+       |FROM s""".stripMargin
+
   // ------------------------------------------------------------------
   // Batched codec seam (mapPartitions).
   // ------------------------------------------------------------------

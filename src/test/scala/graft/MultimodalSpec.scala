@@ -51,6 +51,24 @@ class MultimodalSpec extends SparkSpec {
     assert(e1.toSeq === e2.toSeq)
   }
 
+  test("mediaResize: aspect-preserving fit, never upscaling, exact integer arithmetic") {
+    val out = Multimodal.mediaResize(Tables.documents(spark, sf)).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h, ow, oh, ppm) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(ow <= 224 && oh <= 224, s"box overflow: $ow x $oh")
+      assert(ppm <= 1000000L, "never upscale")
+      // the longer edge determines the scale; recompute independently
+      val expectPpm = math.min(math.min(224000000L / w, 224000000L / h), 1000000L)
+      assert(ppm === expectPpm)
+      assert(ow === w * ppm / 1000000L && oh === h * ppm / 1000000L)
+    }
+    // audio assets have no spatial dims and must be excluded
+    assert(out.filter(col("format") === "audio").count() === 0)
+  }
+
   test("q_media_features emits a gate-friendly shape: no array columns, stable signature") {
     val docs = Tables.documents(spark, sf)
     val out = Multimodal.mediaFeatures(docs)
