@@ -216,10 +216,11 @@ object Dedup {
   // Pointer jumping halves the remaining diameter every round, so
   // convergence is O(log diameter) shuffles; near-dup components have
   // tiny diameters, so 2-3 rounds in practice. The driver loop reads
-  // ONE scalar per round (the sum of labels — strictly decreasing
-  // until fixpoint) to decide termination; the data never leaves the
-  // cluster. Output covers every doc that appears in a pair;
-  // singletons are trivially their own cluster and are not emitted.
+  // ONE scalar per round (the count of labels that changed — zero at
+  // fixpoint, overflow-proof unlike a label-sum comparison) to decide
+  // termination; the data never leaves the cluster. Output covers
+  // every doc that appears in a pair; singletons are trivially their
+  // own cluster and are not emitted.
   // ------------------------------------------------------------------
   def clusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs
@@ -487,11 +488,12 @@ object Dedup {
       embeddings: DataFrame,
       tau: Double = 0.35,
       tables: Int = 8,
-      bits: Int = 8): DataFrame = {
+      bits: Int = 8,
+      dims: Int = 64): DataFrame = {
     // referenced by the left/right candidate sides AND both re-score
     // joins (4 consumers, all corpus-sized) — checkpoint so the scan +
     // bucket projection run once instead of four times
-    val e = graft.sim.Similarity.bucketedCorpus(embeddings, tables, bits).localCheckpoint()
+    val e = graft.sim.Similarity.bucketedCorpus(embeddings, tables, bits, dims).localCheckpoint()
     val left = e.select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bkt")))
     val right = e
       .select(col("vec_id").as("vid_b"), posexplode(col("buckets")).as(Seq("t", "qbkt")))

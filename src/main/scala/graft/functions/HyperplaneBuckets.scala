@@ -35,6 +35,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 case class HyperplaneBuckets(child: Expression, tables: Int, bits: Int, dims: Int)
     extends UnaryExpression {
 
+  require(tables > 0 && dims > 0, s"tables ($tables) and dims ($dims) must be positive")
+  // bits > 63 would wrap 1L << (bits-1-b) and silently collide bit
+  // weights; fail at construction, not with degraded recall
+  require(bits > 0 && bits <= 63, s"bits ($bits) must be in [1, 63]")
+  require(tables.toLong * bits * dims <= Int.MaxValue,
+    s"plane table tables*bits*dims = ${tables.toLong * bits * dims} overflows Int")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "hyperplane_buckets"

@@ -128,13 +128,14 @@ object Similarity {
       nQueries: Int = 10,
       k: Int = 10,
       tables: Int = 8,
-      bits: Int = 8): DataFrame = {
+      bits: Int = 8,
+      dims: Int = 64): DataFrame = {
     // bucketing is a pure projection now, so no checkpoint: the corpus
     // side scans once and the probe side re-scans with the vec_id
     // filter PUSHED DOWN to the source — at 100 TB that second "scan"
     // touches only the query rows, where a checkpoint would have
     // materialized the whole corpus
-    val e = bucketedCorpus(embeddings, tables, bits)
+    val e = bucketedCorpus(embeddings, tables, bits, dims)
     val corpus = e.select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bkt")))
     val probes = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), posexplode(col("buckets")).as(Seq("t", "qbkt")))

@@ -1,7 +1,5 @@
 package graft.sources
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -72,41 +70,16 @@ object Csv {
       .option("timestampNTZFormat", tsFmt)
       .csv(outPath)
 
-  // One raw-CSV materialization per data directory per JVM: the
-  // ingestion gate needs a CSV twin of the parquet table to read back;
-  // doubles survive the round-trip exactly (Double.toString is the
-  // shortest representation that parses back to the same bits).
-  private val exported = TrieMap.empty[String, String]
-
-  // Scratch paths are per-JVM: the TrieMap only guards THIS process,
-  // and two JVMs (a bench run next to a test run) sharing one fixed
-  // /tmp path would race an overwrite against a read. The shutdown
-  // hook reclaims the scratch dir so repeated runs don't accumulate
-  // CSV exports in /tmp.
-  private val jvmId = java.util.UUID.randomUUID().toString.take(8)
-  private lazy val scratchRoot: String = {
-    val root = System.getProperty("java.io.tmpdir") + s"/graft_csv/$jvmId"
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(root))
-    }))
-    root
-  }
-
   /** lineitem via a full CSV round-trip (parquet -> raw-header CSV ->
     * standardized read). This is the driver-gated entry for the CSV
     * ingestion path; library users call [[readLineitem]] directly on
-    * their raw drops.
+    * their raw drops. One materialization per data dir per JVM
+    * ([[Scratch]]); doubles survive the round-trip exactly
+    * (Double.toString is the shortest representation that parses back
+    * to the same bits).
     */
-  def lineitemViaCsv(spark: SparkSession, dir: String): DataFrame = {
-    val path = exported.getOrElseUpdate(dir, {
-      val out = scratchRoot + "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + "/lineitem"
+  def lineitemViaCsv(spark: SparkSession, dir: String): DataFrame =
+    readLineitem(spark, Scratch.materialize("csv_lineitem", dir) { out =>
       writeRawLineitem(graft.Tables.lineitem(spark, dir), out)
-      out
     })
-    readLineitem(spark, path)
-  }
 }

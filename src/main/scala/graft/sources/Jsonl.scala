@@ -1,7 +1,5 @@
 package graft.sources
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -45,35 +43,15 @@ object Jsonl {
   def writeDocuments(documents: DataFrame, outPath: String): Unit =
     documents.write.mode("overwrite").json(outPath)
 
-  // One JSONL materialization per data directory per JVM; same
-  // scratch-dir discipline as Csv (per-JVM path + shutdown cleanup).
-  private val exported = TrieMap.empty[String, String]
-  private val jvmId = java.util.UUID.randomUUID().toString.take(8)
-  private lazy val scratchRoot: String = {
-    val root = System.getProperty("java.io.tmpdir") + s"/graft_jsonl/$jvmId"
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(root))
-    }))
-    root
-  }
-
   /** documents via a full JSONL round-trip (parquet → JSONL →
     * schema-declared read). Driver-gated entry for the JSONL ingestion
-    * path; library users call [[readDocuments]] on their drops. The
-    * gate query hashes md5(text), so the round-trip must preserve the
-    * text BYTES exactly (JSON string escaping of newlines/quotes
-    * included).
+    * path; library users call [[readDocuments]] on their drops
+    * (materialization discipline: [[Scratch]]). The gate query hashes
+    * md5(text), so the round-trip must preserve the text BYTES exactly
+    * (JSON string escaping of newlines/quotes included).
     */
-  def documentsViaJsonl(spark: SparkSession, dir: String): DataFrame = {
-    val path = exported.getOrElseUpdate(dir, {
-      val out = scratchRoot + "/" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + "/documents"
+  def documentsViaJsonl(spark: SparkSession, dir: String): DataFrame =
+    readDocuments(spark, Scratch.materialize("jsonl_documents", dir) { out =>
       writeDocuments(graft.Tables.documents(spark, dir), out)
-      out
     })
-    readDocuments(spark, path)
-  }
 }

@@ -72,6 +72,9 @@ object Events {
   }
 
   def sqlSlidingAgg(windowMinutes: Int = 60, slideMinutes: Int = 15): String = {
+    // mirror slidingAgg's guard: a non-divisible pair would silently
+    // truncate k here while the Spark twin throws
+    require(windowMinutes % slideMinutes == 0, "window must be a multiple of slide")
     val slideMs = slideMinutes * 60000L
     val k = windowMinutes / slideMinutes
     s"""WITH e AS (

@@ -244,13 +244,19 @@ object Corpus {
     *
     * The global running token offset is computed TWO-LEVEL, exactly
     * like the AUC cumulative stats: documents carry a coarse block key
-    * (doc_id DIV blockSize); block totals roll up to a tiny frame
-    * whose prefix sums run under a constant key; the within-block
-    * running sums are windows PARTITIONED BY block (bounded by
-    * blockSize rows) with the block's global offset joined back in via
-    * broadcast. No window ever sees more than max(blockSize, #blocks)
-    * rows in one partition — a single global `orderBy(doc_id)` cumsum
-    * would funnel the entire corpus through one task.
+    * (doc_id DIV blockSize); block totals roll up to a frame whose
+    * prefix sums run under a constant key; the within-block running
+    * sums are windows PARTITIONED BY block (bounded by blockSize rows)
+    * with the block's global offset joined back in via broadcast. No
+    * window ever sees more than max(blockSize, #blocks) rows in one
+    * partition — a single global `orderBy(doc_id)` cumsum would funnel
+    * the entire corpus through one task.
+    *
+    * blockSize balances the two levels (the sqrt trade): the default
+    * 65536 keeps BOTH the per-block windows and the block rollup /
+    * broadcast ≤ ~65k rows for corpora up to ~4·10^9 docs over the
+    * doc_id span; beyond that, raise blockSize (or add a third level)
+    * so the rollup stays bounded.
     *
     * All offset arithmetic is integer (DIV / %), bit-identical in both
     * engines.
@@ -258,7 +264,7 @@ object Corpus {
   def packSequences(
       documents: DataFrame,
       seqLen: Long = 2048,
-      blockSize: Long = 256): DataFrame = {
+      blockSize: Long = 65536): DataFrame = {
     val base = documents
       .withColumn("toks", Text.tokens(col("text")))
       .select(col("doc_id"),

@@ -81,7 +81,10 @@ class MultimodalSpec extends SparkSpec {
     val sig = out.orderBy("doc_id").select("embedding_sig").head().getString(0)
     assert(sig.split(",").length === 16)
     // signature is the rounded embedding, 1:1 with the typed API
+    // Locale.US explicitly: Spark's format_string always formats with
+    // Locale.US, but Scala's f interpolator uses the JVM default
     val emb = Multimodal.decodeFeatures(docs).orderBy("doc_id").head().embedding
-    assert(sig === emb.map(x => f"${x.toDouble}%.6f").mkString(","))
+    assert(sig === emb.map(x =>
+      String.format(java.util.Locale.US, "%.6f", Double.box(x.toDouble))).mkString(","))
   }
 }
