@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Env-gated scale smoke (set GRAFT_SLOW_TESTS=1): replicate the
+  * sf0.001 corpus 8× with disjoint doc_id ranges and check that the
+  * candidate-generating operators behave LINEARLY — planted structure
+  * found exactly 8 times, no quadratic candidate blowup, clustering
+  * still converging in O(log diameter) rounds. This is the local
+  * stand-in for the 100× scale-up question the plans are designed
+  * around: a candidate generator that secretly degrades to all-pairs
+  * shows up here as an 64× pair count or a timeout, not a reviewer
+  * guess.
+  *
+  * Replication shifts doc_ids by k*10^9, so every copy keeps the
+  * corpus's internal near-dup structure but shares no ids; exact
+  * cross-copy duplicates ARE introduced (same text) — which is itself
+  * useful: exact dedup must collapse each text to ONE keeper across
+  * the 8 copies.
+  */
+class ScaleSmokeSpec extends SparkSpec {
+
+  private def replicated(k: Int) = {
+    val docs = Tables.documents(spark, sf)
+    (0 until k)
+      .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L)))
+      .reduce(_ unionByName _)
+      .localCheckpoint()
+  }
+
+  test("8x corpus: ngram pairs scale linearly and clusters still converge (slow)") {
+    assume(sys.env.contains("GRAFT_SLOW_TESTS"), "set GRAFT_SLOW_TESTS=1 to run")
+    val base = Dedup.ngramPairs(Tables.documents(spark, sf)).count()
+    val big = replicated(8)
+    val t0 = System.nanoTime()
+    val pairs = Dedup.ngramPairs(big).cache()
+    val n = pairs.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // ngramPairs is EXACT, so the found set equals the combinatorial
+    // true-pair set: every text's 8 identical copies pair up (C(8,2)
+    // each; the corpus has no exact dupes) and every base near-dup
+    // pair appears in all 8x8 copy combinations
+    val distinctTexts = Tables.documents(spark, sf).select("text").distinct().count()
+    assert(n === distinctTexts * 28 + 64 * base,
+      s"pairs $n != C(8,2)*$distinctTexts + 64*$base")
+    info(f"8x corpus: $n pairs (base $base) in $secs%.1f s")
+    // clustering over the 8x pair graph converges (no iteration blowup)
+    val labels = Dedup.clusters(pairs.select(col("doc_a"), col("doc_b")))
+    assert(labels.count() > 0)
+    // exact dedup collapses the 8 identical copies of each text
+    val exact = Dedup.exact(big)
+    assert(exact.filter(col("n_copies") >= 8).count() ===
+      Tables.documents(spark, sf).select("text").distinct().count())
+  }
+
+  test("8x corpus: minhash-LSH finds EXACTLY the combinatorial true-pair set (slow)") {
+    assume(sys.env.contains("GRAFT_SLOW_TESTS"), "set GRAFT_SLOW_TESTS=1 to run")
+    val big = replicated(8)
+    val t0 = System.nanoTime()
+    val n = Dedup.minhashLshPairs(big).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val base = Dedup.minhashLshPairs(Tables.documents(spark, sf)).count()
+    val distinctTexts = Tables.documents(spark, sf).select("text").distinct().count()
+    // replication makes the TRUE pair set combinatorial, and identical
+    // copies share minhash signatures, so the found set is exactly
+    // predictable: every text's 8 copies pair up (C(8,2) each — the
+    // corpus has no exact dupes), and every base near-dup pair (a,b)
+    // appears in all 8x8 copy combinations. Equality (not a bound)
+    // proves precision stays 1 AND recall is unchanged under 8x data —
+    // any candidate blowup or lost pair breaks it.
+    val expected = distinctTexts * 28 + 64 * base
+    assert(n === expected, s"pairs $n != C(8,2)*$distinctTexts + 64*$base")
+    info(f"8x corpus minhash: $n pairs (base $base) in $secs%.1f s")
+  }
+}
