@@ -1,0 +1,137 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AsOf, Relational}
+
+/** Fixed-seed randomized equivalence tests: the window-trick operators
+  * (as-of, sessionize, funnel, rolling features, packing) checked
+  * against independent BRUTE-FORCE driver-side reimplementations on
+  * adversarial random inputs — many users, heavy timestamp collisions,
+  * empty/singleton groups. Hand-built cases pin the documented
+  * semantics; these catch the interactions nobody thought to
+  * hand-build. Seeds are fixed, so failures reproduce.
+  */
+class RandomizedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomEvents(seed: Long, n: Int, users: Int, tsRange: Int) = {
+    val rnd = new Random(seed)
+    val types = Seq("signup", "click", "purchase", "view")
+    (0 until n).map { i =>
+      (i.toLong, rnd.nextInt(users).toLong, rnd.nextInt(tsRange).toLong * 1000L,
+        types(rnd.nextInt(types.length)), (rnd.nextInt(10000) + 1) / 100.0)
+    }
+  }
+
+  test("asof attribution equals a brute quadratic scan on collision-heavy random events") {
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val rows = randomEvents(seed, 400, 7, 50) // dense ts collisions
+      val df = rows.toDF("event_id", "user_id", "ts_ms", "event_type", "value")
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+      val got = AsOf.attribution(df).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      // brute: for each purchase, the latest click at-or-before it;
+      // ties on ts broken by max event_id (the window orders by
+      // (ts, is_probe, event_id) and takes the running last)
+      val clicks = rows.filter(_._4 == "click")
+      val expected = rows.filter(_._4 == "purchase").flatMap { p =>
+        val cands = clicks.filter(c => c._2 == p._2 && c._3 <= p._3)
+        if (cands.isEmpty) None
+        else {
+          val best = cands.maxBy(c => (c._3, c._1))
+          Some((p._1, best._1, p._3 - best._3))
+        }
+      }.toSet
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("sessionize equals a naive per-user pass on random events") {
+    for (seed <- Seq(4L, 5L)) {
+      val rows = randomEvents(seed, 300, 5, 100000) // sparse -> real gaps
+      val df = rows.toDF("event_id", "user_id", "ts_ms", "event_type", "value")
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+      val got = Relational.sessionize(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val gapMs = 30 * 60 * 1000L
+      val expected = rows.groupBy(_._2).flatMap { case (uid, evs) =>
+        val sorted = evs.sortBy(e => (e._3, e._1))
+        var seq = 0L; var last = Long.MinValue
+        val assigned = sorted.map { e =>
+          if (last == Long.MinValue || e._3 - last > gapMs) seq += 1
+          last = e._3
+          (uid, seq)
+        }
+        assigned.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+      }
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("funnel equals a naive chained min-after-min pass on random events") {
+    val stages = Seq("signup", "click", "purchase")
+    for (seed <- Seq(6L, 7L, 8L)) {
+      val rows = randomEvents(seed, 300, 9, 40)
+      val df = rows.toDF("event_id", "user_id", "ts_ms", "event_type", "value")
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+      val got = Relational.funnel(df, stages).collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      val byUser = rows.groupBy(_._2)
+      // naive: t0 = min signup; t_i = min ts of stage i STRICTLY after t_{i-1}
+      val reached: Seq[Long] = stages.indices.map { i =>
+        byUser.count { case (_, evs) =>
+          stages.take(i + 1).foldLeft(Option(Long.MinValue)) { (prev, s) =>
+            prev.flatMap { p =>
+              val cand = evs.filter(e => e._4 == s && (p == Long.MinValue || e._3 > p))
+                .map(_._3)
+              if (cand.isEmpty) None else Some(cand.min)
+            }
+          }.isDefined
+        }.toLong
+      }
+      assert(got === stages.zip(reached).toMap, s"seed $seed")
+    }
+  }
+
+  test("rollingUserStats equals a naive trailing-window scan on random events") {
+    for (seed <- Seq(9L, 10L)) {
+      val rows = randomEvents(seed, 300, 4, 1400000) // spread over ~16 days
+      val df = rows.toDF("event_id", "user_id", "ts_ms", "event_type", "value")
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+      val got = Relational.rollingUserStats(df).collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+      val span = 7L * 86400000L
+      val expected = rows.map { e =>
+        val win = rows.filter(o => o._2 == e._2 && o._3 <= e._3 && o._3 >= e._3 - span)
+        val cents = win.map(o => math.floor(o._5 * 100.0 + 0.5).toLong).sum
+        e._1 -> (win.size.toLong, cents.toDouble / 100.0)
+      }.toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("packSequences equals a naive global cumsum on random docs") {
+    for (seed <- Seq(11L, 12L)) {
+      val rnd = new Random(seed)
+      val docs = (0 until 200).map { i =>
+        // variable token counts incl. empty docs; sparse non-contiguous ids
+        val words = Seq.fill(rnd.nextInt(30))("w" + rnd.nextInt(9)).mkString(" ")
+        (i.toLong * (1 + rnd.nextInt(3)), words)
+      }.distinct.toMap.toSeq // dedupe ids
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.text.Corpus.packSequences(df, seqLen = 64, blockSize = 16)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      var off = 0L
+      val expected = docs.sortBy(_._1).map { case (id, text) =>
+        val n = text.split("\\s+").count(_.nonEmpty).toLong
+        val r = id -> (n, off / 64, off % 64)
+        off += n
+        r
+      }.toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
+}
