@@ -431,7 +431,7 @@ object Churn {
   // unknown features ignored, missing features -> 0.0, everything cast
   // double, p1 >= threshold decides.
   // ------------------------------------------------------------------
-  final class Scorer(model: PipelineModel, threshold: Double = 0.5) {
+  final class Scorer(model: PipelineModel, val threshold: Double = 0.5) {
     def scoreBatch(spark: SparkSession, batch: Seq[Map[String, Double]]): DataFrame = {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
