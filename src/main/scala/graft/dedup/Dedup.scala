@@ -489,7 +489,7 @@ object Dedup {
       tau: Double = 0.35,
       tables: Int = 8,
       bits: Int = 8,
-      dims: Int = 64): DataFrame = {
+      dims: Int = -1): DataFrame = {
     // referenced by the left/right candidate sides AND both re-score
     // joins (4 consumers, all corpus-sized) — checkpoint so the scan +
     // bucket projection run once instead of four times

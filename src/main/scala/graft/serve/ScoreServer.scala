@@ -100,19 +100,40 @@ final class ScoreServer(
     o
   }
 
+  /** Client faults (bad method, unparseable JSON) are 4xx; anything
+    * the handler throws while scoring is a 500 with a generic body —
+    * a broken Spark session must not masquerade as bad input (retry /
+    * alerting logic keys on the class), and internal messages are not
+    * leaked to clients. Fatal errors propagate.
+    */
   private def handle(ex: HttpExchange, post: Boolean = false)(f: JsonNode => JsonNode): Unit =
     try {
       if (post && ex.getRequestMethod != "POST") {
         write(ex, 405, errorNode("use POST"))
       } else {
-        val body =
-          if (post) mapper.readTree(new String(
-            ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
-          else mapper.createObjectNode()
-        write(ex, 200, f(body))
+        val parsed =
+          if (post)
+            try Right(mapper.readTree(new String(
+              ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)))
+            catch {
+              case e: com.fasterxml.jackson.core.JacksonException =>
+                Left(String.valueOf(e.getOriginalMessage))
+            }
+          else Right(mapper.createObjectNode(): JsonNode)
+        parsed match {
+          case Left(msg) => write(ex, 400, errorNode(s"malformed JSON: $msg"))
+          // readTree of an empty body: null on old Jackson, MissingNode
+          // on 2.10+ — either way a client fault, not a scorable request
+          case Right(body) if body == null || body.isMissingNode =>
+            write(ex, 400, errorNode("malformed JSON: empty body"))
+          case Right(body) =>
+            try write(ex, 200, f(body))
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                write(ex, 500, errorNode("internal error"))
+            }
+        }
       }
-    } catch {
-      case e: Throwable => write(ex, 400, errorNode(String.valueOf(e.getMessage)))
     } finally ex.close()
 
   private def errorNode(msg: String): JsonNode = {

@@ -95,20 +95,33 @@ object Similarity {
     * SimilaritySpec parity test.
     *
     * `dims` is the embedding dimensionality (planes are materialized
-    * at that length). Vectors of any OTHER length (or with null
-    * elements) bucket to null and are dropped here — consistent, not
-    * a new restriction: a mismatched-length pair yields a null/NaN
-    * cosine in every exact path (VecDot returns null, a zero norm
-    * makes NaN), so such vectors could never survive re-scoring
-    * anyway. This also covers the empty-embedding case the old
-    * explode formulation dropped implicitly.
+    * at that length); the default -1 AUTO-DETECTS it from the first
+    * non-empty vector (one tiny driver job), so any fixed-dim corpus
+    * works without configuration. Vectors of any OTHER length (or
+    * with null elements) bucket to null and are dropped here —
+    * consistent, not a new restriction: a mismatched-length pair
+    * yields a null/NaN cosine in every exact path (VecDot returns
+    * null, a zero norm makes NaN), so such vectors could never
+    * survive re-scoring anyway. This also covers the empty-embedding
+    * case the old explode formulation dropped implicitly.
     */
   private[graft] def bucketedCorpus(
-      embeddings: DataFrame, tables: Int, bits: Int, dims: Int = 64): DataFrame =
-    prepared(embeddings)
-      .withColumn("buckets",
-        graft.functions.GraftFunctions.hyperplaneBuckets(col("v"), tables, bits, dims))
-      .filter(col("buckets").isNotNull)
+      embeddings: DataFrame, tables: Int, bits: Int, dims: Int = -1): DataFrame = {
+    val d =
+      if (dims > 0) dims
+      else embeddings
+        .select(size(col("embedding")).as("d")).filter(col("d") > 0)
+        .head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    val base = prepared(embeddings)
+    if (d <= 0) // empty corpus (or all-empty vectors): empty result, same schema
+      base.withColumn("buckets", lit(null).cast("array<bigint>"))
+        .filter(col("buckets").isNotNull)
+    else
+      base
+        .withColumn("buckets",
+          graft.functions.GraftFunctions.hyperplaneBuckets(col("v"), tables, bits, d))
+        .filter(col("buckets").isNotNull)
+  }
 
   private[graft] def cosineExpr: (String, String) => org.apache.spark.sql.Column =
     (v, q) => dot(col(v), col(q))
@@ -129,7 +142,7 @@ object Similarity {
       k: Int = 10,
       tables: Int = 8,
       bits: Int = 8,
-      dims: Int = 64): DataFrame = {
+      dims: Int = -1): DataFrame = {
     // bucketing is a pure projection now, so no checkpoint: the corpus
     // side scans once and the probe side re-scans with the vec_id
     // filter PUSHED DOWN to the source — at 100 TB that second "scan"

@@ -15,10 +15,12 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * CSV; the schema-driven reader prunes unreferenced fields during
   * parsing.
   *
-  * Malformed lines surface in `_corrupt_record` under the default
-  * PERMISSIVE mode; [[readDocuments]] keeps the strict columns only,
-  * so a production caller that wants quarantine semantics selects the
-  * corrupt column before this projection.
+  * Malformed lines: Spark's PERMISSIVE mode only materializes the
+  * offending line when `_corrupt_record` is DECLARED in the read
+  * schema — without it, a corrupt line silently becomes an all-null
+  * row. [[readDocuments]] with `quarantine = true` declares it and
+  * keeps the column so callers can split good rows from quarantined
+  * ones; the default strict read drops it after parsing.
   */
 object Jsonl {
 
@@ -30,11 +32,24 @@ object Jsonl {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Read a documents JSONL drop with the declared schema. */
-  def readDocuments(spark: SparkSession, path: String): DataFrame = {
+  val corruptCol = "_corrupt_record"
+
+  /** Read a documents JSONL drop with the declared schema. With
+    * `quarantine`, malformed lines come back as rows whose
+    * `_corrupt_record` holds the raw line (all data fields null) —
+    * filter on its nullity to split the stream.
+    */
+  def readDocuments(
+      spark: SparkSession, path: String, quarantine: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
-    spark.read.schema(documentsSchema).json(path)
-      .select(documentsSchema.fieldNames.map(col).toIndexedSeq: _*)
+    if (quarantine)
+      spark.read
+        .schema(documentsSchema.add(StructField(corruptCol, StringType)))
+        .json(path)
+        .select((documentsSchema.fieldNames :+ corruptCol).map(col).toIndexedSeq: _*)
+    else
+      spark.read.schema(documentsSchema).json(path)
+        .select(documentsSchema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   /** Export a documents frame as JSONL — the inverse of

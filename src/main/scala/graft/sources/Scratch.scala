@@ -36,12 +36,17 @@ private[sources] object Scratch {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** The scratch path for (kind, dir), running `write` into it exactly
-    * once per JVM.
+    * once per JVM. Synchronized: TrieMap.getOrElseUpdate evaluates the
+    * thunk OUTSIDE its atomic insert, so two concurrent first callers
+    * would otherwise race overlapping overwrite-writes into the same
+    * path (writes are rare one-offs; a coarse lock is fine).
     */
   def materialize(kind: String, dir: String)(write: String => Unit): String =
-    exported.getOrElseUpdate(s"$kind|$dir", {
-      val out = s"$root/$kind/${md5hex(dir)}"
-      write(out)
-      out
-    })
+    exported.synchronized {
+      exported.getOrElseUpdate(s"$kind|$dir", {
+        val out = s"$root/$kind/${md5hex(dir)}"
+        write(out)
+        out
+      })
+    }
 }

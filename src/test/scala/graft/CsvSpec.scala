@@ -39,6 +39,22 @@ class CsvSpec extends SparkSpec {
     assert(viaJsonl.exceptAll(parquet).isEmpty && parquet.exceptAll(viaJsonl).isEmpty)
   }
 
+  test("JSONL quarantine: a malformed line surfaces in _corrupt_record, not as silent nulls") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-bad").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-0.json"),
+      """{"doc_id": 1, "text": "good", "lang": "en", "source": "s", "n_chars": 4}
+        |{"doc_id": 2, "text": "truncated...
+        |{"doc_id": 3, "text": "also good", "lang": "de", "source": "s", "n_chars": 9}
+        |""".stripMargin)
+    val q = graft.sources.Jsonl.readDocuments(spark, dir, quarantine = true).cache()
+    val bad = q.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNotNull)
+    assert(bad.count() === 1)
+    assert(bad.head().getString(5).startsWith("""{"doc_id": 2"""))
+    val good = q.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNull)
+    assert(good.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
+
   test("JSONL preserves hostile text bytes: newlines, quotes, backslashes, unicode") {
     import spark.implicits._
     val nasty = Seq(

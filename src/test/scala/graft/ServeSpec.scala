@@ -82,10 +82,11 @@ class ServeSpec extends SparkSpec {
     }
   }
 
-  test("GET on a POST endpoint is a 405, malformed JSON a 400") {
+  test("GET on a POST endpoint is a 405, malformed JSON and empty bodies are 400") {
     withServer { port =>
       assert(get(port, "/predict").statusCode() === 405)
       assert(post(port, "/predict", "{not json").statusCode() === 400)
+      assert(post(port, "/predict", "").statusCode() === 400)
     }
   }
 }

@@ -82,6 +82,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lshAnn auto-detects dimensionality: a 16-dim corpus works without configuration") {
+    import spark.implicits._
+    // deterministic 16-dim vectors with enough spread for ANN to rank
+    val emb = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 31 + j * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.lshAnn(emb, nQueries = 3, k = 5)
+    assert(got.count() === 15, "3 queries x 5 neighbors despite non-default dims")
+    // and the dedup LSH path too
+    val pairs = graft.dedup.Dedup.embeddingPairsLsh(emb, tau = 0.2)
+    assert(pairs.count() > 0)
+  }
+
   test("bucketedCorpus drops malformed vectors (wrong dims / null element) instead of mis-bucketing") {
     import spark.implicits._
     val rows = Seq(
