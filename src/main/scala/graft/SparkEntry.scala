@@ -35,6 +35,10 @@ object SparkEntry {
     // standardization/typecast path is value-exact vs the parquet scan
     "q_csv_clean" -> ((s, dir) =>
       Retention.cleanLines(graft.sources.Csv.lineitemViaCsv(s, dir))),
+    // ORC ingestion gate: parquet -> ORC -> columnar read; ORC is
+    // self-describing so fidelity, not standardization, is the test
+    "q_orc_clean" -> ((s, dir) =>
+      Retention.cleanLines(graft.sources.Orc.lineitemViaOrc(s, dir))),
     "q_order_rollup" -> ((s, dir) => Retention.orderRollup(Tables.lineitem(s, dir))),
     "q_customer_features" -> ((s, dir) =>
       Retention.customerFeatures(Tables.orders(s, dir), Tables.lineitem(s, dir))),
@@ -209,6 +213,9 @@ object SparkEntry {
     // the CSV round-trip must be value-exact vs the parquet source, so
     // the oracle is the parquet-table query itself
     "q_csv_clean" -> cleanLinesSql,
+    // same fidelity contract as the CSV round-trip: oracle is the
+    // parquet-table query itself
+    "q_orc_clean" -> cleanLinesSql,
     "q_order_rollup" ->
       s"""SELECT l_orderkey AS orderkey, count(*) AS order_lines,
          |  sum(l_quantity) AS order_qty,

@@ -31,6 +31,14 @@ class CsvSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("ORC round-trip reproduces the parquet lineitem exactly, schema included") {
+    val viaOrc = graft.sources.Orc.lineitemViaOrc(spark, sf)
+    val parquet = Tables.lineitem(spark, sf)
+      .select(viaOrc.columns.map(org.apache.spark.sql.functions.col): _*)
+    assert(viaOrc.schema === parquet.schema)
+    assert(viaOrc.exceptAll(parquet).isEmpty && parquet.exceptAll(viaOrc).isEmpty)
+  }
+
   test("JSONL round-trip reproduces the parquet documents exactly") {
     val viaJsonl = graft.sources.Jsonl.documentsViaJsonl(spark, sf)
     val parquet = Tables.documents(spark, sf)
