@@ -113,6 +113,85 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("cohortRetention equals a naive per-user first-week scan on random events") {
+    for (seed <- Seq(13L, 14L)) {
+      val rnd = new Random(seed)
+      // events across ~10 ISO weeks; ts in ms from a Monday epoch anchor
+      val anchor = 1704067200000L // 2024-01-01 (a Monday)
+      val rows = (0 until 300).map { i =>
+        (i.toLong, rnd.nextInt(20).toLong, anchor + rnd.nextInt(70).toLong * 86400000L)
+      }
+      val df = rows.toDF("event_id", "user_id", "ts_ms")
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .withColumn("event_type", lit("view")).withColumn("value", lit(1.0))
+      val got = Relational.cohortRetention(df).collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      // naive: week = Monday-truncated day; cohort = user's min week
+      def week(ms: Long): Long = (ms - anchor) / (7L * 86400000L)
+      val firstWeek = rows.groupBy(_._2).map { case (u, es) => u -> es.map(e => week(e._3)).min }
+      val expected = rows.map(e => (e._2, week(e._3))).distinct
+        .groupBy { case (u, w) => (firstWeek(u), (w - firstWeek(u)).toInt) }
+        .map { case ((cw, off), us) =>
+          val cohortDate = java.time.Instant.ofEpochMilli(anchor + cw * 7L * 86400000L)
+            .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+          (cohortDate, off) -> us.map(_._1).distinct.size.toLong
+        }
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("topNPerGroup (two-phase rank) equals a naive per-brand sort on random lineitems") {
+    for (seed <- Seq(15L, 16L)) {
+      val rnd = new Random(seed)
+      val lines = (0 until 500).map { _ =>
+        val pk = rnd.nextInt(60).toLong
+        (pk, (rnd.nextInt(100000) + 1) / 100.0)
+      }
+      val parts = (0L until 60L).map(pk => (pk, s"Brand#${pk % 5}"))
+      val lineDf = lines.toDF("l_partkey", "l_extendedprice")
+      val partDf = parts.toDF("p_partkey", "p_brand")
+      val got = graft.ops.Relational.topNPerGroup(lineDf, partDf, n = 3)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      val perPart = lines.groupBy(_._1).map { case (pk, ls) =>
+        pk -> ls.map(l => math.floor(l._2 * 100.0 + 0.5).toLong).sum
+      }
+      val expected = parts.groupBy(_._2).flatMap { case (brand, ps) =>
+        ps.flatMap(p => perPart.get(p._1).map(c => (p._1, c)))
+          .toSeq.sortBy { case (pk, c) => (-c, pk) }
+          .take(3).zipWithIndex
+          .map { case ((pk, _), i) => (brand, i + 1, pk) }
+      }.toSet
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("ngramVocab equals a naive count-and-sort on random docs") {
+    for (seed <- Seq(17L, 18L)) {
+      val rnd = new Random(seed)
+      val langs = Seq("en", "de")
+      val docs = (0 until 150).map { i =>
+        val words = Seq.fill(rnd.nextInt(20) + 1)("w" + rnd.nextInt(6)).mkString(" ")
+        (i.toLong, words, langs(rnd.nextInt(2)))
+      }
+      val df = docs.toDF("doc_id", "text", "lang")
+      val got = graft.text.Corpus.ngramVocab(df, k = 4, buckets = 8)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      val expected = docs
+        .flatMap { case (_, text, lang) =>
+          val t = text.split("\\s+").filter(_.nonEmpty)
+          t.sliding(2).filter(_.length == 2).map(b => (lang, b.mkString(" ")))
+        }
+        .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+        .groupBy(_._1._1).flatMap { case (lang, grams) =>
+          grams.toSeq.map { case ((_, g), c) => (g, c) }
+            .sortBy { case (g, c) => (-c, g) }
+            .take(4).zipWithIndex
+            .map { case ((g, c), i) => (lang, (i + 1).toLong, g, c) }
+        }.toSet
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("packSequences equals a naive global cumsum on random docs") {
     for (seed <- Seq(11L, 12L)) {
       val rnd = new Random(seed)
