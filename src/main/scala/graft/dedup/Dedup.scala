@@ -461,7 +461,9 @@ object Dedup {
     val spark = embeddings.sparkSession
     val dot = graft.functions.GraftFunctions.vecDot _
     val e = embeddings
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      // native array cast, not an interpreted transform() lambda —
+      // see Similarity.prepared
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     // the nested-loop stream side inherits the scan's partitioning (a
     // single file => a single partition => one thread does all n^2/2

@@ -27,10 +27,14 @@ object Similarity {
   /** (vec_id, v: array<double>, nrm) — the prepared corpus. The norm
     * is vec_dot(v, v): same left-to-right IEEE sequence as the
     * aggregate() fold it replaces, but native codegen (see VecDot).
+    * The float→double widening is an array CAST (a native codegen
+    * expression), not a transform() lambda — an interpreted
+    * per-element closure on every corpus scan; values are identical
+    * (element-wise float-to-double is exact).
     */
   private def prepared(embeddings: DataFrame): DataFrame =
     embeddings
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   /** Codegen'd dot product ([[graft.functions.VecDot]]) — the hot loop

@@ -17,10 +17,14 @@ import graft.Det
 object Text {
 
   /** Whitespace tokens, empties dropped (so leading/trailing/double
-    * spaces cannot skew counts).
+    * spaces cannot skew counts). array_remove (a native codegen
+    * collection expression) drops the empties a leading separator or
+    * empty string produces — identical output to the
+    * filter(length > 0) lambda form, without dispatching an
+    * interpreted closure per token on every text scan.
     */
   def tokens(c: Column): Column =
-    filter(split(c, "\\s+"), t => length(t) > lit(0))
+    array_remove(split(c, "\\s+"), "")
 
   def sqlTokens(x: String): String =
     s"list_filter(regexp_split_to_array($x, '\\s+'), t -> len(t) > 0)"
@@ -47,9 +51,11 @@ object Text {
       size(col("toks")).cast("long").as("n_tokens"),
       size(bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"),
       Det.r(
-        // lit(0L): accumulate lengths in LongType (an IntegerType
-        // accumulator could overflow on very large documents).
-        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        // Σ token lengths == length of the zero-separator concatenation
+        // — concat_ws/length are native codegen, vs an interpreted
+        // aggregate() fold dispatching a closure per token; length()
+        // returns int, so cast long BEFORE anything could overflow
+        length(concat_ws("", col("toks"))).cast("long").cast("double") /
           greatest(size(col("toks")), lit(1)).cast("double"), 4).as("mean_token_len"))
 
   def sqlTokenStats: String = {
