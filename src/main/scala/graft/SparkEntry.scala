@@ -69,6 +69,14 @@ object SparkEntry {
     // trailing-window per-event features via a RANGE frame
     // (round-3 addition)
     "q_rolling_features" -> ((s, dir) => Relational.rollingUserStats(Tables.events(s, dir))),
+    // PIVOT with an explicit value list (no driver-side distinct-values
+    // pass); two-level PivotFirst plan (round-5 addition)
+    "q_event_pivot" -> ((s, dir) => Relational.eventPivot(Tables.events(s, dir))),
+    // ROLLUP computed two-phase: finest-grain agg first, Expand only
+    // over the tiny aggregate (round-5 addition)
+    "q_revenue_rollup" -> ((s, dir) =>
+      Relational.revenueRollup(Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir))),
     // --- C. Text analysis -------------------------------------------
     "q_token_stats" -> ((s, dir) => Text.tokenStats(Tables.documents(s, dir))),
     "q_text_quality" -> ((s, dir) => Text.quality(Tables.documents(s, dir))),
@@ -307,6 +315,8 @@ object SparkEntry {
          |  CAST(part_cents AS DOUBLE) / 100.0 AS part_revenue
          |FROM rk WHERE "rank" <= 3""".stripMargin,
     "q_asof_join" -> ops.AsOf.sqlAttribution(),
+    "q_event_pivot" -> Relational.sqlEventPivot(),
+    "q_revenue_rollup" -> Relational.sqlRevenueRollup(),
     "q_funnel" -> Relational.sqlFunnel(),
     "q_rolling_features" -> Relational.sqlRollingUserStats(),
     "q_sessionize" ->

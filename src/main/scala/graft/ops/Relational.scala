@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -215,6 +215,105 @@ object Relational {
        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
        |             RANGE BETWEEN $spanMs PRECEDING AND CURRENT ROW)""".stripMargin
   }
+
+  /** Per-user activity profile via PIVOT: one row per user, one count
+    * column per event type, purchase spend riding along as exact cents.
+    *
+    * The value list is EXPLICIT — an open `pivot("event_type")` first
+    * runs a distinct-values job and collects it to the driver (a full
+    * extra pass over the fact table at 100 TB). With the list given,
+    * Catalyst plans the two-level PivotFirst shape (verified in the
+    * formatted plan): aggregate at (user_id, event_type) grain — the
+    * only fact-sized shuffle, fully map-side-combined, keyed FINER
+    * than the output so it parallelizes wider — then PivotFirst folds
+    * the ≤ |types| rows per user into the column vector on a second,
+    * already-reduced shuffle. NULL count cells mean "user never
+    * produced this type" and surface as 0.
+    */
+  def eventPivot(events: DataFrame,
+                 types: Seq[String] = Seq("click", "error", "purchase", "signup", "view")): DataFrame = {
+    val counted = events
+      .select(col("user_id"), col("event_type"),
+        when(col("event_type") === "purchase", Det.cents(col("value"))).otherwise(0L).as("pc"))
+      .groupBy(col("user_id"))
+      .pivot(col("event_type"), types)
+      .agg(count(lit(1)).as("n"), sum(col("pc")).as("cents"))
+    // pivot+multi-agg names columns `<value>_<alias>`; keep the counts
+    // (NULL => the user never produced that type => 0) and only the
+    // purchase cents column carries money
+    val countCols = types.map(t => coalesce(col(s"${t}_n"), lit(0L)).as(s"n_$t"))
+    counted.select(
+      (col("user_id") +: countCols :+
+        Det.fromCents(coalesce(col("purchase_cents"), lit(0L))).as("purchase_value")): _*)
+  }
+
+  def sqlEventPivot(types: Seq[String] = Seq("click", "error", "purchase", "signup", "view")): String = {
+    val counts = types.map(t =>
+      s"CAST(sum(CASE WHEN event_type = ${Det.sqlStr(t)} THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+      .mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $counts,
+       |  CAST(sum(CASE WHEN event_type = 'purchase'
+       |    THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100.0 AS purchase_value
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
+  /** Multi-level revenue totals (region, region+nation, grand total)
+    * via ROLLUP — computed TWO-PHASE for scale. A naive
+    * `facts.rollup(...)` plans an Expand over the FACT table: every
+    * input row is replicated once per grouping level before the
+    * shuffle (3× the scan volume at 100 TB). Instead the fact table
+    * aggregates ONCE at the finest grain (region, nation) — the only
+    * data-sized shuffle — and the rollup's Expand runs over that
+    * ≤ |nation|-row aggregate, where replication is free. Sums and
+    * customer counts re-aggregate losslessly from the finest grain
+    * (each customer lives in exactly one nation). Grouped-out keys are
+    * labelled 'ALL' (via `grouping()`, not the NULL the Expand emits,
+    * so a real NULL key could not collide) and `level` carries
+    * `grouping_id()` for unambiguous level selection downstream.
+    */
+  def revenueRollup(orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame = {
+    val finest = joinEnrich(orders, customer, nation, region)
+      .select(col("region"), col("nation"), col("n_customers"),
+        col("n_orders"), Det.cents(col("revenue")).as("rev_cents"))
+    finest
+      .rollup(col("region"), col("nation"))
+      .agg(
+        sum(col("n_customers")).as("n_customers"),
+        sum(col("n_orders")).as("n_orders"),
+        Det.fromCents(sum(col("rev_cents"))).as("revenue"),
+        grouping_id().as("level"))
+      .select(
+        when(grouping_id_free(col("level"), 2), lit("ALL")).otherwise(col("region")).as("region"),
+        when(grouping_id_free(col("level"), 1), lit("ALL")).otherwise(col("nation")).as("nation"),
+        col("level").cast("long").as("level"),
+        col("n_customers"), col("n_orders"), col("revenue"))
+  }
+
+  // grouping_id() bit test: bit 0 = rightmost rollup column. Kept as a
+  // helper because `grouping()` is only valid inside the agg.
+  private def grouping_id_free(level: Column, bit: Int): Column =
+    (level.cast("int").bitwiseAND(bit)) =!= 0
+
+  def sqlRevenueRollup(): String =
+    s"""WITH dims AS (
+       |  SELECT c_custkey, n_name AS nation, r_name AS region
+       |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |                JOIN region ON n_regionkey = r_regionkey
+       |), pc AS (
+       |  SELECT o_custkey, count(*) AS cust_orders,
+       |    sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cust_cents
+       |  FROM orders GROUP BY 1
+       |)
+       |SELECT
+       |  CASE WHEN GROUPING(region) = 1 THEN 'ALL' ELSE region END AS region,
+       |  CASE WHEN GROUPING(nation) = 1 THEN 'ALL' ELSE nation END AS nation,
+       |  CAST(GROUPING(region) * 2 + GROUPING(nation) AS BIGINT) AS level,
+       |  CAST(count(*) AS BIGINT) AS n_customers,
+       |  CAST(sum(cust_orders) AS BIGINT) AS n_orders,
+       |  CAST(sum(cust_cents) AS DOUBLE) / 100.0 AS revenue
+       |FROM pc JOIN dims ON o_custkey = c_custkey
+       |GROUP BY ROLLUP(region, nation)""".stripMargin
 
   /** Weekly cohort retention matrix on events: cohort = ISO week of a
     * user's first event; one row per (cohort_week, week_offset) with

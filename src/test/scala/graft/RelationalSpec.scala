@@ -174,4 +174,66 @@ class RelationalSpec extends SparkSpec {
     val bad = p.filter(col("n_orders") > col("count_order") || col("count_order") <= 0)
     assert(bad.count() === 0)
   }
+
+  test("eventPivot conserves events across type columns and counts purchases twice-consistently") {
+    val events = Tables.events(spark, sf)
+    val piv = Relational.eventPivot(events)
+    val typeCols = Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view")
+    val total = piv.agg(sum(typeCols.map(col).reduce(_ + _))).head().getLong(0)
+    assert(total === events.count())
+    // the pivoted purchase count agrees with an independent filter+agg
+    val pivPurch = piv.agg(sum(col("n_purchase"))).head().getLong(0)
+    assert(pivPurch === events.filter(col("event_type") === "purchase").count())
+    // purchase_value only where purchases exist; exact cents conserve
+    assert(piv.filter(col("n_purchase") === 0 && col("purchase_value") =!= 0.0).count() === 0)
+    val pivValCents = piv.agg(sum(Det.cents(col("purchase_value")))).head().getLong(0)
+    val rawCents = events.filter(col("event_type") === "purchase")
+      .agg(sum(Det.cents(col("value")))).head().getLong(0)
+    assert(pivValCents === rawCents)
+  }
+
+  test("eventPivot with an explicit value list plans no extra distinct-values job") {
+    // an open pivot would first collect distinct event types; with the
+    // list given the plan is a pure two-level aggregate over one scan
+    val piv = Relational.eventPivot(Tables.events(spark, sf))
+    val plan = planOf(piv)
+    assert(plan.contains("pivotfirst"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("revenueRollup levels re-aggregate exactly: region rows sum to ALL, grand total matches") {
+    val rr = Relational.revenueRollup(Tables.orders(spark, sf), Tables.customer(spark, sf),
+      Tables.nation(spark, sf), Tables.region(spark, sf)).collect()
+    def cents(d: Double): Long = math.floor(d * 100.0 + 0.5).toLong
+    val finest = rr.filter(_.getLong(2) == 0L)
+    val perRegion = rr.filter(_.getLong(2) == 1L)
+    val grand = rr.filter(_.getLong(2) == 3L)
+    assert(grand.length === 1)
+    assert(perRegion.forall(_.getString(1) == "ALL"))
+    // each region's ALL row equals the sum of its finest rows (exact cents)
+    perRegion.foreach { r =>
+      val fin = finest.filter(_.getString(0) == r.getString(0))
+      assert(fin.map(_.getLong(3)).sum === r.getLong(3))
+      assert(fin.map(_.getLong(4)).sum === r.getLong(4))
+      assert(fin.map(x => cents(x.getDouble(5))).sum === cents(r.getDouble(5)))
+    }
+    // grand total equals the sum over regions
+    assert(perRegion.map(_.getLong(3)).sum === grand.head.getLong(3))
+    assert(perRegion.map(x => cents(x.getDouble(5))).sum === cents(grand.head.getDouble(5)))
+    // no partial level: rollup(region, nation) never emits region=ALL with a concrete nation
+    assert(!rr.exists(r => r.getString(0) == "ALL" && r.getString(1) != "ALL"))
+  }
+
+  test("revenueRollup expands AFTER the finest-grain aggregate, not over the fact table") {
+    val rr = Relational.revenueRollup(Tables.orders(spark, sf), Tables.customer(spark, sf),
+      Tables.nation(spark, sf), Tables.region(spark, sf))
+    val plan = rr.queryExecution.optimizedPlan.toString
+    // Expand must sit above the (region, nation) Aggregate of the
+    // orders join — i.e. some Aggregate appears BELOW the Expand
+    val lines = plan.linesIterator.toSeq
+    val expandIdx = lines.indexWhere(_.contains("Expand"))
+    assert(expandIdx >= 0, "rollup should plan an Expand")
+    assert(lines.drop(expandIdx + 1).exists(_.contains("Aggregate")),
+      "Expand must run over the pre-aggregated frame, not the raw join")
+  }
 }
