@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{HyperplaneBuckets, SortedIntersectSize, VecDot}
+import graft.functions.{HyperplaneBuckets, MisraGries, SortedIntersectSize, VecDot}
 
 /** Session-extension entry point: registers graft's native Catalyst
   * expressions as SQL functions. Users opt in with
@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.sortedIntersectSize)
     ext.injectFunction(GraftExtensions.vecDot)
     ext.injectFunction(GraftExtensions.hyperplaneBuckets)
+    ext.injectFunction(GraftExtensions.misraGries)
   }
 }
 
@@ -65,5 +66,23 @@ object GraftExtensions {
       }
       HyperplaneBuckets(children.head,
         intLit(children(1), "tables"), intLit(children(2), "bits"), intLit(children(3), "dims"))
+    })
+
+  val misraGries: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("misra_gries"),
+    new ExpressionInfo(
+      classOf[MisraGries].getName,
+      null,
+      "misra_gries",
+      "misra_gries(item, k) - mergeable Misra-Gries frequent-items sketch: up to k " +
+        "(item, counter) candidates; every item with frequency > n/(k+1) is guaranteed present",
+      ""),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "misra_gries takes exactly 2 arguments")
+      val k = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException("k must be an integer literal")
+      }
+      MisraGries(children.head, k)
     })
 }

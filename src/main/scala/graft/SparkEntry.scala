@@ -147,6 +147,12 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, dir) => Corpus.packSequences(Tables.documents(s, dir))),
     // per-language top-k bigram vocabulary (two-phase exact top-k)
     "q_ngram_vocab" -> ((s, dir) => Corpus.ngramVocab(Tables.documents(s, dir))),
+    // exact heavy hitters over the open token domain, two-pass:
+    // MisraGries sketch (<= k counters per partition cross the
+    // network) -> broadcast candidates -> exact recount; output equals
+    // the naive full groupBy, so it is oracle-checked (round-5
+    // addition)
+    "q_heavy_hitters" -> ((s, dir) => Corpus.heavyHitters(Tables.documents(s, dir))),
     // JSONL ingestion gate: parquet -> JSONL -> schema-declared read;
     // md5(text) pins byte-exact round-tripping of the text column
     "q_jsonl_ingest" -> ((s, dir) => {
@@ -374,6 +380,7 @@ object SparkEntry {
     "q_decontaminate" -> Dedup.sqlDecontaminate(),
     "q_pack_sequences" -> Corpus.sqlPackSequences(),
     "q_ngram_vocab" -> Corpus.sqlNgramVocab(),
+    "q_heavy_hitters" -> Corpus.sqlHeavyHitters(),
     // the JSONL round-trip must be value-exact vs the parquet source,
     // so the oracle reads the parquet table directly
     "q_jsonl_ingest" ->

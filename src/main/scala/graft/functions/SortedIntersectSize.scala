@@ -84,4 +84,9 @@ object GraftFunctions {
   def hyperplaneBuckets(v: Column, tables: Int, bits: Int, dims: Int): Column =
     GraftSqlBridge.column(
       HyperplaneBuckets(GraftSqlBridge.expression(v), tables, bits, dims))
+
+  /** Column wrapper for the [[MisraGries]] aggregate. */
+  def misraGries(item: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      MisraGries(GraftSqlBridge.expression(item), k).toAggregateExpression())
 }

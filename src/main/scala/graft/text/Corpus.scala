@@ -362,6 +362,67 @@ object Corpus {
        |SELECT lang, "rank", gram, n_occurrences FROM r WHERE "rank" <= $k""".stripMargin
   }
 
+  /** Exact corpus-wide heavy hitters (tokens with frequency share
+    * above 1/t) via the classic TWO-PASS sketch-then-recount design:
+    *
+    *   pass 1 — a single global [[graft.functions.MisraGries]]
+    *   aggregate over the exploded token stream. Each partition
+    *   reduces to a ≤ k-counter summary, so the only thing crossing
+    *   the network is one tiny sketch per partition (vs a plain
+    *   `groupBy(token)` that shuffles the full distinct-token table —
+    *   data-sized for an open vocabulary at 100 TB). The MG guarantee
+    *   (freq > n/(k+1) ⇒ present) with k+1 ≥ t makes the candidate
+    *   set a SUPERSET of the true heavy hitters.
+    *
+    *   pass 2 — exact recount restricted to candidates: the ≤ k-row
+    *   candidate list broadcasts, the corpus streams through the
+    *   semi-join filter map-side, and the recount groupBy shuffles
+    *   ≤ k distinct keys. Exact counts ⇒ exact final threshold filter
+    *   ⇒ the output equals the naive full groupBy (oracle-checkable)
+    *   with no approximation surviving.
+    *
+    * Threshold is the integer predicate `cnt · t > n` — no floating
+    * division at the decision boundary in either engine.
+    */
+  def heavyHitters(documents: DataFrame, t: Int = 200, k: Int = 400): DataFrame = {
+    require(k + 1 >= t,
+      s"k=$k counters cannot guarantee freq > n/$t heavy hitters (need k+1 >= t)")
+    val tokens = documents
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(explode(col("toks")).as("token"))
+    val sketch = tokens.agg(
+      graft.functions.GraftFunctions.misraGries(col("token"), k).as("cands"),
+      count(lit(1)).as("n"))
+    val candidates = sketch
+      .select(explode(col("cands")).as("c"), col("n"))
+      .select(col("c").getField("item").as("token"), col("n"))
+    tokens
+      .join(broadcast(candidates), Seq("token"))
+      .groupBy(col("token"), col("n"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * lit(t.toLong) > col("n"))
+      .select(col("token"), col("n_occurrences"),
+        Det.r(col("n_occurrences").cast("double") / col("n").cast("double"), 6)
+          .as("share"))
+  }
+
+  /** Oracle: the naive exact formulation — full token groupBy +
+    * HAVING over the same integer threshold predicate.
+    */
+  def sqlHeavyHitters(t: Int = 200): String = {
+    val toks = Text.sqlTokens("text")
+    s"""WITH tok AS (
+       |  SELECT unnest($toks) AS token FROM documents
+       |), tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM tok
+       |)
+       |SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+       |  floor(CAST(count(*) AS DOUBLE) / CAST(tot.n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS share
+       |FROM tok, tot
+       |GROUP BY token, tot.n
+       |HAVING count(*) * $t > tot.n""".stripMargin
+  }
+
   def sqlCurate(
       qualityTau: Double = 0.6,
       allowedLangs: Seq[String] = Seq("en", "es", "de", "zh"),
