@@ -83,6 +83,13 @@ object SparkEntry {
     "q_text_repetition" -> ((s, dir) => Text.repetition(Tables.documents(s, dir))),
     "q_text_scrub" -> ((s, dir) => Text.scrub(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => Text.langId(Tables.documents(s, dir))),
+    // per-doc top-k salient terms by TF-IDF; rank window bounded by a
+    // single document's distinct terms (round-5 addition)
+    "q_tfidf" -> ((s, dir) => text.Search.tfidfTop(Tables.documents(s, dir))),
+    // BM25 keyword search: scan-side term filter, broadcast idf,
+    // fixed-order float association, TakeOrdered top-k (round-5
+    // addition)
+    "q_bm25_search" -> ((s, dir) => text.Search.bm25Search(Tables.documents(s, dir))),
     "q_fingerprint" -> ((s, dir) => Text.fingerprint(Tables.documents(s, dir))),
     // --- D. Deduplication -------------------------------------------
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
@@ -357,6 +364,8 @@ object SparkEntry {
     "q_text_repetition" -> Text.sqlRepetition,
     "q_text_scrub" -> Text.sqlScrub,
     "q_lang_id" -> Text.sqlLangId,
+    "q_tfidf" -> text.Search.sqlTfidfTop(),
+    "q_bm25_search" -> text.Search.sqlBm25Search(),
     "q_fingerprint" -> Text.sqlFingerprint,
     // q_dedup_minhash / q_dedup_simhash are sketch-based (not
     // SQL-expressible) => rows-only driver gate + ScalaTest invariants.
