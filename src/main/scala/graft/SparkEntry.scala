@@ -39,6 +39,12 @@ object SparkEntry {
     // self-describing so fidelity, not standardization, is the test
     "q_orc_clean" -> ((s, dir) =>
       Retention.cleanLines(graft.sources.Orc.lineitemViaOrc(s, dir))),
+    // Avro ingestion gate (row-oriented wire format, the event-bus/CDC
+    // landing shape): parquet -> Avro -> read, then the valid-line
+    // clean; TIMESTAMP_NTZ survives via local-timestamp-micros
+    // (round-5 addition)
+    "q_avro_clean" -> ((s, dir) =>
+      Retention.cleanLines(graft.sources.Avro.lineitemViaAvro(s, dir))),
     "q_order_rollup" -> ((s, dir) => Retention.orderRollup(Tables.lineitem(s, dir))),
     "q_customer_features" -> ((s, dir) =>
       Retention.customerFeatures(Tables.orders(s, dir), Tables.lineitem(s, dir))),
@@ -126,6 +132,11 @@ object SparkEntry {
     // --- G. Streaming (batch-equivalent form; the readStream path is
     // exercised in ScalaTest with a memory sink) ---------------------
     "q_stream_hourly" -> ((s, dir) => Events.hourlyAgg(Tables.events(s, dir))),
+    // date-partitioned layout gate: events -> Hive-partitioned by
+    // event_date -> pruned range scan (PartitionFilters asserted in
+    // PartitionedSpec); value fidelity vs the unpartitioned oracle
+    // (round-5 addition)
+    "q_partition_prune" -> ((s, dir) => graft.sources.Partitioned.dailyPruned(s, dir)),
     // sliding-window aggregation (each event in window/slide windows;
     // fan-out inside the scan stage, one shuffle) (round-4 addition)
     "q_stream_sliding" -> ((s, dir) => Events.slidingAgg(Tables.events(s, dir))),
@@ -237,6 +248,8 @@ object SparkEntry {
     // same fidelity contract as the CSV round-trip: oracle is the
     // parquet-table query itself
     "q_orc_clean" -> cleanLinesSql,
+    // same fidelity contract again: oracle is the parquet-table query
+    "q_avro_clean" -> cleanLinesSql,
     "q_order_rollup" ->
       s"""SELECT l_orderkey AS orderkey, count(*) AS order_lines,
          |  sum(l_quantity) AS order_qty,
@@ -380,6 +393,7 @@ object SparkEntry {
     "q_media_frames" -> Multimodal.sqlMediaFrames,
     "q_media_resize" -> Multimodal.sqlMediaResize(),
     "q_stream_hourly" -> Events.sqlHourlyAgg,
+    "q_partition_prune" -> graft.sources.Partitioned.sqlDailyPruned(),
     "q_stream_sliding" -> Events.sqlSlidingAgg(),
     "q_corpus_stats" -> Corpus.sqlStats,
     "q_stratified_sample" -> Corpus.sqlStratifiedSample(),

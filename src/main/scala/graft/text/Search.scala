@@ -25,8 +25,10 @@ object Search {
     * keyed shuffle with map-side partial agg; document frequencies
     * roll up from the tf table (vocabulary-sized aggregate — AQE
     * broadcasts it when small, shuffle-joins on token otherwise, and
-    * stop-token df skew is AQE-split); the corpus-size scalar is a
-    * broadcast crossjoin; the final rank window partitions by doc_id,
+    * stop-token df skew is AQE-split); the corpus-size scalar rides a
+    * [[Det.attachScalar]] broadcast hash join onto the vocabulary
+    * table, NOT the data-sized tf table; the final rank window
+    * partitions by doc_id,
     * so no partition exceeds one document's distinct-term count.
     * idf = ln(N/df) ≥ 0, zero for ubiquitous terms — ranking then
     * falls back to token order, deterministically in both engines.
@@ -40,8 +42,7 @@ object Search {
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n"))
     val scored = tf
-      .join(df, Seq("token"))
-      .crossJoin(broadcast(n))
+      .join(Det.attachScalar(df, n), Seq("token"))
       .withColumn("score",
         Det.r(col("tf").cast("double") *
           log(col("n").cast("double") / col("df").cast("double")), 6))
@@ -117,8 +118,8 @@ object Search {
       .filter(col("token").isInCollection(terms))
       .groupBy(col("doc_id"), col("len"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(stats))
+    val idf = Det.attachScalar(
+      tf.groupBy(col("token")).agg(count(lit(1)).as("df")), stats)
       .withColumn("idf",
         log((col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5)) + lit(1.0)))

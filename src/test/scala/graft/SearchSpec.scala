@@ -58,8 +58,10 @@ class SearchSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("tfidf plan: no cartesian (corpus-size scalar is a 1-row broadcast)") {
+  test("tfidf plan: scalar attachment is a broadcast hash join, no cartesian/BNLJ") {
     val plan = planOf(Search.tfidfTop(Tables.documents(spark, sf)))
     assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 }
