@@ -85,6 +85,10 @@ object GraftFunctions {
     GraftSqlBridge.column(
       HyperplaneBuckets(GraftSqlBridge.expression(v), tables, bits, dims))
 
+  /** Column wrapper for [[RepetitionStats]]. */
+  def repetitionStats(tokens: Column): Column =
+    GraftSqlBridge.column(RepetitionStats(GraftSqlBridge.expression(tokens)))
+
   /** Column wrapper for the [[MisraGries]] aggregate. */
   def misraGries(item: Column, k: Int): Column =
     GraftSqlBridge.column(

@@ -249,36 +249,32 @@ object Text {
     * MinHash path. Short docs (no bigrams/trigrams) score 0 via the
     * left join back to the doc list.
     */
+  /** Per-doc repetition signals as a PURE SCAN-SIDE PROJECTION: the
+    * native [[graft.functions.RepetitionStats]] expression computes
+    * all four gram statistics in one local pass per row, so the query
+    * has ZERO exchanges on a real multi-file table (the [[graft.Spread]]
+    * guard only round-robins when a single-file scan under-parallelizes
+    * local runs; the former explode → two gram-table shuffles →
+    * join-back formulation moved ~2× the corpus over the network — for
+    * numbers every row can compute by itself). Division-by-zero
+    * edges (docs under 2/3 tokens) collapse to 0.0 exactly as the
+    * oracle's COALESCE does: 0/0 is null, coalesced before rounding.
+    */
   def repetition(documents: DataFrame): DataFrame = {
-    def grams(n: Int) = {
-      val toks = col("toks")
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - lit(n - 1)),
-          i => struct(lit(n).as("n"),
-            concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*).as("gram"))))
-        .otherwise(array().cast(s"array<struct<n:int,gram:string>>"))
-    }
-    val exploded = graft.Spread(documents)
-      .withColumn("toks", tokens(col("text")))
-      .select(col("doc_id"), explode(concat(grams(2), grams(3))).as("g"))
-      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
-    val agg = exploded
-      .groupBy(col("doc_id"), col("n"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(
-        max(when(col("n") === 2, col("cnt"))).as("top2"),
-        sum(when(col("n") === 2, col("cnt"))).as("tot2"),
-        count(when(col("n") === 3, lit(1))).as("dis3"),
-        sum(when(col("n") === 3, col("cnt"))).as("tot3"))
-    documents.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+    val rs = graft.functions.GraftFunctions.repetitionStats(tokens(col("text")))
+    graft.Spread(documents)
+      .select(col("doc_id"), rs.as("rs"))
       .select(
         col("doc_id"),
-        coalesce(col("tot2"), lit(0L)).cast("long").as("n_bigrams"),
-        Det.r(coalesce(col("top2").cast("double") / col("tot2").cast("double"), lit(0.0)), 6)
-          .as("top_bigram_frac"),
-        Det.r(coalesce(lit(1.0) - col("dis3").cast("double") / col("tot3").cast("double"), lit(0.0)), 6)
-          .as("dup_trigram_frac"))
+        col("rs.tot2").as("n_bigrams"),
+        Det.r(coalesce(
+          col("rs.top2").cast("double") /
+            when(col("rs.tot2") > 0, col("rs.tot2").cast("double")),
+          lit(0.0)), 6).as("top_bigram_frac"),
+        Det.r(coalesce(
+          lit(1.0) - col("rs.dis3").cast("double") /
+            when(col("rs.tot3") > 0, col("rs.tot3").cast("double")),
+          lit(0.0)), 6).as("dup_trigram_frac"))
   }
 
   def sqlRepetition: String = {
