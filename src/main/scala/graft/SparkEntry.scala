@@ -78,6 +78,22 @@ object SparkEntry {
     // PIVOT with an explicit value list (no driver-side distinct-values
     // pass); two-level PivotFirst plan (round-5 addition)
     "q_event_pivot" -> ((s, dir) => Relational.eventPivot(Tables.events(s, dir))),
+    // CDC log->snapshot compaction: one groupBy(max(struct)) shuffle,
+    // never a whole-log window sort (round-5 addition)
+    "q_latest_snapshot" -> ((s, dir) => ops.Temporal.latestSnapshot(Tables.events(s, dir))),
+    // banded interval join: trailing-window attribution as an
+    // equi-join on (user, time band), 2x probe fan-out, exact range
+    // filter inside the join — never a nested-loop range join
+    // (round-5 addition)
+    "q_interval_join" -> ((s, dir) => ops.Temporal.intervalJoin(Tables.events(s, dir))),
+    // per-user spend z-score outliers: exact integer/decimal moments
+    // in one groupBy, stats join back keyed on user (round-5 addition)
+    "q_anomaly" -> ((s, dir) => ops.Outliers.spendOutliers(Tables.events(s, dir))),
+    // daily active users via HLL++ sketch: fixed-size mergeable
+    // accumulator, shuffle carries |days| x sketch bytes; approximate
+    // => rows-only gate + error pin in RelationalSpec (round-5
+    // addition)
+    "q_distinct_approx" -> ((s, dir) => Relational.dailyActiveApprox(Tables.events(s, dir))),
     // ROLLUP computed two-phase: finest-grain agg first, Expand only
     // over the tiny aggregate (round-5 addition)
     "q_revenue_rollup" -> ((s, dir) =>
@@ -97,6 +113,11 @@ object SparkEntry {
     // addition)
     "q_bm25_search" -> ((s, dir) => text.Search.bm25Search(Tables.documents(s, dir))),
     "q_fingerprint" -> ((s, dir) => Text.fingerprint(Tables.documents(s, dir))),
+    // unigram-LM surprisal (perplexity-proxy quality signal): tf
+    // shuffle + vocabulary rollup + broadcast corpus total; per-token
+    // integer micro-nats keep the per-doc sum order-free (round-5
+    // addition)
+    "q_surprisal" -> ((s, dir) => text.LangModel.surprisal(Tables.documents(s, dir))),
     // --- D. Deduplication -------------------------------------------
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramPairs(Tables.documents(s, dir))),
@@ -114,6 +135,9 @@ object SparkEntry {
     "q_knn_brute" -> ((s, dir) => Similarity.bruteKnn(Tables.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => Similarity.lshAnn(Tables.embeddings(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.ivfAnn(Tables.embeddings(s, dir))),
+    // per-label embedding centroids: 64 codegen avg columns over one
+    // shuffle, unpivot on the tiny aggregate (round-5 addition)
+    "q_label_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables.embeddings(s, dir))),
     // --- B. ML pipeline (model-dependent => rows-only gate) ---------
     "q_train_coefficients" -> ((s, dir) => Churn.coefficientTable(s, dir)),
     "q_predict_batch" -> ((s, dir) => Churn.predictBatch(s, dir)),
@@ -341,6 +365,9 @@ object SparkEntry {
          |  CAST(part_cents AS DOUBLE) / 100.0 AS part_revenue
          |FROM rk WHERE "rank" <= 3""".stripMargin,
     "q_asof_join" -> ops.AsOf.sqlAttribution(),
+    "q_latest_snapshot" -> ops.Temporal.sqlLatestSnapshot(),
+    "q_interval_join" -> ops.Temporal.sqlIntervalJoin(),
+    "q_anomaly" -> ops.Outliers.sqlSpendOutliers(),
     "q_event_pivot" -> Relational.sqlEventPivot(),
     "q_revenue_rollup" -> Relational.sqlRevenueRollup(),
     "q_funnel" -> Relational.sqlFunnel(),
@@ -378,6 +405,7 @@ object SparkEntry {
     "q_text_scrub" -> Text.sqlScrub,
     "q_lang_id" -> Text.sqlLangId,
     "q_tfidf" -> text.Search.sqlTfidfTop(),
+    "q_surprisal" -> text.LangModel.sqlSurprisal(),
     "q_bm25_search" -> text.Search.sqlBm25Search(),
     "q_fingerprint" -> Text.sqlFingerprint,
     // q_dedup_minhash / q_dedup_simhash are sketch-based (not
@@ -389,6 +417,7 @@ object SparkEntry {
     // q_ann_lsh / q_ann_ivf are approximate => rows-only driver gate +
     // recall-vs-brute ScalaTest.
     "q_knn_brute" -> Similarity.sqlBruteKnn(),
+    "q_label_centroids" -> Similarity.sqlLabelCentroids(),
     "q_media_meta" -> Multimodal.sqlMediaMeta,
     "q_media_frames" -> Multimodal.sqlMediaFrames,
     "q_media_resize" -> Multimodal.sqlMediaResize(),

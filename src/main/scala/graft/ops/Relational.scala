@@ -336,4 +336,22 @@ object Relational {
         ((datediff(col("week"), col("cohort_week"))) / 7).cast("int").as("week_offset"),
         col("n_users"))
   }
+
+  /** Daily active users via HLL++ (`approx_count_distinct`) — the
+    * sketch path for the highest-volume recurring question a 100 TB
+    * event store answers. An exact `countDistinct(user_id)` per day
+    * must shuffle every distinct (day, user) pair; the HLL sketch is
+    * a fixed ~kilobytes-per-day accumulator that partial-aggregates
+    * map-side and MERGES across partitions, so the shuffle carries
+    * |days| × sketch_size regardless of user cardinality — and
+    * sketches for (day) roll up to (week, month) without rescanning.
+    * Approximate (relative error ≈ `rsd`) ⇒ rows-only driver gate;
+    * RelationalSpec pins the per-day error against the exact count.
+    */
+  def dailyActiveApprox(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        count(lit(1)).as("n_events"))
 }

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Det
+
+/** Temporal log operators beyond the as-of join ([[AsOf]]): CDC-style
+  * snapshot compaction and the banded interval join. Both exist
+  * because their naive formulations are the two classic temporal
+  * scale-killers — a whole-log window sort, and a nested-loop range
+  * join.
+  */
+object Temporal {
+
+  /** Latest-state snapshot of the event log: one row per user carrying
+    * that user's most recent event — the CDC log→table compaction /
+    * upsert-materialization shape (reference serve_api.py scores the
+    * CURRENT state of a customer; this is how that state table is
+    * derived from an append-only log).
+    *
+    * Plan: a single `groupBy(user_id).agg(max(struct(...)))` — one
+    * keyed shuffle with MAP-SIDE PARTIAL aggregation, so every map
+    * task forwards at most ONE candidate row per user it saw
+    * (asserted in TemporalSpec: `partial_max` below the only
+    * Exchange). The textbook `row_number() = 1` formulation SHUFFLES
+    * THE ENTIRE LOG and sorts it per user; here the network carries a
+    * per-user-per-task constant. Cost note: a struct is not a
+    * mutable aggregation-buffer type, so Spark plans SortAggregate —
+    * each scan partition locally sorts by the bare grouping key
+    * before folding. That CPU cost is the price of the one-pass form;
+    * the alternative that keeps HashAggregate (pack (ts_ms, event_id)
+    * into a decimal(38,0), then join winners back to the log by
+    * event_id) re-shuffles the full log for the fetch join, which
+    * loses at 100 TB. The struct compares lexicographically on
+    * (ts_ms, event_id); event_id is unique, so the winning row —
+    * hence every emitted column — is determined by a total order.
+    */
+  def latestSnapshot(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        struct(
+          unix_millis(col("ts")).as("ts_ms"),
+          col("event_id"),
+          col("event_type"),
+          col("value")).as("st"))
+      .groupBy(col("user_id"))
+      .agg(max(col("st")).as("st"), count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("st.ts_ms").as("ts_ms"),
+        col("st.event_id").as("event_id"),
+        col("st.event_type").as("event_type"),
+        Det.r(col("st.value"), 2).as("value"),
+        col("n_events"))
+
+  /** DuckDB oracle: the independent rank-based formulation. */
+  def sqlLatestSnapshot(): String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |         epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+      |  FROM events
+      |), r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts_ms DESC, event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_events
+      |  FROM e
+      |)
+      |SELECT user_id, ts_ms, event_id, event_type,
+      |  floor(value * 100.0 + 0.5) / 100.0 AS value,
+      |  CAST(n_events AS BIGINT) AS n_events
+      |FROM r WHERE rn = 1""".stripMargin
+
+  /** Banded interval join: every (purchase, click) pair of the same
+    * user with the click inside the trailing `windowMinutes` before
+    * the purchase — windowed attribution keeping ALL touches, where
+    * [[AsOf.attribution]] keeps only the last.
+    *
+    * A direct range join has no equi-key, so Spark plans a nested
+    * loop — quadratic per user and a BNLJ across users. Banding makes
+    * it an EQUI-join: clicks key by their `windowMs`-wide time band
+    * (`ts DIV windowMs`); a trailing window of the same width overlaps
+    * at most 2 bands, so the purchase side fans out exactly 2× inside
+    * the scan stage (explode of a 2-element array — no extra pass),
+    * both sides shuffle once on (user_id, band), and the exact range
+    * predicate filters inside the join. Join volume is bounded by
+    * true matches plus same-band near-misses — never
+    * |clicks|×|purchases|. Verified BNLJ/cartesian-free in
+    * PlanHardeningSpec's net.
+    */
+  def intervalJoin(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val windowMs = windowMinutes * 60000L
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+        col("event_id").as("click_id"),
+        unix_millis(col("ts")).as("click_ms"))
+      .withColumn("band", expr(s"click_ms DIV ${windowMs}L"))
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        col("event_id").as("purchase_id"),
+        unix_millis(col("ts")).as("purchase_ms"))
+      .withColumn("band",
+        explode(array(
+          expr(s"purchase_ms DIV ${windowMs}L") - lit(1L),
+          expr(s"purchase_ms DIV ${windowMs}L"))))
+    purchases
+      .join(clicks, Seq("user_id", "band"))
+      .filter(col("click_ms") >= col("purchase_ms") - lit(windowMs) &&
+        col("click_ms") < col("purchase_ms"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (col("purchase_ms") - col("click_ms")).as("lag_ms"))
+  }
+
+  /** DuckDB oracle: the plain inequality join (fine at oracle scale). */
+  def sqlIntervalJoin(windowMinutes: Int = 30): String = {
+    val windowMs = windowMinutes * 60000L
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type,
+       |         epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+       |  FROM events
+       |), c AS (
+       |  SELECT user_id, event_id AS click_id, ts_ms AS click_ms
+       |  FROM e WHERE event_type = 'click'
+       |), p AS (
+       |  SELECT user_id, event_id AS purchase_id, ts_ms AS purchase_ms
+       |  FROM e WHERE event_type = 'purchase'
+       |)
+       |SELECT p.user_id, purchase_id, click_id,
+       |  purchase_ms - click_ms AS lag_ms
+       |FROM p JOIN c ON p.user_id = c.user_id
+       | AND click_ms >= purchase_ms - $windowMs
+       | AND click_ms < purchase_ms""".stripMargin
+  }
+}

@@ -207,6 +207,51 @@ object Similarity {
     rankTopK(pairs, e, nQueries, k)
   }
 
+  /** Per-label embedding centroids — the bridge between the vector
+    * table and everything that consumes cluster/class prototypes (IVF
+    * seeding, drift monitoring per slice, class-mean classifiers).
+    *
+    * Plan: `dim` independent `avg` aggregate columns (plain codegen
+    * aggregates with partial aggregation) over ONE groupBy(label)
+    * shuffle — each map task forwards `dim` doubles + a count per
+    * label, never the vectors. The long-format unpivot (explode of a
+    * literal struct array) runs over the ≤|labels|-row aggregate,
+    * where the `dim`× replication is free. Double-accumulated float
+    * sums differ across summation orders at ~1e-13 relative; the 6-dp
+    * display rounding absorbs that (same policy as every other
+    * transcendental/accumulation output).
+    */
+  def labelCentroids(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val avgs = (0 until dim).map(i => avg(col("embedding")(i).cast("double")).as(s"m$i"))
+    val wide = embeddings
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), avgs: _*)
+    val dimRows = (0 until dim).map(i =>
+      struct(lit(i).cast("long").as("dim"), Det.r(col(s"m$i"), 6).as("mean")))
+    wide
+      .select(col("label").cast("long").as("label"), col("n"),
+        explode(array(dimRows: _*)).as("d"))
+      .select(col("label"), col("d.dim").as("dim"), col("n"), col("d.mean").as("mean"))
+  }
+
+  /** DuckDB oracle: 64 avg columns on the tiny aggregate, unpivoted
+    * via UNION ALL (1-based list indexing on the DuckDB side).
+    */
+  def sqlLabelCentroids(dim: Int = 64): String = {
+    val avgs = (0 until dim)
+      .map(i => s"avg(CAST(embedding[${i + 1}] AS DOUBLE)) AS m$i")
+      .mkString(",\n    ")
+    val arms = (0 until dim).map(i =>
+      s"SELECT label, CAST($i AS BIGINT) AS dim, n, floor(m$i * 1000000.0 + 0.5) / 1000000.0 AS mean FROM wide")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wide AS (
+       |  SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+       |    $avgs
+       |  FROM embeddings GROUP BY 1
+       |)
+       |$arms""".stripMargin
+  }
+
   /** Re-score candidate pairs exactly and keep the top k per query. */
   private def rankTopK(pairs: DataFrame, e: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val qs = e.filter(col("vec_id") < nQueries)

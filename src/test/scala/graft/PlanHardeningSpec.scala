@@ -53,7 +53,8 @@ class PlanHardeningSpec extends SparkSpec {
     // exactly the documented model-dependent / sketch-based set
     assert(rowsOnly === mlQueries ++ Set(
       "q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf",
-      "q_dedup_embedding_lsh", "q_corpus_stats_approx", "q_media_features"))
+      "q_dedup_embedding_lsh", "q_corpus_stats_approx", "q_media_features",
+      "q_distinct_approx"))
   }
 
   private lazy val emptyDocs = spark.createDataFrame(

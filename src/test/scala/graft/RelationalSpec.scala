@@ -236,4 +236,21 @@ class RelationalSpec extends SparkSpec {
     assert(lines.drop(expandIdx + 1).exists(_.contains("Aggregate")),
       "Expand must run over the pre-aggregated frame, not the raw join")
   }
+
+  test("dailyActiveApprox: per-day HLL estimate within 10% of exact; event counts exact; no Expand") {
+    val events = Tables.events(spark, sf)
+    val approx = Relational.dailyActiveApprox(events)
+    val exact = events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id")).as("exact_users"), count(lit(1)).as("n_exact"))
+    val j = approx.join(exact, "day").collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      val (a, ex) = (r.getLong(1), r.getLong(3))
+      assert(math.abs(a - ex).toDouble / ex <= 0.10, s"day ${r.getString(0)}: $a vs $ex")
+      assert(r.getLong(2) === r.getLong(4), s"day ${r.getString(0)}: inexact event count")
+    }
+    // the sketch path must not plan the countDistinct Expand
+    assert(!planOf(approx).contains("Expand"))
+  }
 }

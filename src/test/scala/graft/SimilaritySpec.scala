@@ -108,4 +108,22 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L))
   }
+
+  test("labelCentroids equals the posexplode formulation; counts partition the table") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+    val got = Similarity.labelCentroids(e)
+    val ref = e
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), graft.Det.r(avg(col("v").cast("double")), 6).as("mean"))
+      .select("label", "dim", "n", "mean")
+    assert(got.collect().map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
+    // every label emits exactly 64 dims, and the dim-0 counts sum to
+    // the table size
+    val perLabel = got.groupBy("label").count().collect()
+    assert(perLabel.nonEmpty && perLabel.forall(_.getLong(1) === 64L))
+    assert(got.filter(col("dim") === 0).agg(sum("n")).head().getLong(0) === e.count())
+  }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Temporal
+
+class TemporalSpec extends SparkSpec {
+
+  test("latestSnapshot: hand-built log pins the winner and the equal-ms tie-break") {
+    import spark.implicits._
+    // user 1: later ts wins; user 2: equal-ms events, higher event_id
+    // wins (the struct's lexicographic (ts_ms, event_id) order)
+    val ev = Seq(
+      (1L, 1L, 1000L, "click", 1.0), (2L, 1L, 2000L, "purchase", 2.5),
+      (3L, 2L, 5000L, "view", 0.0), (4L, 2L, 5000L, "error", 9.99))
+      .toDF("event_id", "user_id", "ts_ms", "event_type", "value")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val got = Temporal.latestSnapshot(ev).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4), r.getLong(5))))
+      .toMap
+    assert(got === Map(
+      1L -> ((2000L, 2L, "purchase", 2.5, 2L)),
+      2L -> ((5000L, 4L, "error", 9.99, 2L))))
+  }
+
+  test("latestSnapshot equals the window-rank formulation on real events") {
+    val events = Tables.events(spark, sf)
+    val snap = Temporal.latestSnapshot(events)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms").desc, col("event_id").desc)
+    val ref = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_events", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"),
+        Det.r(col("value"), 2).as("value"), col("n_events"))
+    assert(snap.collect().map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
+    assert(snap.count() > 0)
+  }
+
+  test("latestSnapshot plan: one shuffle, fed by a map-side partial aggregate") {
+    val plan = planOf(Temporal.latestSnapshot(Tables.events(spark, sf)))
+    val shuffles = "Exchange".r.findAllIn(plan).length
+    assert(shuffles === 1, s"expected exactly one keyed shuffle, got $shuffles:\n$plan")
+    // the scale contract vs row_number(): the log is reduced BEFORE
+    // the exchange — at most one candidate per user per map task
+    assert(plan.contains("partial_max"),
+      s"no map-side partial aggregation before the shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"must not fall back to a window formulation:\n$plan")
+  }
+
+  test("intervalJoin: band-edge cases — inclusive lower bound, strict upper, cross-user isolation") {
+    import spark.implicits._
+    // purchase @3_600_000, trailing window [1_800_000, 3_600_000):
+    val ev = Seq(
+      (1L, 1L, 1800000L, "click"), // exactly at the lower bound -> IN
+      (2L, 1L, 1799999L, "click"), // just below -> OUT
+      (3L, 1L, 3599999L, "click"), // just before the purchase -> IN
+      (4L, 1L, 3600000L, "click"), // same ms as the purchase -> OUT (strict)
+      (5L, 2L, 3599000L, "click"), // other user -> OUT
+      (6L, 1L, 3600000L, "purchase"))
+      .toDF("event_id", "user_id", "ts_ms", "event_type")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val got = Temporal.intervalJoin(ev)
+      .select("click_id", "lag_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 1800000L), (3L, 1L)))
+  }
+
+  test("intervalJoin equals the naive range join on real events; plan has no BNLJ") {
+    val events = Tables.events(spark, sf)
+    val got = Temporal.intervalJoin(events)
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_millis(col("ts")).as("click_ms"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        unix_millis(col("ts")).as("purchase_ms"))
+    val naive = p.join(c, col("pu") === col("user_id") &&
+        col("click_ms") >= col("purchase_ms") - lit(1800000L) &&
+        col("click_ms") < col("purchase_ms"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (col("purchase_ms") - col("click_ms")).as("lag_ms"))
+    assert(got.collect().map(_.toSeq).toSet === naive.collect().map(_.toSeq).toSet)
+    assert(got.count() > 0)
+    val plan = planOf(got)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"banded interval join must stay an equi-join:\n$plan")
+  }
+}
