@@ -89,6 +89,14 @@ object SparkEntry {
     // per-user spend z-score outliers: exact integer/decimal moments
     // in one groupBy, stats join back keyed on user (round-5 addition)
     "q_anomaly" -> ((s, dir) => ops.Outliers.spendOutliers(Tables.events(s, dir))),
+    // SCD-2 validity intervals from the CDC log: lead() per user, one
+    // shuffle; open rows carry a -1 sentinel, never NULL (round-5
+    // addition)
+    "q_scd2" -> ((s, dir) => ops.Temporal.scd2(Tables.events(s, dir))),
+    // two-cutoff snapshot diff in ONE scan + ONE groupBy (conditional
+    // struct-maxes); oracle is the independent two-rank-CTE + left
+    // join formulation (round-5 addition)
+    "q_snapshot_diff" -> ((s, dir) => ops.Temporal.snapshotDiff(Tables.events(s, dir))),
     // daily active users via HLL++ sketch: fixed-size mergeable
     // accumulator, shuffle carries |days| x sketch bytes; approximate
     // => rows-only gate + error pin in RelationalSpec (round-5
@@ -180,6 +188,10 @@ object SparkEntry {
     // per-lang aggregate, broadcast, pure scan-side predicate
     // (round-3 addition)
     "q_token_budget_mix" -> ((s, dir) => Corpus.tokenBudgetSample(Tables.documents(s, dir))),
+    // exact k-per-language sample ordered by a PORTABLE hash (md5 of
+    // the doc_id string), two-phase rank so the dominant language
+    // never sorts in one window task (round-5 addition)
+    "q_group_sample" -> ((s, dir) => Corpus.groupSample(Tables.documents(s, dir))),
     // --- Round-4 additions ------------------------------------------
     // benchmark decontamination: shared-shingle report + kept corpus
     // (eval shingle set broadcasts; corpus never shuffles by shingle)
@@ -367,6 +379,8 @@ object SparkEntry {
     "q_asof_join" -> ops.AsOf.sqlAttribution(),
     "q_latest_snapshot" -> ops.Temporal.sqlLatestSnapshot(),
     "q_interval_join" -> ops.Temporal.sqlIntervalJoin(),
+    "q_scd2" -> ops.Temporal.sqlScd2(),
+    "q_snapshot_diff" -> ops.Temporal.sqlSnapshotDiff(),
     "q_anomaly" -> ops.Outliers.sqlSpendOutliers(),
     "q_event_pivot" -> Relational.sqlEventPivot(),
     "q_revenue_rollup" -> Relational.sqlRevenueRollup(),
@@ -428,6 +442,7 @@ object SparkEntry {
     "q_stratified_sample" -> Corpus.sqlStratifiedSample(),
     "q_corpus_curation" -> Corpus.sqlCurate(),
     "q_token_budget_mix" -> Corpus.sqlTokenBudgetSample(),
+    "q_group_sample" -> Corpus.sqlGroupSample(),
     "q_contamination" -> Dedup.sqlContamination(),
     "q_decontaminate" -> Dedup.sqlDecontaminate(),
     "q_pack_sequences" -> Corpus.sqlPackSequences(),

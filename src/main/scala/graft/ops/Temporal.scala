@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Det
@@ -113,6 +114,93 @@ object Temporal {
       .select(col("user_id"), col("purchase_id"), col("click_id"),
         (col("purchase_ms") - col("click_ms")).as("lag_ms"))
   }
+
+  /** SCD-2 history build: each event becomes a validity interval
+    * [valid_from_ms, valid_to_ms) closed by the user's next event —
+    * the slowly-changing-dimension table a warehouse derives from a
+    * CDC log. One shuffle+sort on user_id (`lead` window); the sort
+    * is per-user history, the partition key bounds it. The open
+    * (current) row carries valid_to_ms = -1 — a sentinel rather than
+    * NULL so downstream range predicates and the oracle hash never
+    * meet engine-specific NULL ordering.
+    */
+  def scd2(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("valid_to_ms", coalesce(lead(col("ts_ms"), 1).over(w), lit(-1L)))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_ms").as("valid_from_ms"), col("valid_to_ms"),
+        (col("valid_to_ms") === -1L).as("is_current"))
+  }
+
+  def sqlScd2(): String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |         epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+      |  FROM events
+      |)
+      |SELECT user_id, event_id, event_type,
+      |  ts_ms AS valid_from_ms,
+      |  coalesce(lead(ts_ms) OVER (PARTITION BY user_id
+      |                             ORDER BY ts_ms, event_id), -1) AS valid_to_ms,
+      |  coalesce(lead(ts_ms) OVER (PARTITION BY user_id
+      |                             ORDER BY ts_ms, event_id), -1) = -1 AS is_current
+      |FROM e""".stripMargin
+
+  /** Snapshot diff between two cutoffs t1 < t2: per user, the state
+    * change between "latest event at-or-before t1" and "… t2" —
+    * added / changed / unchanged (an append-only log cannot delete).
+    * The audit query behind incremental-materialization correctness
+    * checks ("what did the last day of log do to the state table?").
+    *
+    * Plan: ONE scan and ONE groupBy — both snapshots come from
+    * conditional struct-maxes (`max(when(ts <= t, st))`) in the same
+    * aggregate, so the log is read once and never joined against
+    * itself; the oracle formulation (two rank CTEs + left join) is
+    * deliberately independent.
+    */
+  def snapshotDiff(events: DataFrame, t1Ms: Long = 1705363200000L, // 2024-01-16 UTC
+      t2Ms: Long = 1706745600000L /* 2024-02-01 UTC */): DataFrame = {
+    require(t1Ms < t2Ms, "snapshotDiff needs t1 < t2")
+    val st = struct(col("ts_ms"), col("event_id"))
+    val agg = events
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("ts_ms") <= t1Ms, st)).as("a"),
+        max(when(col("ts_ms") <= t2Ms, st)).as("b"))
+      .filter(col("b").isNotNull) // user has no events by t2 => absent from both
+    agg.select(
+      col("user_id"),
+      when(col("a").isNull, lit("added"))
+        .when(col("a.event_id") =!= col("b.event_id"), lit("changed"))
+        .otherwise(lit("unchanged")).as("status"),
+      coalesce(col("a.event_id"), lit(-1L)).as("old_event_id"),
+      col("b.event_id").as("new_event_id"))
+  }
+
+  def sqlSnapshotDiff(t1Ms: Long = 1705363200000L, t2Ms: Long = 1706745600000L): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events
+       |), r1 AS (
+       |  SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+       |           ORDER BY ts_ms DESC, event_id DESC) AS rn
+       |  FROM e WHERE ts_ms <= $t1Ms
+       |), r2 AS (
+       |  SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+       |           ORDER BY ts_ms DESC, event_id DESC) AS rn
+       |  FROM e WHERE ts_ms <= $t2Ms
+       |), s1 AS (SELECT user_id, event_id FROM r1 WHERE rn = 1),
+       |   s2 AS (SELECT user_id, event_id FROM r2 WHERE rn = 1)
+       |SELECT s2.user_id,
+       |  CASE WHEN s1.user_id IS NULL THEN 'added'
+       |       WHEN s1.event_id <> s2.event_id THEN 'changed'
+       |       ELSE 'unchanged' END AS status,
+       |  coalesce(s1.event_id, -1) AS old_event_id,
+       |  s2.event_id AS new_event_id
+       |FROM s2 LEFT JOIN s1 ON s2.user_id = s1.user_id""".stripMargin
 
   /** DuckDB oracle: the plain inequality join (fine at oracle scale). */
   def sqlIntervalJoin(windowMinutes: Int = 30): String = {

@@ -423,6 +423,50 @@ object Corpus {
        |HAVING count(*) * $t > tot.n""".stripMargin
   }
 
+  /** Exact k-docs-per-language sample — the fixed-size counterpart of
+    * [[stratifiedSample]]'s rate predicate (eval sets, human-review
+    * batches, per-slice debugging need exactly-k, not ≈rate).
+    *
+    * Selection order is a PORTABLE deterministic hash — md5 of the
+    * decimal doc_id string (same bytes in any engine), never
+    * xxhash64/rand (Spark-internal / nondeterministic) — so the
+    * chosen set is stable across engines and runs, and any id-range
+    * correlation in the data (doc_id ordered by crawl date) can't
+    * bias it the way `doc_id % q` can.
+    *
+    * Scale: the same two-phase exact top-k as [[ngramVocab]] — rank
+    * inside (lang, internal-hash bucket) first and only the
+    * ≤ buckets·k survivors rank per language, so the dominant
+    * language never sorts in one window task. The bucket key may be
+    * Spark-internal (it only PRUNES — a doc in the language's global
+    * hash-order top-k is in its bucket's top-k a fortiori); the
+    * decisive order is the portable md5.
+    */
+  def groupSample(documents: DataFrame, k: Int = 25, buckets: Int = 16): DataFrame = {
+    val keyed = documents.select(col("doc_id"), col("lang"), col("source"),
+      md5(col("doc_id").cast("string").cast("binary")).as("h"))
+    val wBucket = Window
+      .partitionBy(col("lang"), pmod(xxhash64(col("doc_id")), lit(buckets)))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    val w = Window.partitionBy(col("lang")).orderBy(col("h").asc, col("doc_id").asc)
+    keyed
+      .withColumn("brk", row_number().over(wBucket))
+      .filter(col("brk") <= k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("doc_id"), col("source"))
+  }
+
+  def sqlGroupSample(k: Int = 25): String =
+    s"""WITH r AS (
+       |  SELECT lang, doc_id, source,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+       |  FROM documents
+       |)
+       |SELECT lang, CAST(rn AS BIGINT) AS "rank", doc_id, source
+       |FROM r WHERE rn <= $k""".stripMargin
+
   def sqlCurate(
       qualityTau: Double = 0.6,
       allowedLangs: Seq[String] = Seq("en", "es", "de", "zh"),

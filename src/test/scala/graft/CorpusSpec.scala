@@ -148,4 +148,25 @@ class CorpusSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept.subsetOf(noDedup))
   }
+
+  test("groupSample: exactly k per language (or the whole slice), equal to the one-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+    val k = 7
+    val got = Corpus.groupSample(docs, k = k)
+    // per-language count = min(k, slice size)
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotSizes = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotSizes === sizes.map { case (l, n) => l -> math.min(k.toLong, n) })
+    // the two-phase prune is lossless vs the single-window rank
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")).asc, col("doc_id").asc)
+    val ref = docs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("doc_id"), col("source"))
+    assert(got.collect().map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
+  }
 }

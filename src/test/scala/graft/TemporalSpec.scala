@@ -70,6 +70,71 @@ class TemporalSpec extends SparkSpec {
     assert(got === Set((1L, 1800000L), (3L, 1L)))
   }
 
+  test("scd2: intervals tile each user's timeline — no gaps, no overlaps, one open row") {
+    val out = Temporal.scd2(Tables.events(spark, sf))
+    val users = out.select("user_id").distinct().count()
+    // exactly one open (current) row per user
+    assert(out.filter(col("is_current")).count() === users)
+    assert(out.filter(col("is_current") =!= (col("valid_to_ms") === -1L)).count() === 0)
+    // closed intervals are non-empty-or-zero-length and chain exactly:
+    // each closed row's valid_to equals SOME row's valid_from for the
+    // same user, and closed rows never extend past the successor
+    assert(out.filter(!col("is_current") && col("valid_to_ms") < col("valid_from_ms")).count() === 0)
+    val next = out.select(col("user_id").as("u"), col("valid_from_ms").as("vf"))
+    val dangling = out.filter(!col("is_current"))
+      .join(next, col("user_id") === col("u") && col("valid_to_ms") === col("vf"), "left_anti")
+    assert(dangling.count() === 0)
+    // row conservation: one interval per event
+    assert(out.count() === Tables.events(spark, sf).count())
+  }
+
+  test("snapshotDiff: hand-built log pins added/changed/unchanged") {
+    import spark.implicits._
+    // t1 = 10_000, t2 = 20_000
+    // user 1: events at 5_000 and 15_000 -> changed
+    // user 2: first event at 12_000 -> added
+    // user 3: only event at 3_000 -> unchanged
+    // user 4: only event at 25_000 -> absent (no state by t2)
+    val ev = Seq(
+      (1L, 1L, 5000L), (2L, 1L, 15000L),
+      (3L, 2L, 12000L),
+      (4L, 3L, 3000L),
+      (5L, 4L, 25000L))
+      .toDF("event_id", "user_id", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val got = Temporal.snapshotDiff(ev, t1Ms = 10000L, t2Ms = 20000L).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> (("changed", 1L, 2L)),
+      2L -> (("added", -1L, 3L)),
+      3L -> (("unchanged", 4L, 4L))))
+  }
+
+  test("snapshotDiff agrees with two latestSnapshots on real events; one scan, one shuffle") {
+    val events = Tables.events(spark, sf)
+    val (t1, t2) = (1705363200000L, 1706745600000L)
+    val diff = Temporal.snapshotDiff(events, t1, t2)
+    def snapAt(t: Long) =
+      Temporal.latestSnapshot(events.filter(unix_millis(col("ts")) <= t))
+        .select(col("user_id"), col("event_id"))
+    val s1 = snapAt(t1).withColumnRenamed("event_id", "old_id")
+    val s2 = snapAt(t2).withColumnRenamed("event_id", "new_id")
+    val ref = s2.join(s1, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("old_id").isNull, lit("added"))
+          .when(col("old_id") =!= col("new_id"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        coalesce(col("old_id"), lit(-1L)).as("old_event_id"),
+        col("new_id").as("new_event_id"))
+    assert(diff.collect().map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
+    assert(diff.count() > 0)
+    // plan properties on a FRESH (unexecuted) frame — an executed AQE
+    // plan prints initial+final sections and double-counts nodes
+    val plan = planOf(Temporal.snapshotDiff(events, t1, t2))
+    assert("Exchange".r.findAllIn(plan).length === 1, s"diff must be one shuffle:\n$plan")
+    assert("FileScan".r.findAllIn(plan).length === 1, s"diff must scan the log once:\n$plan")
+  }
+
   test("intervalJoin equals the naive range join on real events; plan has no BNLJ") {
     val events = Tables.events(spark, sf)
     val got = Temporal.intervalJoin(events)
