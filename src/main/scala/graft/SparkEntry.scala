@@ -107,6 +107,9 @@ object SparkEntry {
     "q_revenue_rollup" -> ((s, dir) =>
       Relational.revenueRollup(Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir))),
+    // fixed-width price histogram: integer-exact bucket cut, one scan,
+    // share via a bounded constKey window (round-5 addition)
+    "q_histogram" -> ((s, dir) => Relational.priceHistogram(Tables.lineitem(s, dir))),
     // --- C. Text analysis -------------------------------------------
     "q_token_stats" -> ((s, dir) => Text.tokenStats(Tables.documents(s, dir))),
     "q_text_quality" -> ((s, dir) => Text.quality(Tables.documents(s, dir))),
@@ -192,6 +195,10 @@ object SparkEntry {
     // the doc_id string), two-phase rank so the dominant language
     // never sorts in one window task (round-5 addition)
     "q_group_sample" -> ((s, dir) => Corpus.groupSample(Tables.documents(s, dir))),
+    // RAG-style overlapping token-window chunking: pure scan-side
+    // fan-out (sequence+explode+slice), no shuffle/window/join
+    // (round-5 addition)
+    "q_chunk" -> ((s, dir) => Corpus.chunk(Tables.documents(s, dir))),
     // --- Round-4 additions ------------------------------------------
     // benchmark decontamination: shared-shingle report + kept corpus
     // (eval shingle set broadcasts; corpus never shuffles by shingle)
@@ -384,6 +391,7 @@ object SparkEntry {
     "q_anomaly" -> ops.Outliers.sqlSpendOutliers(),
     "q_event_pivot" -> Relational.sqlEventPivot(),
     "q_revenue_rollup" -> Relational.sqlRevenueRollup(),
+    "q_histogram" -> Relational.sqlPriceHistogram(),
     "q_funnel" -> Relational.sqlFunnel(),
     "q_rolling_features" -> Relational.sqlRollingUserStats(),
     "q_sessionize" ->
@@ -443,6 +451,7 @@ object SparkEntry {
     "q_corpus_curation" -> Corpus.sqlCurate(),
     "q_token_budget_mix" -> Corpus.sqlTokenBudgetSample(),
     "q_group_sample" -> Corpus.sqlGroupSample(),
+    "q_chunk" -> Corpus.sqlChunk(),
     "q_contamination" -> Dedup.sqlContamination(),
     "q_decontaminate" -> Dedup.sqlDecontaminate(),
     "q_pack_sequences" -> Corpus.sqlPackSequences(),

@@ -337,6 +337,44 @@ object Relational {
         col("n_users"))
   }
 
+  /** Fixed-width value histogram over line net prices with
+    * share-of-total — the profiling/reporting staple. Bucketing is
+    * INTEGER arithmetic end to end (cents DIV width-in-cents), so the
+    * bucket cut is exact and identical in both engines — a double
+    * `floor(price/width)` could land a boundary value differently.
+    * One scan + one tiny groupBy (≤ price-range/width rows); the
+    * grand total is a [[Det.constKey]]-partitioned window over the
+    * BUCKET table (bounded rows — an attachScalar here would plan the
+    * fact scan twice, once per branch).
+    */
+  def priceHistogram(lineitem: DataFrame, widthCents: Long = 50000L): DataFrame = {
+    val buckets = lineitem
+      .select(Det.cents(col("l_extendedprice")).as("cents"))
+      .select(expr(s"cents DIV $widthCents").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(Det.constKey(col("bucket")))
+    buckets
+      .withColumn("total", sum(col("n")).over(w))
+      .select(
+        col("bucket"),
+        Det.fromCents(col("bucket") * widthCents).as("lo"),
+        col("n"),
+        Det.r(col("n").cast("double") / col("total").cast("double"), 6).as("share"))
+  }
+
+  def sqlPriceHistogram(widthCents: Long = 50000L): String =
+    s"""WITH b AS (
+       |  SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) // $widthCents AS bucket,
+       |         count(*) AS n
+       |  FROM lineitem GROUP BY 1
+       |), t AS (SELECT sum(n) AS total FROM b)
+       |SELECT bucket,
+       |  CAST(bucket * $widthCents AS DOUBLE) / 100.0 AS lo,
+       |  CAST(n AS BIGINT) AS n,
+       |  floor(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS share
+       |FROM b, t""".stripMargin
+
   /** Daily active users via HLL++ (`approx_count_distinct`) — the
     * sketch path for the highest-volume recurring question a 100 TB
     * event store answers. An exact `countDistinct(user_id)` per day

@@ -467,6 +467,55 @@ object Corpus {
        |SELECT lang, CAST(rn AS BIGINT) AS "rank", doc_id, source
        |FROM r WHERE rn <= $k""".stripMargin
 
+  /** Overlapping token-window chunking — the retrieval/embedding
+    * layout step (RAG pipelines index fixed-size overlapping chunks,
+    * not whole documents). Chunk starts are every `stride` tokens
+    * while < n_tokens, each chunk spanning ≤ `chunkTokens` tokens
+    * (trailing chunks run short, never dropped).
+    *
+    * Scale shape: pure SCAN-SIDE fan-out — tokens materialized once
+    * per doc, starts generated by `sequence()` + explode inside the
+    * scan stage, chunk content by `slice` on the materialized array.
+    * No shuffle, no window, no join: the operator is
+    * embarrassingly parallel at any scale, like [[packSequences]]'s
+    * fan-out half. Chunk identity = portable md5 of the
+    * space-joined token slice (what a downstream embedder/indexer
+    * would key on).
+    */
+  def chunk(documents: DataFrame, chunkTokens: Int = 64, stride: Int = 32): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    documents
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("start", explode(sequence(lit(0L), col("n_tokens") - 1L, lit(stride.toLong))))
+      .select(
+        col("doc_id"),
+        expr(s"start DIV $stride").as("chunk_id"),
+        col("start").as("start_tok"),
+        size(slice(col("toks"), (col("start") + 1L).cast("int"), lit(chunkTokens)))
+          .cast("long").as("chunk_len"),
+        md5(array_join(slice(col("toks"), (col("start") + 1L).cast("int"), lit(chunkTokens)), " ")
+          .cast("binary")).as("chunk_md5"))
+  }
+
+  def sqlChunk(chunkTokens: Int = 64, stride: Int = 32): String = {
+    val toks = Text.sqlTokens("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks FROM documents
+       |), n AS (
+       |  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+       |), s AS (
+       |  SELECT doc_id, toks, unnest(range(0, n, $stride)) AS start FROM n
+       |)
+       |SELECT doc_id,
+       |  CAST(start // $stride AS BIGINT) AS chunk_id,
+       |  CAST(start AS BIGINT) AS start_tok,
+       |  CAST(len(toks[start + 1 : start + $chunkTokens]) AS BIGINT) AS chunk_len,
+       |  md5(array_to_string(toks[start + 1 : start + $chunkTokens], ' ')) AS chunk_md5
+       |FROM s""".stripMargin
+  }
+
   def sqlCurate(
       qualityTau: Double = 0.6,
       allowedLangs: Seq[String] = Seq("en", "es", "de", "zh"),

@@ -169,4 +169,37 @@ class CorpusSpec extends SparkSpec {
       .select(col("lang"), col("rank"), col("doc_id"), col("source"))
     assert(got.collect().map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
   }
+
+  test("chunk: hand-built doc pins starts, trailing short chunks, and chunk identity") {
+    import spark.implicits._
+    // 5 tokens, chunk=4, stride=2 -> starts 0,2,4 with lens 4,3,1
+    val docs = Seq((1L, "t0 t1 t2 t3 t4"), (2L, ""))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val got = Corpus.chunk(docs, chunkTokens = 4, stride = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.map(c => (c._1, c._2, c._3)).toSeq.sorted ===
+      Seq((0L, 0L, 4L), (1L, 2L, 3L), (2L, 4L, 1L)))
+    // empty doc produces no chunks; chunk_md5 is the md5 of the joined slice
+    assert(got.length === 3)
+    val c0 = got.find(_._1 == 0L).get
+    assert(c0._4 === java.security.MessageDigest.getInstance("MD5")
+      .digest("t0 t1 t2 t3".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
+  test("chunk on real docs: full coverage, stride spacing, no shuffle in the plan") {
+    val docs = Tables.documents(spark, sf)
+    val ch = Corpus.chunk(docs)
+    // every token of every non-empty doc is inside chunk 0..; the
+    // first chunk starts at 0 and consecutive starts differ by stride
+    val perDoc = ch.groupBy("doc_id")
+      .agg(min("start_tok").as("first"), max("chunk_id").as("last_id"),
+        count(lit(1)).as("n_chunks"))
+    assert(perDoc.filter(col("first") =!= 0).count() === 0)
+    assert(perDoc.filter(col("n_chunks") =!= col("last_id") + 1).count() === 0)
+    assert(ch.count() > docs.count(), "docs over 32 tokens must fan out")
+    val plan = planOf(Corpus.chunk(docs))
+    assert(!plan.contains("Exchange"), s"chunking must be scan-side only:\n$plan")
+  }
 }

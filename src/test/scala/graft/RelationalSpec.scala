@@ -253,4 +253,19 @@ class RelationalSpec extends SparkSpec {
     // the sketch path must not plan the countDistinct Expand
     assert(!planOf(approx).contains("Expand"))
   }
+
+  test("priceHistogram: counts conserve rows, bounds are exact multiples, shares sum to ~1") {
+    val li = Tables.lineitem(spark, sf)
+    val h = Relational.priceHistogram(li)
+    val rows = h.collect()
+    assert(rows.map(_.getLong(2)).sum === li.count())
+    rows.foreach { r =>
+      assert(r.getDouble(1) === r.getLong(0) * 500.0, "lo must be bucket * width")
+      assert(r.getLong(0) >= 0 && r.getDouble(3) > 0)
+    }
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) <= 1e-4 * rows.length)
+    // bounded window keeps an honest partition key (no unpartitioned warning path)
+    assert(!planOf(Relational.priceHistogram(li)).contains("Exchange SinglePartition"))
+  }
 }
