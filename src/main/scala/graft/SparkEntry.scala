@@ -75,6 +75,14 @@ object SparkEntry {
     // trailing-window per-event features via a RANGE frame
     // (round-3 addition)
     "q_rolling_features" -> ((s, dir) => Relational.rollingUserStats(Tables.events(s, dir))),
+    // multi-horizon (1d/7d/30d) trailing features in ONE shared
+    // shuffle+sort — the feature-store materialization shape (round-5
+    // addition)
+    "q_rolling_multi" -> ((s, dir) => Relational.multiHorizonStats(Tables.events(s, dir))),
+    // single-pass numeric column profiler (EDA/data-quality report):
+    // one wide aggregate, unpivot on the 1-row result (round-5
+    // addition)
+    "q_profile" -> ((s, dir) => Relational.profile(Tables.lineitem(s, dir))),
     // PIVOT with an explicit value list (no driver-side distinct-values
     // pass); two-level PivotFirst plan (round-5 addition)
     "q_event_pivot" -> ((s, dir) => Relational.eventPivot(Tables.events(s, dir))),
@@ -394,6 +402,8 @@ object SparkEntry {
     "q_histogram" -> Relational.sqlPriceHistogram(),
     "q_funnel" -> Relational.sqlFunnel(),
     "q_rolling_features" -> Relational.sqlRollingUserStats(),
+    "q_rolling_multi" -> Relational.sqlMultiHorizonStats(),
+    "q_profile" -> Relational.sqlProfile(),
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events

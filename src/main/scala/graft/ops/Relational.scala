@@ -216,6 +216,94 @@ object Relational {
        |             RANGE BETWEEN $spanMs PRECEDING AND CURRENT ROW)""".stripMargin
   }
 
+  /** Multi-horizon trailing features in ONE pass — the feature-store
+    * materialization shape: at every event, the user's counts over
+    * trailing 1d/7d/30d and purchase spend over 30d. All four frames
+    * are RANGE windows over the SAME (partition, ordering), so Spark
+    * plans ONE Exchange + ONE Sort shared by the stacked Window
+    * operators (asserted in RelationalSpec) — the naive per-horizon
+    * self-join would scan and shuffle the log once per horizon.
+    * Value-based frames make equal-ts rows order-insensitive; spend
+    * sums exact cents.
+    */
+  def multiHorizonStats(events: DataFrame): DataFrame = {
+    val base = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+    def fr(days: Int) = base.rangeBetween(-days * 86400000L, 0)
+    events
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        when(col("event_type") === "purchase", Det.cents(col("value")))
+          .otherwise(0L).as("pc"))
+      .withColumn("n_1d", count(lit(1)).over(fr(1)))
+      .withColumn("n_7d", count(lit(1)).over(fr(7)))
+      .withColumn("n_30d", count(lit(1)).over(fr(30)))
+      .withColumn("spend_30d", Det.fromCents(sum(col("pc")).over(fr(30))))
+      .select(col("event_id"), col("user_id"), col("n_1d"), col("n_7d"),
+        col("n_30d"), col("spend_30d"))
+  }
+
+  def sqlMultiHorizonStats(): String = {
+    def w(days: Int) =
+      s"(PARTITION BY user_id ORDER BY ts_ms RANGE BETWEEN ${days * 86400000L} PRECEDING AND CURRENT ROW)"
+    s"""SELECT event_id, user_id,
+       |  CAST(count(*) OVER w1 AS BIGINT) AS n_1d,
+       |  CAST(count(*) OVER w7 AS BIGINT) AS n_7d,
+       |  CAST(count(*) OVER w30 AS BIGINT) AS n_30d,
+       |  CAST(sum(pc) OVER w30 AS DOUBLE) / 100.0 AS spend_30d
+       |FROM (
+       |  SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+       |    CASE WHEN event_type = 'purchase'
+       |      THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END AS pc
+       |  FROM events)
+       |WINDOW w1 AS ${w(1)}, w7 AS ${w(7)}, w30 AS ${w(30)}""".stripMargin
+  }
+
+  /** Single-pass column profiler over the numeric fact columns — the
+    * EDA/data-quality report (the reference's notebooks stage). ONE
+    * wide aggregate computes every column's count / null count / min
+    * / max / mean; the long-format unpivot (explode of a literal
+    * struct array) runs on the 1-row result. Means are exact-cents
+    * ratios rounded 4 dp; min/max are raw 2-dp parquet doubles —
+    * both engine-exact.
+    */
+  def profile(lineitem: DataFrame,
+      cols: Seq[String] = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}_n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"),
+        sum(Det.cents(col(c))).as(s"${c}_cents"))
+    }
+    val wide = lineitem.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(s"${c}_n").as("n"),
+        col(s"${c}_nulls").as("n_nulls"),
+        col(s"${c}_min").as("min"),
+        col(s"${c}_max").as("max"),
+        Det.r(Det.fromCents(col(s"${c}_cents")) / col(s"${c}_n"), 4).as("mean"))
+    }
+    wide
+      .select(explode(array(rows: _*)).as("p"))
+      .select(col("p.column"), col("p.n"), col("p.n_nulls"),
+        col("p.min"), col("p.max"), col("p.mean"))
+  }
+
+  def sqlProfile(cols: Seq[String] = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")): String = {
+    val arms = cols.map { c =>
+      s"""SELECT ${Det.sqlStr(c)} AS "column",
+         |  CAST(count($c) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  min($c) AS min, max($c) AS max,
+         |  floor(CAST(sum(CAST(floor($c * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         |        / count($c) * 10000.0 + 0.5) / 10000.0 AS mean
+         |FROM lineitem""".stripMargin
+    }
+    arms.mkString("\nUNION ALL\n")
+  }
+
   /** Per-user activity profile via PIVOT: one row per user, one count
     * column per event type, purchase spend riding along as exact cents.
     *

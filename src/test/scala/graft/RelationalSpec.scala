@@ -268,4 +268,51 @@ class RelationalSpec extends SparkSpec {
     // bounded window keeps an honest partition key (no unpartitioned warning path)
     assert(!planOf(Relational.priceHistogram(li)).contains("Exchange SinglePartition"))
   }
+
+  test("multiHorizonStats: horizons nest, 7d agrees with rollingUserStats, one shared shuffle+sort") {
+    val events = Tables.events(spark, sf)
+    val m = Relational.multiHorizonStats(events)
+    assert(m.filter(col("n_1d") > col("n_7d") || col("n_7d") > col("n_30d")).count() === 0)
+    assert(m.filter(col("n_1d") < 1).count() === 0, "the current event is in every frame")
+    val r7 = Relational.rollingUserStats(events, windowDays = 7)
+      .select(col("event_id"), col("n_roll"))
+    assert(m.join(r7, "event_id").filter(col("n_7d") =!= col("n_roll")).count() === 0)
+    val plan = planOf(Relational.multiHorizonStats(events))
+    assert("Exchange".r.findAllIn(plan).length === 1,
+      s"all horizons must share one shuffle:\n$plan")
+    assert("Sort ".r.findAllIn(plan).length === 1,
+      s"all horizons must share one sort:\n$plan")
+  }
+
+  test("multiHorizonStats: hand-built timeline pins spend attribution to purchases only") {
+    import spark.implicits._
+    val day = 86400000L
+    // user 1: purchase 5.00 @d0, click 99.0 @d0+1h, purchase 2.50 @d6, purchase 1.00 @d40
+    val ev = Seq(
+      (1L, 1L, 0L, "purchase", 5.0), (2L, 1L, 3600000L, "click", 99.0),
+      (3L, 1L, 6L * day, "purchase", 2.5), (4L, 1L, 40L * day, "purchase", 1.0))
+      .toDF("event_id", "user_id", "ts_ms", "event_type", "value")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val got = Relational.multiHorizonStats(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === Map(
+      1L -> ((1L, 1L, 1L, 5.0)),
+      2L -> ((2L, 2L, 2L, 5.0)),     // click adds no spend
+      3L -> ((1L, 3L, 3L, 7.5)),
+      4L -> ((1L, 1L, 1L, 1.0))))    // d40 sees nothing in 30d
+  }
+
+  test("profile: one scan, conserved counts, means inside [min, max]") {
+    val li = Tables.lineitem(spark, sf)
+    val p = Relational.profile(li).collect()
+    assert(p.length === 4)
+    val total = li.count()
+    p.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === total, s"${r.getString(0)}: n + nulls != rows")
+      assert(r.getDouble(3) <= r.getDouble(5) && r.getDouble(5) <= r.getDouble(4),
+        s"${r.getString(0)}: mean outside [min, max]")
+    }
+    assert("FileScan".r.findAllIn(planOf(Relational.profile(li))).length === 1,
+      "profiler must read the table once")
+  }
 }
