@@ -213,4 +213,81 @@ class RandomizedSpec extends SparkSpec {
       assert(got === expected, s"seed $seed")
     }
   }
+
+  test("latestSnapshot equals a brute per-user max on collision-heavy random logs") {
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val rows = randomEvents(seed, 400, 7, 40) // many equal-ts ties
+      val df = rows.toDF("event_id", "user_id", "ts_ms", "event_type", "value")
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+      val got = graft.ops.Temporal.latestSnapshot(df).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(5))))
+        .toMap
+      val expected = rows.groupBy(_._2).map { case (uid, evs) =>
+        val w = evs.maxBy(e => (e._3, e._1))
+        uid -> ((w._3, w._1, w._4, evs.size.toLong))
+      }
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("intervalJoin equals a brute pair scan on collision-heavy random logs") {
+    for (seed <- Seq(14L, 15L)) {
+      // ts in [0, 120min) seconds-granularity => pairs straddle bands
+      val rows = randomEvents(seed, 500, 5, 7200)
+      val df = rows.toDF("event_id", "user_id", "ts_ms", "event_type", "value")
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+      val got = graft.ops.Temporal.intervalJoin(df).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val w = 30 * 60000L
+      val clicks = rows.filter(_._4 == "click")
+      val expected = rows.filter(_._4 == "purchase").flatMap { p =>
+        clicks.filter(c => c._2 == p._2 && c._3 >= p._3 - w && c._3 < p._3)
+          .map(c => (p._1, c._1, p._3 - c._3))
+      }.toSet
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("snapshotDiff equals a brute two-cutoff compare on random logs") {
+    for (seed <- Seq(16L, 17L)) {
+      val rows = randomEvents(seed, 400, 9, 40)
+      val df = rows.toDF("event_id", "user_id", "ts_ms", "event_type", "value")
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+      val (t1, t2) = (15000L, 30000L)
+      val got = graft.ops.Temporal.snapshotDiff(df, t1, t2).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      def winner(evs: Seq[(Long, Long, Long, String, Double)], t: Long) =
+        evs.filter(_._3 <= t) match {
+          case Seq() => None
+          case c     => Some(c.maxBy(e => (e._3, e._1))._1)
+        }
+      val expected = rows.groupBy(_._2).flatMap { case (uid, evs) =>
+        (winner(evs.toSeq, t1), winner(evs.toSeq, t2)) match {
+          case (_, None)          => None
+          case (None, Some(b))    => Some(uid -> (("added", -1L, b)))
+          case (Some(a), Some(b)) =>
+            Some(uid -> ((if (a == b) "unchanged" else "changed", a, b)))
+        }
+      }
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("scd2 intervals equal a brute sorted walk on random logs") {
+    for (seed <- Seq(18L, 19L)) {
+      val rows = randomEvents(seed, 300, 6, 60)
+      val df = rows.toDF("event_id", "user_id", "ts_ms", "event_type", "value")
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+      val got = graft.ops.Temporal.scd2(df).collect()
+        .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+      val expected = rows.groupBy(_._2).flatMap { case (_, evs) =>
+        val sorted = evs.sortBy(e => (e._3, e._1))
+        val nexts = sorted.drop(1).map(n => Some(n._3)) :+ None
+        sorted.zip(nexts).map { case (e, to) =>
+          e._1 -> ((e._3, to.getOrElse(-1L), to.isEmpty))
+        }
+      }
+      assert(got === expected, s"seed $seed")
+    }
+  }
 }
