@@ -247,6 +247,60 @@ object Events {
       }
   }
 
+  // ------------------------------------------------------------------
+  // Stateful latest-state upsert (mapGroupsWithState) — the streaming
+  // form of ops.Temporal.latestSnapshot.
+  // ------------------------------------------------------------------
+  final case class SnapState(ts_ms: Long, event_id: Long, event_type: String, n_events: Long)
+  final case class UserSnapshot(user_id: Long, ts_ms: Long, event_id: Long,
+      event_type: String, n_events: Long)
+
+  /** Maintain each user's current (latest-event) state across
+    * micro-batches — the streaming CDC upsert that keeps the serving
+    * state table fresh without batch recompaction. Unlike
+    * sessionization, state per user is a FIXED-SIZE record and no
+    * per-batch buffering or sorting is needed: each event either
+    * replaces the champion (strictly newer (ts_ms, event_id)) or only
+    * bumps the event count, so arrival order within the batch is
+    * irrelevant — exactly the merge the batch struct-max performs,
+    * proven equivalent in StreamingSpec. Update output mode emits a
+    * user's row only in batches that saw that user.
+    */
+  def snapshotStateful(events: Dataset[Ev]): Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SnapState, UserSnapshot](GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SnapState]) =>
+          var st = state.getOption.getOrElse(SnapState(Long.MinValue, Long.MinValue, "", 0L))
+          evs.foreach { e =>
+            val newer = e.ts_ms > st.ts_ms ||
+              (e.ts_ms == st.ts_ms && e.event_id > st.event_id)
+            st =
+              if (newer) SnapState(e.ts_ms, e.event_id, e.event_type, st.n_events + 1)
+              else st.copy(n_events = st.n_events + 1)
+          }
+          state.update(st)
+          UserSnapshot(uid, st.ts_ms, st.event_id, st.event_type, st.n_events)
+      }
+  }
+
+  /** The upsert as a streaming query over a parquet directory source
+    * (schema declared, never inferred). */
+  def snapshotStream(spark: SparkSession, dir: String): Dataset[UserSnapshot] = {
+    import spark.implicits._
+    val schema = spark.read.parquet(dir).schema
+    val typed = spark.readStream
+      .schema(schema)
+      .parquet(dir)
+      // parquet nanos -> epoch-ms by integer floor; ns DIV 1e6 equals
+      // the Tables.events ns->us->ms two-step floor composition
+      .select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000000").as("ts_ms"), col("event_type"))
+      .as[Ev]
+    snapshotStateful(typed)
+  }
+
   /** Events table -> typed event stream (epoch-ms). */
   def typedEvents(events: DataFrame): Dataset[Ev] = {
     import events.sparkSession.implicits._

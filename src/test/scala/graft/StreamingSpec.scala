@@ -170,6 +170,51 @@ class StreamingSpec extends SparkSpec {
     assert(stateful.nonEmpty)
   }
 
+  test("stateful snapshot upsert equals the batch struct-max compaction") {
+    val events = Tables.events(spark, sf)
+    val stateful = Events.snapshotStateful(Events.typedEvents(events))
+      .select("user_id", "ts_ms", "event_id", "event_type", "n_events")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.Temporal.latestSnapshot(events)
+      .select("user_id", "ts_ms", "event_id", "event_type", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(stateful === batch)
+    assert(stateful.nonEmpty)
+  }
+
+  test("snapshot upsert stitches across micro-batches: late arrivals count but never displace") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-snap").toString
+    import org.apache.spark.sql.SaveMode
+    // batch 1: user 1 click@1000(id=1), purchase@2000(id=2)
+    def write(rows: Seq[(Long, Long, Long, String, Double)], mode: SaveMode): Unit =
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+        .withColumn("ts", col("ts") * 1000000L) // ms -> parquet nanos
+        .write.mode(mode).parquet(tmp)
+    write(Seq((1L, 1L, 1000L, "click", 1.0), (2L, 1L, 2000L, "purchase", 2.0)),
+      SaveMode.Overwrite)
+    val q = Events.snapshotStream(spark, tmp)
+      .writeStream.format("memory").queryName("snap_upsert").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val after1 = spark.table("snap_upsert").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSet
+      assert(after1 === Set((1L, 2000L, 2L, 2L)))
+      // batch 2: a LATE event (ts 1500 < champion) and a newer one
+      write(Seq((3L, 1L, 1500L, "view", 0.0), (4L, 1L, 3000L, "error", 0.0)),
+        SaveMode.Append)
+      q.processAllAvailable()
+    } finally q.stop()
+    // update-mode memory sink appends each batch's emission; the LAST
+    // row per user is the current state: champion = id 4, count = 4
+    // (the late id-3 event was counted but never displaced anything)
+    val rows = spark.table("snap_upsert").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val last = rows.maxBy(_._4)
+    assert(last === ((1L, 3000L, 4L, 4L)))
+    assert(rows.toSet === Set((1L, 2000L, 2L, 2L), (1L, 3000L, 4L, 4L)))
+  }
+
   test("stateful sessionization survives a pathological single-user batch (100k events)") {
     import spark.implicits._
     // one power user, 100k events in one batch: runs of 10 events 1s
