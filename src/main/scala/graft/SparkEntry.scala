@@ -83,6 +83,10 @@ object SparkEntry {
     // one wide aggregate, unpivot on the 1-row result (round-5
     // addition)
     "q_profile" -> ((s, dir) => Relational.profile(Tables.lineitem(s, dir))),
+    // one-pass EXACT-moment Pearson correlation matrix — integer
+    // moments make it engine-deterministic where the standard
+    // double-accumulated form is not (round-5 addition)
+    "q_corr" -> ((s, dir) => Relational.corrMatrix(Tables.lineitem(s, dir))),
     // PIVOT with an explicit value list (no driver-side distinct-values
     // pass); two-level PivotFirst plan (round-5 addition)
     "q_event_pivot" -> ((s, dir) => Relational.eventPivot(Tables.events(s, dir))),
@@ -404,6 +408,7 @@ object SparkEntry {
     "q_rolling_features" -> Relational.sqlRollingUserStats(),
     "q_rolling_multi" -> Relational.sqlMultiHorizonStats(),
     "q_profile" -> Relational.sqlProfile(),
+    "q_corr" -> Relational.sqlCorrMatrix(),
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Det
 
@@ -302,6 +303,75 @@ object Relational {
          |FROM lineitem""".stripMargin
     }
     arms.mkString("\nUNION ALL\n")
+  }
+
+  /** Pearson correlation matrix over the numeric fact columns in ONE
+    * pass — [[profile]]'s bivariate companion. Every moment (n, Σx,
+    * Σxy) is EXACT integer arithmetic: cents products fit a long per
+    * row (≤1e14) and sum in decimal(38,0), so the moments are
+    * order-independent; the final correlation is a fixed scalar
+    * sequence over those exact moments (casts, ×, −, ÷, sqrt — all
+    * IEEE-identical in DuckDB), making the 6-dp result bit-exact. A
+    * double-accumulated Σxy would round differently per partitioning
+    * — the standard one-pass corr is NOT engine-deterministic, this
+    * one is. Complete-case semantics: rows with any null column are
+    * excluded once, up front.
+    */
+  def corrMatrix(lineitem: DataFrame,
+      cols: Seq[String] = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")): DataFrame = {
+    val complete = lineitem
+      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(cols.map(c => Det.cents(col(c)).as(c)): _*)
+    val pairs = for { i <- cols.indices; j <- i until cols.length } yield (i, j)
+    val aggs = (count(lit(1)).as("n") +:
+      cols.map(c => sum(col(c)).as(s"s_$c"))) ++
+      pairs.map { case (i, j) =>
+        sum((col(cols(i)) * col(cols(j))).cast(DecimalType(38, 0))).as(s"p_${i}_$j")
+      }
+    val wide = complete.agg(aggs.head, aggs.tail: _*)
+    def d(name: String) = col(name).cast("double")
+    val rows = pairs.collect { case (i, j) if i < j =>
+      val (a, b) = (cols(i), cols(j))
+      val cov = d("n") * d(s"p_${i}_$j") - d(s"s_$a") * d(s"s_$b")
+      val va  = d("n") * d(s"p_${i}_$i") - d(s"s_$a") * d(s"s_$a")
+      val vb  = d("n") * d(s"p_${j}_$j") - d(s"s_$b") * d(s"s_$b")
+      val ok = va > 0 && vb > 0
+      // CASE WHEN evaluates lazily — the guarded branch never divides
+      // by the zero variance (ANSI mode makes that an error, not NULL)
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(ok, Det.r(cov / sqrt(va * vb), 6)).otherwise(lit(null).cast("double")).as("corr"),
+        ok.as("ok"))
+    }
+    wide
+      .select(explode(array(rows: _*)).as("c"))
+      .filter(col("c.ok")) // zero-variance columns have no correlation
+      .select(col("c.col_a"), col("c.col_b"), col("c.corr"))
+  }
+
+  def sqlCorrMatrix(cols: Seq[String] = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")): String = {
+    def cents(c: String) = s"CAST(floor($c * 100.0 + 0.5) AS BIGINT)"
+    val pairs = for { i <- cols.indices; j <- i until cols.length } yield (i, j)
+    val moments =
+      (s"count(*) AS n" +: cols.map(c => s"sum(${cents(c)}) AS s_$c")) ++
+        pairs.map { case (i, j) =>
+          s"sum(CAST(${cents(cols(i))} * ${cents(cols(j))} AS HUGEINT)) AS p_${i}_$j"
+        }
+    val notNull = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val arms = pairs.collect { case (i, j) if i < j =>
+      val (a, b) = (cols(i), cols(j))
+      val cov = s"(${d("n")} * ${d(s"p_${i}_$j")} - ${d(s"s_$a")} * ${d(s"s_$b")})"
+      val va  = s"(${d("n")} * ${d(s"p_${i}_$i")} - ${d(s"s_$a")} * ${d(s"s_$a")})"
+      val vb  = s"(${d("n")} * ${d(s"p_${j}_$j")} - ${d(s"s_$b")} * ${d(s"s_$b")})"
+      s"""SELECT ${Det.sqlStr(a)} AS col_a, ${Det.sqlStr(b)} AS col_b,
+         |  floor($cov / sqrt($va * $vb) * 1000000.0 + 0.5) / 1000000.0 AS corr
+         |FROM m WHERE $va > 0 AND $vb > 0""".stripMargin
+    }
+    s"""WITH m AS (
+       |  SELECT ${moments.mkString(",\n    ")}
+       |  FROM lineitem WHERE $notNull
+       |)
+       |${arms.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
   /** Per-user activity profile via PIVOT: one row per user, one count

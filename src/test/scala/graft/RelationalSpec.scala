@@ -302,6 +302,27 @@ class RelationalSpec extends SparkSpec {
       4L -> ((1L, 1L, 1L, 1.0))))    // d40 sees nothing in 30d
   }
 
+  test("corrMatrix: bounded in [-1,1], agrees with Spark's corr, pins a perfect pair") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    val m = Relational.corrMatrix(li).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m.size === 6)
+    m.values.foreach(c => assert(c >= -1.0 && c <= 1.0))
+    m.foreach { case ((a, b), c) =>
+      val builtin = li.agg(corr(col(a), col(b))).head().getDouble(0)
+      assert(math.abs(c - builtin) < 1e-4, s"($a,$b): $c vs $builtin")
+    }
+    // a constructed exactly-linear pair correlates to 1.0 and a
+    // constant column drops out (zero variance)
+    val t = Seq((1.0, 2.0, 5.0), (2.0, 4.0, 5.0), (3.0, 6.0, 5.0))
+      .toDF("x", "y", "k")
+    val got = Relational.corrMatrix(t, Seq("x", "y", "k")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got === Map(("x", "y") -> 1.0))
+    assert("FileScan".r.findAllIn(planOf(Relational.corrMatrix(li))).length === 1)
+  }
+
   test("profile: one scan, conserved counts, means inside [min, max]") {
     val li = Tables.lineitem(spark, sf)
     val p = Relational.profile(li).collect()
