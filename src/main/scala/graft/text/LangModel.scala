@@ -30,11 +30,15 @@ import graft.Det
 object LangModel {
 
   def surprisal(documents: DataFrame): DataFrame = {
+    // tf feeds both the vocabulary rollup and the scoring join —
+    // checkpoint so the tokenize+explode scan and the (doc, token)
+    // shuffle run once (the ngramPairs lesson)
     val tf = documents
       .withColumn("toks", Text.tokens(col("text")))
       .select(col("doc_id"), explode(col("toks")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val vocab = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("n_total"))
     tf.join(Det.attachScalar(vocab, total), Seq("token"))

@@ -34,11 +34,16 @@ object Search {
     * falls back to token order, deterministically in both engines.
     */
   def tfidfTop(documents: DataFrame, k: Int = 5): DataFrame = {
+    // tf feeds BOTH the df rollup and the scored join — without the
+    // checkpoint each consumer re-plans the tokenize+explode scan and
+    // the (doc, token) shuffle (the ngramPairs lesson: materialize
+    // once, blocks free on GC)
     val tf = documents
       .withColumn("toks", Text.tokens(col("text")))
       .select(col("doc_id"), explode(col("toks")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n"))
     val scored = tf
@@ -111,6 +116,9 @@ object Search {
       .agg(count(lit(1)).as("n"),
         (sum(size(col("toks")).cast("long")).cast("double") /
           count(lit(1)).cast("double")).as("avgdl"))
+    // tf (already scan-side-filtered to query-term hits, so it is
+    // tiny) feeds both the df rollup and the contribution join —
+    // checkpoint so the corpus tokenize scan runs once, not twice
     val tf = documents
       .withColumn("toks", Text.tokens(col("text")))
       .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
@@ -118,6 +126,7 @@ object Search {
       .filter(col("token").isInCollection(terms))
       .groupBy(col("doc_id"), col("len"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val idf = Det.attachScalar(
       tf.groupBy(col("token")).agg(count(lit(1)).as("df")), stats)
       .withColumn("idf",
