@@ -90,6 +90,30 @@ class PlanHardeningSpec extends SparkSpec {
     assert(Dedup.decontaminate(emptyDocs).count() === 0)
     assert(graft.text.Corpus.packSequences(emptyDocs).count() === 0)
     assert(graft.text.Corpus.ngramVocab(emptyDocs).count() === 0)
+    // round-5 corpus/text operators
+    assert(graft.text.Corpus.chunk(emptyDocs).count() === 0)
+    assert(graft.text.Corpus.groupSample(emptyDocs).count() === 0)
+    assert(graft.text.Corpus.heavyHitters(emptyDocs).count() === 0)
+    assert(graft.text.LangModel.surprisal(emptyDocs).count() === 0)
+    assert(graft.text.Search.tfidfTop(emptyDocs).count() === 0)
+    assert(graft.text.Search.bm25Search(emptyDocs).count() === 0)
+  }
+
+  test("temporal and outlier operators behave on an empty event stream") {
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+    assert(graft.ops.Temporal.latestSnapshot(emptyEvents).count() === 0)
+    assert(graft.ops.Temporal.intervalJoin(emptyEvents).count() === 0)
+    assert(graft.ops.Temporal.scd2(emptyEvents).count() === 0)
+    assert(graft.ops.Temporal.snapshotDiff(emptyEvents).count() === 0)
+    assert(graft.ops.Outliers.spendOutliers(emptyEvents).count() === 0)
+    assert(graft.ops.Relational.multiHorizonStats(emptyEvents).count() === 0)
+    assert(graft.ops.Relational.dailyActiveApprox(emptyEvents).count() === 0)
+    assert(Similarity.labelCentroids(emptyEmb).count() === 0)
   }
 
   test("asof attribution and funnel behave on an empty event stream") {
