@@ -35,12 +35,14 @@ object Det {
     * the optimizer cannot fold away. `partitionBy(lit(0))` LOOKS like
     * an explicit single constant partition, but Catalyst folds the
     * literal out of the partition spec, leaving WindowExec on its
-    * "No Partition Defined" warning path — this pmod of a real column
-    * evaluates to 0 for every row (null-safe) while staying
+    * "No Partition Defined" warning path — this pmod of a real
+    * column's hash evaluates to 0 for every row (xxhash64 accepts any
+    * type, is null-safe, and never fails an ANSI cast — a
+    * `cast("long")` here blew up on string columns) while staying
     * non-foldable, so the plan keeps an honest hash partitioning by a
     * constant. Pass any column of the frame.
     */
-  def constKey(c: Column): Column = pmod(coalesce(c.cast("long"), lit(0L)), lit(1L))
+  def constKey(c: Column): Column = pmod(xxhash64(c), lit(1L))
 
   /** Attach a 1-row scalar frame (global counts, averages) to every
     * row of `big` as a broadcast EQUI-join on a non-foldable constant

@@ -211,6 +211,10 @@ object SparkEntry {
     // fan-out (sequence+explode+slice), no shuffle/window/join
     // (round-5 addition)
     "q_chunk" -> ((s, dir) => Corpus.chunk(Tables.documents(s, dir))),
+    // XLM-style temperature language mixing: share^(1/T) budget split
+    // fixed to integer micro-weights, pure scan-side keep predicate
+    // (round-5 addition)
+    "q_temperature_mix" -> ((s, dir) => Corpus.temperatureMix(Tables.documents(s, dir))),
     // --- Round-4 additions ------------------------------------------
     // benchmark decontamination: shared-shingle report + kept corpus
     // (eval shingle set broadcasts; corpus never shuffles by shingle)
@@ -467,6 +471,7 @@ object SparkEntry {
     "q_token_budget_mix" -> Corpus.sqlTokenBudgetSample(),
     "q_group_sample" -> Corpus.sqlGroupSample(),
     "q_chunk" -> Corpus.sqlChunk(),
+    "q_temperature_mix" -> Corpus.sqlTemperatureMix(),
     "q_contamination" -> Dedup.sqlContamination(),
     "q_decontaminate" -> Dedup.sqlDecontaminate(),
     "q_pack_sequences" -> Corpus.sqlPackSequences(),

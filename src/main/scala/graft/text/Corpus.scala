@@ -172,6 +172,81 @@ object Corpus {
     */
   val defaultBudgets: Map[String, Long] = Map("en" -> 10000L)
 
+  /** Temperature-based language mixing — the XLM/mBERT multilingual
+    * sampling scheme: language l gets a share of the token budget
+    * ∝ share_l^(1/T). T = 1 reproduces natural proportions; T > 1
+    * flattens the mix (upsamples tail languages' SHARE); the explicit
+    * budgets of [[tokenBudgetSample]] are the fully-manual
+    * alternative. Keep rates then apply as the same pure scan-side
+    * modulo predicate.
+    *
+    * Engine determinism: `pow` is the one op here with cross-libm ulp
+    * skew — each weight is fixed to an integer MICRO-WEIGHT (6-dp
+    * floor, the surprisal/ln policy) BEFORE the weight sum, and the
+    * sum + keep-rate derivation is pure integer arithmetic (exact,
+    * order-free, DIV), so both engines cut identically. All
+    * data-dependent aggregates are over the ≤|langs|-row table
+    * (constKey windows); the corpus sees one tokenize pass + one
+    * broadcast-join-filtered pass.
+    */
+  def temperatureMix(
+      documents: DataFrame,
+      temperature: Double = 2.0,
+      budgetTokens: Long = 20000L,
+      // granularity must stay well under the id range actually present
+      // (doc_id % g == doc_id when g > max id, and the predicate stops
+      // sampling); 100 matches the other samplers
+      granularity: Int = 100): DataFrame = {
+    require(temperature > 0 && budgetTokens > 0 && granularity > 0)
+    val alpha = 1.0 / temperature
+    val w = Window.partitionBy(Det.constKey(col("lang")))
+    val rates = documents
+      .withColumn("toks", Text.tokens(col("text")))
+      .groupBy(col("lang"))
+      .agg(sum(size(col("toks")).cast("long")).as("n_l"))
+      .filter(col("n_l") > 0)
+      .withColumn("n_total", sum(col("n_l")).over(w))
+      .withColumn("w_int",
+        floor(pow(col("n_l").cast("double") / col("n_total").cast("double"), lit(alpha)) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("sum_w", sum(col("w_int")).over(w))
+      .withColumn("keep_q",
+        least(lit(granularity.toLong),
+          expr(s"($budgetTokens" + "L * w_int * " + s"${granularity}L) DIV (sum_w * n_l)")))
+      .select(col("lang"), col("keep_q"))
+    documents
+      .join(broadcast(rates), Seq("lang"))
+      .filter(pmod(col("doc_id"), lit(granularity.toLong)) < col("keep_q"))
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"), col("lang"), size(col("toks")).cast("long").as("n_tokens"))
+  }
+
+  def sqlTemperatureMix(
+      temperature: Double = 2.0,
+      budgetTokens: Long = 20000L,
+      granularity: Int = 100): String = {
+    val toks = Text.sqlTokens("text")
+    val alpha = 1.0 / temperature
+    s"""WITH t AS (
+       |  SELECT lang, CAST(sum(len($toks)) AS BIGINT) AS n_l
+       |  FROM documents GROUP BY 1
+       |), wt AS (
+       |  SELECT lang, n_l,
+       |    CAST(floor(pow(CAST(n_l AS DOUBLE) / CAST(sum(n_l) OVER () AS DOUBLE), $alpha)
+       |      * 1000000.0 + 0.5) AS BIGINT) AS w_int
+       |  FROM t WHERE n_l > 0
+       |), r AS (
+       |  SELECT lang, n_l, w_int, sum(w_int) OVER () AS sum_w FROM wt
+       |), q AS (
+       |  SELECT lang, least(CAST($granularity AS BIGINT),
+       |    ($budgetTokens * w_int * $granularity) // (sum_w * n_l)) AS keep_q
+       |  FROM r
+       |)
+       |SELECT d.doc_id, d.lang, CAST(len($toks) AS BIGINT) AS n_tokens
+       |FROM documents d JOIN q ON d.lang = q.lang
+       |WHERE d.doc_id % $granularity < q.keep_q""".stripMargin
+  }
+
   def sqlTokenBudgetSample(
       budgetByLang: Map[String, Long] = defaultBudgets,
       defaultBudget: Long = 3000L,

@@ -170,6 +170,26 @@ class CorpusSpec extends SparkSpec {
     assert(got.collect().map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
   }
 
+  test("temperatureMix: T=1 tracks natural shares, higher T flattens the mix toward the tail") {
+    val docs = Tables.documents(spark, sf)
+    def tokensByLang(mix: org.apache.spark.sql.DataFrame) =
+      mix.groupBy("lang").agg(sum("n_tokens").as("t")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val natural = tokensByLang(Corpus.temperatureMix(docs, temperature = 1.0))
+    val flat = tokensByLang(Corpus.temperatureMix(docs, temperature = 100.0))
+    assert(natural.nonEmpty && flat.nonEmpty)
+    // en dominates the corpus: flattening must cut en's share of the
+    // kept tokens and raise the smallest language's share
+    def share(m: Map[String, Long], l: String) =
+      m.getOrElse(l, 0L).toDouble / m.values.sum
+    assert(share(flat, "en") < share(natural, "en"))
+    val tail = natural.keys.minBy(l => share(natural, l))
+    assert(share(flat, tail) > share(natural, tail))
+    // keep decision is the documented deterministic modulo predicate
+    val kept = Corpus.temperatureMix(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Corpus.temperatureMix(docs).select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("chunk: hand-built doc pins starts, trailing short chunks, and chunk identity") {
     import spark.implicits._
     // 5 tokens, chunk=4, stride=2 -> starts 0,2,4 with lens 4,3,1
