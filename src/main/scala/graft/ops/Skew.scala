@@ -47,4 +47,36 @@ object Skew {
       .join(replicateDim(dim, salts), Seq(key, "__salt"))
       .drop("__salt")
   }
+
+  /** Join-key skew profile — the diagnostic that DECIDES between
+    * nothing / AQE / [[saltedJoin]]: exact counts and shares of every
+    * key holding more than 1/t of the table. Same two-pass
+    * sketch-then-recount design as [[graft.text.Corpus.heavyHitters]]
+    * (the key domain is open — a plain `groupBy(key)` would shuffle
+    * the full distinct-key table just to find a handful of hot keys):
+    * one [[graft.functions.MisraGries]] pass reduces each partition to
+    * ≤ k counters (superset guarantee for freq > n/(k+1)), the ≤ k
+    * candidates broadcast back for an exact recount, and the integer
+    * threshold `cnt·t > n` decides — so the output equals the naive
+    * full groupBy exactly. Keys profile as strings (hash/cast-stable
+    * for any type); NULL keys are excluded (they broadcast in joins,
+    * not shuffle).
+    */
+  def keyProfile(df: DataFrame, keyCol: String, t: Int = 100, k: Int = 200): DataFrame = {
+    require(k + 1 >= t, s"k=$k counters cannot guarantee share > 1/$t (need k+1 >= t)")
+    val keys = df.select(col(keyCol).cast("string").as("key")).filter(col("key").isNotNull)
+    val sketch = keys.agg(
+      graft.functions.GraftFunctions.misraGries(col("key"), k).as("cands"),
+      count(lit(1)).as("n"))
+    val candidates = sketch
+      .select(explode(col("cands")).as("c"), col("n"))
+      .select(col("c").getField("item").as("key"), col("n"))
+    keys
+      .join(broadcast(candidates), Seq("key"))
+      .groupBy(col("key"), col("n"))
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") * lit(t.toLong) > col("n"))
+      .select(col("key"), col("n_rows"),
+        graft.Det.r(col("n_rows").cast("double") / col("n").cast("double"), 6).as("share"))
+  }
 }

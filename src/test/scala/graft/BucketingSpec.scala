@@ -77,6 +77,27 @@ class BucketingSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("keyProfile finds exactly the planted hot keys with exact counts and shares") {
+    import spark.implicits._
+    // 10_000 rows: key 0 holds 90%, keys 1..100 hold ~0.1% each, plus
+    // a NULL slice that must be ignored
+    val rows = (0 until 10000).map { i =>
+      val k = if (i % 10 == 0) java.lang.Long.valueOf((i / 10) % 100 + 1L) else java.lang.Long.valueOf(0L)
+      (k, i.toLong)
+    } ++ (0 until 500).map(i => (null.asInstanceOf[java.lang.Long], (10000 + i).toLong))
+    val df = rows.toDF("k", "payload")
+    val prof = Skew.keyProfile(df, "k", t = 100, k = 200).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // only key 0 exceeds 1% of the 10_000 non-null rows
+    assert(prof === Map("0" -> ((9000L, 0.9))))
+    // equals the naive full groupBy under the same threshold
+    val naive = df.filter(col("k").isNotNull)
+      .groupBy(col("k")).count()
+      .filter(col("count") * 100 > 10000)
+      .collect().map(r => r.getLong(0).toString -> r.getLong(1)).toMap
+    assert(prof.view.mapValues(_._1).toMap === naive)
+  }
+
   test("salting spreads the hot key across all salt values deterministically") {
     import spark.implicits._
     val fact = (0 until 9000).map(i => (0L, i.toLong)).toDF("k", "payload")
