@@ -167,6 +167,15 @@ object SparkEntry {
     "q_threshold_sweep" -> ((s, dir) => Churn.thresholdSweepQuery(s, dir)),
     "q_eval_confusion" -> ((s, dir) => Churn.evalConfusion(s, dir)),
     "q_eval_auc" -> ((s, dir) => Churn.evalAuc(s, dir)),
+    // reliability/calibration bins over test predictions;
+    // model-dependent => rows-only gate (round-5 addition)
+    "q_calibration" -> ((s, dir) => Churn.calibrationTable(s, dir)),
+    // PSI drift of recency between train/test splits — feature-level
+    // (no model), so fully oracle-checked; integer micro-nat bin
+    // terms (round-5 addition)
+    "q_drift_psi" -> ((s, dir) =>
+      Retention.driftPsi(
+        Retention.customerFeatures(Tables.orders(s, dir), Tables.lineitem(s, dir)))),
     // --- F. Multimodal ----------------------------------------------
     "q_media_meta" -> ((s, dir) => Multimodal.mediaMeta(Tables.documents(s, dir))),
     "q_media_frames" -> ((s, dir) => Multimodal.mediaFrames(Tables.documents(s, dir))),
@@ -355,6 +364,7 @@ object SparkEntry {
          |SELECT label, n,
          |  ${r("CASE WHEN label = 1.0 THEN CAST(neg AS DOUBLE) / CAST(greatest(pos, 1) AS DOUBLE) ELSE 1.0 END", 6)} AS class_weight
          |FROM w""".stripMargin,
+    "q_drift_psi" -> Retention.sqlDriftPsi(featuresCte),
     "q_splits" ->
       s"""$featuresCte
          |SELECT CASE WHEN custkey % 20 < 14 THEN 'train'

@@ -283,4 +283,76 @@ object Retention {
       .agg(
         count(lit(1)).as("n_customers"),
         Det.r(sum(col("label")) / count(lit(1)), 6).as("pos_rate"))
+
+  /** Population-stability index of `recency_days` between the train
+    * and test splits — the standard drift check (PSI < 0.1 stable,
+    * 0.1-0.25 shifting, > 0.25 drifted); run between splits it audits
+    * split exchangeability, run between training time and serving time
+    * it is THE deployment drift monitor.
+    *
+    *   psi = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+    *
+    * over 30-day recency bins capped at 11 (the 180 d churn horizon +
+    * tail), with Laplace-smoothed shares p = (n+1)/(N+12) so empty
+    * bins stay defined. Shapes: one groupBy over the ≤12-bin domain,
+    * totals and the PSI sum via bounded `Det.constKey` windows.
+    * Determinism: bin cut and counts are integers; shares divide in
+    * an identical cast sequence; each bin term is fixed to integer
+    * micro-nats before the sum (the surprisal ln policy), so the
+    * DuckDB twin hash-matches.
+    */
+  def driftPsi(features: DataFrame): DataFrame = {
+    val counts = withSplit(features)
+      .filter(col("split").isin("train", "test"))
+      .select(
+        expr("least(CAST(11 AS BIGINT), CAST(greatest(recency_days, 0) AS BIGINT) DIV 30)")
+          .as("bin"),
+        col("split"))
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    val w = Window.partitionBy(Det.constKey(col("bin")))
+    val p = (col("n_train") + lit(1L)).cast("double") / (col("nt") + lit(12L)).cast("double")
+    val q = (col("n_test") + lit(1L)).cast("double") / (col("ns") + lit(12L)).cast("double")
+    counts
+      .withColumn("nt", sum(col("n_train")).over(w))
+      .withColumn("ns", sum(col("n_test")).over(w))
+      .withColumn("micro", floor((p - q) * log(p / q) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("psi", Det.r(sum(col("micro")).over(w).cast("double") / lit(1000000.0), 6))
+      .select(col("bin"), col("n_train"), col("n_test"),
+        Det.r(col("micro").cast("double") / lit(1000000.0), 6).as("psi_contrib"),
+        col("psi"))
+  }
+
+  def sqlDriftPsi(featuresCte: String): String =
+    s"""$featuresCte, sp AS (
+       |  SELECT CAST(least(11, greatest(recency_days, 0) // 30) AS BIGINT) AS bin,
+       |    CASE WHEN custkey % 20 < 14 THEN 'train'
+       |         WHEN custkey % 20 < 17 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM cohort
+       |), c AS (
+       |  SELECT bin,
+       |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+       |  FROM sp WHERE split IN ('train', 'test') GROUP BY 1
+       |), t AS (
+       |  SELECT bin, n_train, n_test,
+       |    sum(n_train) OVER () AS nt, sum(n_test) OVER () AS ns
+       |  FROM c
+       |), m AS (
+       |  SELECT bin, n_train, n_test,
+       |    CAST(floor(
+       |      (CAST(n_train + 1 AS DOUBLE) / CAST(nt + 12 AS DOUBLE)
+       |        - CAST(n_test + 1 AS DOUBLE) / CAST(ns + 12 AS DOUBLE))
+       |      * ln((CAST(n_train + 1 AS DOUBLE) / CAST(nt + 12 AS DOUBLE))
+       |           / (CAST(n_test + 1 AS DOUBLE) / CAST(ns + 12 AS DOUBLE)))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS micro
+       |  FROM t
+       |)
+       |SELECT bin, n_train, n_test,
+       |  floor(CAST(micro AS DOUBLE) / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS psi_contrib,
+       |  floor(CAST(sum(micro) OVER () AS DOUBLE) / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS psi
+       |FROM m""".stripMargin
 }

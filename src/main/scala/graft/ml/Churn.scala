@@ -345,6 +345,26 @@ object Churn {
     aucTable(predictions(spark, dir, "test"))
 
   // ------------------------------------------------------------------
+  // Reliability / calibration table — the eval artifact behind a
+  // reliability diagram (a churn score used for budgeted outreach
+  // needs calibrated probabilities, not just rank order). Test
+  // predictions bucket into `bins` equal-width probability bins; per
+  // bin: count, mean predicted p1, observed positive rate. A
+  // calibrated model has mean_p1 ≈ pos_rate per bin. One bins-row
+  // aggregation, window-free; model-dependent ⇒ rows-only gate, with
+  // ChurnSpec pinning partition/consistency invariants.
+  // ------------------------------------------------------------------
+  def calibrationTable(spark: SparkSession, dir: String, bins: Int = 10): DataFrame =
+    predictions(spark, dir, "test")
+      .select(col("label"), col("p1"),
+        least(lit(bins - 1L), floor(col("p1") * bins).cast("long")).as("bin"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        Det.r(avg(col("p1")), 6).as("mean_p1"),
+        Det.r(avg(col("label")), 6).as("pos_rate"))
+
+  // ------------------------------------------------------------------
   // metrics.json artifact contract. The reference persists validation
   // AUCs and the chosen operating threshold after training
   // (train.py:176-189) and eval reads the threshold back from the file

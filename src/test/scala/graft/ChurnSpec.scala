@@ -138,6 +138,25 @@ class ChurnSpec extends SparkSpec {
     assert(cv.getEstimatorParamMaps.length === 9)
   }
 
+  test("calibration bins partition the test predictions and reaggregate to the base rate") {
+    val cal = Churn.calibrationTable(spark, sf).collect()
+    val pred = Churn.predictions(spark, sf, "test")
+    assert(cal.map(_.getLong(1)).sum === pred.count())
+    cal.foreach { r =>
+      val (bin, n, meanP1, posRate) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(bin >= 0 && bin <= 9)
+      assert(posRate >= 0.0 && posRate <= 1.0)
+      // mean predicted probability sits inside its bin (6-dp rounding slack)
+      assert(meanP1 >= bin / 10.0 - 1e-6 && meanP1 <= (bin + 1) / 10.0 + 1e-6,
+        s"bin $bin: mean_p1 $meanP1 outside")
+      assert(n > 0)
+    }
+    // weighted pos_rate equals the split's base rate (to rounding)
+    val base = pred.agg(avg(col("label"))).head().getDouble(0)
+    val weighted = cal.map(r => r.getLong(1) * r.getDouble(3)).sum / cal.map(_.getLong(1)).sum
+    assert(math.abs(weighted - base) < 1e-4)
+  }
+
   test("full CV fit selects a model (slow, ~2 min; set GRAFT_SLOW_TESTS=1)") {
     // verified manually this round: 121s at sf0.001, avg metrics
     // 0.57-0.67 across the grid — gated so the default suite stays fast

@@ -19,7 +19,7 @@ class PlanHardeningSpec extends SparkSpec {
   // broadcast side.
   private val mlQueries = Set(
     "q_train_coefficients", "q_predict_batch", "q_threshold_sweep",
-    "q_eval_confusion", "q_eval_auc")
+    "q_eval_confusion", "q_eval_auc", "q_calibration")
   private val bruteBaselines = Set("q_knn_brute", "q_dedup_embedding")
 
   test("every non-ML query plans without a CartesianProduct") {

@@ -70,4 +70,22 @@ class RetentionSpec extends SparkSpec {
       .select(col("class_weight")).distinct().collect()
     assert(distinctW.length === 1)
   }
+
+  test("driftPsi: contributions sum to the reported PSI; the modulo split shows no drift") {
+    val rows = Retention.driftPsi(feats).collect()
+    assert(rows.nonEmpty)
+    // counts conserve the two splits
+    val split = Retention.withSplit(feats).groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getLong(1)).sum === split("train"))
+    assert(rows.map(_.getLong(2)).sum === split("test"))
+    // every bin term is non-negative and they sum to the total (1 µ-nat
+    // slack per bin from the per-row rounding)
+    val psi = rows.head.getDouble(4)
+    assert(rows.map(_.getDouble(4)).distinct.length === 1)
+    assert(rows.forall(_.getDouble(3) >= 0.0))
+    assert(math.abs(rows.map(_.getDouble(3)).sum - psi) < rows.length * 1e-6 + 1e-9)
+    // a deterministic modulo split of one population must not drift
+    assert(psi >= 0.0 && psi < 0.25, s"psi=$psi")
+  }
 }
