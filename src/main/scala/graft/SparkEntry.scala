@@ -119,6 +119,11 @@ object SparkEntry {
     "q_revenue_rollup" -> ((s, dir) =>
       Relational.revenueRollup(Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir))),
+    // CUBE over (region, returnflag), same two-phase shape — Expand
+    // only over the finest-grain aggregate (round-5 addition)
+    "q_revenue_cube" -> ((s, dir) =>
+      Relational.revenueCube(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     // fixed-width price histogram: integer-exact bucket cut, one scan,
     // share via a bounded constKey window (round-5 addition)
     "q_histogram" -> ((s, dir) => Relational.priceHistogram(Tables.lineitem(s, dir))),
@@ -196,6 +201,11 @@ object SparkEntry {
     // sliding-window aggregation (each event in window/slide windows;
     // fan-out inside the scan stage, one shuffle) (round-4 addition)
     "q_stream_sliding" -> ((s, dir) => Events.slidingAgg(Tables.events(s, dir))),
+    // native session_window sessionization (merge-on-overlap; works
+    // identically under readStream+watermark); oracle is the
+    // independent lag-gap formulation with the matching break
+    // convention (round-5 addition)
+    "q_session_window" -> ((s, dir) => Events.sessionWindowAgg(Tables.events(s, dir))),
     // --- H. Corpus reporting & mixing (round-2 additions) -----------
     "q_corpus_stats" -> ((s, dir) => Corpus.stats(Tables.documents(s, dir))),
     // the 100 TB path: sketch percentiles, one aggregation, no
@@ -417,6 +427,7 @@ object SparkEntry {
     "q_anomaly" -> ops.Outliers.sqlSpendOutliers(),
     "q_event_pivot" -> Relational.sqlEventPivot(),
     "q_revenue_rollup" -> Relational.sqlRevenueRollup(),
+    "q_revenue_cube" -> Relational.sqlRevenueCube(),
     "q_histogram" -> Relational.sqlPriceHistogram(),
     "q_funnel" -> Relational.sqlFunnel(),
     "q_rolling_features" -> Relational.sqlRollingUserStats(),
@@ -475,6 +486,7 @@ object SparkEntry {
     "q_stream_hourly" -> Events.sqlHourlyAgg,
     "q_partition_prune" -> graft.sources.Partitioned.sqlDailyPruned(),
     "q_stream_sliding" -> Events.sqlSlidingAgg(),
+    "q_session_window" -> Events.sqlSessionWindowAgg(),
     "q_corpus_stats" -> Corpus.sqlStats,
     "q_stratified_sample" -> Corpus.sqlStratifiedSample(),
     "q_corpus_curation" -> Corpus.sqlCurate(),

@@ -453,6 +453,61 @@ object Relational {
   private def grouping_id_free(level: Column, bit: Int): Column =
     (level.cast("int").bitwiseAND(bit)) =!= 0
 
+  /** CUBE over (region, returnflag) — all four grouping levels of a
+    * geography × line-status revenue report, completing the OLAP trio
+    * with [[eventPivot]] and [[revenueRollup]]. Same TWO-PHASE scale
+    * shape as the rollup: the fact tables aggregate ONCE at the finest
+    * (region, returnflag) grain — the only data-sized shuffle — and
+    * the cube's 4× Expand multiplies the ≤ |regions|·|flags| aggregate
+    * only. Sums re-aggregate losslessly because the finest grain
+    * partitions the facts; a count-DISTINCT could not (customers span
+    * flags) and is deliberately absent.
+    */
+  def revenueCube(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val dims = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name").as("region"))
+    val finest = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("region"), col("l_returnflag").as("returnflag"))
+      .agg(count(lit(1)).as("n_lines"), sum(Det.cents(col("l_extendedprice"))).as("cents"))
+    finest
+      .cube(col("region"), col("returnflag"))
+      .agg(sum(col("n_lines")).as("n_lines"),
+        Det.fromCents(sum(col("cents"))).as("revenue"),
+        grouping_id().as("level"))
+      .select(
+        when(grouping_id_free(col("level"), 2), lit("ALL")).otherwise(col("region")).as("region"),
+        when(grouping_id_free(col("level"), 1), lit("ALL")).otherwise(col("returnflag")).as("returnflag"),
+        col("level").cast("long").as("level"),
+        col("n_lines"), col("revenue"))
+  }
+
+  def sqlRevenueCube(): String =
+    s"""WITH dims AS (
+       |  SELECT c_custkey, r_name AS region
+       |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |                JOIN region ON n_regionkey = r_regionkey
+       |), f AS (
+       |  SELECT dims.region, l.l_returnflag AS returnflag,
+       |    CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN dims ON o.o_custkey = dims.c_custkey
+       |)
+       |SELECT
+       |  CASE WHEN GROUPING(region) = 1 THEN 'ALL' ELSE region END AS region,
+       |  CASE WHEN GROUPING(returnflag) = 1 THEN 'ALL' ELSE returnflag END AS returnflag,
+       |  CAST(GROUPING(region) * 2 + GROUPING(returnflag) AS BIGINT) AS level,
+       |  CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+       |FROM f
+       |GROUP BY CUBE(region, returnflag)""".stripMargin
+
   def sqlRevenueRollup(): String =
     s"""WITH dims AS (
        |  SELECT c_custkey, n_name AS nation, r_name AS region

@@ -129,6 +129,61 @@ object Events {
         Det.fromCents(sum(Det.cents(col("value")))).as("sum_value"))
   }
 
+  /** Sessionization via Spark's NATIVE `session_window` — the
+    * declarative alternative to the lag-gap window
+    * ([[graft.ops.Relational.sessionize]]) and the stateful form
+    * ([[sessionizeStateful]]): one groupBy, merge-on-overlap
+    * semantics, and the SAME operator works under `readStream` with a
+    * watermark (dynamic gap state, bounded by the watermark horizon).
+    *
+    * Boundary semantics pinned EMPIRICALLY in StreamingSpec: an event
+    * at exactly last_ts + gap MERGES into the running session (Spark
+    * merges when the ranges touch, i.e. a session breaks only when
+    * diff > gap) — the same convention as the lag-gap `sessionize`,
+    * so the two formulations agree everywhere, ties included. Session
+    * end = last event + gap. Input timestamps are truncated to millis
+    * first so the boundary decision happens at the same precision in
+    * both engines (the raw µs timestamp would break ties the ms-based
+    * oracle cannot see).
+    */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .select(col("user_id"), col("event_type"),
+        timestamp_millis(unix_millis(col("ts"))).as("ts_ms_t"))
+      .groupBy(col("user_id"),
+        session_window(col("ts_ms_t"), s"$gapMinutes minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"),
+        unix_millis(col("w.end")).as("session_end_ms"),
+        col("n_events"), col("n_purchases"))
+
+  /** DuckDB oracle: independent lag-gap formulation with the
+    * session_window break convention (diff > gap starts a session)
+    * and end = last event + gap.
+    */
+  def sqlSessionWindowAgg(gapMinutes: Int = 30): String = {
+    val gapMs = gapMinutes * 60000L
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events
+       |), g AS (
+       |  SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS prev FROM e
+       |), s AS (
+       |  SELECT *, CASE WHEN prev IS NULL OR ts_ms - prev > $gapMs THEN 1 ELSE 0 END AS brk FROM g
+       |), c AS (
+       |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+       |    ROWS UNBOUNDED PRECEDING) AS sid FROM s
+       |)
+       |SELECT user_id,
+       |  min(ts_ms) AS session_start_ms,
+       |  max(ts_ms) + $gapMs AS session_end_ms,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+       |FROM c GROUP BY user_id, sid""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // Streaming exact dedup (ingest-time duplicate suppression).
   // ------------------------------------------------------------------

@@ -237,6 +237,26 @@ class RelationalSpec extends SparkSpec {
       "Expand must run over the pre-aggregated frame, not the raw join")
   }
 
+  test("revenueCube: all four levels reaggregate exactly; Expand sits above the finest aggregate") {
+    val cube = Relational.revenueCube(Tables.lineitem(spark, sf), Tables.orders(spark, sf),
+      Tables.customer(spark, sf), Tables.nation(spark, sf), Tables.region(spark, sf))
+    val rows = cube.collect()
+    def lines(level: Long) = rows.filter(_.getLong(2) == level).map(_.getLong(3)).sum
+    // every grouping level partitions the same fact rows
+    assert(lines(0) === lines(1) && lines(1) === lines(2) && lines(2) === lines(3))
+    val grand = rows.filter(_.getLong(2) == 3)
+    assert(grand.length === 1 && grand(0).getString(0) === "ALL" && grand(0).getString(1) === "ALL")
+    val revL0 = rows.filter(_.getLong(2) == 0).map(r => BigDecimal(r.getDouble(4))).sum
+    assert((revL0 - BigDecimal(grand(0).getDouble(4))).abs < 0.01 * rows.length)
+    // two-phase: the Expand must run over a pre-aggregated frame
+    val plan = planOf(cube)
+    val planLines = plan.linesIterator.toSeq
+    val expandIdx = planLines.indexWhere(_.contains("Expand"))
+    assert(expandIdx >= 0)
+    assert(planLines.drop(expandIdx + 1).exists(_.contains("Aggregate")),
+      "cube Expand must not run over the raw fact join")
+  }
+
   test("dailyActiveApprox: per-day HLL estimate within 10% of exact; event counts exact; no Expand") {
     val events = Tables.events(spark, sf)
     val approx = Relational.dailyActiveApprox(events)

@@ -170,6 +170,29 @@ class StreamingSpec extends SparkSpec {
     assert(stateful.nonEmpty)
   }
 
+  test("session_window: exact-gap boundary MERGES; agrees with lag-gap sessionize everywhere") {
+    import spark.implicits._
+    // user 1: events at 0 and EXACTLY 30min (touching ranges merge —
+    // pinned empirically), then 30min+1ms after that -> new session
+    val gap = 1800000L
+    val ev = Seq((1L, 1L, 0L, "click"), (2L, 1L, gap, "click"), (3L, 1L, 2 * gap + 1L, "purchase"))
+      .toDF("event_id", "user_id", "ts_ms", "event_type")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val got = Events.sessionWindowAgg(ev).orderBy("session_start_ms").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (0L, 2 * gap, 2L, 0L),
+      (2 * gap + 1L, 3 * gap + 1L, 1L, 1L)))
+    // on the real events (no exact-gap ties) session COUNTS match the
+    // lag-gap formulation per user
+    val events = Tables.events(spark, sf)
+    val nw = Events.sessionWindowAgg(events).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lg = Relational.sessionize(events).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nw === lg)
+  }
+
   test("stateful snapshot upsert equals the batch struct-max compaction") {
     val events = Tables.events(spark, sf)
     val stateful = Events.snapshotStateful(Events.typedEvents(events))
