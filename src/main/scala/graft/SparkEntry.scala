@@ -127,6 +127,10 @@ object SparkEntry {
     // fixed-width price histogram: integer-exact bucket cut, one scan,
     // share via a bounded constKey window (round-5 addition)
     "q_histogram" -> ((s, dir) => Relational.priceHistogram(Tables.lineitem(s, dir))),
+    // EXACT price percentiles via the two-level cumulative over the
+    // distinct-cents domain — no window sees more than
+    // max(buckets, bucketCents) rows (round-5 addition)
+    "q_price_quantiles" -> ((s, dir) => Relational.priceQuantiles(Tables.lineitem(s, dir))),
     // --- C. Text analysis -------------------------------------------
     "q_token_stats" -> ((s, dir) => Text.tokenStats(Tables.documents(s, dir))),
     "q_text_quality" -> ((s, dir) => Text.quality(Tables.documents(s, dir))),
@@ -429,6 +433,7 @@ object SparkEntry {
     "q_revenue_rollup" -> Relational.sqlRevenueRollup(),
     "q_revenue_cube" -> Relational.sqlRevenueCube(),
     "q_histogram" -> Relational.sqlPriceHistogram(),
+    "q_price_quantiles" -> Relational.sqlPriceQuantiles(),
     "q_funnel" -> Relational.sqlFunnel(),
     "q_rolling_features" -> Relational.sqlRollingUserStats(),
     "q_rolling_multi" -> Relational.sqlMultiHorizonStats(),

@@ -305,6 +305,73 @@ object Relational {
     arms.mkString("\nUNION ALL\n")
   }
 
+  /** Exact price percentiles over the full fact table — the
+    * continuous-domain generalization of the corpus token-count
+    * percentiles, and the pattern's hardest case: the distinct-value
+    * table is the PRICE DOMAIN in cents (~1e6-1e7 rows at any data
+    * scale), too big for one cumulative window task.
+    *
+    * Two-level cumulative (the AUC/packSequences decomposition):
+    * (1) cents roll up to distinct-value counts — the only data-sized
+    * shuffle, map-side combined; (2) values group into $100 buckets;
+    * bucket totals cumulate over the BOUNDED bucket table (≤ domain /
+    * bucket rows, constKey window); (3) within-bucket cumulatives run
+    * bucket-partitioned (≤ bucketCents distinct values per task), and
+    * cum = broadcast bucket offset + within-bucket running sum. No
+    * window ever sees more than max(buckets, bucketCents) rows. The
+    * exact percentile is the smallest value whose cumulative count
+    * reaches ceil(p·n) (percentile_disc; identical convention to the
+    * DuckDB rank-selection oracle).
+    */
+  def priceQuantiles(lineitem: DataFrame, bucketCents: Long = 10000L): DataFrame = {
+    // the distinct-value rollup feeds both the bucket totals and the
+    // cumulative join — checkpoint so the fact scan runs once
+    val vals = lineitem
+      .select(Det.cents(col("l_extendedprice")).as("cents"))
+      .groupBy(col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", expr(s"cents DIV $bucketCents"))
+      .localCheckpoint()
+    val wB = Window.partitionBy(Det.constKey(col("bucket")))
+      .orderBy(col("bucket").asc).rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(Det.constKey(col("bucket")))
+    val offsets = vals
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("btot"))
+      .withColumn("offset", coalesce(sum(col("btot")).over(wB), lit(0L)))
+      .withColumn("n", sum(col("btot")).over(wAll))
+      .select(col("bucket"), col("offset"), col("n"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", col("offset") + sum(col("cnt")).over(wIn))
+    def pct(p: Double): Column =
+      Det.fromCents(min(when(col("cum") >= ceil(lit(p) * col("n")).cast("long"), col("cents"))))
+    cum.agg(
+      max(col("n")).as("n_lines"),
+      pct(0.5).as("p50"), pct(0.9).as("p90"),
+      pct(0.99).as("p99"), pct(0.999).as("p999"))
+  }
+
+  /** DuckDB oracle: independent rank-selection over every row. */
+  def sqlPriceQuantiles(): String = {
+    def pct(p: String, as: String) =
+      s"CAST(max(CASE WHEN rk = CAST(ceil($p * n) AS BIGINT) THEN cents END) AS DOUBLE) / 100.0 AS $as"
+    s"""WITH c AS (
+       |  SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents FROM lineitem
+       |), r AS (
+       |  SELECT cents, row_number() OVER (ORDER BY cents) AS rk,
+       |         count(*) OVER () AS n
+       |  FROM c
+       |)
+       |SELECT CAST(max(n) AS BIGINT) AS n_lines,
+       |  ${pct("0.5", "p50")},
+       |  ${pct("0.9", "p90")},
+       |  ${pct("0.99", "p99")},
+       |  ${pct("0.999", "p999")}
+       |FROM r""".stripMargin
+  }
+
   /** Pearson correlation matrix over the numeric fact columns in ONE
     * pass — [[profile]]'s bivariate companion. Every moment (n, Σx,
     * Σxy) is EXACT integer arithmetic: cents products fit a long per

@@ -322,6 +322,32 @@ class RelationalSpec extends SparkSpec {
       4L -> ((1L, 1L, 1L, 1.0))))    // d40 sees nothing in 30d
   }
 
+  test("priceQuantiles: two-level cumulative equals a driver-side exact sort; no data-sized window") {
+    val li = Tables.lineitem(spark, sf)
+    val got = Relational.priceQuantiles(li).head()
+    // brute-force reference: sort every cents value on the driver and
+    // pick the ceil(p*n)-th
+    val cents = li.select(Det.cents(col("l_extendedprice")).as("c"))
+      .collect().map(_.getLong(0)).sorted
+    def ref(p: Double): Double = cents(math.ceil(p * cents.length).toInt - 1) / 100.0
+    assert(got.getLong(0) === cents.length.toLong)
+    assert(got.getDouble(1) === ref(0.5))
+    assert(got.getDouble(2) === ref(0.9))
+    assert(got.getDouble(3) === ref(0.99))
+    assert(got.getDouble(4) === ref(0.999))
+    // the scale contract: the within-bucket cumulative window
+    // partitions by bucket (bounded), never by a single partition —
+    // the only SinglePartition exchange allowed is the final global
+    // aggregate's partial-row rollup
+    val plan = planOf(Relational.priceQuantiles(li))
+    assert(plan.contains("windowspecdefinition(bucket"),
+      s"cumulative window must partition by bucket:\n$plan")
+    val winIdx = plan.indexOf("Window")
+    val spIdx = plan.indexOf("Exchange SinglePartition")
+    assert(spIdx < winIdx,
+      s"no data-sized rows may cross a single-partition exchange into a window:\n$plan")
+  }
+
   test("corrMatrix: bounded in [-1,1], agrees with Spark's corr, pins a perfect pair") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf)
