@@ -55,6 +55,35 @@ class ScaleSmokeSpec extends SparkSpec {
       Tables.documents(spark, sf).select("text").distinct().count())
   }
 
+  test("8x corpus: round-5 corpus operators scale linearly in output and structure (slow)") {
+    assume(sys.env.contains("GRAFT_SLOW_TESTS"), "set GRAFT_SLOW_TESTS=1 to run")
+    import graft.text.{Corpus, LangModel}
+    val docs = Tables.documents(spark, sf)
+    val big = replicated(8)
+    val t0 = System.nanoTime()
+    // chunking: pure scan fan-out => exactly 8x the chunks
+    assert(Corpus.chunk(big).count() === 8L * Corpus.chunk(docs).count())
+    // surprisal: replication leaves every token's corpus SHARE (and so
+    // every doc's score) unchanged — each copy scores identically
+    val baseScores = LangModel.surprisal(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bigScores = LangModel.surprisal(big).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bigScores.size === 8 * baseScores.size)
+    baseScores.foreach { case (id, s) =>
+      assert(math.abs(bigScores(id) - s) <= 1e-6, s"doc $id: $s vs ${bigScores(id)}")
+    }
+    // heavy hitters: shares unchanged => the same token set, 8x counts
+    val baseHh = Corpus.heavyHitters(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bigHh = Corpus.heavyHitters(big).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bigHh.keySet === baseHh.keySet)
+    baseHh.foreach { case (t, n) => assert(bigHh(t) === 8 * n) }
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"8x corpus round-5 ops in $secs%.1f s")
+  }
+
   test("8x corpus: minhash-LSH finds EXACTLY the combinatorial true-pair set (slow)") {
     assume(sys.env.contains("GRAFT_SLOW_TESTS"), "set GRAFT_SLOW_TESTS=1 to run")
     val big = replicated(8)
