@@ -156,6 +156,10 @@ object SparkEntry {
     // survivor selection: connected components of the pair graph,
     // keep = min doc_id per component (round-3 addition)
     "q_dedup_clusters" -> ((s, dir) => Dedup.clustersQuery(Tables.documents(s, dir))),
+    // quality-priority survivor per cluster: keep the cleanest copy,
+    // one max(struct) aggregate — never a per-cluster window sort
+    // (round-5 addition)
+    "q_dedup_best" -> ((s, dir) => Dedup.bestSurvivors(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingPairs(Tables.embeddings(s, dir))),
@@ -238,6 +242,10 @@ object SparkEntry {
     // fixed to integer micro-weights, pure scan-side keep predicate
     // (round-5 addition)
     "q_temperature_mix" -> ((s, dir) => Corpus.temperatureMix(Tables.documents(s, dir))),
+    // quality-weighted soft sampling: keep probability = quality
+    // score, via a portable integer keep draw — one scan, scan-side
+    // predicate (round-5 addition)
+    "q_weighted_sample" -> ((s, dir) => Corpus.qualityWeightedSample(Tables.documents(s, dir))),
     // --- Round-4 additions ------------------------------------------
     // benchmark decontamination: shared-shingle report + kept corpus
     // (eval shingle set broadcasts; corpus never shuffles by shingle)
@@ -480,6 +488,7 @@ object SparkEntry {
     "q_dedup_exact" -> Dedup.sqlExact,
     "q_dedup_ngram" -> Dedup.sqlNgramPairs(),
     "q_dedup_clusters" -> Dedup.sqlClusters(),
+    "q_dedup_best" -> Dedup.sqlBestSurvivors(),
     "q_dedup_embedding" -> Dedup.sqlEmbeddingPairs(),
     // q_ann_lsh / q_ann_ivf are approximate => rows-only driver gate +
     // recall-vs-brute ScalaTest.
@@ -499,6 +508,7 @@ object SparkEntry {
     "q_group_sample" -> Corpus.sqlGroupSample(),
     "q_chunk" -> Corpus.sqlChunk(),
     "q_temperature_mix" -> Corpus.sqlTemperatureMix(),
+    "q_weighted_sample" -> Corpus.sqlQualityWeightedSample(),
     "q_contamination" -> Dedup.sqlContamination(),
     "q_decontaminate" -> Dedup.sqlDecontaminate(),
     "q_pack_sequences" -> Corpus.sqlPackSequences(),

@@ -311,6 +311,50 @@ object Dedup {
   def sqlClusters(tau: Double = 0.5): String =
     s"WITH RECURSIVE ${sqlClusterCtes(tau)}\nSELECT doc_id, cluster_id FROM labels"
 
+  /** Quality-priority survivor selection: within each near-dup cluster
+    * keep the HIGHEST-quality copy — what a curation pass actually
+    * wants (the min-id convention of [[clustersQuery]] keeps whichever
+    * copy happened to crawl first; this keeps the cleanest, with
+    * doc_id as the deterministic tie-break). Cluster labels join to
+    * the quality scores on doc_id (the cluster table is
+    * duplicates-only, ≪ corpus — AQE sizes the join), and the
+    * survivor comes from ONE `max(struct)` aggregate with map-side
+    * partial agg (the latestSnapshot shape), never a per-cluster
+    * window sort.
+    */
+  def bestSurvivors(documents: DataFrame, tau: Double = 0.5): DataFrame = {
+    val labels = clustersQuery(documents, tau)
+    val quality = graft.text.Text.quality(documents)
+      .select(col("doc_id"), col("quality_score"))
+    labels
+      .join(quality, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(struct(col("quality_score"), (-col("doc_id")).as("neg_id"),
+          col("doc_id").as("keep"))).as("w"))
+      .select(col("cluster_id"), col("n_docs"),
+        col("w.keep").as("keep_id"), col("w.quality_score").as("keep_score"))
+  }
+
+  /** Oracle: rank inside the recursive-closure clusters by
+    * (quality DESC, doc_id ASC). */
+  def sqlBestSurvivors(tau: Double = 0.5): String =
+    // CTE names prefixed bs_ — the cluster CTEs already use the short
+    // names (q, r, ...) and DuckDB rejects duplicates
+    s"""WITH RECURSIVE ${sqlClusterCtes(tau)}, bs_q AS (
+       |  SELECT doc_id, quality_score FROM (${graft.text.Text.sqlQuality})
+       |), bs_r AS (
+       |  SELECT labels.cluster_id, labels.doc_id, bs_q.quality_score,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY quality_score DESC, doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY cluster_id) AS n_docs
+       |  FROM labels JOIN bs_q USING (doc_id)
+       |)
+       |SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs,
+       |  doc_id AS keep_id, quality_score AS keep_score
+       |FROM bs_r WHERE rn = 1""".stripMargin
+
   // ------------------------------------------------------------------
   // q24: MinHash signatures + LSH band-bucket join.
   //

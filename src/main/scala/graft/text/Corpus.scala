@@ -265,6 +265,37 @@ object Corpus {
        |WHERE d.doc_id % $granularity < r.keep_q""".stripMargin
   }
 
+  /** Quality-WEIGHTED (soft) sampling: keep each document with
+    * probability equal to its quality score — the soft alternative to
+    * a hard τ cutoff (a cutoff discards borderline documents
+    * entirely; weighting keeps them at a reduced rate, the usual
+    * recipe compromise). One scan, pure scan-side predicate.
+    *
+    * The keep draw is deterministic and PORTABLE integer arithmetic:
+    * u = (doc_id · 48271) mod 1e6 (the MINSTD multiplier — id-stable,
+    * engine-stable, no floats) compared against the score fixed to
+    * integer micro-units (the score is already 6-dp rounded, so the
+    * micro conversion is exact). A float `rand() < score` would be
+    * neither reproducible nor cross-engine checkable.
+    */
+  def qualityWeightedSample(documents: DataFrame): DataFrame = {
+    val q = Text.qualityColumns(col("toks"), col("text"))
+    documents
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"), col("lang"), q.score.as("quality_score"))
+      .filter(pmod(col("doc_id") * lit(48271L), lit(1000000L)) <
+        floor(col("quality_score") * lit(1000000.0) + lit(0.5)).cast("long"))
+  }
+
+  def sqlQualityWeightedSample(): String =
+    s"""WITH q AS (
+       |  SELECT doc_id, quality_score FROM (${Text.sqlQuality})
+       |)
+       |SELECT d.doc_id, d.lang, q.quality_score
+       |FROM documents d JOIN q USING (doc_id)
+       |WHERE (d.doc_id * 48271) % 1000000
+       |      < CAST(floor(q.quality_score * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
+
   /** End-to-end corpus curation — the composed pipeline a
     * training-data run actually executes, as ONE declarative plan:
     *

@@ -170,6 +170,26 @@ class CorpusSpec extends SparkSpec {
     assert(got.collect().map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
   }
 
+  test("qualityWeightedSample: keep rate tracks the quality score; draw is deterministic and scan-side") {
+    val docs = Tables.documents(spark, sf)
+    val kept = Corpus.qualityWeightedSample(docs)
+    val quality = graft.text.Text.quality(docs)
+      .select(col("doc_id"), col("quality_score"))
+    // every kept doc individually satisfies the documented predicate
+    val bad = kept.filter(
+      pmod(col("doc_id") * 48271L, lit(1000000L)) >=
+        floor(col("quality_score") * 1000000.0 + 0.5).cast("long"))
+    assert(bad.count() === 0)
+    // aggregate keep rate ~ mean quality (the draw is uniform over ids)
+    val meanQ = quality.agg(avg(col("quality_score"))).head().getDouble(0)
+    val rate = kept.count().toDouble / docs.count()
+    assert(math.abs(rate - meanQ) < 0.15, s"rate $rate vs mean quality $meanQ")
+    // repeatable and one scan, no shuffle before the filter
+    assert(kept.collect().map(_.getLong(0)).toSet ===
+      Corpus.qualityWeightedSample(docs).collect().map(_.getLong(0)).toSet)
+    assert(!planOf(Corpus.qualityWeightedSample(docs)).contains("Exchange"))
+  }
+
   test("temperatureMix: T=1 tracks natural shares, higher T flattens the mix toward the tail") {
     val docs = Tables.documents(spark, sf)
     def tokensByLang(mix: org.apache.spark.sql.DataFrame) =

@@ -123,6 +123,29 @@ class DedupSpec extends SparkSpec {
     assert(byCluster.forall { case (cid, minMember) => cid === minMember })
   }
 
+  test("bestSurvivors keeps the highest-quality member of every cluster") {
+    val docs = Tables.documents(spark, sf)
+    val best = graft.dedup.Dedup.bestSurvivors(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val labels = Dedup.clustersQuery(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = graft.text.Text.quality(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(best.keySet === labels.values.toSet)
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      val ids = members.keys.toSeq
+      // brute winner: max quality, then min doc_id
+      val winner = ids.maxBy(id => (quality(id), -id))
+      val (nDocs, keepId, keepScore) = best(cid)
+      assert(nDocs === ids.size.toLong, s"cluster $cid size")
+      assert(keepId === winner, s"cluster $cid keeper")
+      assert(keepScore === quality(winner))
+      // the quality keeper can differ from the min-id keeper — that is
+      // the point; both must be members
+      assert(ids.contains(keepId))
+    }
+  }
+
   test("minhash LSH agrees with the exact ngram path at tau=0.5") {
     val exact = Dedup.ngramPairs(Tables.documents(spark, sf))
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
