@@ -323,8 +323,15 @@ object Dedup {
     * window sort.
     */
   def bestSurvivors(documents: DataFrame, tau: Double = 0.5): DataFrame = {
-    val labels = clustersQuery(documents, tau)
-    val quality = graft.text.Text.quality(documents)
+    // checkpoint: labels feed the member prune AND the final join —
+    // without it the whole iterative clustering would re-run per
+    // consumer
+    val labels = clustersQuery(documents, tau).localCheckpoint()
+    // score ONLY cluster members (left-semi prune BEFORE the quality
+    // projection): the expensive per-row quality expressions run on
+    // the duplicates-sized slice, not the 100 TB corpus
+    val members = documents.join(labels.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val quality = graft.text.Text.quality(members)
       .select(col("doc_id"), col("quality_score"))
     labels
       .join(quality, "doc_id")

@@ -85,6 +85,7 @@ class PlanHardeningSpec extends SparkSpec {
     // empty pair graph: label propagation must converge to empty, not
     // NPE on the null scalar sum
     assert(Dedup.clustersQuery(emptyDocs).count() === 0)
+    assert(Dedup.bestSurvivors(emptyDocs).count() === 0)
     assert(graft.text.Corpus.curate(emptyDocs).count() === 0)
     assert(Dedup.contamination(emptyDocs).count() === 0)
     assert(Dedup.decontaminate(emptyDocs).count() === 0)
