@@ -273,6 +273,22 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("priceQuantiles equals a driver-side sort on ties-heavy random prices") {
+    for (seed <- Seq(21L, 22L)) {
+      val rnd = new Random(seed)
+      // heavy ties: only 40 distinct price points over 5000 rows, so
+      // rank boundaries routinely land inside runs of equal values
+      val prices = (0 until 5000).map(_ => (rnd.nextInt(40) + 1) * 7.25)
+      val df = prices.map(Tuple1(_)).toDF("l_extendedprice")
+      val got = graft.ops.Relational.priceQuantiles(df, bucketCents = 5000L).head()
+      val cents = prices.map(p => math.floor(p * 100.0 + 0.5).toLong).sorted
+      def ref(p: Double) = cents(math.ceil(p * cents.length).toInt - 1) / 100.0
+      assert(got.getLong(0) === 5000L, s"seed $seed")
+      assert((got.getDouble(1), got.getDouble(2), got.getDouble(3), got.getDouble(4)) ===
+        ((ref(0.5), ref(0.9), ref(0.99), ref(0.999))), s"seed $seed")
+    }
+  }
+
   test("scd2 intervals equal a brute sorted walk on random logs") {
     for (seed <- Seq(18L, 19L)) {
       val rows = randomEvents(seed, 300, 6, 60)
