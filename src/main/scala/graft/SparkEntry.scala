@@ -174,6 +174,10 @@ object SparkEntry {
     // per-label embedding centroids: 64 codegen avg columns over one
     // shuffle, unpivot on the tiny aggregate (round-5 addition)
     "q_label_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables.embeddings(s, dir))),
+    // int8 scalar quantization: two-pass (1-row min/max reduce ->
+    // broadcast -> scan-side transform); selections not sums, so
+    // bit-exact cross-engine (round-5 addition)
+    "q_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(Tables.embeddings(s, dir))),
     // --- B. ML pipeline (model-dependent => rows-only gate) ---------
     "q_train_coefficients" -> ((s, dir) => Churn.coefficientTable(s, dir)),
     "q_predict_batch" -> ((s, dir) => Churn.predictBatch(s, dir)),
@@ -494,6 +498,7 @@ object SparkEntry {
     // recall-vs-brute ScalaTest.
     "q_knn_brute" -> Similarity.sqlBruteKnn(),
     "q_label_centroids" -> Similarity.sqlLabelCentroids(),
+    "q_quantize_int8" -> Similarity.sqlQuantizeInt8(),
     "q_media_meta" -> Multimodal.sqlMediaMeta,
     "q_media_frames" -> Multimodal.sqlMediaFrames,
     "q_media_resize" -> Multimodal.sqlMediaResize(),

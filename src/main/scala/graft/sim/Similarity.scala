@@ -252,6 +252,65 @@ object Similarity {
        |$arms""".stripMargin
   }
 
+  /** Per-dimension int8 scalar quantization — the storage-compression
+    * step of a vector pipeline (4× smaller than float32; what a
+    * vector index persists). Classic TWO-PASS shape: pass 1 reduces
+    * the table to one row of per-dimension min/max (2·dim codegen agg
+    * columns — only that row crosses the network); pass 2 broadcasts
+    * it back and quantizes scan-side:
+    * q_i = floor((v_i − min_i)/(max_i − min_i)·255 + 0.5), constant
+    * dimensions map to 0. Emitted as the comma-joined code string's
+    * md5 (the storage identity) plus the leading codes for
+    * inspection. Every per-element step is an exact IEEE scalar
+    * sequence on identical inputs (min/max are SELECTIONS, not
+    * accumulations — no float-sum order anywhere), so the DuckDB twin
+    * hash-matches bit-exactly.
+    */
+  def quantizeInt8(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val aggs = (0 until dim).flatMap { i =>
+      val v = col("embedding")(i).cast("double")
+      Seq(min(v).as(s"lo$i"), max(v).as(s"hi$i"))
+    }
+    val minmax = embeddings.agg(aggs.head, aggs.tail: _*)
+    def q(i: Int): Column = {
+      val v = col("embedding")(i).cast("double")
+      when(col(s"hi$i") > col(s"lo$i"),
+        floor((v - col(s"lo$i")) / (col(s"hi$i") - col(s"lo$i")) * lit(255.0) + lit(0.5))
+          .cast("int"))
+        .otherwise(lit(0))
+    }
+    val codes = (0 until dim).map(i => q(i).as(s"q$i"))
+    Det.attachScalar(embeddings, minmax)
+      .select((col("vec_id") +: codes): _*)
+      .select(col("vec_id"),
+        md5(concat_ws(",", (0 until dim).map(i => col(s"q$i")): _*).cast("binary")).as("q_md5"),
+        col("q0"), col("q1"), col("q2"), col("q3"))
+  }
+
+  def sqlQuantizeInt8(dim: Int = 64): String = {
+    val aggs = (0 until dim).flatMap { i =>
+      val v = s"CAST(embedding[${i + 1}] AS DOUBLE)"
+      Seq(s"min($v) AS lo$i", s"max($v) AS hi$i")
+    }
+    def q(i: Int) = {
+      val v = s"CAST(e.embedding[${i + 1}] AS DOUBLE)"
+      s"CASE WHEN m.hi$i > m.lo$i THEN CAST(floor(($v - m.lo$i) / (m.hi$i - m.lo$i) * 255.0 + 0.5) AS INTEGER) ELSE 0 END"
+    }
+    val codeList = (0 until dim).map(q).mkString(",\n      ")
+    s"""WITH m AS (
+       |  SELECT ${aggs.mkString(", ")} FROM embeddings
+       |), c AS (
+       |  SELECT e.vec_id, [
+       |      $codeList
+       |    ] AS qs
+       |  FROM embeddings e, m
+       |)
+       |SELECT vec_id,
+       |  md5(array_to_string(qs, ',')) AS q_md5,
+       |  qs[1] AS q0, qs[2] AS q1, qs[3] AS q2, qs[4] AS q3
+       |FROM c""".stripMargin
+  }
+
   /** Re-score candidate pairs exactly and keep the top k per query. */
   private def rankTopK(pairs: DataFrame, e: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val qs = e.filter(col("vec_id") < nQueries)

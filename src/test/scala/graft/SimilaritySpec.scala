@@ -109,6 +109,32 @@ class SimilaritySpec extends SparkSpec {
     assert(kept === Set(1L))
   }
 
+  test("quantizeInt8 matches a driver-side reimplementation; codes bounded; identical vectors collide") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+    val got = Similarity.quantizeInt8(e).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got.size === e.count())
+    // driver-side reimplementation of the same scalar sequence
+    val raw = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val dims = 64
+    val lo = (0 until dims).map(i => raw.values.map(v => v(i).toDouble).min)
+    val hi = (0 until dims).map(i => raw.values.map(v => v(i).toDouble).max)
+    def quant(v: Array[Float]): Array[Int] = (0 until dims).map { i =>
+      if (hi(i) > lo(i)) math.floor((v(i).toDouble - lo(i)) / (hi(i) - lo(i)) * 255.0 + 0.5).toInt
+      else 0
+    }.toArray
+    raw.foreach { case (id, v) =>
+      val qs = quant(v)
+      assert(qs.forall(q => q >= 0 && q <= 255), s"vec $id code out of range")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(qs.mkString(",").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(got(id)._1 === md5, s"vec $id digest")
+      assert(got(id)._2 === qs(0) && got(id)._3 === qs(1))
+    }
+  }
+
   test("labelCentroids equals the posexplode formulation; counts partition the table") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sf)
