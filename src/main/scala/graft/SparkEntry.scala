@@ -137,6 +137,9 @@ object SparkEntry {
     "q_text_repetition" -> ((s, dir) => Text.repetition(Tables.documents(s, dir))),
     "q_text_scrub" -> ((s, dir) => Text.scrub(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => Text.langId(Tables.documents(s, dir))),
+    // language-ID confusion matrix vs the declared ground truth
+    // (round-5 addition)
+    "q_langid_eval" -> ((s, dir) => Text.langIdEval(Tables.documents(s, dir))),
     // per-doc top-k salient terms by TF-IDF; rank window bounded by a
     // single document's distinct terms (round-5 addition)
     "q_tfidf" -> ((s, dir) => text.Search.tfidfTop(Tables.documents(s, dir))),
@@ -483,6 +486,7 @@ object SparkEntry {
     "q_text_repetition" -> Text.sqlRepetition,
     "q_text_scrub" -> Text.sqlScrub,
     "q_lang_id" -> Text.sqlLangId,
+    "q_langid_eval" -> Text.sqlLangIdEval,
     "q_tfidf" -> text.Search.sqlTfidfTop(),
     "q_surprisal" -> text.LangModel.sqlSurprisal(),
     "q_bm25_search" -> text.Search.sqlBm25Search(),

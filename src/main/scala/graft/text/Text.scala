@@ -140,6 +140,37 @@ object Text {
     "fr" -> Seq("le", "les", "et", "des", "une"),
     "zh" -> Seq("shi", "bu", "wo", "zhe", "ge"))
 
+  /** Language-ID evaluation against the declared ground truth — the
+    * confusion matrix + per-truth-language accuracy that tells you
+    * whether the heuristic is trustworthy enough to drive the
+    * allow-list/mixture samplers. One ≤|langs|²-row aggregate over
+    * the langId scan; accuracy rides a per-truth-language bounded
+    * window (never a data-sized partition).
+    */
+  def langIdEval(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("declared_lang"))
+    langId(documents)
+      .groupBy(col("declared_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_truth", sum(col("n")).over(w))
+      .select(col("declared_lang"), col("predicted_lang"), col("n"),
+        Det.r(col("n").cast("double") / col("n_truth").cast("double"), 6).as("share"),
+        when(col("declared_lang") === col("predicted_lang"), lit(1L)).otherwise(0L)
+          .as("is_correct"))
+  }
+
+  def sqlLangIdEval: String =
+    s"""WITH p AS ($sqlLangId), c AS (
+       |  SELECT declared_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM p GROUP BY 1, 2
+       |)
+       |SELECT declared_lang, predicted_lang, n,
+       |  floor(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY declared_lang) AS DOUBLE)
+       |        * 1000000.0 + 0.5) / 1000000.0 AS share,
+       |  CAST(CASE WHEN declared_lang = predicted_lang THEN 1 ELSE 0 END AS BIGINT) AS is_correct
+       |FROM c""".stripMargin
+
   def langId(documents: DataFrame): DataFrame = {
     val toks = col("toks") // materialized below; referenced per language
     val hits = langMarkers.map { case (lang, ws) =>

@@ -77,4 +77,20 @@ class TextSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.getString(2))
     assert(a.toSeq === b.toSeq)
   }
+
+  test("langIdEval: shares sum to 1 per truth language, counts conserve docs, beats chance") {
+    val corpus = Tables.documents(spark, sf)
+    val m = Text.langIdEval(corpus).collect()
+    assert(m.map(_.getLong(2)).sum === corpus.count())
+    m.groupBy(_.getString(0)).foreach { case (truth, rows) =>
+      val shareSum = rows.map(_.getDouble(3)).sum
+      assert(math.abs(shareSum - 1.0) <= 1e-5 * rows.length, s"$truth shares: $shareSum")
+    }
+    // the synthetic corpus is marker-sparse word soup, so the
+    // heuristic is weak here (~0.39 at sf0.001) — which is exactly
+    // what this evaluation SURFACES; the invariant is beating uniform
+    // chance over the 5 languages, not an accuracy promise
+    val correct = m.filter(_.getLong(4) == 1L).map(_.getLong(2)).sum
+    assert(correct.toDouble / corpus.count() > 0.2)
+  }
 }
