@@ -294,8 +294,13 @@ object Retention {
     *
     * over 30-day recency bins capped at 11 (the 180 d churn horizon +
     * tail), with Laplace-smoothed shares p = (n+1)/(N+12) so empty
-    * bins stay defined. Shapes: one groupBy over the ≤12-bin domain,
-    * totals and the PSI sum via bounded `Det.constKey` windows.
+    * bins stay defined. The FULL 0..11 bin domain is materialized
+    * (12-row range left-joined with observed counts) before the
+    * per-bin term, so the smoothed p and q each sum to exactly 1 and
+    * the PSI matches the standard full-domain definition even when a
+    * bin is empty in both splits. Shapes: one groupBy over the
+    * ≤12-bin domain, totals and the PSI sum via bounded
+    * `Det.constKey` windows.
     * Determinism: bin cut and counts are integers; shares divide in
     * an identical cast sequence; each bin term is fixed to integer
     * micro-nats before the sum (the surprisal ln policy), so the
@@ -312,10 +317,15 @@ object Retention {
       .agg(
         sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
         sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    val domain = features.sparkSession.range(0L, 12L).select(col("id").as("bin"))
+    val full = domain.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"))
     val w = Window.partitionBy(Det.constKey(col("bin")))
     val p = (col("n_train") + lit(1L)).cast("double") / (col("nt") + lit(12L)).cast("double")
     val q = (col("n_test") + lit(1L)).cast("double") / (col("ns") + lit(12L)).cast("double")
-    counts
+    full
       .withColumn("nt", sum(col("n_train")).over(w))
       .withColumn("ns", sum(col("n_test")).over(w))
       .withColumn("micro", floor((p - q) * log(p / q) * lit(1000000.0) + lit(0.5)).cast("long"))
@@ -337,10 +347,17 @@ object Retention {
        |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
        |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
        |  FROM sp WHERE split IN ('train', 'test') GROUP BY 1
+       |), dom AS (
+       |  SELECT CAST(range AS BIGINT) AS bin FROM range(0, 12)
+       |), cf AS (
+       |  SELECT dom.bin,
+       |    CAST(COALESCE(c.n_train, 0) AS BIGINT) AS n_train,
+       |    CAST(COALESCE(c.n_test, 0) AS BIGINT) AS n_test
+       |  FROM dom LEFT JOIN c ON dom.bin = c.bin
        |), t AS (
        |  SELECT bin, n_train, n_test,
        |    sum(n_train) OVER () AS nt, sum(n_test) OVER () AS ns
-       |  FROM c
+       |  FROM cf
        |), m AS (
        |  SELECT bin, n_train, n_test,
        |    CAST(floor(

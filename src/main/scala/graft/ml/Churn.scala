@@ -205,19 +205,31 @@ object Churn {
   def thresholdSweepQuery(spark: SparkSession, dir: String): DataFrame =
     thresholdSweep(predictions(spark, dir, "val"))
 
-  /** Best operating row = max F1 on the validation sweep; ties resolve
-    * to the lowest threshold (the reference's strict-greater
-    * replacement keeps the first/lowest too, train.py:95-102). ONE
-    * definition — bestThreshold (in-plan) and computeMetrics (the
-    * persisted artifact) must never diverge on the tie-break.
+  /** The operating-point metrics the selector can optimize — mirrors
+    * the reference CLI contract (train.py `--thr_metric
+    * choices=["f1","recall","precision"]`, Makefile `THR_METRIC`).
     */
-  def bestSweepRow(spark: SparkSession, dir: String): DataFrame =
-    thresholdSweepQuery(spark, dir)
-      .orderBy(col("f1").desc, col("threshold").asc)
-      .limit(1)
+  val thresholdMetrics: Seq[String] = Seq("f1", "recall", "precision")
 
-  def bestThreshold(spark: SparkSession, dir: String): DataFrame =
-    bestSweepRow(spark, dir).select(col("threshold").as("thr"))
+  /** Best operating row = max of the chosen metric on a sweep; ties
+    * resolve to the LOWEST threshold (the reference's strict-greater
+    * replacement over ascending thresholds keeps the first/lowest
+    * too, train.py:93-102). ONE definition — bestThreshold (in-plan)
+    * and computeMetrics (the persisted artifact) must never diverge
+    * on the tie-break. Factored over an arbitrary sweep frame so
+    * tests can pin the selector on constructed sweeps.
+    */
+  def bestRow(sweep: DataFrame, metric: String = "f1"): DataFrame = {
+    require(thresholdMetrics.contains(metric),
+      s"thr_metric must be one of ${thresholdMetrics.mkString("|")}, got '$metric'")
+    sweep.orderBy(col(metric).desc, col("threshold").asc).limit(1)
+  }
+
+  def bestSweepRow(spark: SparkSession, dir: String, metric: String = "f1"): DataFrame =
+    bestRow(thresholdSweepQuery(spark, dir), metric)
+
+  def bestThreshold(spark: SparkSession, dir: String, metric: String = "f1"): DataFrame =
+    bestSweepRow(spark, dir, metric).select(col("threshold").as("thr"))
 
   // ------------------------------------------------------------------
   // q16: test-set confusion matrix + point metrics at the best
@@ -375,27 +387,34 @@ object Churn {
   // ------------------------------------------------------------------
   final case class Metrics(
       valAucRoc: Double, valAucPr: Double,
-      bestThreshold: Double, precision: Double, recall: Double, f1: Double)
+      bestThreshold: Double, precision: Double, recall: Double, f1: Double,
+      thrMetric: String = "f1")
 
   /** Validation metrics + best operating threshold (the reference
     * evaluates the sweep and AUCs on the val split, train.py:178-186).
+    * `thrMetric` picks which sweep column the operating point
+    * maximizes, like the reference's `--thr_metric`.
     */
-  def computeMetrics(spark: SparkSession, dir: String): Metrics = {
+  def computeMetrics(spark: SparkSession, dir: String, thrMetric: String = "f1"): Metrics = {
     val auc = aucTable(predictions(spark, dir, "val")).head()
-    val best = bestSweepRow(spark, dir)
+    val best = bestSweepRow(spark, dir, thrMetric)
       .select("threshold", "precision", "recall", "f1").head()
     Metrics(auc.getDouble(0), auc.getDouble(1),
-      best.getDouble(0), best.getDouble(1), best.getDouble(2), best.getDouble(3))
+      best.getDouble(0), best.getDouble(1), best.getDouble(2), best.getDouble(3),
+      thrMetric)
   }
 
   /** Write the metrics artifact with the reference's key layout
-    * (nested best_threshold object, train.py:95-102,186).
+    * (nested best_threshold object, train.py:95-102,186), plus the
+    * metric the threshold was selected by so eval/serve can report
+    * the operating policy, not just the number.
     */
   def saveMetrics(m: Metrics, path: String): Unit = {
     val json =
       s"""{
          |  "val_auc_roc": ${m.valAucRoc},
          |  "val_auc_pr": ${m.valAucPr},
+         |  "thr_metric": "${m.thrMetric}",
          |  "best_threshold": {
          |    "threshold": ${m.bestThreshold},
          |    "precision": ${m.precision},
@@ -418,8 +437,12 @@ object Churn {
       m.getOrElse(throw new IllegalArgumentException(s"metrics artifact missing '$key': $path"))
         .group(1).toDouble
     }
+    // thr_metric is absent from pre-round-6 artifacts; those were
+    // always F1-selected, so the default is also the correct legacy read
+    val thrMetric = "\"thr_metric\"\\s*:\\s*\"([a-z0-9_]+)\"".r
+      .findFirstMatchIn(text).map(_.group(1)).getOrElse("f1")
     Metrics(num("val_auc_roc"), num("val_auc_pr"),
-      num("threshold"), num("precision"), num("recall"), num("f1"))
+      num("threshold"), num("precision"), num("recall"), num("f1"), thrMetric)
   }
 
   /** Train-now/eval-later loop: fit, persist metrics, and evaluate the

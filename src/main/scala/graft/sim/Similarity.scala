@@ -211,42 +211,54 @@ object Similarity {
     * table and everything that consumes cluster/class prototypes (IVF
     * seeding, drift monitoring per slice, class-mean classifiers).
     *
-    * Plan: `dim` independent `avg` aggregate columns (plain codegen
+    * Plan: `dim` independent `sum` aggregate columns (plain codegen
     * aggregates with partial aggregation) over ONE groupBy(label)
-    * shuffle — each map task forwards `dim` doubles + a count per
+    * shuffle — each map task forwards `dim` longs + a count per
     * label, never the vectors. The long-format unpivot (explode of a
     * literal struct array) runs over the ≤|labels|-row aggregate,
-    * where the `dim`× replication is free. Double-accumulated float
-    * sums differ across summation orders at ~1e-13 relative; the 6-dp
-    * display rounding absorbs that (same policy as every other
-    * transcendental/accumulation output).
+    * where the `dim`× replication is free.
+    *
+    * Determinism: each element is fixed to an integer MICRO unit
+    * (6-dp half-up floor) BEFORE summation, so the per-label sum is
+    * an exact order-free long (the surprisal/PSI fixed-point policy
+    * — a double `avg` would depend on summation order within ~1 ulp
+    * and can flake the cross-engine hash at a rounding boundary).
+    * The mean is then ONE IEEE division of two exactly-represented
+    * integers (micro-sum / (n·1e6)) — bit-identical in any engine.
+    * Micro-sums stay far from Long range (|v|≲1 ⇒ ≤1e6·n; fine to
+    * n~1e12 rows/label), and n·1e6 is double-exact to n≈9e9.
     */
   def labelCentroids(embeddings: DataFrame, dim: Int = 64): DataFrame = {
-    val avgs = (0 until dim).map(i => avg(col("embedding")(i).cast("double")).as(s"m$i"))
+    val sums = (0 until dim).map(i =>
+      sum(floor(col("embedding")(i).cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+        .as(s"s$i"))
     val wide = embeddings
       .groupBy(col("label"))
-      .agg(count(lit(1)).as("n"), avgs: _*)
+      .agg(count(lit(1)).as("n"), sums: _*)
     val dimRows = (0 until dim).map(i =>
-      struct(lit(i).cast("long").as("dim"), Det.r(col(s"m$i"), 6).as("mean")))
+      struct(lit(i).cast("long").as("dim"),
+        (col(s"s$i").cast("double") / (col("n") * lit(1000000L)).cast("double")).as("mean")))
     wide
       .select(col("label").cast("long").as("label"), col("n"),
         explode(array(dimRows: _*)).as("d"))
       .select(col("label"), col("d.dim").as("dim"), col("n"), col("d.mean").as("mean"))
   }
 
-  /** DuckDB oracle: 64 avg columns on the tiny aggregate, unpivoted
-    * via UNION ALL (1-based list indexing on the DuckDB side).
+  /** DuckDB oracle: 64 integer micro-sum columns on the tiny
+    * aggregate, unpivoted via UNION ALL (1-based list indexing on
+    * the DuckDB side). Same fixed-point-then-one-divide recipe as
+    * the Spark plan, so the mean is bit-identical.
     */
   def sqlLabelCentroids(dim: Int = 64): String = {
-    val avgs = (0 until dim)
-      .map(i => s"avg(CAST(embedding[${i + 1}] AS DOUBLE)) AS m$i")
+    val sums = (0 until dim)
+      .map(i => s"CAST(sum(CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s$i")
       .mkString(",\n    ")
     val arms = (0 until dim).map(i =>
-      s"SELECT label, CAST($i AS BIGINT) AS dim, n, floor(m$i * 1000000.0 + 0.5) / 1000000.0 AS mean FROM wide")
+      s"SELECT label, CAST($i AS BIGINT) AS dim, n, CAST(s$i AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS mean FROM wide")
       .mkString("\nUNION ALL\n")
     s"""WITH wide AS (
        |  SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
-       |    $avgs
+       |    $sums
        |  FROM embeddings GROUP BY 1
        |)
        |$arms""".stripMargin

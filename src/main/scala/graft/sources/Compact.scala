@@ -19,9 +19,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * a swap. n = ceil(on-disk bytes / targetBytes), from the
   * FileSystem listing — not a row count, because compaction targets
   * BYTES per file. The rewrite lands in `<path>.compacting` and is
-  * renamed over the original only after success, so a crashed
-  * compaction never destroys the table (readers see old or new, not
-  * half).
+  * renamed into place only after success, so a crashed compaction
+  * never loses the DATA (the original survives at `<path>.old` until
+  * the new copy is installed). The swap itself is TWO renames, not
+  * one atomic operation: there is a window in which nothing exists at
+  * `path`, so a concurrent reader can fail with path-not-found, and a
+  * crash between the renames leaves the table recoverable only by
+  * manually renaming `.old` back. Do NOT run compaction concurrently
+  * with readers of the same path; a production deployment should
+  * instead write each compaction into a versioned directory and flip
+  * a pointer/manifest (the Iceberg/Delta snapshot pattern) so readers
+  * always resolve a complete snapshot.
   */
 object Compact {
 

@@ -210,9 +210,15 @@ object Corpus {
         floor(pow(col("n_l").cast("double") / col("n_total").cast("double"), lit(alpha)) *
           lit(1000000.0) + lit(0.5)).cast("long"))
       .withColumn("sum_w", sum(col("w_int")).over(w))
+      // Products staged through DECIMAL(38,0): budgetTokens*w_int*granularity
+      // wraps a Long once budgetTokens exceeds ~9e10 (w_int up to 1e6,
+      // granularity 100), and sum_w*n_l wraps once a language nears 1e12
+      // tokens. Catalyst's IntegralDivide is exact on decimals and returns
+      // LONG, so the quotient is identical to the DuckDB HUGEINT `//` twin.
       .withColumn("keep_q",
         least(lit(granularity.toLong),
-          expr(s"($budgetTokens" + "L * w_int * " + s"${granularity}L) DIV (sum_w * n_l)")))
+          expr(s"(CAST($budgetTokens AS DECIMAL(38,0)) * w_int * $granularity) DIV " +
+            "(CAST(sum_w AS DECIMAL(38,0)) * n_l)")))
       .select(col("lang"), col("keep_q"))
     documents
       .join(broadcast(rates), Seq("lang"))
@@ -238,8 +244,9 @@ object Corpus {
        |), r AS (
        |  SELECT lang, n_l, w_int, sum(w_int) OVER () AS sum_w FROM wt
        |), q AS (
-       |  SELECT lang, least(CAST($granularity AS BIGINT),
-       |    ($budgetTokens * w_int * $granularity) // (sum_w * n_l)) AS keep_q
+       |  SELECT lang, CAST(least(CAST($granularity AS HUGEINT),
+       |    (CAST($budgetTokens AS HUGEINT) * w_int * $granularity)
+       |      // (CAST(sum_w AS HUGEINT) * n_l)) AS BIGINT) AS keep_q
        |  FROM r
        |)
        |SELECT d.doc_id, d.lang, CAST(len($toks) AS BIGINT) AS n_tokens

@@ -157,6 +157,46 @@ class ChurnSpec extends SparkSpec {
     assert(math.abs(weighted - base) < 1e-4)
   }
 
+  test("bestRow: each thr_metric selects its own maximum, ties to the lowest threshold") {
+    // constructed sweep where the three metrics provably pick three
+    // DIFFERENT rows: F1 peaks at 0.4, precision at 0.8, and recall
+    // ties at 1.0 across 0.0-0.2 (must resolve to 0.0, the reference's
+    // strict-greater ascending loop)
+    val sweep = Seq(
+      (0.0, 1.00, 0.30, 0.46),
+      (0.1, 1.00, 0.35, 0.52),
+      (0.2, 1.00, 0.40, 0.57),
+      (0.4, 0.80, 0.70, 0.75),
+      (0.8, 0.20, 0.95, 0.33)
+    ).toDF("threshold", "recall", "precision", "f1")
+    def pick(m: String) = Churn.bestRow(sweep, m).select("threshold").head().getDouble(0)
+    assert(pick("f1") === 0.4)
+    assert(pick("precision") === 0.8)
+    assert(pick("recall") === 0.0) // tie at recall=1.0 -> lowest threshold
+    intercept[IllegalArgumentException](Churn.bestRow(sweep, "accuracy"))
+  }
+
+  test("bestSweepRow(metric) on real predictions: recall picks t=0, per-metric optima dominate") {
+    val rows = Churn.thresholdSweepQuery(spark, sf)
+      .select("threshold", "precision", "recall", "f1").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    def best(m: String) = Churn.bestSweepRow(spark, sf, m)
+      .select("threshold", "precision", "recall", "f1").head()
+    // recall is maximal (=1 when positives exist) at threshold 0 and
+    // ties resolve downward, so the recall-selected threshold is 0.0
+    assert(best("recall").getDouble(0) === 0.0)
+    // each selected row attains the sweep-wide max of its own metric
+    assert(best("f1").getDouble(3) === rows.map(_._4).max)
+    assert(best("precision").getDouble(1) === rows.map(_._2).max)
+    assert(best("recall").getDouble(2) === rows.map(_._3).max)
+    // and the metric name round-trips through the artifact
+    val m = Churn.computeMetrics(spark, sf, "recall")
+    assert(m.thrMetric === "recall" && m.bestThreshold === 0.0)
+    val path = java.nio.file.Files.createTempDirectory("graft-metrics").toString + "/metrics.json"
+    Churn.saveMetrics(m, path)
+    assert(Churn.loadMetrics(path) === m)
+  }
+
   test("full CV fit selects a model (slow, ~2 min; set GRAFT_SLOW_TESTS=1)") {
     // verified manually this round: 121s at sf0.001, avg metrics
     // 0.57-0.67 across the grid — gated so the default suite stays fast

@@ -73,7 +73,9 @@ class RetentionSpec extends SparkSpec {
 
   test("driftPsi: contributions sum to the reported PSI; the modulo split shows no drift") {
     val rows = Retention.driftPsi(feats).collect()
-    assert(rows.nonEmpty)
+    // the full 0..11 bin domain is always present, observed or not
+    assert(rows.length === 12)
+    assert(rows.map(_.getLong(0)).sorted.toSeq === (0L until 12L))
     // counts conserve the two splits
     val split = Retention.withSplit(feats).groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

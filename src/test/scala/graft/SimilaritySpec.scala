@@ -139,13 +139,28 @@ class SimilaritySpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sf)
     val got = Similarity.labelCentroids(e)
+    // Same integer-micro fixed point, long-format shape: the wide
+    // 64-column plan must agree with the naive explode+groupBy one.
     val ref = e
       .select(col("label").cast("long").as("label"),
         posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim").cast("long").as("dim"))
-      .agg(count(lit(1)).as("n"), graft.Det.r(avg(col("v").cast("double")), 6).as("mean"))
-      .select("label", "dim", "n", "mean")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v").cast("double") * lit(1000000.0) + lit(0.5)).cast("long")).as("s"))
+      .select(col("label"), col("dim"), col("n"),
+        (col("s").cast("double") / (col("n") * lit(1000000L)).cast("double")).as("mean"))
     assert(got.collect().map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
+    // the fixed-point mean is within 1 micro of the true float mean
+    val trueMeans = e
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(avg(col("v").cast("double")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.collect().foreach { r =>
+      val t = trueMeans((r.getLong(0), r.getLong(1)))
+      assert(math.abs(r.getDouble(3) - t) < 1e-6, s"label ${r.getLong(0)} dim ${r.getLong(1)}")
+    }
     // every label emits exactly 64 dims, and the dim-0 counts sum to
     // the table size
     val perLabel = got.groupBy("label").count().collect()
