@@ -66,6 +66,14 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val fs = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","fit_sec":$fitSec,"queries":$qs,"failures":$fs,"sf":"$sfDir"}""")
+    // The harness keeps only a small TAIL of stdout and the full line
+    // above (85 queries) outgrew it, truncating away total/fit_sec.
+    // Emit a compact headline LAST (<500 bytes: totals, failure list,
+    // five slowest) so a bounded tail always captures what matters.
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"headline","total":${r3(total)},"unit":"sec","fit_sec":${r3(fitSec)},"n_queries":${results.size},"failures":$fs,"top5":$top5,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,245 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDateTime
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.etl.Retention
+import graft.ml.{Churn, Plots}
+import graft.serve.ScoreServer
+
+/** Per-stage command-line entry points mirroring the reference's
+  * Makefile-driven workflow (reference pipeline/etl.py:154-173,
+  * train.py:125-205, eval.py:22-89, serve_api.py): a user can run the
+  * whole pipeline end-to-end — features+splits, model+metrics+plots,
+  * held-out evaluation, HTTP scoring — without writing any Scala.
+  *
+  * Flag names follow the reference argparse contracts (`--in_dir`,
+  * `--out_dir`, `--cutoff`, `--lookahead_days`, `--cv_parallelism`,
+  * `--metric`, `--thr_metric`, `--model_dir`, `--metrics_path`,
+  * `--port`). Each stage is a thin arg-parsing shell over the library
+  * operators the driver gate already verifies — the CLI adds no new
+  * query logic, so CLI results and library results cannot diverge.
+  */
+object Args {
+  /** Minimal `--key value` parser (argparse-style). A `--key` followed
+    * by another `--key` or end-of-args is a boolean flag ("true").
+    */
+  def parse(argv: Array[String]): Map[String, String] = {
+    def loop(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
+      case Nil => acc
+      case key :: tail if key.startsWith("--") =>
+        tail match {
+          case v :: more if !v.startsWith("--") => loop(more, acc + (key.drop(2) -> v))
+          case _ => loop(tail, acc + (key.drop(2) -> "true"))
+        }
+      case other :: _ =>
+        throw new IllegalArgumentException(s"unexpected argument '$other' (flags are --key value)")
+    }
+    loop(argv.toList, Map.empty)
+  }
+
+  def required(m: Map[String, String], key: String): String =
+    m.getOrElse(key, throw new IllegalArgumentException(s"missing required flag --$key"))
+}
+
+private[cli] object CliSession {
+  /** Run `f` with the active session if one exists (tests, shared
+    * JVMs) — creating and owning a fresh one only otherwise, so a CLI
+    * main never stops a session it did not start.
+    */
+  def withSession(f: SparkSession => Unit): Unit = {
+    // active is thread-local; default is global — check BOTH, or a CLI
+    // main invoked from a fresh thread in a shared JVM (tests) would
+    // "create" (getOrCreate returns the default) and then stop a
+    // session it does not own
+    val existing = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val spark = existing.getOrElse {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val s = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    try f(spark)
+    finally if (existing.isEmpty) spark.stop()
+  }
+
+  /** (custkey, label, p1) scores of one split under an explicit model
+    * — the CLI twin of Churn.predictions for loaded models.
+    */
+  def score(model: PipelineModel, split: DataFrame): DataFrame =
+    model.transform(split)
+      .select(col("custkey"), col("label"),
+        vector_to_array(col("probability")).getItem(1).as("p1"))
+
+  def readSplit(spark: SparkSession, splitsDir: String, name: String): DataFrame =
+    spark.read.parquet(splitsDir).filter(col("split") === name).drop("split")
+}
+
+/** `graft.cli.Etl --in_dir <tables> --out_dir <processed> [--cutoff
+  * YYYY-MM-DD] [--lookahead_days N] [--recent_days N]` — reference
+  * etl.py:154-173. Writes `<out>/features` (full labeled feature
+  * table) and `<out>/splits` (Hive-partitioned by split=train/val/
+  * test, partition-prunable — the scalable form of the reference's
+  * three separate parquet writes).
+  */
+object Etl {
+  def main(argv: Array[String]): Unit = CliSession.withSession { spark =>
+    val a = Args.parse(argv)
+    val inDir = Args.required(a, "in_dir")
+    val outDir = Args.required(a, "out_dir")
+    val cfg = Retention.Config(
+      cutoff = LocalDateTime.parse(a.getOrElse("cutoff", "2000-06-30") + "T23:59:59"),
+      lookaheadDays = a.getOrElse("lookahead_days", "180").toInt,
+      recentDays = a.getOrElse("recent_days", "90").toInt)
+    val features = Retention.customerFeatures(
+      graft.Tables.orders(spark, inDir), graft.Tables.lineitem(spark, inDir), cfg)
+    features.write.mode("overwrite").parquet(s"$outDir/features")
+    Retention.writeSplits(spark.read.parquet(s"$outDir/features"), s"$outDir/splits")
+    println(s"[ETL] Saved features & splits to $outDir")
+  }
+}
+
+/** `graft.cli.Train --in_dir <processed> --out_dir <model_out>
+  * [--cv true] [--cv_parallelism N] [--metric aucroc|aucpr]
+  * [--thr_metric f1|recall|precision]` — reference train.py:125-205.
+  *
+  * Writes `<out>/model` (PipelineModel), `<out>/metrics.json`
+  * (AUCs + best operating point + thr_metric), single-file
+  * `<out>/coefficients.csv` and `<out>/threshold_curve.csv`, and the
+  * two PNG artifacts (threshold_curve.png, feature_importance.png).
+  *
+  * `--cv true` runs the reference's 3-fold x 3x3-grid CrossValidator
+  * (train.py:160-173; minutes of fitting); the default single
+  * deterministic fit is the library path the driver gate verifies.
+  */
+object Train {
+  def main(argv: Array[String]): Unit = CliSession.withSession { spark =>
+    val a = Args.parse(argv)
+    val inDir = Args.required(a, "in_dir")
+    val outDir = Args.required(a, "out_dir")
+    val thrMetric = a.getOrElse("thr_metric", "f1")
+    val cvMetric = a.getOrElse("metric", "aucpr") match {
+      case "aucroc" => "areaUnderROC"
+      case "aucpr"  => "areaUnderPR"
+      case other => throw new IllegalArgumentException(s"--metric must be aucroc|aucpr, got '$other'")
+    }
+    val train = Retention.withClassWeights(
+      CliSession.readSplit(spark, s"$inDir/splits", "train")).cache()
+    val model =
+      if (a.get("cv").contains("true"))
+        Churn.buildCrossValidator(cvMetric, a.getOrElse("cv_parallelism", "4").toInt)
+          .fit(train).bestModel.asInstanceOf[PipelineModel]
+      else Churn.buildPipeline()._1.fit(train)
+    train.unpersist()
+    Churn.save(model, s"$outDir/model")
+
+    val predVal = CliSession.score(model, CliSession.readSplit(spark, s"$inDir/splits", "val"))
+      .cache()
+    val auc = Churn.aucTable(predVal).head()
+    val sweepDf = Churn.thresholdSweep(predVal)
+      .select("threshold", "precision", "recall", "f1")
+    val sweep = sweepDf.orderBy("threshold").collect()
+    val best = Churn.bestRow(sweepDf, thrMetric).head()
+    predVal.unpersist()
+    val m = Churn.Metrics(auc.getDouble(0), auc.getDouble(1),
+      best.getDouble(0), best.getDouble(1), best.getDouble(2), best.getDouble(3), thrMetric)
+    Churn.saveMetrics(m, s"$outDir/metrics.json")
+
+    // single-FILE csv artifacts like the reference (vs a parquet-style
+    // part-file directory): tiny driver-side tables, written directly
+    val coef = Churn.coefficientTableOf(spark, model).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val coefCsv = "feature,coefficient,abs_coeff\n" +
+      coef.map { case (f, c) => s"$f,$c,${math.abs(c)}" }.mkString("\n") + "\n"
+    Files.writeString(Paths.get(s"$outDir/coefficients.csv"), coefCsv)
+    val curveCsv = "threshold,precision,recall,f1\n" +
+      sweep.map(r => s"${r.getDouble(0)},${r.getDouble(1)},${r.getDouble(2)},${r.getDouble(3)}")
+        .mkString("\n") + "\n"
+    Files.writeString(Paths.get(s"$outDir/threshold_curve.csv"), curveCsv)
+
+    Plots.thresholdCurve(
+      sweep.map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq,
+      Some(m.bestThreshold), s"$outDir/threshold_curve.png")
+    Plots.featureImportance(coef.toSeq, s"$outDir/feature_importance.png")
+
+    println(s"[TRAIN] Saved best model to: $outDir/model")
+    println(f"[TRAIN] Validation AUC-ROC=${m.valAucRoc}%.4f  AUC-PR=${m.valAucPr}%.4f")
+    println(s"[TRAIN] Best threshold ($thrMetric) -> ${m.bestThreshold}")
+    println(s"[TRAIN] Metrics saved to: $outDir/metrics.json")
+  }
+}
+
+/** `graft.cli.Eval --in_dir <processed> --model_dir <model>
+  * [--metrics_path <metrics.json>] [--out_json <confusion.json>]` —
+  * reference eval.py:22-89: test AUCs, then the confusion matrix at
+  * the threshold read back from metrics.json (fallback 0.5).
+  */
+object Eval {
+  def main(argv: Array[String]): Unit = CliSession.withSession { spark =>
+    val a = Args.parse(argv)
+    val inDir = Args.required(a, "in_dir")
+    val modelDir = Args.required(a, "model_dir")
+    val metricsPath = a.getOrElse("metrics_path",
+      Paths.get(modelDir).getParent.resolve("metrics.json").toString)
+    val model = Churn.load(modelDir)
+    val pred = CliSession.score(model, CliSession.readSplit(spark, s"$inDir/splits", "test"))
+      .cache()
+    val auc = Churn.aucTable(pred).head()
+    val thr =
+      try Churn.loadMetrics(metricsPath).bestThreshold
+      catch { case _: Exception => 0.5 } // reference eval.py:66-70 fallback
+    val c = Churn.confusionAt(pred, thr).head()
+    pred.unpersist()
+    val json =
+      s"""{
+         |  "test_auc_roc": ${auc.getDouble(0)},
+         |  "test_auc_pr": ${auc.getDouble(1)},
+         |  "threshold": $thr,
+         |  "tp": ${c.getLong(1)}, "fp": ${c.getLong(2)}, "tn": ${c.getLong(3)}, "fn": ${c.getLong(4)},
+         |  "precision": ${c.getDouble(5)}, "recall": ${c.getDouble(6)}, "f1": ${c.getDouble(7)},
+         |  "pos_rate": ${c.getDouble(8)}
+         |}""".stripMargin
+    a.get("out_json").foreach { p =>
+      val path = Paths.get(p)
+      if (path.getParent != null) Files.createDirectories(path.getParent)
+      Files.writeString(path, json)
+    }
+    println(f"[EVAL] Test AUC-ROC = ${auc.getDouble(0)}%.4f  AUC-PR = ${auc.getDouble(1)}%.4f")
+    println(f"[EVAL] Threshold = $thr%.2f")
+    println("[EVAL] Confusion Matrix (label=1 is positive):")
+    println(s"       TP=${c.getLong(1)}  FP=${c.getLong(2)}  TN=${c.getLong(3)}  FN=${c.getLong(4)}")
+    println(f"[EVAL] Precision=${c.getDouble(5)}%.4f  Recall=${c.getDouble(6)}%.4f  " +
+      f"F1=${c.getDouble(7)}%.4f  PosRate=${c.getDouble(8)}%.4f")
+  }
+}
+
+/** `graft.cli.Serve --model_dir <model> [--metrics_path <metrics.json>]
+  * [--port N] [--host H]` — reference serve_api.py: HTTP scoring at
+  * the persisted operating threshold (fallback 0.5).
+  */
+object Serve {
+  /** Start and return the server (tests stop it); `main` blocks. */
+  def run(spark: SparkSession, a: Map[String, String]): (ScoreServer, Int) = {
+    val modelDir = Args.required(a, "model_dir")
+    val thr = a.get("metrics_path")
+      .map(p => Churn.loadMetrics(p).bestThreshold)
+      .getOrElse(0.5)
+    val scorer = new Churn.Scorer(Churn.load(modelDir), thr)
+    val server = new ScoreServer(spark, scorer,
+      a.getOrElse("port", "0").toInt, a.getOrElse("host", "127.0.0.1"))
+    val port = server.start()
+    println(s"[SERVE] listening on port $port (threshold=$thr)")
+    (server, port)
+  }
+
+  def main(argv: Array[String]): Unit = CliSession.withSession { spark =>
+    run(spark, Args.parse(argv))
+    new java.util.concurrent.CountDownLatch(1).await() // serve until killed
+  }
+}

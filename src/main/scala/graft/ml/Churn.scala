@@ -138,8 +138,14 @@ object Churn {
   // q13: coefficient table (reference train.py:110-122) — feature,
   // coefficient, abs_coeff, sorted by |coef| descending.
   // ------------------------------------------------------------------
-  def coefficientTable(spark: SparkSession, dir: String): DataFrame = {
-    val lrm = fitted(spark, dir).stages.last.asInstanceOf[LogisticRegressionModel]
+  def coefficientTable(spark: SparkSession, dir: String): DataFrame =
+    coefficientTableOf(spark, fitted(spark, dir))
+
+  /** Coefficient table from an explicit model — the CLI/eval-later
+    * path where the model was loaded from disk, not cache-fitted.
+    */
+  def coefficientTableOf(spark: SparkSession, model: PipelineModel): DataFrame = {
+    val lrm = model.stages.last.asInstanceOf[LogisticRegressionModel]
     val rows = featureCols.zip(lrm.coefficients.toArray).map { case (f, c) => (f, c, math.abs(c)) }
     import spark.implicits._
     rows.toSeq.toDF("feature", "coefficient", "abs_coeff")
@@ -244,8 +250,14 @@ object Churn {
     * metrics artifact (reference eval.py:30-40), not the in-plan sweep.
     */
   def evalConfusionAt(spark: SparkSession, dir: String, threshold: Double): DataFrame =
-    confusionFrom(predictions(spark, dir, "test"),
-      spark.range(1).select(lit(threshold).as("thr")))
+    confusionAt(predictions(spark, dir, "test"), threshold)
+
+  /** Confusion at an explicit threshold over explicit (label, p1)
+    * predictions — the building block the CLI eval stage uses with a
+    * loaded model's scores.
+    */
+  def confusionAt(pred: DataFrame, threshold: Double): DataFrame =
+    confusionFrom(pred, pred.sparkSession.range(1).select(lit(threshold).as("thr")))
 
   private def confusionFrom(pred: DataFrame, thrDf: DataFrame): DataFrame = {
     val agg = pred.crossJoin(broadcast(thrDf))
