@@ -170,6 +170,13 @@ object SparkEntry {
     // re-score => precision 1, recall-gated in DedupSpec); approximate
     // recall => rows-only driver gate
     "q_dedup_embedding_lsh" -> ((s, dir) => Dedup.embeddingPairsLsh(Tables.embeddings(s, dir))),
+    // SemDeDup-style composition: embedding pair graph -> connected
+    // components -> highest-quality document survivor per semantic
+    // cluster. Brute pair graph here (oracle-checked vs the recursive
+    // closure, like q_dedup_embedding); useLsh=true is the 100 TB
+    // path, recall-gated in DedupSpec (round-6 addition)
+    "q_embed_dedup_best" -> ((s, dir) =>
+      Dedup.embedDedupBest(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     // --- E. Similarity search ---------------------------------------
     "q_knn_brute" -> ((s, dir) => Similarity.bruteKnn(Tables.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => Similarity.lshAnn(Tables.embeddings(s, dir))),
@@ -221,6 +228,11 @@ object SparkEntry {
     // independent lag-gap formulation with the matching break
     // convention (round-5 addition)
     "q_session_window" -> ((s, dir) => Events.sessionWindowAgg(Tables.events(s, dir))),
+    // join-key skew profile over a deliberately skew-planted routing
+    // of events (~90% on one hot key): MisraGries sketch -> broadcast
+    // exact recount; output equals the naive groupBy, so hash-exact
+    // oracle (round-6 addition)
+    "q_skew_profile" -> ((s, dir) => graft.ops.Skew.skewProfileQuery(Tables.events(s, dir))),
     // --- H. Corpus reporting & mixing (round-2 additions) -----------
     "q_corpus_stats" -> ((s, dir) => Corpus.stats(Tables.documents(s, dir))),
     // the 100 TB path: sketch percentiles, one aggregation, no
@@ -258,6 +270,10 @@ object SparkEntry {
     // (eval shingle set broadcasts; corpus never shuffles by shingle)
     "q_contamination" -> ((s, dir) => Dedup.contamination(Tables.documents(s, dir))),
     "q_decontaminate" -> ((s, dir) => Dedup.decontaminate(Tables.documents(s, dir))),
+    // fractional (PaLM-style) decontamination: drop only when the
+    // shared-shingle SHARE reaches the threshold; exact integer
+    // cross-multiply at the boundary (round-6 addition)
+    "q_decontaminate_frac" -> ((s, dir) => Dedup.decontaminateFrac(Tables.documents(s, dir))),
     // concat-and-chunk sequence packing via the two-level cumsum
     "q_pack_sequences" -> ((s, dir) => Corpus.packSequences(Tables.documents(s, dir))),
     // per-language top-k bigram vocabulary (two-phase exact top-k)
@@ -498,6 +514,7 @@ object SparkEntry {
     "q_dedup_clusters" -> Dedup.sqlClusters(),
     "q_dedup_best" -> Dedup.sqlBestSurvivors(),
     "q_dedup_embedding" -> Dedup.sqlEmbeddingPairs(),
+    "q_embed_dedup_best" -> Dedup.sqlEmbedDedupBest(),
     // q_ann_lsh / q_ann_ivf are approximate => rows-only driver gate +
     // recall-vs-brute ScalaTest.
     "q_knn_brute" -> Similarity.sqlBruteKnn(),
@@ -508,6 +525,7 @@ object SparkEntry {
     "q_media_resize" -> Multimodal.sqlMediaResize(),
     "q_stream_hourly" -> Events.sqlHourlyAgg,
     "q_partition_prune" -> graft.sources.Partitioned.sqlDailyPruned(),
+    "q_skew_profile" -> graft.ops.Skew.sqlSkewProfile(),
     "q_stream_sliding" -> Events.sqlSlidingAgg(),
     "q_session_window" -> Events.sqlSessionWindowAgg(),
     "q_corpus_stats" -> Corpus.sqlStats,
@@ -520,6 +538,7 @@ object SparkEntry {
     "q_weighted_sample" -> Corpus.sqlQualityWeightedSample(),
     "q_contamination" -> Dedup.sqlContamination(),
     "q_decontaminate" -> Dedup.sqlDecontaminate(),
+    "q_decontaminate_frac" -> Dedup.sqlDecontaminateFrac(),
     "q_pack_sequences" -> Corpus.sqlPackSequences(),
     "q_ngram_vocab" -> Corpus.sqlNgramVocab(),
     "q_heavy_hitters" -> Corpus.sqlHeavyHitters(),

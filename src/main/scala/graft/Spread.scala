@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.network.util.JavaUtils
 import org.apache.spark.sql.DataFrame
 
 /** Spread a (possibly single-file, hence single-partition) scan across
@@ -8,11 +9,26 @@ import org.apache.spark.sql.DataFrame
   * it is the expensive part. On a well-split 100 TB input the
   * partition count already exceeds the target and this is a true
   * no-op.
+  *
+  * The decision uses the OPTIMIZED-PLAN SIZE STATISTIC (catalog/file
+  * -index bytes ÷ `spark.sql.files.maxPartitionBytes`, the same
+  * arithmetic FilePartition uses to split a scan) — NOT
+  * `df.rdd.getNumPartitions`, which would run full physical planning
+  * and build the scan RDD during query *construction*, forcing
+  * eager file listing on a catalog table and bypassing AQE. The file
+  * index behind the statistic was already populated when the
+  * DataFrame was created, so reading it plans nothing and runs no job.
   */
 object Spread {
   def apply(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    if (df.rdd.getNumPartitions >= target) df
+    val conf = df.sparkSession.conf
+    val target = conf.get("spark.sql.shuffle.partitions").toInt
+    val maxPartitionBytes = JavaUtils.byteStringAsBytes(
+      conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val sizeInBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estimatedScanPartitions =
+      ((sizeInBytes + maxPartitionBytes - 1) / maxPartitionBytes).max(1)
+    if (estimatedScanPartitions >= target) df
     else df.repartition(target)
   }
 }

@@ -322,14 +322,20 @@ object Dedup {
     * partial agg (the latestSnapshot shape), never a per-cluster
     * window sort.
     */
-  def bestSurvivors(documents: DataFrame, tau: Double = 0.5): DataFrame = {
+  def bestSurvivors(documents: DataFrame, tau: Double = 0.5): DataFrame =
     // checkpoint: labels feed the member prune AND the final join —
     // without it the whole iterative clustering would re-run per
     // consumer
-    val labels = clustersQuery(documents, tau).localCheckpoint()
-    // score ONLY cluster members (left-semi prune BEFORE the quality
-    // projection): the expensive per-row quality expressions run on
-    // the duplicates-sized slice, not the 100 TB corpus
+    survivorsFromLabels(documents, clustersQuery(documents, tau).localCheckpoint())
+
+  /** The survivor tail shared by [[bestSurvivors]] (ngram clusters)
+    * and [[embedDedupBest]] (embedding clusters): quality-score ONLY
+    * cluster members (left-semi prune BEFORE the quality projection —
+    * the expensive per-row expressions run on the duplicates-sized
+    * slice, not the 100 TB corpus), then one max(struct) per cluster.
+    * `labels` must be checkpointed/cheap — it is consumed twice.
+    */
+  private def survivorsFromLabels(documents: DataFrame, labels: DataFrame): DataFrame = {
     val members = documents.join(labels.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val quality = graft.text.Text.quality(members)
       .select(col("doc_id"), col("quality_score"))
@@ -567,6 +573,72 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), Det.r(col("cos"), 6).as("cosine"))
   }
 
+  // ------------------------------------------------------------------
+  // q86: SemDeDup-style semantic dedup end-to-end — embedding-cosine
+  // pair graph -> connected components -> highest-quality DOCUMENT
+  // survivor per semantic cluster (vec_id keys the corresponding
+  // documents row; the survivor rule is the same quality-priority
+  // max(struct) as q_dedup_best, so "semantically duplicated content
+  // keeps its cleanest copy").
+  //
+  // The default (brute pair graph) is the oracle-checked correctness
+  // baseline, exactly like q_dedup_embedding; `useLsh = true` swaps in
+  // the hyperplane-LSH blocked pair generation with the identical
+  // downstream composition — the 100 TB path, recall-gated against the
+  // brute composition in DedupSpec (LSH pairs are exact-rescored, so
+  // its pair set is a SUBSET of brute: clusters can only split, never
+  // falsely merge).
+  // ------------------------------------------------------------------
+  def embedDedupBest(
+      documents: DataFrame,
+      embeddings: DataFrame,
+      tau: Double = 0.35,
+      useLsh: Boolean = false): DataFrame = {
+    val pairs =
+      (if (useLsh) embeddingPairsLsh(embeddings, tau) else embeddingPairs(embeddings, tau))
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    survivorsFromLabels(documents, clusters(pairs).localCheckpoint())
+  }
+
+  /** Oracle: recursive transitive closure over the brute cosine pair
+    * graph, then (quality DESC, doc_id ASC) rank inside each
+    * component — the embedding twin of [[sqlBestSurvivors]].
+    */
+  def sqlEmbedDedupBest(tau: Double = 0.35): String = {
+    val dot = "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))"
+    val cos = s"($dot) / (a.nrm * b.nrm)"
+    s"""WITH RECURSIVE ed_e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), ed_n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM ed_e
+       |), ed_p AS (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM ed_n a JOIN ed_n b ON a.vec_id < b.vec_id
+       |  WHERE ($cos) >= $tau
+       |), ed_g AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM ed_p
+       |  UNION
+       |  SELECT doc_b, doc_a FROM ed_p
+       |), ed_reach(src, x) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM ed_g)
+       |  UNION
+       |  SELECT w.src, ed_g.dst FROM ed_reach w JOIN ed_g ON w.x = ed_g.src
+       |), ed_labels AS (
+       |  SELECT src AS doc_id, min(x) AS cluster_id FROM ed_reach GROUP BY 1
+       |), ed_q AS (
+       |  SELECT doc_id, quality_score FROM (${graft.text.Text.sqlQuality})
+       |), ed_r AS (
+       |  SELECT ed_labels.cluster_id, ed_labels.doc_id, ed_q.quality_score,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY quality_score DESC, doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY cluster_id) AS n_docs
+       |  FROM ed_labels JOIN ed_q USING (doc_id)
+       |)
+       |SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs,
+       |  doc_id AS keep_id, quality_score AS keep_score
+       |FROM ed_r WHERE rn = 1""".stripMargin
+  }
+
   def sqlEmbeddingPairs(tau: Double = 0.35): String = {
     val dot = "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))"
     val cos = s"($dot) / (a.nrm * b.nrm)"
@@ -623,6 +695,66 @@ object Dedup {
       .filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
       .join(contamination(documents, evalMod).select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  /** Fractional decontamination (the PaLM/production form): drop a
+    * training document only when the SHARE of its distinct shingles
+    * found in the eval set reaches `minSharedFrac` — any-overlap
+    * ([[decontaminate]]) throws away long documents that merely quote
+    * one benchmark sentence; the fractional rule drops only documents
+    * that substantially ARE eval content.
+    *
+    * Same broadcast shape as [[contamination]] (eval shingles
+    * broadcast; corpus never shuffled by shingle) with the per-doc
+    * distinct-shingle count carried through the overlap count, shingle
+    * sets computed ONCE. The threshold test is exact integer
+    * cross-multiplication — n_shared·1e6 >= fracMicros·n_grams with
+    * fracMicros = round(minSharedFrac·1e6) — so the τ boundary cuts
+    * identically in both engines (no float division anywhere).
+    * Documents with zero eval overlap never enter the drop set, so
+    * shingle-less documents are always kept, like [[decontaminate]].
+    */
+  def decontaminateFrac(
+      documents: DataFrame,
+      minSharedFrac: Double = 0.2,
+      evalMod: Long = 50): DataFrame = {
+    require(minSharedFrac > 0.0 && minSharedFrac <= 1.0,
+      s"minSharedFrac must be in (0, 1], got $minSharedFrac")
+    val fracMicros = math.floor(minSharedFrac * 1e6 + 0.5).toLong
+    val evalGrams = hashedShingleSets(documents.filter(pmod(col("doc_id"), lit(evalMod)) === 0))
+      .select(explode(col("sh")).as("h")).distinct()
+    val drops = hashedShingleSets(documents.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"), explode(col("sh")).as("h"))
+      .join(broadcast(evalGrams), Seq("h"))
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") * lit(1000000L) >= lit(fracMicros) * col("n_grams"))
+      .select(col("doc_id"))
+    documents
+      .filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  def sqlDecontaminateFrac(minSharedFrac: Double = 0.2, evalMod: Long = 50): String = {
+    val fracMicros = math.floor(minSharedFrac * 1e6 + 0.5).toLong
+    s"""WITH s AS (
+       |  SELECT doc_id, list_distinct(${graft.text.Text.sqlShingles("text")}) AS sh FROM documents
+       |), e AS (
+       |  SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % $evalMod = 0
+       |), t AS (
+       |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_grams, unnest(sh) AS g
+       |  FROM s WHERE doc_id % $evalMod <> 0
+       |), drops AS (
+       |  SELECT doc_id FROM (
+       |    SELECT t.doc_id, t.n_grams, CAST(count(*) AS BIGINT) AS n_shared
+       |    FROM t JOIN e USING (g) GROUP BY 1, 2
+       |  ) WHERE n_shared * 1000000 >= $fracMicros * n_grams
+       |)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |WHERE d.doc_id % $evalMod <> 0
+       |  AND NOT EXISTS (SELECT 1 FROM drops WHERE drops.doc_id = d.doc_id)""".stripMargin
+  }
 
   /** Shared oracle CTEs: `t` = per-training-doc exploded distinct
     * shingles, `e` = the distinct eval shingle set, `c` = the

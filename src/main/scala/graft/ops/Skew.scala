@@ -62,6 +62,35 @@ object Skew {
     * for any type); NULL keys are excluded (they broadcast in joins,
     * not shuffle).
     */
+  /** Driver-gate harness for [[keyProfile]]: the synthetic events
+    * table is deliberately UNIFORM, so this derivation plants the
+    * pathological case the profiler exists for — ~90% of events route
+    * to one synthetic hot key, the remaining 10% spread over 17 cold
+    * keys (each ~0.59% of traffic, above the 1/200 threshold, so the
+    * report carries a full hot-vs-warm spectrum, not one row). The
+    * MisraGries superset guarantee holds at t=200, k=200 (k+1 ≥ t),
+    * so the sketch→recount output EQUALS the naive groupBy and the
+    * DuckDB twin is hash-exact.
+    */
+  def skewProfileQuery(events: DataFrame, t: Int = 200, k: Int = 200): DataFrame =
+    keyProfile(
+      events.withColumn("route_key",
+        when(pmod(col("event_id"), lit(10)) < 9, lit("hot"))
+          .otherwise(concat(lit("cold_"), pmod(col("event_id"), lit(17))))),
+      "route_key", t, k)
+
+  def sqlSkewProfile(t: Int = 200): String =
+    s"""WITH k AS (
+       |  SELECT CASE WHEN event_id % 10 < 9 THEN 'hot'
+       |              ELSE 'cold_' || CAST(event_id % 17 AS VARCHAR) END AS key
+       |  FROM events
+       |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM k)
+       |SELECT k.key, CAST(count(*) AS BIGINT) AS n_rows,
+       |  floor(CAST(count(*) AS DOUBLE) / CAST(tot.n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS share
+       |FROM k, tot
+       |GROUP BY k.key, tot.n
+       |HAVING count(*) * $t > tot.n""".stripMargin
+
   def keyProfile(df: DataFrame, keyCol: String, t: Int = 100, k: Int = 200): DataFrame = {
     require(k + 1 >= t, s"k=$k counters cannot guarantee share > 1/$t (need k+1 >= t)")
     val keys = df.select(col(keyCol).cast("string").as("key")).filter(col("key").isNotNull)

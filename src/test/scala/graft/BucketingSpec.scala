@@ -98,6 +98,29 @@ class BucketingSpec extends SparkSpec {
     assert(prof.view.mapValues(_._1).toMap === naive)
   }
 
+  test("skewProfileQuery: planted hot key at ~90%; sketch->recount equals the naive groupBy") {
+    val prof = Skew.skewProfileQuery(Tables.events(spark, sf)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(math.abs(prof("hot")._2 - 0.9) < 0.01, s"hot share ${prof("hot")._2}")
+    // at sf0.001 (1000 events) a couple of cold keys sit exactly ON
+    // the strict 1/200 boundary (5 rows · 200 = n), so the expected
+    // keyset comes from the naive groupBy under the same threshold —
+    // the equality below IS the operator's exactness claim. Most cold
+    // keys clear the bar; the report is a spectrum, not one row.
+    assert(prof.keySet.count(_.startsWith("cold_")) >= 10)
+    prof.collect { case (k, (_, share)) if k.startsWith("cold_") => (k, share) }.foreach {
+      case (k, share) => assert(share > 1.0 / 200 && share < 0.02, s"$k share $share")
+    }
+    val n = Tables.events(spark, sf).count()
+    val events = Tables.events(spark, sf).withColumn("route_key",
+      when(pmod(col("event_id"), lit(10)) < 9, lit("hot"))
+        .otherwise(concat(lit("cold_"), pmod(col("event_id"), lit(17)))))
+    val full = events.groupBy("route_key").count()
+      .filter(col("count") * 200 > lit(n))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prof.view.mapValues(_._1).toMap === full)
+  }
+
   test("salting spreads the hot key across all salt values deterministically") {
     import spark.implicits._
     val fact = (0 until 9000).map(i => (0L, i.toLong)).toDF("k", "payload")

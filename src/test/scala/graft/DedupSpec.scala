@@ -230,4 +230,87 @@ class DedupSpec extends SparkSpec {
     val plan = planOf(Dedup.contamination(Tables.documents(spark, sf)))
     assert(plan.contains("BroadcastHashJoin"), s"expected eval-side broadcast:\n$plan")
   }
+
+  test("embedDedupBest: keep_id has max quality in its component; clusters partition the pair graph") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val got = Dedup.embedDedupBest(docs, emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.nonEmpty)
+    // driver-side truth: union-find over the brute cosine pairs
+    val pairs = Dedup.embeddingPairs(emb).select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val comps = parent.keys.toSeq.groupBy(find).map { case (_, m) => m.toSet }.toSet
+    // one output row per component, labelled by its min id, n_docs = size
+    assert(got.keySet === comps.map(_.min))
+    comps.foreach(c => assert(got(c.min)._1 === c.size.toLong, s"component $c"))
+    // the survivor attains the max (quality, -doc_id) in its component
+    val q = graft.text.Text.quality(docs).select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    comps.foreach { c =>
+      val bestQ = c.map(q).max
+      val expectKeep = c.filter(d => q(d) == bestQ).min
+      assert(got(c.min)._2 === expectKeep && got(c.min)._3 === bestQ, s"component $c")
+    }
+  }
+
+  test("embedDedupBest with LSH pairs: clusters only refine (never merge), usable coverage") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Dedup.embedDedupBest(docs, emb).collect()
+    val lsh = Dedup.embedDedupBest(docs, emb, useLsh = true).collect()
+    // LSH pairs are exact-rescored (subset of brute pairs), so every
+    // LSH component is contained in one brute component: its keeper's
+    // quality never exceeds the brute component's keeper quality, and
+    // the node coverage is a subset with usable recall
+    val bruteNodes = Dedup.embeddingPairs(emb).select("vec_a", "vec_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val lshNodes = Dedup.embeddingPairsLsh(emb).select("vec_a", "vec_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(lshNodes.subsetOf(bruteNodes))
+    assert(lshNodes.size.toDouble / bruteNodes.size >= 0.5,
+      s"LSH node recall ${lshNodes.size.toDouble / bruteNodes.size}")
+    assert(lsh.map(_.getLong(1)).sum === lshNodes.size.toLong) // partition of covered nodes
+    assert(lsh.nonEmpty && brute.nonEmpty)
+  }
+
+  test("decontaminateFrac: boundary-exact at the threshold, strictly weaker than any-overlap") {
+    import spark.implicits._
+    // eval doc 0: shingles {a b c, b c d, c d e}
+    // doc 1: 5 shingles, 3 shared -> 0.6  >= 0.5 -> dropped
+    // doc 2: 4 shingles, 1 shared -> 0.25 <  0.5 -> kept (any-overlap would drop)
+    // doc 3: 6 shingles, 3 shared -> 0.5 EXACTLY -> dropped (>= at the edge)
+    // doc 4: no overlap -> kept by both
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (1L, "a b c d e x y"),
+      (2L, "a b c q r s"),
+      (3L, "a b c d e q r s"),
+      (4L, "completely unrelated words here again"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val kept = Dedup.decontaminateFrac(docs, minSharedFrac = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L))
+    // sanity on the constructed fractions via the contamination report
+    val shared = Dedup.contamination(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shared === Map(1L -> 3L, 2L -> 1L, 3L -> 3L))
+    // one micro above the exact boundary no longer drops doc 3 (6
+    // shingles, 3 shared = 0.5 < 0.500001)
+    val keptAbove = Dedup.decontaminateFrac(docs, minSharedFrac = 0.500001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptAbove === Set(2L, 3L, 4L))
+    // fractional keep-set is a superset of the any-overlap keep-set
+    val real = Tables.documents(spark, sf)
+    val anyKept = Dedup.decontaminate(real).select("doc_id").collect().map(_.getLong(0)).toSet
+    val fracKept = Dedup.decontaminateFrac(real).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(anyKept.subsetOf(fracKept))
+    // and the plan still broadcasts the eval side
+    val plan = planOf(Dedup.decontaminateFrac(real))
+    assert(plan.contains("BroadcastHashJoin"), s"expected eval-side broadcast:\n$plan")
+  }
 }
