@@ -1,0 +1,95 @@
+# graft pipeline driver — mirrors the reference Makefile contract
+# (reference Makefile: etl/train/eval/metrics/coefs/serve/curl_* /
+# clean_*) over the Scala CLI mains (graft.cli.{Etl,Train,Eval,Serve}).
+# Plots need no separate target: Train renders threshold_curve.png /
+# feature_importance.png + both CSVs alongside metrics.json.
+
+RAW_DIR        ?= /root/testdata/sf0.001
+OUT_DIR        ?= data/processed
+MODEL_OUT      ?= data/models/latest
+MODEL_DIR      ?= $(MODEL_OUT)/model
+CUTOFF         ?= 2000-06-30
+LOOKAHEAD      ?= 180
+
+CV             ?= false           # true = reference 3-fold 3x3 CV grid
+CV_PARALLELISM ?= 4
+CV_METRIC      ?= aucpr           # aucroc | aucpr
+THR_METRIC     ?= f1              # f1 | recall | precision
+
+PORT           ?= 8000
+
+SBT            ?= sbt -batch
+
+.PHONY: help compile test etl train eval metrics coefs \
+        serve curl_predict curl_batch verify bench \
+        clean_data clean_model clean_all
+
+help:
+	@echo "Targets:"
+	@echo "  compile       - Compile the library"
+	@echo "  test          - Run the ScalaTest suites"
+	@echo "  etl           - Build features & splits (train/val/test)"
+	@echo "  train         - Fit pipeline; write model/metrics/CSVs/PNGs"
+	@echo "  eval          - Evaluate saved model on the test split"
+	@echo "  metrics       - Print metrics.json"
+	@echo "  coefs         - Show head of coefficients.csv"
+	@echo "  serve         - HTTP scorer on port $(PORT)"
+	@echo "  curl_predict  - Sample single prediction against running API"
+	@echo "  curl_batch    - Sample batch prediction against running API"
+	@echo "  verify        - Dump SparkEntry queries + oracle SQL (driver gate shape)"
+	@echo "  bench         - Run the benchmark main"
+	@echo "  clean_data    - Remove processed parquet splits"
+	@echo "  clean_model   - Remove saved model artifacts"
+
+compile:
+	$(SBT) compile
+
+test:
+	$(SBT) test
+
+etl:
+	$(SBT) "runMain graft.cli.Etl --in_dir $(RAW_DIR) --out_dir $(OUT_DIR) \
+		--cutoff $(CUTOFF) --lookahead_days $(LOOKAHEAD)"
+
+train:
+	$(SBT) "runMain graft.cli.Train --in_dir $(OUT_DIR) --out_dir $(MODEL_OUT) \
+		--cv $(CV) --cv_parallelism $(CV_PARALLELISM) \
+		--metric $(CV_METRIC) --thr_metric $(THR_METRIC)"
+
+eval:
+	$(SBT) "runMain graft.cli.Eval --in_dir $(OUT_DIR) --model_dir $(MODEL_DIR) \
+		--metrics_path $(MODEL_OUT)/metrics.json"
+
+metrics:
+	@cat $(MODEL_OUT)/metrics.json || echo "metrics.json not found"
+
+coefs:
+	@head -n 10 $(MODEL_OUT)/coefficients.csv || echo "coefficients.csv not found"
+
+serve:
+	$(SBT) "runMain graft.cli.Serve --model_dir $(MODEL_DIR) \
+		--metrics_path $(MODEL_OUT)/metrics.json --port $(PORT)"
+
+curl_predict:
+	@curl -s -X POST http://localhost:$(PORT)/predict \
+	  -H "Content-Type: application/json" \
+	  -d '{"features": {"total_orders": 5, "total_qty": 20, "avg_order_amount": 45.0, "distinct_products": 12, "recent90_orders": 1, "recency_days": 90, "total_amount_log": 6.9, "recent90_amount_log": 4.8}}'
+
+curl_batch:
+	@curl -s -X POST http://localhost:$(PORT)/predict_batch \
+	  -H "Content-Type: application/json" \
+	  -d '{"items":[{"features":{"total_orders":5,"total_qty":20,"avg_order_amount":45.0,"distinct_products":12,"recent90_orders":1,"recency_days":90,"total_amount_log":6.9,"recent90_amount_log":4.8}},{"features":{"total_orders":2,"total_qty":3,"avg_order_amount":12.0,"distinct_products":2,"recent90_orders":0,"recency_days":170,"total_amount_log":4.5,"recent90_amount_log":0.0}}]}'
+
+verify:
+	$(SBT) "runMain graft.Verify $(RAW_DIR) /tmp/graft_verify"
+
+bench:
+	SPARK_GRAFT_SF_DIR=$(RAW_DIR) $(SBT) "runMain graft.Bench"
+
+clean_data:
+	rm -rf $(OUT_DIR)
+
+clean_model:
+	rm -rf $(MODEL_OUT)
+
+clean_all: clean_data clean_model

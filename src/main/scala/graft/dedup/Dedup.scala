@@ -282,6 +282,14 @@ object Dedup {
 
   /** Driver-gated cluster query: components of the exact ngram pair
     * graph (oracle: recursive transitive closure over the same pairs).
+    *
+    * Cost note: this, [[bestSurvivors]], and
+    * [[graft.text.Corpus.curate]] each re-derive the full ngram pair
+    * graph internally because the driver gate runs them as independent
+    * end-to-end queries. A production pipeline materializes
+    * [[ngramPairs]] (or the cluster labels) once and feeds all three
+    * from the saved table — the composition downstream of the pairs is
+    * cheap.
     */
   def clustersQuery(documents: DataFrame, tau: Double = 0.5): DataFrame =
     clusters(ngramPairs(documents, tau).select(col("doc_a"), col("doc_b")))
@@ -722,11 +730,17 @@ object Dedup {
     val fracMicros = math.floor(minSharedFrac * 1e6 + 0.5).toLong
     val evalGrams = hashedShingleSets(documents.filter(pmod(col("doc_id"), lit(evalMod)) === 0))
       .select(explode(col("sh")).as("h")).distinct()
+    // ONE explode, then count total vs shared grams in the SAME
+    // aggregation via a broadcast LEFT join hit marker. (Projecting
+    // size(sh) next to explode(sh) instead re-evaluates the whole
+    // shingle-set expression once per exploded row — the collapsed
+    // Generate projection runs per OUTPUT row — which benched 10x
+    // slower at sf0.1.)
     val drops = hashedShingleSets(documents.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0))
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"), explode(col("sh")).as("h"))
-      .join(broadcast(evalGrams), Seq("h"))
-      .groupBy(col("doc_id"), col("n_grams"))
-      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .join(broadcast(evalGrams.withColumn("hit", lit(1L))), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
       .filter(col("n_shared") * lit(1000000L) >= lit(fracMicros) * col("n_grams"))
       .select(col("doc_id"))
     documents

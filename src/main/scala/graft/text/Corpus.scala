@@ -322,6 +322,13 @@ object Corpus {
     *
     * The anti-join shuffles on doc_id; the loser set is duplicates
     * only (≪ corpus) so AQE usually broadcasts it.
+    *
+    * Cost note: as an INDEPENDENT end-to-end query this re-derives the
+    * ngram pair graph internally, as do `q_dedup_clusters` and
+    * `q_dedup_best` — that re-derivation is the dominant cost of all
+    * three (the bench tail). A production pipeline runs the clustering
+    * ONCE, materializes the labels (or `ngramPairs`) and feeds every
+    * survivor-selection consumer from that table.
     */
   def curate(
       documents: DataFrame,

@@ -210,6 +210,40 @@ class CorpusSpec extends SparkSpec {
     assert(kept === Corpus.temperatureMix(docs).select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("temperatureMix: trillion-token budgets do not wrap (decimal-staged keep-rate products)") {
+    // ADVICE r5: budgetTokens*w_int*granularity wrapped a Long once
+    // budgetTokens exceeded ~9e10. At a 1e15 budget every language's
+    // budget share dwarfs its supply, so every keep_q must saturate at
+    // the full granularity (keep everything) — under Long wrap the
+    // quotient went negative and silently kept nothing.
+    val docs = Tables.documents(spark, sf)
+    val all = Corpus.temperatureMix(docs, budgetTokens = 1000000000000000L)
+    val tokenized = docs.filter(size(graft.text.Text.tokens(col("text"))) >= 0)
+    assert(all.count() === tokenized.count(), "huge budget must keep every document")
+    // and a BigInt reimplementation of the keep-rate arithmetic agrees
+    // at a budget that lands strictly between wrap-prone products
+    val budget = 200000000000L // 2e11: wraps the old Long product
+    val mixed = Corpus.temperatureMix(docs, budgetTokens = budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byLang = docs
+      .withColumn("n", size(graft.text.Text.tokens(col("text"))).cast("long"))
+      .select("lang", "doc_id", "n").collect()
+      .groupBy(_.getString(0))
+    val nTotal = byLang.values.flatten.map(_.getLong(2)).sum
+    val wInts = byLang.view.mapValues { rows =>
+      val nL = rows.map(_.getLong(2)).sum
+      math.floor(math.pow(nL.toDouble / nTotal, 1.0 / 2.0) * 1e6 + 0.5).toLong -> nL
+    }.toMap.filter(_._2._2 > 0)
+    val sumW = wInts.values.map(_._1).sum
+    val expect = byLang.flatMap { case (lang, rows) =>
+      wInts.get(lang).toSeq.flatMap { case (w, nL) =>
+        val keepQ = ((BigInt(budget) * w * 100) / (BigInt(sumW) * nL)).min(100).toLong
+        rows.filter(r => r.getLong(1) % 100 < keepQ).map(_.getLong(1))
+      }
+    }.toSet
+    assert(mixed === expect)
+  }
+
   test("chunk: hand-built doc pins starts, trailing short chunks, and chunk identity") {
     import spark.implicits._
     // 5 tokens, chunk=4, stride=2 -> starts 0,2,4 with lens 4,3,1
