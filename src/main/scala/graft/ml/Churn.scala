@@ -422,6 +422,13 @@ object Churn {
     * the operating policy, not just the number.
     */
   def saveMetrics(m: Metrics, path: String): Unit = {
+    // "value" = the chosen metric's value at the selected threshold —
+    // the reference's best_threshold payload carries it (train.py:94-100)
+    val value = m.thrMetric match {
+      case "recall" => m.recall
+      case "precision" => m.precision
+      case _ => m.f1
+    }
     val json =
       s"""{
          |  "val_auc_roc": ${m.valAucRoc},
@@ -429,6 +436,7 @@ object Churn {
          |  "thr_metric": "${m.thrMetric}",
          |  "best_threshold": {
          |    "threshold": ${m.bestThreshold},
+         |    "value": $value,
          |    "precision": ${m.precision},
          |    "recall": ${m.recall},
          |    "f1": ${m.f1}
