@@ -155,6 +155,10 @@ object SparkEntry {
     "q_surprisal" -> ((s, dir) => text.LangModel.surprisal(Tables.documents(s, dir))),
     // --- D. Deduplication -------------------------------------------
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    // exact duplicated-SPAN detection (Lee et al. exact-substring
+    // modality): cross-doc repeated k-token windows as 8-byte hashes —
+    // the shuffles never carry text (round-6 addition)
+    "q_dup_spans" -> ((s, dir) => Dedup.dupSpans(Tables.documents(s, dir))),
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramPairs(Tables.documents(s, dir))),
     // survivor selection: connected components of the pair graph,
     // keep = min doc_id per component (round-3 addition)
@@ -510,6 +514,7 @@ object SparkEntry {
     // q_dedup_minhash / q_dedup_simhash are sketch-based (not
     // SQL-expressible) => rows-only driver gate + ScalaTest invariants.
     "q_dedup_exact" -> Dedup.sqlExact,
+    "q_dup_spans" -> Dedup.sqlDupSpans(),
     "q_dedup_ngram" -> Dedup.sqlNgramPairs(),
     "q_dedup_clusters" -> Dedup.sqlClusters(),
     "q_dedup_best" -> Dedup.sqlBestSurvivors(),

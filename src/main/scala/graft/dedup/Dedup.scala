@@ -662,6 +662,79 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // q89: exact duplicated-SPAN detection (the Lee et al. 2022
+  // "Deduplicating Training Data Makes Language Models Better" exact-
+  // substring modality — the gap between exact-doc dedup (#22) and
+  // near-doc dedup (#23-26): two mostly-different documents sharing
+  // one long verbatim passage, which document-level Jaccard never
+  // reaches and which inflates memorization).
+  //
+  // Definition: a k-token window (stride 1) is DUPLICATED iff the
+  // identical token sequence occurs in >= 2 distinct documents. Per
+  // document: total windows, duplicated-window positions, and the
+  // duplicated fraction — the per-doc signal a span-dedup/filter pass
+  // cuts on. (Within-doc repetition is deliberately excluded — that
+  // is q_text_repetition's job.)
+  //
+  // Scale shape: the reference implementation of this idea is a
+  // single-node suffix array; the distributed form is hash grouping —
+  // windows reduce to 8-byte xxhash64 values AT THE SCAN, so the two
+  // shuffles (by window hash for the cross-doc count + the count-back
+  // join, then by doc_id for the per-doc rollup) carry ~tokens x 8
+  // bytes, never text. The window->count join reuses the hash
+  // partitioning of the aggregate side. The token stream is derived
+  // twice (count branch + probe branch) like the decontamination
+  // queries — materializing the window table once is the production
+  // move when several consumers need it.
+  // ------------------------------------------------------------------
+  /** Per-document duplicated-span report: (doc_id, n_windows,
+    * n_dup_windows, dup_fraction) over k-token stride-1 windows;
+    * documents with fewer than k tokens carry no windows and are
+    * excluded. Counts are over window HASHES on the Spark side and
+    * window STRINGS in the oracle — equal modulo 64-bit collisions
+    * (the [[hashedShingleSets]] argument).
+    */
+  def dupSpans(documents: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 2, s"span window must be >= 2 tokens, got $k")
+    val wins = spread(documents)
+      .withColumn("toks", Text.tokens(col("text")))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), i -> xxhash64(concat_ws(' ', slice(toks, i, $k))))"))
+        .as("h"))
+    val perWindow = wins
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    wins
+      .join(perWindow, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        Det.r(col("n_dup_windows").cast("double") / col("n_windows").cast("double"), 6)
+          .as("dup_fraction"))
+  }
+
+  def sqlDupSpans(k: Int = 10): String = {
+    val toks = graft.text.Text.sqlTokens("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks FROM documents
+       |), w AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${k - 1} + 1),
+       |    i -> hash(array_to_string(toks[i:i + ${k - 1}], ' ')))) AS h
+       |  FROM t WHERE len(toks) >= $k
+       |), pw AS (
+       |  SELECT h, count(DISTINCT doc_id) AS n_docs FROM w GROUP BY 1
+       |)
+       |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       |  CAST(sum(CASE WHEN pw.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       |  floor(CAST(sum(CASE WHEN pw.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS dup_fraction
+       |FROM w JOIN pw USING (h) GROUP BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // q47/q48: benchmark decontamination (the GPT-3/PaLM-style n-gram
   // overlap check): a TRAINING document is contaminated iff it shares
   // at least one shingle with any EVAL-set document. The eval set here

@@ -231,6 +231,42 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected eval-side broadcast:\n$plan")
   }
 
+  test("dupSpans: hand-built docs pin window counts, cross-doc-only duplication, short-doc exclusion") {
+    import spark.implicits._
+    // k=4. doc 1: 6 tokens -> 3 windows; doc 2 shares doc 1's full
+    // last-4 span "c d e f" (1 of its 4 windows; its own tail spans
+    // are unique). doc 3 repeats a span WITHIN itself only -> not
+    // duplicated (cross-doc rule). doc 4: 3 tokens -> no windows row.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x c d e f y z"),
+      (3L, "p q r s p q r s"),
+      (4L, "u v w"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpans(docs, k = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) === ((3L, 1L, 0.333333))) // only "c d e f" is shared
+    assert(got(2L) === ((4L, 1L, 0.25)))
+    assert(got(3L) === ((5L, 0L, 0.0))) // within-doc repeat is NOT a dup span
+    // real data: the planted near-dup docs must surface long shared
+    // spans, and fractions stay in [0, 1] with counts consistent
+    val real = Dedup.dupSpans(Tables.documents(spark, sf)).collect()
+    assert(real.nonEmpty)
+    assert(real.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(real.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    assert(real.exists(_.getLong(2) > 0), "expected planted near-dups to share >=10-token spans")
+    // docs in a ngram near-dup pair at high tau share most content ->
+    // their dup fraction should be substantial
+    val pairDocs = Dedup.ngramPairs(Tables.documents(spark, sf), 0.5)
+      .select("doc_a", "doc_b").collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    if (pairDocs.nonEmpty) {
+      val byId = real.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      val fracs = pairDocs.toSeq.flatMap(byId.get)
+      assert(fracs.nonEmpty && fracs.max > 0.3, s"near-dup docs dup fractions: ${fracs.sorted.reverse.take(5)}")
+    }
+  }
+
   test("embedDedupBest: keep_id has max quality in its component; clusters partition the pair graph") {
     val docs = Tables.documents(spark, sf)
     val emb = Tables.embeddings(spark, sf)
