@@ -98,6 +98,10 @@ class PlanHardeningSpec extends SparkSpec {
     assert(graft.text.LangModel.surprisal(emptyDocs).count() === 0)
     assert(graft.text.Search.tfidfTop(emptyDocs).count() === 0)
     assert(graft.text.Search.bm25Search(emptyDocs).count() === 0)
+    // round-6 operators
+    assert(Dedup.dupSpans(emptyDocs).count() === 0)
+    assert(Dedup.decontaminateFrac(emptyDocs).count() === 0)
+    assert(Dedup.embedDedupBest(emptyDocs, emptyEmb).count() === 0)
   }
 
   test("temporal and outlier operators behave on an empty event stream") {
@@ -115,6 +119,7 @@ class PlanHardeningSpec extends SparkSpec {
     assert(graft.ops.Relational.multiHorizonStats(emptyEvents).count() === 0)
     assert(graft.ops.Relational.dailyActiveApprox(emptyEvents).count() === 0)
     assert(Similarity.labelCentroids(emptyEmb).count() === 0)
+    assert(graft.ops.Skew.skewProfileQuery(emptyEvents).count() === 0)
   }
 
   test("asof attribution and funnel behave on an empty event stream") {
