@@ -159,6 +159,10 @@ object SparkEntry {
     // modality): cross-doc repeated k-token windows as 8-byte hashes —
     // the shuffles never carry text (round-6 addition)
     "q_dup_spans" -> ((s, dir) => Dedup.dupSpans(Tables.documents(s, dir))),
+    // the ACTION for the span report: remove duplicated spans keeping
+    // the lowest-doc_id owner copy; cut sets built scan-side from the
+    // per-doc dup positions (round-6 addition)
+    "q_dup_span_scrub" -> ((s, dir) => Dedup.dupSpanScrub(Tables.documents(s, dir))),
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramPairs(Tables.documents(s, dir))),
     // survivor selection: connected components of the pair graph,
     // keep = min doc_id per component (round-3 addition)
@@ -515,6 +519,7 @@ object SparkEntry {
     // SQL-expressible) => rows-only driver gate + ScalaTest invariants.
     "q_dedup_exact" -> Dedup.sqlExact,
     "q_dup_spans" -> Dedup.sqlDupSpans(),
+    "q_dup_span_scrub" -> Dedup.sqlDupSpanScrub(),
     "q_dedup_ngram" -> Dedup.sqlNgramPairs(),
     "q_dedup_clusters" -> Dedup.sqlClusters(),
     "q_dedup_best" -> Dedup.sqlBestSurvivors(),

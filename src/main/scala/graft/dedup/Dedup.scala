@@ -716,6 +716,94 @@ object Dedup {
           .as("dup_fraction"))
   }
 
+  /** The ACTION for [[dupSpans]] (the report): rewrite each document
+    * with its cross-doc duplicated spans REMOVED, keeping the copy in
+    * the LOWEST doc_id that contains each window (so exactly one
+    * verbatim copy of every duplicated passage survives corpus-wide —
+    * dedup, not destruction; the Lee et al. remove-all-but-one rule
+    * with a deterministic owner).
+    *
+    * A token index is cut iff some duplicated non-owner window covers
+    * it: the per-doc cut set is built SCAN-SIDE from the collected dup
+    * positions (`flatten(transform(ps, p -> sequence(p, p+k-1)))`) —
+    * the expansion happens on the ≤windows-per-doc array inside the
+    * row, never as exploded shuffle rows, so the wire carries one
+    * position per dup window, not k. Rebuilt text is SPACE-JOINED
+    * tokens (tokenizer-normalized, identical in both engines); the
+    * gate compares md5 of the rebuilt text plus the cut counts.
+    * Membership is array_contains over the per-doc cut array — cost
+    * n_tokens·|cut| per row, bounded by document length, independent
+    * of corpus size.
+    */
+  def dupSpanScrub(documents: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 2, s"span window must be >= 2 tokens, got $k")
+    val wins = spread(documents)
+      .withColumn("toks", Text.tokens(col("text")))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), i -> xxhash64(concat_ws(' ', slice(toks, i, $k))))"))
+        .as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+    val perWindow = wins
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("owner"))
+    // `cut` is computed on THIS side of the join (one evaluation per
+    // cut document); downstream it is a join-output ATTRIBUTE, so the
+    // per-token membership lambda cannot inline and re-evaluate the
+    // flatten/distinct expression (the collapsed-projection trap
+    // caught on decontaminateFrac)
+    val cutLists = wins
+      .join(perWindow.filter(col("n_docs") >= 2), Seq("h"))
+      .filter(col("doc_id") =!= col("owner"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("ps"))
+      .select(col("doc_id"),
+        expr(s"array_distinct(flatten(transform(ps, p -> sequence(p, p + ${k - 1}))))").as("cut0"))
+    documents
+      .join(cutLists, Seq("doc_id"), "left")
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("cut", coalesce(col("cut0"), expr("array()")))
+      .withColumn("kept",
+        expr("filter(transform(toks, (t, i) -> if(array_contains(cut, i + 1), null, t)), x -> x IS NOT NULL)"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("cut")).cast("long").as("n_cut"),
+        md5(concat_ws(" ", col("kept")).cast("binary")).as("clean_md5"))
+  }
+
+  def sqlDupSpanScrub(k: Int = 10): String = {
+    val toks = graft.text.Text.sqlTokens("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks FROM documents
+       |), w0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${k - 1} + 1),
+       |    i -> {'pos': i, 'h': hash(array_to_string(toks[i:i + ${k - 1}], ' '))})) AS s
+       |  FROM t WHERE len(toks) >= $k
+       |), w AS (
+       |  SELECT doc_id, s.pos AS pos, s.h AS h FROM w0
+       |), pw AS (
+       |  SELECT h, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS owner FROM w GROUP BY 1
+       |), cl AS (
+       |  SELECT w.doc_id,
+       |    list_distinct(flatten(list_transform(list(DISTINCT w.pos), p -> range(p, p + $k)))) AS cut0
+       |  FROM w JOIN pw USING (h)
+       |  WHERE pw.n_docs >= 2 AND w.doc_id <> pw.owner
+       |  GROUP BY 1
+       |), x AS (
+       |  SELECT t.doc_id, t.toks, COALESCE(cl.cut0, []) AS cut
+       |  FROM t LEFT JOIN cl USING (doc_id)
+       |)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(cut) AS BIGINT) AS n_cut,
+       |  -- COALESCE: DuckDB array_to_string([]) is NULL where Spark's
+       |  -- concat_ws of an empty array is '' (fully-scrubbed docs)
+       |  md5(COALESCE(array_to_string(
+       |    list_filter(list_transform(range(1, len(toks) + 1),
+       |      i -> CASE WHEN list_contains(cut, i) THEN NULL ELSE toks[i] END),
+       |      x -> x IS NOT NULL), ' '), '')) AS clean_md5
+       |FROM x""".stripMargin
+  }
+
   def sqlDupSpans(k: Int = 10): String = {
     val toks = graft.text.Text.sqlTokens("text")
     s"""WITH t AS (

@@ -267,6 +267,71 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dupSpanScrub: owner keeps the span, non-owners lose exactly the covered tokens") {
+    import spark.implicits._
+    // k=4: doc 1 owns "c d e f" (lowest id containing it); doc 2 loses
+    // tokens 2..5 ("c d e f") and keeps "x y z"; doc 5 (all tokens
+    // covered) scrubs to empty
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x c d e f y z"),
+      (5L, "c d e f"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpanScrub(docs, k = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) === ((6L, 0L, md5("a b c d e f")))) // owner untouched
+    assert(got(2L) === ((7L, 4L, md5("x y z"))))
+    assert(got(5L) === ((4L, 4L, md5(""))))
+    // all docs present, incl. ones below the window size
+    val withShort = docs.union(Seq((9L, "u v")).toDF("doc_id", "text"))
+    val all = Dedup.dupSpanScrub(withShort, k = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(all.keySet === Set(1L, 2L, 5L, 9L) && all(9L) === 0L)
+  }
+
+  test("dupSpans + dupSpanScrub equal a brute reimplementation on a fixed-seed random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    // small vocab + planted shared passage => natural window collisions
+    val shared = Seq.fill(8)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val texts = (0L until 40L).map { id =>
+      val own = Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val t = if (id % 3 == 0) s"$own $shared" else own
+      (id, t)
+    }
+    val k = 5
+    val docs = texts.toDF("doc_id", "text")
+    // brute truth
+    val toks = texts.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toVector }.toMap
+    val wins = toks.toSeq.flatMap { case (id, ts) =>
+      if (ts.size >= k) (0 to ts.size - k).map(p => (id, p + 1, ts.slice(p, p + k).mkString(" ")))
+      else Seq.empty
+    }
+    val docsPerWin = wins.groupBy(_._3).view.mapValues(_.map(_._1).distinct).toMap
+    val expectSpans = wins.groupBy(_._1).map { case (id, ws) =>
+      val dup = ws.count(w => docsPerWin(w._3).size >= 2)
+      id -> ((ws.size.toLong, dup.toLong))
+    }
+    val gotSpans = Dedup.dupSpans(docs, k).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotSpans === expectSpans)
+    // scrub truth: cut token indices of non-owner dup windows
+    val expectScrub = toks.map { case (id, ts) =>
+      val cuts = wins.filter(w => w._1 == id && docsPerWin(w._3).size >= 2 &&
+        docsPerWin(w._3).min != id).flatMap(w => w._2 until w._2 + k).distinct
+      val kept = ts.zipWithIndex.collect { case (t, i) if !cuts.contains(i + 1) => t }
+      id -> ((ts.size.toLong, cuts.size.toLong, kept.mkString(" ")))
+    }
+    val md5 = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val gotScrub = Dedup.dupSpanScrub(docs, k).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(gotScrub === expectScrub.map { case (id, (n, c, t)) => id -> ((n, c, md5(t))) })
+  }
+
   test("embedDedupBest: keep_id has max quality in its component; clusters partition the pair graph") {
     val docs = Tables.documents(spark, sf)
     val emb = Tables.embeddings(spark, sf)

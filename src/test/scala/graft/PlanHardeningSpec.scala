@@ -100,6 +100,7 @@ class PlanHardeningSpec extends SparkSpec {
     assert(graft.text.Search.bm25Search(emptyDocs).count() === 0)
     // round-6 operators
     assert(Dedup.dupSpans(emptyDocs).count() === 0)
+    assert(Dedup.dupSpanScrub(emptyDocs).count() === 0)
     assert(Dedup.decontaminateFrac(emptyDocs).count() === 0)
     assert(Dedup.embedDedupBest(emptyDocs, emptyEmb).count() === 0)
   }
