@@ -16,7 +16,11 @@ import graft.ml.{Churn, Plots}
   */
 class CliSpec extends SparkSpec {
 
-  private lazy val tmp = Files.createTempDirectory("graft-cli").toString
+  // materialize the shared fixture session BEFORE any CLI main runs:
+  // with a live default session the mains reuse it and never stop it;
+  // otherwise a filtered run (-z) would let a main create and stop its
+  // own, leaving follow-up model loads without a SparkContext
+  private lazy val tmp = { SparkSpec.session; Files.createTempDirectory("graft-cli").toString }
   private lazy val processed = s"$tmp/processed"
   private lazy val modelOut = s"$tmp/model_out"
 
@@ -127,6 +131,19 @@ class CliSpec extends SparkSpec {
       conn.disconnect()
       assert(resp.contains("probability") && resp.contains("prediction"))
     } finally server.stop()
+  }
+
+  test("Train main --cv true runs the reference CV grid (slow; set GRAFT_SLOW_TESTS=1)") {
+    assume(sys.env.contains("GRAFT_SLOW_TESTS"), "set GRAFT_SLOW_TESTS=1 to run")
+    // self-sufficient under test filtering (-z): etl if splits absent
+    if (!Files.exists(Paths.get(s"$processed/splits")))
+      Etl.main(Array("--in_dir", sf, "--out_dir", processed))
+    val cvOut = s"$tmp/model_cv"
+    Train.main(Array("--in_dir", processed, "--out_dir", cvOut,
+      "--cv", "true", "--cv_parallelism", "4", "--metric", "aucroc", "--thr_metric", "recall"))
+    val m = Churn.loadMetrics(s"$cvOut/metrics.json")
+    assert(m.thrMetric === "recall" && m.bestThreshold === 0.0) // recall ties -> lowest
+    assert(Churn.load(s"$cvOut/model").stages.length === 4)
   }
 
   test("Plots render constructed inputs with the advertised geometry") {
