@@ -189,6 +189,11 @@ object SparkEntry {
     "q_knn_brute" -> ((s, dir) => Similarity.bruteKnn(Tables.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => Similarity.lshAnn(Tables.embeddings(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.ivfAnn(Tables.embeddings(s, dir))),
+    // recall@k audit of both approximate indexes vs the exact brute
+    // top-k — the decision input for serving ANN instead of exact;
+    // approximate => rows-only gate + recall floors in SimilaritySpec
+    // (round-6 addition)
+    "q_ann_eval" -> ((s, dir) => Similarity.annEval(Tables.embeddings(s, dir))),
     // per-label embedding centroids: 64 codegen avg columns over one
     // shuffle, unpivot on the tiny aggregate (round-5 addition)
     "q_label_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables.embeddings(s, dir))),

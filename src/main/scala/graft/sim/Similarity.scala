@@ -207,6 +207,33 @@ object Similarity {
     rankTopK(pairs, e, nQueries, k)
   }
 
+  /** ANN quality audit — recall@k of each approximate index against
+    * the exact brute top-k on the same queries (the q_langid_eval
+    * pattern: the evaluation that DECIDES whether the approximate
+    * path may serve in place of the exact one, emitted as a query so
+    * the decision input is itself a gated artifact). One row per
+    * method: truth size, hits (equi-join on (query_id, vec_id) of two
+    * nQueries·k-row tables — the audit costs no more than the
+    * searches), recall. The brute truth is checkpointed so the
+    * corpus-×-queries exact pass runs ONCE, not once per method.
+    * Approximate methods ⇒ rows-only driver gate; SimilaritySpec pins
+    * the recall floors and the [0,1] range.
+    */
+  def annEval(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame = {
+    val truth = bruteKnn(embeddings, nQueries, k)
+      .select(col("query_id"), col("vec_id")).localCheckpoint()
+    def recallOf(name: String, ann: DataFrame): DataFrame =
+      truth
+        .join(ann.select(col("query_id"), col("vec_id"), lit(1L).as("hit")),
+          Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_truth"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(lit(name).as("method"), col("n_truth"), col("n_hit"),
+          Det.r(col("n_hit").cast("double") / greatest(col("n_truth"), lit(1L)).cast("double"), 6)
+            .as("recall"))
+    recallOf("lsh", lshAnn(embeddings, nQueries, k))
+      .unionAll(recallOf("ivf", ivfAnn(embeddings, nQueries, k)))
+  }
+
   /** Per-label embedding centroids — the bridge between the vector
     * table and everything that consumes cluster/class prototypes (IVF
     * seeding, drift monitoring per slice, class-mean classifiers).

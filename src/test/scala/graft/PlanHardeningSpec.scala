@@ -20,7 +20,10 @@ class PlanHardeningSpec extends SparkSpec {
   private val mlQueries = Set(
     "q_train_coefficients", "q_predict_batch", "q_threshold_sweep",
     "q_eval_confusion", "q_eval_auc", "q_calibration")
-  private val bruteBaselines = Set("q_knn_brute", "q_dedup_embedding")
+  // q_ann_eval composes the brute truth (broadcast-queries NLJ) and
+  // ivfAnn (broadcast-centroid NLJ), so it inherits their documented
+  // nested loops
+  private val bruteBaselines = Set("q_knn_brute", "q_dedup_embedding", "q_ann_eval")
 
   test("every non-ML query plans without a CartesianProduct") {
     SparkEntry.queries.filterNot(q => mlQueries(q._1)).foreach { case (name, fn) =>
@@ -53,8 +56,8 @@ class PlanHardeningSpec extends SparkSpec {
     // exactly the documented model-dependent / sketch-based set
     assert(rowsOnly === mlQueries ++ Set(
       "q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf",
-      "q_dedup_embedding_lsh", "q_corpus_stats_approx", "q_media_features",
-      "q_distinct_approx"))
+      "q_ann_eval", "q_dedup_embedding_lsh", "q_corpus_stats_approx",
+      "q_media_features", "q_distinct_approx"))
   }
 
   private lazy val emptyDocs = spark.createDataFrame(

@@ -135,6 +135,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annEval: recall floors hold and agree with a driver-side recomputation") {
+    val e = Tables.embeddings(spark, sf)
+    val rows = Similarity.annEval(e).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet === Set("lsh", "ivf"))
+    rows.foreach { case (m, (nTruth, nHit, recall)) =>
+      assert(nTruth > 0 && nHit >= 0 && nHit <= nTruth, s"$m counts")
+      assert(recall >= 0.0 && recall <= 1.0, s"$m recall $recall")
+      assert(math.abs(recall - nHit.toDouble / nTruth) < 1e-6, s"$m recall consistency")
+    }
+    // multi-probe LSH on this corpus finds a usable share of the true
+    // top-k (same floor family as the pair-level LSH gates)
+    assert(rows("lsh")._3 >= 0.5, s"lsh recall ${rows("lsh")._3}")
+    // driver-side recomputation from the operators themselves
+    def set(df: org.apache.spark.sql.DataFrame) = df.select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = set(Similarity.bruteKnn(e))
+    val lsh = set(Similarity.lshAnn(e))
+    assert(rows("lsh")._2 === (truth & lsh).size.toLong)
+    assert(rows("lsh")._1 === truth.size.toLong)
+  }
+
   test("labelCentroids equals the posexplode formulation; counts partition the table") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sf)
