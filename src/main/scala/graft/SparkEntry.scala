@@ -189,7 +189,11 @@ object SparkEntry {
     "q_knn_brute" -> ((s, dir) => Similarity.bruteKnn(Tables.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => Similarity.lshAnn(Tables.embeddings(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.ivfAnn(Tables.embeddings(s, dir))),
-    // recall@k audit of both approximate indexes vs the exact brute
+    // IVF with TRAINED centroids: distributed spherical k-means
+    // (Lloyd) plugged into the seam q_ann_ivf's lowest-id seeds stand
+    // in for (round-6 addition)
+    "q_ann_ivf_kmeans" -> ((s, dir) => Similarity.ivfAnnKmeans(Tables.embeddings(s, dir))),
+    // recall@k audit of the approximate indexes vs the exact brute
     // top-k — the decision input for serving ANN instead of exact;
     // approximate => rows-only gate + recall floors in SimilaritySpec
     // (round-6 addition)

@@ -184,6 +184,88 @@ object Similarity {
     val e = prepared(embeddings)
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    ivfAnnFrom(e, cents, nQueries, k, nProbe)
+  }
+
+  /** IVF with TRAINED centroids — [[kmeansCentroids]] plugged into the
+    * seam [[ivfAnn]] documents (its lowest-id seeds are the stand-in).
+    * Same candidate shape; only the cell table differs.
+    */
+  def ivfAnnKmeans(
+      embeddings: DataFrame,
+      nQueries: Int = 10,
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 2,
+      iters: Int = 5): DataFrame = {
+    val cents = kmeansCentroids(embeddings, nCells, iters)
+      .select(col("cell"), col("cv"), lit(1.0).as("cn")) // unit centroids
+    ivfAnnFrom(prepared(embeddings), cents, nQueries, k, nProbe)
+  }
+
+  /** Distributed spherical k-means (Lloyd) over the embedding table —
+    * the centroid-training pass a real IVF index builds with. Cosine
+    * objective: assign each UNIT vector to its max-cosine centroid,
+    * update each centroid to the normalized mean of its members.
+    *
+    * Per iteration: ONE corpus pass against the broadcast centroid
+    * table (assignment = max_by over ≤nCells broadcast rows, no
+    * shuffle) + ONE groupBy(cell) with `dim` codegen avg columns (the
+    * labelCentroids shape — the shuffle carries dim doubles + count
+    * per cell, never vectors). Centroids localCheckpoint each round so
+    * the lineage stays flat; iterations are a fixed small count (k-
+    * means converges fast and an IVF index needs "good", not
+    * "optimal", cells). Cells that lose all members drop out (standard
+    * Lloyd); zero-norm input vectors are excluded up front. Seeds =
+    * the nCells lowest-id unit vectors, so cell labels are stable and
+    * iters=0 reproduces [[ivfAnn]]'s seed table exactly.
+    *
+    * Returns (cell, cv: unit array<double>). Double means make this
+    * model-dependent (rows-only family, like the MLlib paths); the
+    * SimilaritySpec gates pin unit norms, the non-decreasing cosine
+    * objective, and the downstream recall behavior.
+    */
+  def kmeansCentroids(
+      embeddings: DataFrame,
+      nCells: Int = 16,
+      iters: Int = 5,
+      dim: Int = 64): DataFrame = {
+    require(nCells > 0 && iters >= 0)
+    val u = prepared(embeddings)
+      .filter(col("nrm") > 0)
+      // interpreted transform lambda is fine here: one normalization
+      // pass of a training job, not an oracle-checked hot path
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+      .localCheckpoint()
+    var cents = u.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("u").as("cv"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = u.crossJoin(broadcast(cents))
+        .withColumn("cos", dot(col("u"), col("cv")))
+        .groupBy(col("vec_id"), col("u"))
+        .agg(max_by(col("cell"), struct(col("cos"), (-col("cell")).as("tb"))).as("cell"))
+      val means = (0 until dim).map(i => avg(col("u")(i)).as(s"m$i"))
+      val next = assigned
+        .groupBy(col("cell"))
+        .agg(means.head, means.tail: _*)
+        .select(col("cell"), array((0 until dim).map(i => col(s"m$i")): _*).as("m"))
+        .withColumn("mn", sqrt(dot(col("m"), col("m"))))
+        .filter(col("mn") > 0)
+        .select(col("cell"), transform(col("m"), x => x / col("mn")).as("cv"))
+        .localCheckpoint()
+      cents.unpersist()
+      cents = next
+    }
+    cents
+  }
+
+  private def ivfAnnFrom(
+      e: DataFrame,
+      cents: DataFrame,
+      nQueries: Int,
+      k: Int,
+      nProbe: Int): DataFrame = {
     val scored = e.crossJoin(broadcast(cents))
       .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
     // nearest cell per vector; ties resolved to the smallest cell id
@@ -232,6 +314,7 @@ object Similarity {
             .as("recall"))
     recallOf("lsh", lshAnn(embeddings, nQueries, k))
       .unionAll(recallOf("ivf", ivfAnn(embeddings, nQueries, k)))
+      .unionAll(recallOf("ivf_kmeans", ivfAnnKmeans(embeddings, nQueries, k)))
   }
 
   /** Per-label embedding centroids — the bridge between the vector

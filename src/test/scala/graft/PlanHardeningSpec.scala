@@ -30,7 +30,10 @@ class PlanHardeningSpec extends SparkSpec {
       val plan = planOf(fn(spark, sf))
       assert(!plan.contains("CartesianProduct"), s"$name has a CartesianProduct")
       if (!bruteBaselines(name)) {
-        assert(!plan.contains("BroadcastNestedLoopJoin") || name == "q_ann_ivf",
+        // the IVF family legitimately nested-loops against the tiny
+        // broadcast centroid table
+        assert(!plan.contains("BroadcastNestedLoopJoin")
+            || name == "q_ann_ivf" || name == "q_ann_ivf_kmeans",
           s"$name has an unexpected BroadcastNestedLoopJoin")
       }
     }
@@ -56,8 +59,8 @@ class PlanHardeningSpec extends SparkSpec {
     // exactly the documented model-dependent / sketch-based set
     assert(rowsOnly === mlQueries ++ Set(
       "q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf",
-      "q_ann_eval", "q_dedup_embedding_lsh", "q_corpus_stats_approx",
-      "q_media_features", "q_distinct_approx"))
+      "q_ann_ivf_kmeans", "q_ann_eval", "q_dedup_embedding_lsh",
+      "q_corpus_stats_approx", "q_media_features", "q_distinct_approx"))
   }
 
   private lazy val emptyDocs = spark.createDataFrame(

@@ -135,11 +135,56 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeansCentroids: unit norms, stable labels, and a non-decreasing cosine objective") {
+    val e = Tables.embeddings(spark, sf)
+    // iters=0 reproduces the lowest-id unit seeds exactly
+    val seeds = Similarity.kmeansCentroids(e, nCells = 8, iters = 0).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(seeds.keySet === (0L until 8L).toSet)
+    seeds.values.foreach { v =>
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, "seed not unit-norm")
+    }
+    // trained centroids stay unit and labels stay within the seed set
+    val trained = Similarity.kmeansCentroids(e, nCells = 8, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(trained.nonEmpty && trained.keySet.subsetOf(seeds.keySet))
+    trained.values.foreach { v =>
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, "centroid not unit-norm")
+    }
+    // Lloyd with cosine assignment: the mean best-cosine objective must
+    // not decrease as iterations advance (computed driver-side)
+    val unit = e.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def objective(cents: Map[Long, Seq[Double]]): Double =
+      unit.map(u => cents.values.map(c => c.zip(u).map { case (a, b) => a * b }.sum).max).sum / unit.length
+    val objs = Seq(0, 2, 4).map(i =>
+      objective(Similarity.kmeansCentroids(e, nCells = 8, iters = i).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap))
+    assert(objs.sliding(2).forall { case Seq(a, b) => b >= a - 1e-9 }, s"objective not monotone: $objs")
+    assert(objs.last > objs.head - 1e-9)
+  }
+
+  test("ivfAnnKmeans: valid top-k contract and trained cells cover the corpus") {
+    val e = Tables.embeddings(spark, sf)
+    val got = Similarity.ivfAnnKmeans(e).collect()
+    assert(got.nonEmpty)
+    // contract: (query_id, rank, vec_id, cosine), ranks contiguous from 1
+    val byQuery = got.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rows) =>
+      val ranks = rows.map(_.getInt(1)).sorted
+      assert(ranks === (1 to ranks.max).toArray, s"query $q ranks")
+      rows.foreach(r => assert(r.getLong(2) !== q))
+    }
+  }
+
   test("annEval: recall floors hold and agree with a driver-side recomputation") {
     val e = Tables.embeddings(spark, sf)
     val rows = Similarity.annEval(e).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
-    assert(rows.keySet === Set("lsh", "ivf"))
+    assert(rows.keySet === Set("lsh", "ivf", "ivf_kmeans"))
     rows.foreach { case (m, (nTruth, nHit, recall)) =>
       assert(nTruth > 0 && nHit >= 0 && nHit <= nTruth, s"$m counts")
       assert(recall >= 0.0 && recall <= 1.0, s"$m recall $recall")
