@@ -153,6 +153,9 @@ object SparkEntry {
     // integer micro-nats keep the per-doc sum order-free (round-5
     // addition)
     "q_surprisal" -> ((s, dir) => text.LangModel.surprisal(Tables.documents(s, dir))),
+    // interpolated bigram-LM surprisal — the next perplexity-filter
+    // rung: word ORDER, not just word rarity (round-6 addition)
+    "q_surprisal_bigram" -> ((s, dir) => text.LangModel.surprisalBigram(Tables.documents(s, dir))),
     // --- D. Deduplication -------------------------------------------
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     // exact duplicated-SPAN detection (Lee et al. exact-substring
@@ -522,6 +525,7 @@ object SparkEntry {
     "q_langid_eval" -> Text.sqlLangIdEval,
     "q_tfidf" -> text.Search.sqlTfidfTop(),
     "q_surprisal" -> text.LangModel.sqlSurprisal(),
+    "q_surprisal_bigram" -> text.LangModel.sqlSurprisalBigram(),
     "q_bm25_search" -> text.Search.sqlBm25Search(),
     "q_fingerprint" -> Text.sqlFingerprint,
     // q_dedup_minhash / q_dedup_simhash are sketch-based (not
