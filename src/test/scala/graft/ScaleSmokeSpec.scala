@@ -84,6 +84,40 @@ class ScaleSmokeSpec extends SparkSpec {
     info(f"8x corpus round-5 ops in $secs%.1f s")
   }
 
+  test("8x corpus: span dedup behaves combinatorially — every window duplicates, owners stay in copy 0 (slow)") {
+    assume(sys.env.contains("GRAFT_SLOW_TESTS"), "set GRAFT_SLOW_TESTS=1 to run")
+    val docs = Tables.documents(spark, sf)
+    val big = replicated(8)
+    val t0 = System.nanoTime()
+    val baseSpans = Dedup.dupSpans(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bigSpans = Dedup.dupSpans(big).collect()
+    // 8 copies of every windowed doc; every window now occurs in >= 8
+    // docs, so EVERY position is duplicated and the fraction is 1.0
+    assert(bigSpans.length === 8 * baseSpans.size)
+    bigSpans.foreach { r =>
+      assert(r.getLong(1) === baseSpans(r.getLong(0) % 1000000000L), s"doc ${r.getLong(0)} windows")
+      assert(r.getLong(2) === r.getLong(1) && r.getDouble(3) === 1.0, s"doc ${r.getLong(0)} not fully dup")
+    }
+    // scrub: window owners are always the copy-0 doc (lowest id), so
+    // copy 0 scrubs EXACTLY like the base corpus and every other copy
+    // is fully scrubbed (windowed docs) or untouched (sub-window docs)
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    val baseScrub = Dedup.dupSpanScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val bigScrub = Dedup.dupSpanScrub(big).collect()
+    assert(bigScrub.length === 8 * baseScrub.size)
+    bigScrub.foreach { r =>
+      val (id, n, c, m) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val base = baseScrub(id % 1000000000L)
+      if (id < 1000000000L) assert((n, c, m) === base, s"copy-0 doc $id diverged from base scrub")
+      else if (baseSpans.contains(id % 1000000000L)) // windowed doc in a later copy
+        assert((n, c, m) === ((base._1, base._1, emptyMd5)), s"doc $id not fully scrubbed")
+      else assert((n, c, m) === base, s"sub-window doc $id should be untouched")
+    }
+    info(f"8x corpus span dedup in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+  }
+
   test("8x corpus: minhash-LSH finds EXACTLY the combinatorial true-pair set (slow)") {
     assume(sys.env.contains("GRAFT_SLOW_TESTS"), "set GRAFT_SLOW_TESTS=1 to run")
     val big = replicated(8)
