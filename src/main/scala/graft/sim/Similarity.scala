@@ -208,17 +208,26 @@ object Similarity {
     * objective: assign each UNIT vector to its max-cosine centroid,
     * update each centroid to the normalized mean of its members.
     *
-    * Per iteration: ONE corpus pass against the broadcast centroid
-    * table (assignment = max_by over ≤nCells broadcast rows, no
-    * shuffle) + ONE groupBy(cell) with `dim` codegen avg columns (the
-    * labelCentroids shape — the shuffle carries dim doubles + count
-    * per cell, never vectors). Centroids localCheckpoint each round so
-    * the lineage stays flat; iterations are a fixed small count (k-
-    * means converges fast and an IVF index needs "good", not
-    * "optimal", cells). Cells that lose all members drop out (standard
-    * Lloyd); zero-norm input vectors are excluded up front. Seeds =
-    * the nCells lowest-id unit vectors, so cell labels are stable and
-    * iters=0 reproduces [[ivfAnn]]'s seed table exactly.
+    * Per iteration the centroid table (≤nCells×dim doubles — bounded,
+    * the same discipline as every other driver-artifact read here) is
+    * collected to the driver and embedded as LITERAL arrays, so
+    * assignment is a pure scan-side projection: one codegen'd VecDot
+    * per cell + an array_max over the ≤nCells (cos, cell) structs. The
+    * ONLY Exchange per iteration is the groupBy(cell) partial-agg
+    * rollup, whose shuffle carries dim doubles + a count per cell,
+    * never vectors (plan-asserted in SimilaritySpec). This is the
+    * map-side-assignment + per-cell-reduce shape MLlib's k-means runs;
+    * the corpus is never re-shuffled, so the plan survives a 100×
+    * scale-up with iters× scans and iters× nCells-row shuffles.
+    *
+    * `dim` AUTO-DETECTS from the first non-empty vector by default
+    * (one tiny driver job, as [[bucketedCorpus]] does); vectors of any
+    * other length are excluded up front, alongside zero-norm vectors.
+    * Cells that lose all members drop out (standard Lloyd); iterations
+    * are a fixed small count (k-means converges fast and an IVF index
+    * needs "good", not "optimal", cells). Seeds = the nCells lowest-id
+    * unit vectors, so cell labels are stable and iters=0 reproduces
+    * [[ivfAnn]]'s seed table exactly.
     *
     * Returns (cell, cv: unit array<double>). Double means make this
     * model-dependent (rows-only family, like the MLlib paths); the
@@ -229,35 +238,59 @@ object Similarity {
       embeddings: DataFrame,
       nCells: Int = 16,
       iters: Int = 5,
-      dim: Int = 64): DataFrame = {
+      dim: Int = -1): DataFrame = {
     require(nCells > 0 && iters >= 0)
+    val session = embeddings.sparkSession
+    import session.implicits._
+    val d =
+      if (dim > 0) dim
+      else embeddings
+        .select(size(col("embedding")).as("d")).filter(col("d") > 0)
+        .head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    if (d <= 0) // empty corpus (or all-empty vectors)
+      return Seq.empty[(Long, Seq[Double])].toDF("cell", "cv")
     val u = prepared(embeddings)
-      .filter(col("nrm") > 0)
+      .filter(col("nrm") > 0 && size(col("v")) === d)
       // interpreted transform lambda is fine here: one normalization
       // pass of a training job, not an oracle-checked hot path
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
       .localCheckpoint()
-    var cents = u.filter(col("vec_id") < nCells)
+    // seeds: a bounded nCells-row driver read
+    var cents: Array[(Long, Array[Double])] = u.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("u").as("cv"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val assigned = u.crossJoin(broadcast(cents))
-        .withColumn("cos", dot(col("u"), col("cv")))
-        .groupBy(col("vec_id"), col("u"))
-        .agg(max_by(col("cell"), struct(col("cos"), (-col("cell")).as("tb"))).as("cell"))
-      val means = (0 until dim).map(i => avg(col("u")(i)).as(s"m$i"))
-      val next = assigned
-        .groupBy(col("cell"))
-        .agg(means.head, means.tail: _*)
-        .select(col("cell"), array((0 until dim).map(i => col(s"m$i")): _*).as("m"))
-        .withColumn("mn", sqrt(dot(col("m"), col("m"))))
-        .filter(col("mn") > 0)
-        .select(col("cell"), transform(col("m"), x => x / col("mn")).as("cv"))
-        .localCheckpoint()
-      cents.unpersist()
-      cents = next
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    for (_ <- 1 to iters if cents.nonEmpty) {
+      cents = lloydStep(u, cents, d)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
     }
-    cents
+    u.unpersist()
+    cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "cv")
+  }
+
+  /** One Lloyd round over the unit-vector table `u` against DRIVER-
+    * LITERAL centroids: scan-side argmax assignment (no join, no
+    * Exchange) + the single groupBy(cell) mean rollup. Exposed so the
+    * spec can assert the exactly-one-Exchange plan property.
+    */
+  private[graft] def lloydStep(
+      u: DataFrame, cents: Array[(Long, Array[Double])], d: Int): DataFrame = {
+    // nearest cell = max over ≤nCells literal (cos, -cell, cell)
+    // structs; ties resolve to the smallest cell id, as max_by's
+    // struct(cos, -cell) tie-break did
+    val arms = cents.map { case (cell, cv) =>
+      struct(dot(col("u"), typedLit(cv.toSeq)).as("cos"),
+        lit(-cell).as("tb"), lit(cell).as("cell"))
+    }
+    val assigned = u.select(
+      col("u"), array_max(array(arms.toIndexedSeq: _*)).getField("cell").as("cell"))
+    val means = (0 until d).map(i => avg(col("u")(i)).as(s"m$i"))
+    assigned
+      .groupBy(col("cell"))
+      .agg(means.head, means.tail: _*)
+      .select(col("cell"), array((0 until d).map(i => col(s"m$i")): _*).as("m"))
+      .withColumn("mn", sqrt(dot(col("m"), col("m"))))
+      .filter(col("mn") > 0)
+      .select(col("cell"), transform(col("m"), x => x / col("mn")).as("cv"))
   }
 
   private def ivfAnnFrom(

@@ -167,6 +167,38 @@ class SimilaritySpec extends SparkSpec {
     assert(objs.last > objs.head - 1e-9)
   }
 
+  test("kmeansCentroids: one Lloyd iteration contains exactly ONE Exchange (the cell rollup)") {
+    import org.apache.spark.sql.functions.{col, size, transform, sqrt}
+    val e = Tables.embeddings(spark, sf)
+    val u = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.vecDot(col("v"), col("v"))))
+      .filter(col("nrm") > 0 && size(col("v")) === 64)
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+    val cents = Similarity.kmeansCentroids(e, nCells = 8, iters = 0).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val step = Similarity.lloydStep(u, cents, 64)
+    val plan = planOf(step)
+    val exchanges = "(?m)^.*Exchange".r.findAllIn(plan).size
+    assert(exchanges === 1, s"Lloyd step must shuffle only the per-cell rollup:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"), plan)
+  }
+
+  test("kmeansCentroids auto-detects dimensionality: a 16-dim corpus trains real centroids") {
+    import spark.implicits._
+    val emb = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 31 + j * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(emb, nCells = 4, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    assert(cents.nonEmpty, "non-64-dim corpus must not silently train zero centroids")
+    cents.foreach { case (_, v) =>
+      assert(v.length === 16)
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+    }
+    // and the full search path over that corpus returns results
+    assert(Similarity.ivfAnnKmeans(emb, nQueries = 3, k = 5, nCells = 4).count() > 0)
+  }
+
   test("ivfAnnKmeans: valid top-k contract and trained cells cover the corpus") {
     val e = Tables.embeddings(spark, sf)
     val got = Similarity.ivfAnnKmeans(e).collect()
