@@ -166,7 +166,8 @@ object SparkEntry {
     // the lowest-doc_id owner copy; cut sets built scan-side from the
     // per-doc dup positions (round-6 addition)
     "q_dup_span_scrub" -> ((s, dir) => Dedup.dupSpanScrub(Tables.documents(s, dir))),
-    "q_dedup_ngram" -> ((s, dir) => Dedup.ngramPairs(Tables.documents(s, dir))),
+    "q_dup_span_report" -> ((s, dir) => Dedup.dupSpanReport(Tables.documents(s, dir))),
+    "q_dedup_ngram" -> ((s, dir) => Dedup.pairsCached(Tables.documents(s, dir))),
     // survivor selection: connected components of the pair graph,
     // keep = min doc_id per component (round-3 addition)
     "q_dedup_clusters" -> ((s, dir) => Dedup.clustersQuery(Tables.documents(s, dir))),
@@ -533,6 +534,7 @@ object SparkEntry {
     "q_dedup_exact" -> Dedup.sqlExact,
     "q_dup_spans" -> Dedup.sqlDupSpans(),
     "q_dup_span_scrub" -> Dedup.sqlDupSpanScrub(),
+    "q_dup_span_report" -> Dedup.sqlDupSpanReport(),
     "q_dedup_ngram" -> Dedup.sqlNgramPairs(),
     "q_dedup_clusters" -> Dedup.sqlClusters(),
     "q_dedup_best" -> Dedup.sqlBestSurvivors(),

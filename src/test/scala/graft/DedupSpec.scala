@@ -41,6 +41,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter(col("doc_a") >= col("doc_b")).count() === 0)
   }
 
+  test("pairsCached: semantically-equal reads share ONE materialized pair graph; values match ngramPairs") {
+    // two INDEPENDENT reads of the same parquet dir must key to the
+    // same memo entry (canonicalized-plan equality across fresh
+    // spark.read calls — the property the whole seam rests on)
+    val a = Dedup.pairsCached(Tables.documents(spark, sf))
+    val b = Dedup.pairsCached(Tables.documents(spark, sf))
+    assert(a eq b, "fresh reads of the same dir must share the memoized graph")
+    // a different tau keys separately
+    val c = Dedup.pairsCached(Tables.documents(spark, sf), tau = 0.7)
+    assert(!(a eq c))
+    // and the memoized values are exactly ngramPairs'
+    val direct = Dedup.ngramPairs(Tables.documents(spark, sf)).collect().map(_.toSeq).toSet
+    assert(a.collect().map(_.toSeq).toSet === direct)
+    // a genuinely different corpus must NOT collide with the memo
+    val other = Dedup.pairsCached(docs(1L -> "alpha beta gamma delta", 2L -> "unrelated words here now"))
+    assert(!(other eq a))
+  }
+
   test("prefix-filtered ngram pairs stay exact under an adversarial stop-phrase corpus") {
     // every document shares a stop-phrase (ultra-frequent shingles, the
     // Σ df² blowup case); the prefix filter must drop it from the index
@@ -289,6 +307,68 @@ class DedupSpec extends SparkSpec {
     val all = Dedup.dupSpanScrub(withShort, k = 4).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(all.keySet === Set(1L, 2L, 5L, 9L) && all(9L) === 0L)
+  }
+
+  test("dupSpanReport: overlap merges, adjacent coverage merges, gaps split — hand-pinned") {
+    import spark.implicits._
+    val k = 4
+    // (1) overlapping windows: a shared 6-token passage = dup windows
+    //     at 3 consecutive positions -> ONE merged 6-token span
+    // (2) adjacent coverage: two shared 4-token passages back-to-back
+    //     in doc 30 but separated in doc 31 -> dup positions {1, 5},
+    //     coverage [1,4]+[5,8] adjacent -> ONE span of 8
+    // (3) gap: two shared passages separated by a doc-unique token ->
+    //     TWO spans
+    val docs = Seq(
+      (10L, "p1 p2 p3 p4 p5 p6 e7"),
+      (11L, "zz p1 p2 p3 p4 p5 p6"),
+      (30L, "t1 t2 t3 t4 u1 u2 u3 u4 c9"),
+      (31L, "t1 t2 t3 t4 zz u1 u2 u3 u4"),
+      (40L, "s1 s2 s3 s4 mm s5 s6 s7 s8"),
+      (41L, "s1 s2 s3 s4 nn s5 s6 s7 s8"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpanReport(docs, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).toSet).toMap
+    assert(got(10L) === Set((1L, 6L)), s"overlap merge: ${got(10L)}")
+    assert(got(11L) === Set((2L, 6L)))
+    assert(got(30L) === Set((1L, 8L)), s"adjacent coverage must merge: ${got(30L)}")
+    // doc 31's two passages are separated by zz -> two spans
+    assert(got(31L) === Set((1L, 4L), (6L, 4L)))
+    assert(got(40L) === Set((1L, 4L), (6L, 4L)), s"gap must split: ${got(40L)}")
+    assert(got(41L) === Set((1L, 4L), (6L, 4L)))
+  }
+
+  test("dupSpanReport equals a driver-side islands recomputation on a fixed-seed random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val shared = Seq.fill(8)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val texts = (0L until 40L).map { id =>
+      val own = Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (id, if (id % 3 == 0) s"$own $shared" else own)
+    }
+    val k = 5
+    // brute truth: dup windows -> covered index union -> maximal islands
+    val toks = texts.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toVector }.toMap
+    val wins = toks.toSeq.flatMap { case (id, ts) =>
+      if (ts.size >= k) (0 to ts.size - k).map(p => (id, p + 1, ts.slice(p, p + k).mkString(" ")))
+      else Seq.empty
+    }
+    val docsPerWin = wins.groupBy(_._3).view.mapValues(_.map(_._1).distinct).toMap
+    val expected = wins.filter(w => docsPerWin(w._3).size >= 2)
+      .groupBy(_._1).view.mapValues { ws =>
+        val covered = ws.flatMap(w => w._2 until w._2 + k).distinct.sorted
+        // islands over the covered indexes
+        covered.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, i) if i == e + 1 => (s, i) :: rest
+          case (acc, i) => (i, i) :: acc
+        }.map { case (s, e) => (s.toLong, (e - s + 1).toLong) }.toSet
+      }.toMap
+    val got = Dedup.dupSpanReport(texts.toDF("doc_id", "text"), k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).toSet).toMap
+    assert(got === expected)
   }
 
   test("dupSpans + dupSpanScrub equal a brute reimplementation on a fixed-seed random corpus") {
