@@ -133,9 +133,12 @@ object Similarity {
   /** Approximate top-k via multi-probe random-hyperplane LSH.
     *
     * Corpus side: one (table, bucket) key per table. Query side: the
-    * exact bucket plus every 1-bit-flip probe (bits+1 probes/table),
-    * which buys most of the recall lost to quantization. Candidates =
-    * equi-join on (t, bkt) — the plan must never contain a cartesian.
+    * exact bucket plus 1-bit-flip probes (`probes` buckets per table;
+    * default = all bits+1), which buys most of the recall lost to
+    * quantization. `probes` is the recall/cost operating knob the
+    * [[annEval]] sweep audits: probe sets are NESTED in `probes`, so
+    * recall is monotone non-decreasing in it. Candidates = equi-join
+    * on (t, bkt) — the plan must never contain a cartesian.
     * Verification re-scores candidates exactly, so precision is 1;
     * only recall is approximate (driver gate: rows-only; ScalaTest
     * checks recall vs bruteKnn).
@@ -146,21 +149,23 @@ object Similarity {
       k: Int = 10,
       tables: Int = 8,
       bits: Int = 8,
-      dims: Int = -1): DataFrame = {
+      dims: Int = -1,
+      probes: Int = -1): DataFrame = {
     // bucketing is a pure projection now, so no checkpoint: the corpus
     // side scans once and the probe side re-scans with the vec_id
     // filter PUSHED DOWN to the source — at 100 TB that second "scan"
     // touches only the query rows, where a checkpoint would have
     // materialized the whole corpus
+    val np = if (probes > 0) math.min(probes, bits + 1) else bits + 1
     val e = bucketedCorpus(embeddings, tables, bits, dims)
     val corpus = e.select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bkt")))
-    val probes = e.filter(col("vec_id") < nQueries)
+    val probeSet = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), posexplode(col("buckets")).as(Seq("t", "qbkt")))
       .select(col("query_id"), col("t"),
         explode(expr(
-          s"transform(sequence(-1, ${bits - 1}), j -> if(j < 0, qbkt, qbkt ^ shiftleft(1L, j)))"))
+          s"transform(sequence(-1, ${np - 2}), j -> if(j < 0, qbkt, qbkt ^ shiftleft(1L, j)))"))
           .as("bkt"))
-    val pairs = corpus.join(broadcast(probes), Seq("t", "bkt"))
+    val pairs = corpus.join(broadcast(probeSet), Seq("t", "bkt"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct() // the same pair can collide in several tables/probes
@@ -293,21 +298,41 @@ object Similarity {
       .select(col("cell"), transform(col("m"), x => x / col("mn")).as("cv"))
   }
 
+  /** Nearest-cell assignment of every corpus vector against a
+    * broadcast centroid table — the expensive per-index pass, split
+    * out so a probe SWEEP ([[annEval]]) can checkpoint it once and
+    * search it at several operating points.
+    */
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      // nearest cell per vector; ties resolved to the smallest cell id
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), struct(col("ccos"), (-col("cell")).as("tb"))).as("cell"))
+
   private def ivfAnnFrom(
       e: DataFrame,
       cents: DataFrame,
       nQueries: Int,
       k: Int,
+      nProbe: Int): DataFrame =
+    ivfSearch(e, assignCells(e, cents), cents, nQueries, k, nProbe)
+
+  /** The search tail over a prebuilt cell assignment: rank probe
+    * cells per query, candidate-join, exact re-score.
+    */
+  private def ivfSearch(
+      e: DataFrame,
+      assigned: DataFrame,
+      cents: DataFrame,
+      nQueries: Int,
+      k: Int,
       nProbe: Int): DataFrame = {
-    val scored = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-    // nearest cell per vector; ties resolved to the smallest cell id
-    val assigned = scored.groupBy(col("vec_id"))
-      .agg(max_by(col("cell"), struct(col("ccos"), (-col("cell")).as("tb"))).as("cell"))
     val w = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cell").asc)
     // probe selection scores only the nQueries query vectors against
-    // the centroids — branching it off `scored` would evaluate the
-    // corpus-sized cross join a second time for a queries-sized result
+    // the centroids — branching it off the assignment's cross join
+    // would evaluate the corpus-sized join a second time for a
+    // queries-sized result
     val qProbes = e.filter(col("vec_id") < nQueries).crossJoin(broadcast(cents))
       .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
       .select(col("vec_id").as("query_id"), col("cell"), col("ccos"))
@@ -323,31 +348,112 @@ object Similarity {
   }
 
   /** ANN quality audit — recall@k of each approximate index against
-    * the exact brute top-k on the same queries (the q_langid_eval
-    * pattern: the evaluation that DECIDES whether the approximate
-    * path may serve in place of the exact one, emitted as a query so
-    * the decision input is itself a gated artifact). One row per
-    * method: truth size, hits (equi-join on (query_id, vec_id) of two
-    * nQueries·k-row tables — the audit costs no more than the
-    * searches), recall. The brute truth is checkpointed so the
-    * corpus-×-queries exact pass runs ONCE, not once per method.
-    * Approximate methods ⇒ rows-only driver gate; SimilaritySpec pins
-    * the recall floors and the [0,1] range.
+    * the exact brute top-k on the same queries, SWEPT across probe
+    * operating points (the q_langid_eval pattern: the evaluation that
+    * DECIDES whether — and at which recall/cost point — the
+    * approximate path may serve in place of the exact one, emitted as
+    * a query so the decision input is itself a gated artifact). One
+    * row per (method, n_probe ∈ probeSweep): for the IVF family
+    * n_probe = cells probed; for LSH n_probe = buckets probed per
+    * table. Probe sets are nested in n_probe for all three methods,
+    * so recall is monotone non-decreasing along the sweep
+    * (SimilaritySpec pins it).
+    *
+    * Cost discipline: the brute truth is checkpointed (the
+    * corpus-×-queries exact pass runs ONCE, not once per row); each
+    * IVF index's corpus-side cell ASSIGNMENT is likewise checkpointed
+    * and searched at every operating point — the sweep re-runs only
+    * the queries-sized probe ranking + candidate join. Hits come from
+    * equi-joins of two nQueries·k-row tables. Approximate methods ⇒
+    * rows-only driver gate; SimilaritySpec pins the recall floors,
+    * monotonicity, and the [0,1] range.
     */
-  def annEval(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame = {
+  def annEval(
+      embeddings: DataFrame,
+      nQueries: Int = 10,
+      k: Int = 10,
+      probeSweep: Seq[Int] = Seq(1, 2, 4, 8),
+      tables: Int = 8,
+      bits: Int = 8,
+      nCells: Int = 16): DataFrame = {
+    require(probeSweep.nonEmpty && probeSweep.forall(_ > 0))
+    val maxP = probeSweep.max
     val truth = bruteKnn(embeddings, nQueries, k)
       .select(col("query_id"), col("vec_id")).localCheckpoint()
-    def recallOf(name: String, ann: DataFrame): DataFrame =
+    val e = prepared(embeddings)
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+
+    // Per method: (query_id, vec_id, lvl, cos) where lvl = the
+    // SMALLEST n_probe at which the candidate appears (probe sets are
+    // nested), scored exactly ONCE and checkpointed — the sweep then
+    // costs one filter + one nQueries-key window per operating point,
+    // not a fresh index search.
+    def scoredLevels(pairsLvl: DataFrame): DataFrame =
+      pairsLvl
+        .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+        .join(broadcast(qs), "query_id")
+        .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+        .select(col("query_id"), col("vec_id"), col("lvl"), col("cos"))
+        .localCheckpoint()
+
+    // LSH: lvl = 1 + the smallest probe index (0 = exact bucket,
+    // i = flip of bit i-1) that collides in ANY table
+    val bc = bucketedCorpus(embeddings, tables, bits)
+    val corpus = bc.select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bkt")))
+    val np = math.min(maxP, bits + 1)
+    val probeSet = bc.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), posexplode(col("buckets")).as(Seq("t", "qbkt")))
+      .select(col("query_id"), col("t"), posexplode(expr(
+        s"transform(sequence(-1, ${np - 2}), j -> if(j < 0, qbkt, qbkt ^ shiftleft(1L, j)))"))
+        .as(Seq("pidx", "bkt")))
+    val lshLvl = scoredLevels(
+      corpus.join(broadcast(probeSet), Seq("t", "bkt"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg((min(col("pidx")) + 1).cast("long").as("lvl")))
+
+    // IVF family: lvl = the rank of the candidate's assigned cell in
+    // the query's centroid ranking (ivfSearch probes the top-nProbe)
+    def ivfLevels(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cell").asc)
+      val qRanks = e.filter(col("vec_id") < nQueries).crossJoin(broadcast(cents))
+        .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .select(col("vec_id").as("query_id"), col("cell"), col("ccos"))
+        .withColumn("lvl", row_number().over(w).cast("long"))
+        .filter(col("lvl") <= maxP)
+        .select(col("query_id"), col("cell"), col("lvl"))
+      scoredLevels(
+        assignCells(e, cents).join(broadcast(qRanks), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"), col("lvl")))
+    }
+    val seedCents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    val kmCents = kmeansCentroids(embeddings, nCells)
+      .select(col("cell"), col("cv"), lit(1.0).as("cn")) // unit centroids
+    val ivfLvl = ivfLevels(seedCents)
+    val kmLvl = ivfLevels(kmCents)
+
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    def recallAt(name: String, scored: DataFrame, p: Int): DataFrame = {
+      val topk = scored.filter(col("lvl") <= p)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
       truth
-        .join(ann.select(col("query_id"), col("vec_id"), lit(1L).as("hit")),
+        .join(topk.select(col("query_id"), col("vec_id"), lit(1L).as("hit")),
           Seq("query_id", "vec_id"), "left")
         .agg(count(lit(1)).as("n_truth"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-        .select(lit(name).as("method"), col("n_truth"), col("n_hit"),
+        .select(lit(name).as("method"), lit(p).cast("long").as("n_probe"),
+          col("n_truth"), col("n_hit"),
           Det.r(col("n_hit").cast("double") / greatest(col("n_truth"), lit(1L)).cast("double"), 6)
             .as("recall"))
-    recallOf("lsh", lshAnn(embeddings, nQueries, k))
-      .unionAll(recallOf("ivf", ivfAnn(embeddings, nQueries, k)))
-      .unionAll(recallOf("ivf_kmeans", ivfAnnKmeans(embeddings, nQueries, k)))
+    }
+    probeSweep.sorted.map { p =>
+      recallAt("lsh", lshLvl, p)
+        .unionAll(recallAt("ivf", ivfLvl, p))
+        .unionAll(recallAt("ivf_kmeans", kmLvl, p))
+    }.reduce(_.unionAll(_))
   }
 
   /** Per-label embedding centroids — the bridge between the vector

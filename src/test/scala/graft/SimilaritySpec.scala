@@ -212,26 +212,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("annEval: recall floors hold and agree with a driver-side recomputation") {
+  test("annEval: probe sweep is monotone, floors hold, and agrees with a driver-side recomputation") {
     val e = Tables.embeddings(spark, sf)
     val rows = Similarity.annEval(e).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
-    assert(rows.keySet === Set("lsh", "ivf", "ivf_kmeans"))
-    rows.foreach { case (m, (nTruth, nHit, recall)) =>
-      assert(nTruth > 0 && nHit >= 0 && nHit <= nTruth, s"$m counts")
-      assert(recall >= 0.0 && recall <= 1.0, s"$m recall $recall")
-      assert(math.abs(recall - nHit.toDouble / nTruth) < 1e-6, s"$m recall consistency")
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val sweep = Seq(1L, 2L, 4L, 8L)
+    assert(rows.keySet === (for (m <- Seq("lsh", "ivf", "ivf_kmeans"); p <- sweep) yield (m, p)).toSet)
+    rows.foreach { case ((m, p), (nTruth, nHit, recall)) =>
+      assert(nTruth > 0 && nHit >= 0 && nHit <= nTruth, s"$m@$p counts")
+      assert(recall >= 0.0 && recall <= 1.0, s"$m@$p recall $recall")
+      assert(math.abs(recall - nHit.toDouble / nTruth) < 1e-6, s"$m@$p recall consistency")
     }
-    // multi-probe LSH on this corpus finds a usable share of the true
-    // top-k (same floor family as the pair-level LSH gates)
-    assert(rows("lsh")._3 >= 0.5, s"lsh recall ${rows("lsh")._3}")
+    // nested probe sets => recall monotone non-decreasing in n_probe —
+    // the tradeoff the artifact exists to drive
+    for (m <- Seq("lsh", "ivf", "ivf_kmeans"); Seq(a, b) <- sweep.sliding(2))
+      assert(rows((m, b))._3 >= rows((m, a))._3,
+        s"$m recall not monotone: p=$a ${rows((m, a))._3} > p=$b ${rows((m, b))._3}")
+    // multi-probe LSH at the top sweep point finds a usable share of
+    // the true top-k (same floor family as the pair-level LSH gates;
+    // p=8 is one probe short of lshAnn's default bits+1=9, hence the
+    // slightly lower floor than the default-op-point test above)
+    assert(rows(("lsh", 8L))._3 >= 0.4, s"lsh recall ${rows(("lsh", 8L))._3}")
     // driver-side recomputation from the operators themselves
     def set(df: org.apache.spark.sql.DataFrame) = df.select("query_id", "vec_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val truth = set(Similarity.bruteKnn(e))
-    val lsh = set(Similarity.lshAnn(e))
-    assert(rows("lsh")._2 === (truth & lsh).size.toLong)
-    assert(rows("lsh")._1 === truth.size.toLong)
+    val lsh8 = set(Similarity.lshAnn(e, probes = 8))
+    assert(rows(("lsh", 8L))._2 === (truth & lsh8).size.toLong)
+    assert(rows(("lsh", 8L))._1 === truth.size.toLong)
+    val ivf4 = set(Similarity.ivfAnn(e, nProbe = 4))
+    assert(rows(("ivf", 4L))._2 === (truth & ivf4).size.toLong)
   }
 
   test("labelCentroids equals the posexplode formulation; counts partition the table") {
