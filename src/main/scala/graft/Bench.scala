@@ -73,7 +73,10 @@ object Bench {
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"headline","total":${r3(total)},"unit":"sec","fit_sec":${r3(fitSec)},"n_queries":${results.size},"failures":$fs,"top5":$top5,"sf":"$sfDir"}""")
+    // n_queries counts only SUCCESSFUL timings (total/top5 exclude
+    // failures, so the headline counts must describe the same set)
+    val nOk = results.count(_._2 >= 0)
+    println(s"""{"metric":"headline","total":${r3(total)},"unit":"sec","fit_sec":${r3(fitSec)},"n_queries":$nOk,"n_failed":${failures.size},"failures":$fs,"top5":$top5,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

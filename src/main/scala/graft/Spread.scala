@@ -18,6 +18,15 @@ import org.apache.spark.sql.DataFrame
   * eager file listing on a catalog table and bypassing AQE. The file
   * index behind the statistic was already populated when the
   * DataFrame was created, so reading it plans nothing and runs no job.
+  *
+  * Relations WITHOUT real statistics (RDD-backed, local/test frames)
+  * report the `spark.sql.defaultSizeInBytes` sentinel (Long.MaxValue
+  * unless CBO is tuned), which would read as "plenty of partitions"
+  * and silently turn Spread into a no-op exactly where a
+  * single-partition source is most likely — so the sentinel falls
+  * through to an unconditional repartition. That errs toward one
+  * narrow raw-row shuffle on stat-less inputs (bounded: such frames
+  * are never the 100 TB scan, which always carries file-index stats).
   */
 object Spread {
   def apply(df: DataFrame): DataFrame = {
@@ -26,9 +35,11 @@ object Spread {
     val maxPartitionBytes = JavaUtils.byteStringAsBytes(
       conf.get("spark.sql.files.maxPartitionBytes", "128m"))
     val sizeInBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val noRealStats =
+      sizeInBytes == BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
     val estimatedScanPartitions =
       ((sizeInBytes + maxPartitionBytes - 1) / maxPartitionBytes).max(1)
-    if (estimatedScanPartitions >= target) df
+    if (!noRealStats && estimatedScanPartitions >= target) df
     else df.repartition(target)
   }
 }
