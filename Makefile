@@ -1,8 +1,10 @@
 # graft pipeline driver — mirrors the reference Makefile contract
 # (reference Makefile: etl/train/eval/metrics/coefs/serve/curl_* /
-# clean_*) over the Scala CLI mains (graft.cli.{Etl,Train,Eval,Serve}).
-# Plots need no separate target: Train renders threshold_curve.png /
-# feature_importance.png + both CSVs alongside metrics.json.
+# plot_threshold/plot_importance/clean_*) over the Scala CLI mains
+# (graft.cli.{Etl,Train,Eval,Serve,PlotThreshold,
+# PlotFeatureImportance}). Train also renders default plots inline;
+# the plot_* targets re-render standalone (any SPLIT / TOP), like the
+# reference's separate plot scripts.
 
 RAW_DIR        ?= /root/testdata/sf0.001
 OUT_DIR        ?= data/processed
@@ -18,10 +20,17 @@ THR_METRIC     ?= f1              # f1 | recall | precision
 
 PORT           ?= 8000
 
+SPLIT          ?= val             # plot_threshold split
+TOP            ?= 0               # plot_importance top-N by |coef| (0 = all)
+THR_PNG        ?= docs/threshold_curve.png
+THR_CSV        ?= docs/threshold_curve.csv
+FI_PNG         ?= docs/feature_importance.png
+
 SBT            ?= sbt -batch
 
 .PHONY: help compile test etl train eval metrics coefs \
         serve curl_predict curl_batch verify bench \
+        plot_threshold plot_importance \
         clean_data clean_model clean_all
 
 help:
@@ -36,6 +45,8 @@ help:
 	@echo "  serve         - HTTP scorer on port $(PORT)"
 	@echo "  curl_predict  - Sample single prediction against running API"
 	@echo "  curl_batch    - Sample batch prediction against running API"
+	@echo "  plot_threshold - Save threshold optimization curve (PNG/CSV) for SPLIT"
+	@echo "  plot_importance - Save signed feature-importance PNG (TOP=N by |coef|)"
 	@echo "  verify        - Dump SparkEntry queries + oracle SQL (driver gate shape)"
 	@echo "  bench         - Run the benchmark main"
 	@echo "  clean_data    - Remove processed parquet splits"
@@ -79,6 +90,14 @@ curl_batch:
 	@curl -s -X POST http://localhost:$(PORT)/predict_batch \
 	  -H "Content-Type: application/json" \
 	  -d '{"items":[{"features":{"total_orders":5,"total_qty":20,"avg_order_amount":45.0,"distinct_products":12,"recent90_orders":1,"recency_days":90,"total_amount_log":6.9,"recent90_amount_log":4.8}},{"features":{"total_orders":2,"total_qty":3,"avg_order_amount":12.0,"distinct_products":2,"recent90_orders":0,"recency_days":170,"total_amount_log":4.5,"recent90_amount_log":0.0}}]}'
+
+plot_threshold:
+	$(SBT) "runMain graft.cli.PlotThreshold --in_dir $(OUT_DIR) --model_dir $(MODEL_DIR) \
+		--split $(SPLIT) --out $(THR_PNG) --csv_out $(THR_CSV)"
+
+plot_importance:
+	$(SBT) "runMain graft.cli.PlotFeatureImportance --coef_csv $(MODEL_OUT)/coefficients.csv \
+		--out $(FI_PNG) --top $(TOP)"
 
 verify:
 	$(SBT) "runMain graft.Verify $(RAW_DIR) /tmp/graft_verify"

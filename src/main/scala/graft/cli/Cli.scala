@@ -185,8 +185,15 @@ object Eval {
     val a = Args.parse(argv)
     val inDir = Args.required(a, "in_dir")
     val modelDir = Args.required(a, "model_dir")
-    val metricsPath = a.getOrElse("metrics_path",
-      Paths.get(modelDir).getParent.resolve("metrics.json").toString)
+    // default = <model_dir>/metrics.json (the reference contract,
+    // eval.py:35-40), falling back to the model dir's PARENT where
+    // graft.cli.Train writes it; toAbsolutePath so a parentless
+    // relative --model_dir (e.g. "model") can't NPE on getParent
+    val metricsPath = a.getOrElse("metrics_path", {
+      val inModel = Paths.get(modelDir, "metrics.json")
+      if (Files.exists(inModel)) inModel.toString
+      else Paths.get(modelDir).toAbsolutePath.getParent.resolve("metrics.json").toString
+    })
     val model = Churn.load(modelDir)
     val pred = CliSession.score(model, CliSession.readSplit(spark, s"$inDir/splits", "test"))
       .cache()
@@ -216,6 +223,79 @@ object Eval {
     println(s"       TP=${c.getLong(1)}  FP=${c.getLong(2)}  TN=${c.getLong(3)}  FN=${c.getLong(4)}")
     println(f"[EVAL] Precision=${c.getDouble(5)}%.4f  Recall=${c.getDouble(6)}%.4f  " +
       f"F1=${c.getDouble(7)}%.4f  PosRate=${c.getDouble(8)}%.4f")
+  }
+}
+
+/** `graft.cli.PlotThreshold --in_dir <processed> --model_dir <model>
+  * [--split train|val|test] [--out <png>] [--csv_out <csv>]` —
+  * reference plot_threshold.py: render the P/R/F1-vs-threshold curve
+  * of ANY split under the saved model (the reference's `SPLIT=test`
+  * workflow), writing the curve CSV and the PNG with the dashed
+  * best-threshold marker read from metrics.json when present
+  * (model_dir/metrics.json per the reference, falling back to the
+  * parent dir where [[Train]] writes it). The sweep is the library's
+  * one-aggregation-pass [[Churn.thresholdSweep]] — not the
+  * reference's collect-to-pandas loop.
+  */
+object PlotThreshold {
+  def main(argv: Array[String]): Unit = CliSession.withSession { spark =>
+    val a = Args.parse(argv)
+    val inDir = Args.required(a, "in_dir")
+    val modelDir = Args.required(a, "model_dir")
+    val split = a.getOrElse("split", "val")
+    require(Set("train", "val", "test")(split),
+      s"--split must be train|val|test, got '$split'")
+    val out = a.getOrElse("out", "docs/threshold_curve.png")
+    val csvOut = a.getOrElse("csv_out", "docs/threshold_curve.csv")
+    val model = Churn.load(modelDir)
+    val pred = CliSession.score(model, CliSession.readSplit(spark, s"$inDir/splits", split))
+    val sweep = Churn.thresholdSweep(pred)
+      .select("threshold", "precision", "recall", "f1").orderBy("threshold").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val csvPath = Paths.get(csvOut)
+    if (csvPath.getParent != null) Files.createDirectories(csvPath.getParent)
+    Files.writeString(csvPath, "threshold,precision,recall,f1\n" +
+      sweep.map { case (t, p, r, f) => s"$t,$p,$r,$f" }.mkString("\n") + "\n")
+    // marker from metrics.json if present (reference plot_threshold
+    // .py:56-61: missing/broken metrics => no marker, never a failure)
+    val bestThr = Seq(
+      Paths.get(modelDir, "metrics.json"),
+      Paths.get(modelDir).toAbsolutePath.getParent.resolve("metrics.json"))
+      .find(Files.exists(_))
+      .flatMap(p => try Some(Churn.loadMetrics(p.toString).bestThreshold)
+        catch { case _: Exception => None })
+    Plots.thresholdCurve(sweep, bestThr, out, s"Threshold Optimization Curve ($split)")
+    println(s"[PLOT] Saved threshold curve ($split) -> $out")
+  }
+}
+
+/** `graft.cli.PlotFeatureImportance --coef_csv <coefficients.csv>
+  * [--out <png>] [--top N]` — reference plot_feature_importance.py:
+  * signed coefficient bars from the persisted CSV, truncated to the
+  * top N by |coef| when `--top` > 0 (0 = all, the reference default).
+  * Pure driver-side artifact rendering — no Spark session.
+  */
+object PlotFeatureImportance {
+  def main(argv: Array[String]): Unit = {
+    val a = Args.parse(argv)
+    val coefCsv = Args.required(a, "coef_csv")
+    val out = a.getOrElse("out", "docs/feature_importance.png")
+    val top = a.getOrElse("top", "0").toInt
+    val lines = Files.readAllLines(Paths.get(coefCsv))
+    require(!lines.isEmpty, s"empty coefficients CSV: $coefCsv")
+    val header = lines.get(0).split(",").map(_.trim).toSet
+    val missing = Set("feature", "coefficient", "abs_coeff") -- header
+    require(missing.isEmpty, s"coefficients CSV missing columns: $missing")
+    val rows = (1 until lines.size).map { i =>
+      val parts = lines.get(i).split(",")
+      (parts(0), parts(1).toDouble)
+    }
+    val shown = rows.sortBy { case (f, c) => (-math.abs(c), f) } match {
+      case s if top > 0 => s.take(top)
+      case s => s
+    }
+    Plots.featureImportance(shown, out)
+    println(s"[PLOT] Saved feature importance -> $out")
   }
 }
 

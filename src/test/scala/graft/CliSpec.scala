@@ -5,7 +5,7 @@ import javax.imageio.ImageIO
 
 import org.apache.spark.sql.functions._
 
-import graft.cli.{Args, Etl, Eval, Serve, Train}
+import graft.cli.{Args, Etl, Eval, PlotFeatureImportance, PlotThreshold, Serve, Train}
 import graft.etl.Retention
 import graft.ml.{Churn, Plots}
 
@@ -131,6 +131,73 @@ class CliSpec extends SparkSpec {
       conn.disconnect()
       assert(resp.contains("probability") && resp.contains("prediction"))
     } finally server.stop()
+  }
+
+  test("PlotThreshold renders any split (reference SPLIT=test workflow); marker present; splits differ") {
+    val (valPng, valCsv) = (s"$tmp/thr_val.png", s"$tmp/thr_val.csv")
+    val (testPng, testCsv) = (s"$tmp/thr_test.png", s"$tmp/thr_test.csv")
+    PlotThreshold.main(Array("--in_dir", processed, "--model_dir", s"$modelOut/model",
+      "--split", "val", "--out", valPng, "--csv_out", valCsv))
+    PlotThreshold.main(Array("--in_dir", processed, "--model_dir", s"$modelOut/model",
+      "--split", "test", "--out", testPng, "--csv_out", testCsv))
+    // both CSVs carry the full 101-point sweep with the reference header
+    val vl = Files.readAllLines(Paths.get(valCsv))
+    val tl = Files.readAllLines(Paths.get(testCsv))
+    assert(vl.get(0) === "threshold,precision,recall,f1" && vl.size === 102)
+    assert(tl.size === 102)
+    // different split populations => different curves (the point of --split)
+    assert(vl !== tl, "val and test sweeps must differ on this data")
+    // the val-split CSV equals Train's (same model, same split, same sweep)
+    val trainCsv = Files.readAllLines(Paths.get(s"$modelOut/threshold_curve.csv"))
+    assert(vl === trainCsv)
+    // PNGs decode, differ, and carry the dashed best-threshold marker
+    // (Color.GRAY appears in thresholdCurve ONLY via the marker+legend)
+    def pixels(p: String): Set[Int] = {
+      val img = ImageIO.read(new java.io.File(p))
+      assert(img !== null)
+      assert(img.getWidth === 1050)
+      (0 until img.getHeight).flatMap(y =>
+        (0 until img.getWidth by 2).map(x => img.getRGB(x, y) & 0xffffff)).toSet
+    }
+    assert(pixels(testPng).contains(0x808080), "best-threshold marker missing")
+    assert(!java.util.Arrays.equals(
+      Files.readAllBytes(Paths.get(valPng)), Files.readAllBytes(Paths.get(testPng))))
+    intercept[IllegalArgumentException](PlotThreshold.main(
+      Array("--in_dir", processed, "--model_dir", s"$modelOut/model", "--split", "bogus")))
+  }
+
+  test("PlotFeatureImportance --top N plots exactly min(N, n_features) bars") {
+    val coefCsv = s"$modelOut/coefficients.csv"
+    val nFeatures = Churn.featureCols.size
+    // bar geometry: height = top(70) + n*(barH 34 + gap 14) + bottom(40)
+    def barCount(p: String): Int = (ImageIO.read(new java.io.File(p)).getHeight - 110) / 48
+    val top3 = s"$tmp/fi_top3.png"
+    PlotFeatureImportance.main(Array("--coef_csv", coefCsv, "--out", top3, "--top", "3"))
+    assert(barCount(top3) === 3)
+    val all = s"$tmp/fi_all.png"
+    PlotFeatureImportance.main(Array("--coef_csv", coefCsv, "--out", all))
+    assert(barCount(all) === nFeatures)
+    val top99 = s"$tmp/fi_top99.png"
+    PlotFeatureImportance.main(Array("--coef_csv", coefCsv, "--out", top99, "--top", "99"))
+    assert(barCount(top99) === nFeatures)
+    // a CSV without the reference columns is rejected, like load_coefficients
+    val bad = s"$tmp/bad_coef.csv"
+    Files.writeString(Paths.get(bad), "name,value\nx,1.0\n")
+    intercept[IllegalArgumentException](PlotFeatureImportance.main(
+      Array("--coef_csv", bad, "--out", s"$tmp/never.png")))
+  }
+
+  test("Eval main default metrics_path resolves without --metrics_path (model-dir then parent)") {
+    val outJson = s"$tmp/confusion_default_path.json"
+    // no --metrics_path: Train wrote metrics.json to the model dir's
+    // PARENT, so the fallback must find it (and a parentless relative
+    // model_dir must not NPE — the reference-contract regression)
+    Eval.main(Array("--in_dir", processed, "--model_dir", s"$modelOut/model",
+      "--out_json", outJson))
+    val text = Files.readString(Paths.get(outJson))
+    val persisted = Churn.loadMetrics(s"$modelOut/metrics.json").bestThreshold
+    assert(text.contains(s""""threshold": $persisted"""),
+      s"default metrics_path did not pick up the persisted threshold $persisted:\n$text")
   }
 
   test("Train main --cv true runs the reference CV grid (slow; set GRAFT_SLOW_TESTS=1)") {
