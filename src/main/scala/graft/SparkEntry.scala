@@ -177,7 +177,7 @@ object SparkEntry {
     "q_dedup_best" -> ((s, dir) => Dedup.bestSurvivors(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
-    "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingPairs(Tables.embeddings(s, dir))),
+    "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingPairsCached(Tables.embeddings(s, dir))),
     // the 100 TB path for the same semantics (LSH blocking, exact
     // re-score => precision 1, recall-gated in DedupSpec); approximate
     // recall => rows-only driver gate

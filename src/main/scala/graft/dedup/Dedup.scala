@@ -561,6 +561,19 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), Det.r(col("cos"), 6).as("cosine"))
   }
 
+  /** Memoized, materialized [[embeddingPairs]] — the [[pairsCached]]
+    * discipline for the embedding pair graph: q_dedup_embedding and
+    * q_embed_dedup_best consume the SAME brute graph, so the n²
+    * scoring pass runs once per (corpus, tau) per JVM.
+    */
+  private val embPairsMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double), DataFrame]
+
+  def embeddingPairsCached(embeddings: DataFrame, tau: Double = 0.35): DataFrame =
+    embPairsMemo.getOrElseUpdate(
+      (embeddings.queryExecution.analyzed.canonicalized, tau),
+      embeddingPairs(embeddings, tau).localCheckpoint())
+
   /** The SCALE PATH for embeddingPairs' semantics: random-hyperplane
     * LSH blocking (one exact bucket per table on one side, that bucket
     * plus every 1-bit flip on the other) generates candidates through
@@ -622,7 +635,7 @@ object Dedup {
       tau: Double = 0.35,
       useLsh: Boolean = false): DataFrame = {
     val pairs =
-      (if (useLsh) embeddingPairsLsh(embeddings, tau) else embeddingPairs(embeddings, tau))
+      (if (useLsh) embeddingPairsLsh(embeddings, tau) else embeddingPairsCached(embeddings, tau))
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     survivorsFromLabels(documents, clusters(pairs).localCheckpoint())
   }

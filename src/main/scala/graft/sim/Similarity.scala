@@ -203,10 +203,27 @@ object Similarity {
       nCells: Int = 16,
       nProbe: Int = 2,
       iters: Int = 5): DataFrame = {
-    val cents = kmeansCentroids(embeddings, nCells, iters)
+    val cents = kmeansCached(embeddings, nCells, iters)
       .select(col("cell"), col("cv"), lit(1.0).as("cn")) // unit centroids
     ivfAnnFrom(prepared(embeddings), cents, nQueries, k, nProbe)
   }
+
+  /** Memoized [[kmeansCentroids]] — the [[graft.dedup.Dedup.pairsCached]]
+    * discipline: a trained model over the same corpus at the same
+    * (nCells, iters) is the same model, so the end-to-end queries that
+    * consume it (q_ann_ivf_kmeans, q_ann_eval) share ONE training run
+    * per JVM instead of each re-running Lloyd. Keyed on the
+    * canonicalized analyzed input plan + hyperparameters; the value is
+    * a local (driver-data) frame of ≤nCells rows, so the memo holds no
+    * cluster-side blocks.
+    */
+  private val kmMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int), DataFrame]
+
+  def kmeansCached(embeddings: DataFrame, nCells: Int = 16, iters: Int = 5): DataFrame =
+    kmMemo.getOrElseUpdate(
+      (embeddings.queryExecution.analyzed.canonicalized, nCells, iters),
+      kmeansCentroids(embeddings, nCells, iters))
 
   /** Distributed spherical k-means (Lloyd) over the embedding table —
     * the centroid-training pass a real IVF index builds with. Cosine
@@ -430,7 +447,7 @@ object Similarity {
     }
     val seedCents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
-    val kmCents = kmeansCentroids(embeddings, nCells)
+    val kmCents = kmeansCached(embeddings, nCells)
       .select(col("cell"), col("cv"), lit(1.0).as("cn")) // unit centroids
     val ivfLvl = ivfLevels(seedCents)
     val kmLvl = ivfLevels(kmCents)

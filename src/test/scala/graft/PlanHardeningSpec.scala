@@ -109,6 +109,9 @@ class PlanHardeningSpec extends SparkSpec {
     assert(Dedup.dupSpanScrub(emptyDocs).count() === 0)
     assert(Dedup.decontaminateFrac(emptyDocs).count() === 0)
     assert(Dedup.embedDedupBest(emptyDocs, emptyEmb).count() === 0)
+    // round-7 operators
+    assert(Dedup.dupSpanReport(emptyDocs).count() === 0)
+    assert(Similarity.kmeansCentroids(emptyEmb).count() === 0)
   }
 
   test("temporal and outlier operators behave on an empty event stream") {

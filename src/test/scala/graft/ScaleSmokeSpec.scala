@@ -115,6 +115,17 @@ class ScaleSmokeSpec extends SparkSpec {
         assert((n, c, m) === ((base._1, base._1, emptyMd5)), s"doc $id not fully scrubbed")
       else assert((n, c, m) === base, s"sub-window doc $id should be untouched")
     }
+    // span report: every windowed doc is fully duplicated, so each
+    // emits exactly ONE maximal span covering all its tokens — the
+    // merge must collapse n_windows overlapping windows per doc to a
+    // single (1, n_tokens) span, in every copy
+    val nTokens = bigScrub.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val report = Dedup.dupSpanReport(big).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(report.length === 8 * baseSpans.size, "one merged span per windowed doc per copy")
+    report.foreach { case (id, start, len) =>
+      assert(start === 1L && len === nTokens(id), s"doc $id span ($start, $len)")
+    }
     info(f"8x corpus span dedup in ${(System.nanoTime() - t0) / 1e9}%.1f s")
   }
 
