@@ -79,6 +79,62 @@ object Corpus {
        |FROM r GROUP BY 1""".stripMargin
   }
 
+  /** Per-language Shannon entropy of the token unigram distribution —
+    * the vocabulary-concentration diagnostic next to [[stats]]'s size
+    * percentiles: low entropy = templated/repetitive slice (a few
+    * tokens dominate), entropy near ln(n_types) = flat vocabulary.
+    * Drives mixture design and flags boilerplate-heavy slices before
+    * they reach the samplers. Emits (lang, n_tokens, n_types,
+    * entropy_nats).
+    *
+    * H = ln N − (Σ_t c_t·ln c_t)/N over token counts c_t — the
+    * algebraic form whose only data-sized work is the same
+    * (lang, token) keyed count rollup [[graft.text.Search.tfidfTop]]
+    * and [[LangModel]] use: one shuffle with map-side partial agg,
+    * then a ≤|langs|-row rollup of the vocabulary table. Window-free.
+    * Determinism: each c·ln c term fixes to integer MICRO units
+    * before the order-free long sum (the LangModel micro-nat policy —
+    * a double sum over an unordered vocabulary rounds differently per
+    * partitioning); the final expression is then one fixed IEEE
+    * sequence over exact integers, identical in DuckDB.
+    */
+  def tokenEntropy(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("lang"), explode(col("toks")).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("micro_clnc",
+        floor(col("cnt").cast("double") * log(col("cnt").cast("double")) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("cnt")).as("n_tokens"),
+        sum(col("micro_clnc")).as("micro"))
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        Det.r(
+          log(col("n_tokens").cast("double")) -
+            col("micro").cast("double") / lit(1000000.0) / col("n_tokens").cast("double"),
+          6).as("entropy_nats"))
+
+  def sqlTokenEntropy: String = {
+    val toks = Text.sqlTokens("text")
+    s"""WITH tok AS (
+       |  SELECT lang, unnest($toks) AS token FROM documents
+       |), c AS (
+       |  SELECT lang, token, count(*) AS cnt FROM tok GROUP BY 1, 2
+       |), m AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CAST(floor(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS micro
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT lang, n_tokens, n_types,
+       |  floor((ln(CAST(n_tokens AS DOUBLE)) - CAST(micro AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS entropy_nats
+       |FROM m""".stripMargin
+  }
+
   /** Sketch-based variant for 100 TB: single aggregation, no sort;
     * approximate percentiles (accuracy 1/relativeError). Not
     * oracle-checkable (sketch) — covered by ScalaTest against the

@@ -20,6 +20,47 @@ class CorpusSpec extends SparkSpec {
     assert(r.getLong(6) === 10L) // p99
   }
 
+  test("tokenEntropy: hand-pinned distributions, bounds, and a driver-side recomputation") {
+    import org.apache.spark.sql.functions.col
+    // uniform over 4 distinct tokens => H = ln 4 exactly; a
+    // single-token slice => H = 0; a skewed 3:1 two-token slice =>
+    // H = ln 4 - (3 ln 3)/4 (c·ln c form)
+    val docs = Seq(
+      (1L, "a b c d", "uni", "s", 7L),
+      (2L, "x x x x", "one", "s", 7L),
+      (3L, "p p p q", "skew", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.text.Corpus.tokenEntropy(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got("uni") === ((4L, 4L, r6(math.log(4)))))
+    assert(got("one") === ((4L, 1L, 0.0)))
+    // staged exactly like the plan: micro-fixed c·ln c terms first
+    val microSkew = math.floor(3.0 * math.log(3.0) * 1e6 + 0.5).toLong
+    assert(got("skew") === ((4L, 2L, r6(math.log(4) - microSkew / 1e6 / 4.0))))
+    // real corpus: 0 <= H <= ln(n_types), and a driver-side
+    // recomputation from raw tokens agrees
+    val real = graft.text.Corpus.tokenEntropy(Tables.documents(spark, sf)).collect()
+    assert(real.nonEmpty)
+    val raw = Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byLang = raw.groupBy(_._1).view.mapValues { rows =>
+      val counts = rows.flatMap(_._2.split("\\s+").filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = counts.values.sum
+      val micro = counts.values.map(c => math.floor(c * math.log(c.toDouble) * 1e6 + 0.5).toLong).sum
+      (n, counts.size.toLong, r6(math.log(n.toDouble) - micro / 1e6 / n))
+    }.toMap
+    real.foreach { r =>
+      val (lang, n, types, h) = (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(h >= 0.0 && h <= math.log(types.toDouble) + 1e-9, s"$lang H=$h outside [0, ln($types)]")
+      val (en, et, eh) = byLang(lang)
+      assert((n, types) === ((en, et)), s"$lang counts")
+      assert(math.abs(h - eh) < 2e-6, s"$lang H=$h expected $eh")
+    }
+  }
+
   test("stats and statsApprox agree on counts and are close on percentiles") {
     val exact = Corpus.stats(Tables.documents(spark, sf))
       .collect().map(r => r.getString(0) -> r).toMap
