@@ -190,7 +190,7 @@ object SparkEntry {
     "q_embed_dedup_best" -> ((s, dir) =>
       Dedup.embedDedupBest(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     // --- E. Similarity search ---------------------------------------
-    "q_knn_brute" -> ((s, dir) => Similarity.bruteKnn(Tables.embeddings(s, dir))),
+    "q_knn_brute" -> ((s, dir) => Similarity.bruteKnnCached(Tables.embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) => Similarity.lshAnn(Tables.embeddings(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.ivfAnn(Tables.embeddings(s, dir))),
     // IVF with TRAINED centroids: distributed spherical k-means

@@ -64,6 +64,19 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), Det.r(col("cos"), 6).as("cosine"))
   }
 
+  /** Memoized, materialized [[bruteKnn]] — the corpus-×-queries exact
+    * pass is the ground truth BOTH q_knn_brute and the [[annEval]]
+    * audit consume, so it runs once per (corpus, nQueries, k) per JVM
+    * (the pairsCached discipline; result is an nQueries·k-row table).
+    */
+  private val bruteMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int), DataFrame]
+
+  def bruteKnnCached(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame =
+    bruteMemo.getOrElseUpdate(
+      (embeddings.queryExecution.analyzed.canonicalized, nQueries, k),
+      bruteKnn(embeddings, nQueries, k).localCheckpoint())
+
   def sqlBruteKnn(nQueries: Int = 10, k: Int = 10): String = {
     val dotSql = "list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * q.qv[i]))"
     s"""WITH p AS (
@@ -395,8 +408,8 @@ object Similarity {
       nCells: Int = 16): DataFrame = {
     require(probeSweep.nonEmpty && probeSweep.forall(_ > 0))
     val maxP = probeSweep.max
-    val truth = bruteKnn(embeddings, nQueries, k)
-      .select(col("query_id"), col("vec_id")).localCheckpoint()
+    val truth = bruteKnnCached(embeddings, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
     val e = prepared(embeddings)
     val qs = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
