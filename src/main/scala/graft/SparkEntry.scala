@@ -175,6 +175,7 @@ object SparkEntry {
     // one max(struct) aggregate — never a per-cluster window sort
     // (round-5 addition)
     "q_dedup_best" -> ((s, dir) => Dedup.bestSurvivors(Tables.documents(s, dir))),
+    "q_dedup_report" -> ((s, dir) => Dedup.dedupReport(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingPairsCached(Tables.embeddings(s, dir))),
@@ -539,6 +540,7 @@ object SparkEntry {
     "q_dedup_ngram" -> Dedup.sqlNgramPairs(),
     "q_dedup_clusters" -> Dedup.sqlClusters(),
     "q_dedup_best" -> Dedup.sqlBestSurvivors(),
+    "q_dedup_report" -> Dedup.sqlDedupReport(),
     "q_dedup_embedding" -> Dedup.sqlEmbeddingPairs(),
     "q_embed_dedup_best" -> Dedup.sqlEmbedDedupBest(),
     // q_ann_lsh / q_ann_ivf are approximate => rows-only driver gate +

@@ -396,6 +396,62 @@ object Dedup {
        |FROM bs_r WHERE rn = 1""".stripMargin
 
   // ------------------------------------------------------------------
+  // q96: corpus dedup dashboard — the ONE-ROW summary a curation run
+  // reports before/after dedup (the artifact an operator reads to
+  // size the dedup problem and validate a pass): exact-duplicate
+  // volume, near-dup pair/cluster volume, and the affected-document
+  // fraction. Composes the memoized seams, so on top of the other
+  // dedup queries it costs three tiny aggregates — the pair graph and
+  // clustering derive once per (corpus, tau) per JVM.
+  // ------------------------------------------------------------------
+  /** (n_docs, n_exact_groups, n_exact_dup_docs, n_near_pairs,
+    * n_clusters, n_cluster_docs, near_dup_doc_frac) — one row.
+    * n_exact_groups counts content hashes with ≥2 copies;
+    * n_exact_dup_docs counts the documents inside those groups;
+    * cluster figures come from the connected components of the exact
+    * ngram pair graph ([[clustersQuery]]). Scalars combine via
+    * [[graft.Det.attachScalar]] broadcast equi-joins (1-row frames —
+    * never a BroadcastNestedLoopJoin).
+    */
+  def dedupReport(documents: DataFrame, tau: Double = 0.5): DataFrame = {
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val ex = exact(documents).filter(col("n_copies") >= 2)
+      .agg(count(lit(1)).as("n_exact_groups"),
+        coalesce(sum(col("n_copies")), lit(0L)).as("n_exact_dup_docs"))
+    val pr = pairsCached(documents, tau).agg(count(lit(1)).as("n_near_pairs"))
+    val cl = clustersQuery(documents, tau)
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_cluster_docs"))
+    Det.attachScalar(Det.attachScalar(Det.attachScalar(nDocs, ex), pr), cl)
+      .select(col("n_docs"), col("n_exact_groups"), col("n_exact_dup_docs"),
+        col("n_near_pairs"), col("n_clusters"), col("n_cluster_docs"),
+        Det.r(col("n_cluster_docs").cast("double") /
+          greatest(col("n_docs"), lit(1L)).cast("double"), 6).as("near_dup_doc_frac"))
+  }
+
+  def sqlDedupReport(tau: Double = 0.5): String =
+    s"""WITH RECURSIVE ${sqlClusterCtes(tau)}, dr_n AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+       |), dr_ex AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_exact_groups,
+       |    CAST(COALESCE(sum(n_copies), 0) AS BIGINT) AS n_exact_dup_docs
+       |  FROM (SELECT count(*) AS n_copies FROM documents GROUP BY md5(text)) g
+       |  WHERE n_copies >= 2
+       |), dr_p AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_near_pairs FROM p
+       |), dr_c AS (
+       |  SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       |    CAST(count(*) AS BIGINT) AS n_cluster_docs
+       |  FROM labels
+       |)
+       |SELECT n_docs, n_exact_groups, n_exact_dup_docs, n_near_pairs,
+       |  n_clusters, n_cluster_docs,
+       |  floor(CAST(n_cluster_docs AS DOUBLE) /
+       |    CAST(CASE WHEN n_docs > 0 THEN n_docs ELSE 1 END AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+       |    AS near_dup_doc_frac
+       |FROM dr_n, dr_ex, dr_p, dr_c""".stripMargin
+
+  // ------------------------------------------------------------------
   // q24: MinHash signatures + LSH band-bucket join.
   //
   // numHashes independent min-hashes (xxhash64 with the permutation

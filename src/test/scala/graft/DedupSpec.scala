@@ -309,6 +309,37 @@ class DedupSpec extends SparkSpec {
     assert(all.keySet === Set(1L, 2L, 5L, 9L) && all(9L) === 0L)
   }
 
+  test("dedupReport: one-row dashboard agrees with the operators it summarizes") {
+    val docsDf = Tables.documents(spark, sf)
+    val r = Dedup.dedupReport(docsDf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(0) === docsDf.count())
+    val exactGroups = Dedup.exact(docsDf).filter(col("n_copies") >= 2).collect()
+    assert(row.getLong(1) === exactGroups.length.toLong)
+    assert(row.getLong(2) === exactGroups.map(_.getLong(1)).sum)
+    assert(row.getLong(3) === Dedup.ngramPairs(docsDf).count())
+    val labels = Dedup.clustersQuery(docsDf).collect()
+    assert(row.getLong(4) === labels.map(_.getLong(1)).distinct.length.toLong)
+    assert(row.getLong(5) === labels.length.toLong)
+    assert(math.abs(row.getDouble(6) - labels.length.toDouble / docsDf.count()) < 1e-6)
+    // a hand-built corpus with one exact pair and one near pair
+    val tiny = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta",
+      3L -> "totally different content goes here now",
+      4L -> "totally different content goes here later")
+    val t = Dedup.dedupReport(tiny).head()
+    assert(t.getLong(0) === 4L && t.getLong(1) === 1L && t.getLong(2) === 2L)
+    assert(t.getLong(3) >= 1L && t.getLong(5) >= 2L)
+    // empty corpus: still exactly one row, all zeros
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      docsDf.schema)
+    val z = Dedup.dedupReport(empty).head()
+    assert((0 to 5).forall(i => z.getLong(i) === 0L) && z.getDouble(6) === 0.0)
+  }
+
   test("dupSpanReport: overlap merges, adjacent coverage merges, gaps split — hand-pinned") {
     import spark.implicits._
     val k = 4
