@@ -258,6 +258,7 @@ object SparkEntry {
     // --- H. Corpus reporting & mixing (round-2 additions) -----------
     "q_corpus_stats" -> ((s, dir) => Corpus.stats(Tables.documents(s, dir))),
     "q_token_entropy" -> ((s, dir) => Corpus.tokenEntropy(Tables.documents(s, dir))),
+    "q_source_profile" -> ((s, dir) => Corpus.sourceProfile(Tables.documents(s, dir))),
     // the 100 TB path: sketch percentiles, one aggregation, no
     // per-language sort (agreement-gated in CorpusSpec); sketch-based
     // => rows-only driver gate
@@ -558,6 +559,7 @@ object SparkEntry {
     "q_session_window" -> Events.sqlSessionWindowAgg(),
     "q_corpus_stats" -> Corpus.sqlStats,
     "q_token_entropy" -> Corpus.sqlTokenEntropy,
+    "q_source_profile" -> Corpus.sqlSourceProfile,
     "q_stratified_sample" -> Corpus.sqlStratifiedSample(),
     "q_corpus_curation" -> Corpus.sqlCurate(),
     "q_token_budget_mix" -> Corpus.sqlTokenBudgetSample(),

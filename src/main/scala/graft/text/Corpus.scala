@@ -135,6 +135,63 @@ object Corpus {
        |FROM m""".stripMargin
   }
 
+  /** Per-SOURCE corpus health profile — the "which crawl/source is
+    * dirty" report that decides whether a source is kept, downweighted
+    * or cut before mixing: (source, n_docs, total_tokens, avg_quality,
+    * n_exact_dup_docs, exact_dup_frac), where a doc counts as an exact
+    * dup iff its md5(text) occurs ≥2 times CORPUS-wide (cross-source
+    * aware — a mirror site shows up in both sources' fractions).
+    *
+    * Plan: one documents scan computes tokens/quality/md5 per doc; the
+    * copies table is a content-hash groupBy whose branch Catalyst
+    * prunes to md5(text) only; the join back is keyed on the hash
+    * (distinct-texts-sized right side, AQE-managed) and the final
+    * groupBy(source) partial-aggregates to ≤|sources| rows. The mean
+    * quality stages each already-6dp-rounded score to integer micro
+    * units before the order-free long sum (the labelCentroids mean
+    * policy) ⇒ hash-exact vs the DuckDB twin.
+    */
+  def sourceProfile(documents: DataFrame): DataFrame = {
+    val q = Text.qualityColumns(col("toks"), col("text"))
+    val base = documents.withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        q.nTokens.as("n_tokens"), q.score.as("quality_score"),
+        md5(col("text").cast("binary")).as("h"))
+    val copies = base.groupBy(col("h")).agg(count(lit(1)).as("n_copies"))
+    base.join(copies, Seq("h"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(floor(col("quality_score") * lit(1000000.0) + lit(0.5)).cast("long")).as("micro_q"),
+        sum(when(col("n_copies") >= 2, 1L).otherwise(0L)).as("n_exact_dup_docs"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        Det.r(col("micro_q").cast("double") / lit(1000000.0) / col("n_docs").cast("double"), 6)
+          .as("avg_quality"),
+        col("n_exact_dup_docs"),
+        Det.r(col("n_exact_dup_docs").cast("double") / col("n_docs").cast("double"), 6)
+          .as("exact_dup_frac"))
+  }
+
+  def sqlSourceProfile: String =
+    s"""WITH sp_q AS (
+       |  SELECT doc_id, n_tokens, quality_score FROM (${Text.sqlQuality})
+       |), sp_b AS (
+       |  SELECT doc_id, source, md5(text) AS h FROM documents
+       |), sp_c AS (
+       |  SELECT h, count(*) AS n_copies FROM sp_b GROUP BY 1
+       |)
+       |SELECT sp_b.source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(sp_q.n_tokens) AS BIGINT) AS total_tokens,
+       |  floor(CAST(sum(CAST(floor(sp_q.quality_score * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |    / 1000000.0 / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS avg_quality,
+       |  CAST(sum(CASE WHEN sp_c.n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs,
+       |  floor(CAST(sum(CASE WHEN sp_c.n_copies >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS exact_dup_frac
+       |FROM sp_b JOIN sp_c USING (h) JOIN sp_q USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
   /** Sketch-based variant for 100 TB: single aggregation, no sort;
     * approximate percentiles (accuracy 1/relativeError). Not
     * oracle-checkable (sketch) — covered by ScalaTest against the

@@ -61,6 +61,42 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("sourceProfile: cross-source dup awareness, micro-exact mean quality, partition of the corpus") {
+    import org.apache.spark.sql.functions.col
+    // doc 1 (src A) and doc 2 (src B) are exact copies ACROSS sources:
+    // both sources must count one exact-dup doc; doc 3 is unique
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over it", "en", "A", 0L),
+      (2L, "the quick brown fox jumps over it", "en", "B", 0L),
+      (3L, "a completely different document body", "en", "B", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.text.Corpus.sourceProfile(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got.keySet === Set("A", "B"))
+    assert(got("A")._1 === 1L && got("A")._4 === 1L && got("A")._5 === 1.0)
+    assert(got("B")._1 === 2L && got("B")._4 === 1L && got("B")._5 === 0.5)
+    assert(got("A")._2 === 7L && got("B")._2 === 7L + 5L)
+    // mean quality equals the micro-staged mean of the per-doc scores
+    val q = graft.text.Text.quality(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    def microMean(ids: Seq[Long]) = {
+      val micro = ids.map(id => math.floor(q(id) * 1e6 + 0.5).toLong).sum
+      math.floor(micro / 1e6 / ids.size * 1e6 + 0.5) / 1e6
+    }
+    assert(got("A")._3 === microMean(Seq(1L)))
+    assert(got("B")._3 === microMean(Seq(2L, 3L)))
+    // real corpus: sources partition the table; fractions in [0,1]
+    val real = graft.text.Corpus.sourceProfile(Tables.documents(spark, sf)).collect()
+    assert(real.nonEmpty)
+    assert(real.map(_.getLong(1)).sum === Tables.documents(spark, sf).count())
+    real.foreach { r =>
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(4) <= r.getLong(1))
+    }
+  }
+
   test("stats and statsApprox agree on counts and are close on percentiles") {
     val exact = Corpus.stats(Tables.documents(spark, sf))
       .collect().map(r => r.getString(0) -> r).toMap
