@@ -40,7 +40,14 @@ object Bench {
     try graft.sources.Csv.lineitemViaCsv(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] csv setup failed: ${e.getMessage}") }
 
+    // memoized-seam queries (pairsCached/winsCached/kmeansCached/...)
+    // are run-order dependent by design: the first consumer pays the
+    // materialization, later ones hit the memo. Mark each timing with
+    // the number of memo materializations it paid so per-query numbers
+    // stay interpretable across rounds.
+    var memoMisses = List.empty[(String, Long)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val m0 = Memo.missCount
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -49,6 +56,8 @@ object Bench {
           failures ::= name
           false
         }
+      val paid = Memo.missCount - m0
+      if (paid > 0) memoMisses ::= (name -> paid)
       // capture the elapsed time BEFORE the isolation GC — the forced
       // full collection is cleanup for the NEXT query, not this one's
       // cost, and charging it here inflated every per-query number
@@ -65,7 +74,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val fs = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","fit_sec":$fitSec,"queries":$qs,"failures":$fs,"sf":"$sfDir"}""")
+    // contention self-documentation: driver-captured rounds have landed
+    // on loaded containers (r6/r7 fit_sec 27s captured vs 15s
+    // uncontended), so the artifact carries the 1-minute system load
+    // and the CPU count alongside the timings instead of relying on a
+    // prose variance note. load_avg near (or above) cpus => read the
+    // numbers with the ±10-25% contention band in mind.
+    val loadAvg = math.rint(java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage * 100) / 100
+    val cpuCount = Runtime.getRuntime.availableProcessors
+    val mm = memoMisses.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","fit_sec":$fitSec,"queries":$qs,"failures":$fs,"memo_misses":$mm,"load_avg":$loadAvg,"available_cpus":$cpuCount,"sf":"$sfDir"}""")
     // The harness keeps only a small TAIL of stdout and the full line
     // above (85 queries) outgrew it, truncating away total/fit_sec.
     // Emit a compact headline LAST (<500 bytes: totals, failure list,
@@ -76,7 +96,7 @@ object Bench {
     // n_queries counts only SUCCESSFUL timings (total/top5 exclude
     // failures, so the headline counts must describe the same set)
     val nOk = results.count(_._2 >= 0)
-    println(s"""{"metric":"headline","total":${r3(total)},"unit":"sec","fit_sec":${r3(fitSec)},"n_queries":$nOk,"n_failed":${failures.size},"failures":$fs,"top5":$top5,"sf":"$sfDir"}""")
+    println(s"""{"metric":"headline","total":${r3(total)},"unit":"sec","fit_sec":${r3(fitSec)},"n_queries":$nOk,"n_failed":${failures.size},"failures":$fs,"top5":$top5,"load_avg":$loadAvg,"available_cpus":$cpuCount,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

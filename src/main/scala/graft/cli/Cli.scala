@@ -283,12 +283,16 @@ object PlotFeatureImportance {
     val top = a.getOrElse("top", "0").toInt
     val lines = Files.readAllLines(Paths.get(coefCsv))
     require(!lines.isEmpty, s"empty coefficients CSV: $coefCsv")
-    val header = lines.get(0).split(",").map(_.trim).toSet
-    val missing = Set("feature", "coefficient", "abs_coeff") -- header
+    val header = lines.get(0).split(",").map(_.trim)
+    val missing = Set("feature", "coefficient", "abs_coeff") -- header.toSet
     require(missing.isEmpty, s"coefficients CSV missing columns: $missing")
+    // resolve indexes from the header — a column-reordered CSV with the
+    // same names must parse the named columns, not positions 0/1
+    val featIdx = header.indexOf("feature")
+    val coefIdx = header.indexOf("coefficient")
     val rows = (1 until lines.size).map { i =>
       val parts = lines.get(i).split(",")
-      (parts(0), parts(1).toDouble)
+      (parts(featIdx), parts(coefIdx).toDouble)
     }
     val shown = rows.sortBy { case (f, c) => (-math.abs(c), f) } match {
       case s if top > 0 => s.take(top)

@@ -180,15 +180,16 @@ object Dedup {
     * discipline Spark's own CacheManager uses for `sameResult` — so
     * any semantically-equal `documents` frame at the same threshold
     * shares one localCheckpoint'd derivation, while different inputs
-    * (another sf dir, a filtered corpus) key separately. Per-JVM, like
-    * [[graft.sources.Scratch]]; blocks free when the JVM exits.
+    * (another sf dir, a filtered corpus) key separately. Session
+    * scoping, compute-once racing, and the invalidation hook live in
+    * [[graft.Memo]]; blocks free when the session (or JVM) exits.
     */
-  private val pairsMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double), DataFrame]
+  private val pairsMemo =
+    graft.Memo[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double), DataFrame]()
 
   def pairsCached(documents: DataFrame, tau: Double = 0.5): DataFrame =
-    pairsMemo.getOrElseUpdate(
-      (documents.queryExecution.analyzed.canonicalized, tau),
+    pairsMemo.getOrElseUpdate(documents.sparkSession,
+      (documents.queryExecution.analyzed.canonicalized, tau))(
       ngramPairs(documents, tau).localCheckpoint())
 
   /** Shared CTE body + pair select for the ngram oracle, so the
@@ -622,12 +623,12 @@ object Dedup {
     * q_embed_dedup_best consume the SAME brute graph, so the n²
     * scoring pass runs once per (corpus, tau) per JVM.
     */
-  private val embPairsMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double), DataFrame]
+  private val embPairsMemo =
+    graft.Memo[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double), DataFrame]()
 
   def embeddingPairsCached(embeddings: DataFrame, tau: Double = 0.35): DataFrame =
-    embPairsMemo.getOrElseUpdate(
-      (embeddings.queryExecution.analyzed.canonicalized, tau),
+    embPairsMemo.getOrElseUpdate(embeddings.sparkSession,
+      (embeddings.queryExecution.analyzed.canonicalized, tau))(
       embeddingPairs(embeddings, tau).localCheckpoint())
 
   /** The SCALE PATH for embeddingPairs' semantics: random-hyperplane
@@ -771,11 +772,43 @@ object Dedup {
   // join, then by doc_id for the per-doc rollup) carry ~tokens x 8
   // bytes, never text. The window->count join reuses the hash
   // partitioning of the aggregate side. The window table feeds BOTH
-  // the per-window count and the probe/cut branch, so it is
-  // localCheckpoint'd (the LangModel tf/bf discipline): the
-  // tokenize+explode scan runs ONCE per query, and both consumers
-  // read the materialized 8-byte-hash blocks.
+  // the per-window count and the probe/cut branch — and all THREE
+  // span queries (report / scrub / span report) need the identical
+  // table — so it is localCheckpoint'd AND memoized per (corpus, k)
+  // via winsCached (the pairsCached discipline): the tokenize+explode
+  // scan — the family's most expensive pass — runs ONCE per corpus,
+  // and every consumer reads the materialized 8-byte-hash blocks.
   // ------------------------------------------------------------------
+  /** The (doc_id, pos, h) k-token stride-1 window table all three span
+    * queries derive from: pos is the 1-based window start, h the
+    * xxhash64 of the space-joined window. Documents shorter than k
+    * tokens carry no windows.
+    */
+  private[graft] def spanWindows(documents: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"span window must be >= 2 tokens, got $k")
+    spread(documents)
+      .withColumn("toks", Text.tokens(col("text")))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), i -> xxhash64(concat_ws(' ', slice(toks, i, $k))))"))
+        .as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+  }
+
+  /** Memoized, materialized [[spanWindows]] — a curation pass that
+    * runs the span REPORT and the span SCRUB (the normal workflow)
+    * would otherwise pay the corpus's most expensive scan once per
+    * query; with the memo it pays it once per (corpus, k) per
+    * session. Same key/materialization discipline as [[pairsCached]].
+    */
+  private val winsMemo =
+    graft.Memo[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), DataFrame]()
+
+  def winsCached(documents: DataFrame, k: Int = 10): DataFrame =
+    winsMemo.getOrElseUpdate(documents.sparkSession,
+      (documents.queryExecution.analyzed.canonicalized, k))(
+      spanWindows(documents, k).localCheckpoint())
+
   /** Per-document duplicated-span report: (doc_id, n_windows,
     * n_dup_windows, dup_fraction) over k-token stride-1 windows;
     * documents with fewer than k tokens carry no windows and are
@@ -784,14 +817,7 @@ object Dedup {
     * (the [[hashedShingleSets]] argument).
     */
   def dupSpans(documents: DataFrame, k: Int = 10): DataFrame = {
-    require(k >= 2, s"span window must be >= 2 tokens, got $k")
-    val wins = spread(documents)
-      .withColumn("toks", Text.tokens(col("text")))
-      .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${k - 1}), i -> xxhash64(concat_ws(' ', slice(toks, i, $k))))"))
-        .as("h"))
-      .localCheckpoint()
+    val wins = winsCached(documents, k)
     val perWindow = wins
       .groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
@@ -826,15 +852,7 @@ object Dedup {
     * of corpus size.
     */
   def dupSpanScrub(documents: DataFrame, k: Int = 10): DataFrame = {
-    require(k >= 2, s"span window must be >= 2 tokens, got $k")
-    val wins = spread(documents)
-      .withColumn("toks", Text.tokens(col("text")))
-      .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(toks) - ${k - 1}), i -> xxhash64(concat_ws(' ', slice(toks, i, $k))))"))
-        .as(Seq("pos0", "h")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
-      .localCheckpoint()
+    val wins = winsCached(documents, k)
     val perWindow = wins
       .groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("owner"))
@@ -882,15 +900,7 @@ object Dedup {
     * two different span-merge algorithms.
     */
   def dupSpanReport(documents: DataFrame, k: Int = 10): DataFrame = {
-    require(k >= 2, s"span window must be >= 2 tokens, got $k")
-    val wins = spread(documents)
-      .withColumn("toks", Text.tokens(col("text")))
-      .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(toks) - ${k - 1}), i -> xxhash64(concat_ws(' ', slice(toks, i, $k))))"))
-        .as(Seq("pos0", "h")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
-      .localCheckpoint()
+    val wins = winsCached(documents, k)
     val perWindow = wins
       .groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))

@@ -44,6 +44,21 @@ object Similarity {
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     graft.functions.GraftFunctions.vecDot(a, b)
 
+  /** Embedding dimensionality auto-detect: the MODAL non-empty vector
+    * length (ties to the smaller), via one bounded aggregate job — a
+    * DETERMINISTIC function of the corpus, unlike the first-row-in-
+    * scan-order probe it replaces, under which a mixed-length corpus
+    * trained/bucketed a dimensionality that depended on partition
+    * order. On the normal uniform-length corpus this is the same
+    * one-small-driver-job cost. 0 when no non-empty vectors exist.
+    */
+  private[graft] def detectDim(embeddings: DataFrame): Int =
+    embeddings
+      .select(size(col("embedding")).as("d")).filter(col("d") > 0)
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("d").asc)
+      .head(1).headOption.map(_.getInt(0)).getOrElse(0)
+
   /** Exact brute-force cosine top-k. The corpus is scanned ONCE and
     * compared against the broadcast query set — at 100 TB this is a
     * single map-side pass (no corpus shuffle; only the tiny
@@ -69,12 +84,12 @@ object Similarity {
     * audit consume, so it runs once per (corpus, nQueries, k) per JVM
     * (the pairsCached discipline; result is an nQueries·k-row table).
     */
-  private val bruteMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int), DataFrame]
+  private val bruteMemo =
+    graft.Memo[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int), DataFrame]()
 
   def bruteKnnCached(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame =
-    bruteMemo.getOrElseUpdate(
-      (embeddings.queryExecution.analyzed.canonicalized, nQueries, k),
+    bruteMemo.getOrElseUpdate(embeddings.sparkSession,
+      (embeddings.queryExecution.analyzed.canonicalized, nQueries, k))(
       bruteKnn(embeddings, nQueries, k).localCheckpoint())
 
   def sqlBruteKnn(nQueries: Int = 10, k: Int = 10): String = {
@@ -112,9 +127,10 @@ object Similarity {
     * SimilaritySpec parity test.
     *
     * `dims` is the embedding dimensionality (planes are materialized
-    * at that length); the default -1 AUTO-DETECTS it from the first
-    * non-empty vector (one tiny driver job), so any fixed-dim corpus
-    * works without configuration. Vectors of any OTHER length (or
+    * at that length); the default -1 AUTO-DETECTS it as the modal
+    * non-empty length ([[detectDim]] — one tiny driver job,
+    * deterministic even on a mixed-length corpus), so any fixed-dim
+    * corpus works without configuration. Vectors of any OTHER length (or
     * with null elements) bucket to null and are dropped here —
     * consistent, not a new restriction: a mismatched-length pair
     * yields a null/NaN cosine in every exact path (VecDot returns
@@ -124,11 +140,7 @@ object Similarity {
     */
   private[graft] def bucketedCorpus(
       embeddings: DataFrame, tables: Int, bits: Int, dims: Int = -1): DataFrame = {
-    val d =
-      if (dims > 0) dims
-      else embeddings
-        .select(size(col("embedding")).as("d")).filter(col("d") > 0)
-        .head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    val d = if (dims > 0) dims else detectDim(embeddings)
     val base = prepared(embeddings)
     if (d <= 0) // empty corpus (or all-empty vectors): empty result, same schema
       base.withColumn("buckets", lit(null).cast("array<bigint>"))
@@ -202,7 +214,8 @@ object Similarity {
     val e = prepared(embeddings)
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
-    ivfAnnFrom(e, cents, nQueries, k, nProbe)
+    ivfSearch(e, assignCellsCached(embeddings, cents, s"seed:$nCells"),
+      cents, nQueries, k, nProbe)
   }
 
   /** IVF with TRAINED centroids — [[kmeansCentroids]] plugged into the
@@ -218,7 +231,9 @@ object Similarity {
       iters: Int = 5): DataFrame = {
     val cents = kmeansCached(embeddings, nCells, iters)
       .select(col("cell"), col("cv"), lit(1.0).as("cn")) // unit centroids
-    ivfAnnFrom(prepared(embeddings), cents, nQueries, k, nProbe)
+    ivfSearch(prepared(embeddings),
+      assignCellsCached(embeddings, cents, s"kmeans:$nCells:$iters"),
+      cents, nQueries, k, nProbe)
   }
 
   /** Memoized [[kmeansCentroids]] — the [[graft.dedup.Dedup.pairsCached]]
@@ -230,12 +245,12 @@ object Similarity {
     * a local (driver-data) frame of ≤nCells rows, so the memo holds no
     * cluster-side blocks.
     */
-  private val kmMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int), DataFrame]
+  private val kmMemo =
+    graft.Memo[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int), DataFrame]()
 
   def kmeansCached(embeddings: DataFrame, nCells: Int = 16, iters: Int = 5): DataFrame =
-    kmMemo.getOrElseUpdate(
-      (embeddings.queryExecution.analyzed.canonicalized, nCells, iters),
+    kmMemo.getOrElseUpdate(embeddings.sparkSession,
+      (embeddings.queryExecution.analyzed.canonicalized, nCells, iters))(
       kmeansCentroids(embeddings, nCells, iters))
 
   /** Distributed spherical k-means (Lloyd) over the embedding table —
@@ -255,9 +270,10 @@ object Similarity {
     * the corpus is never re-shuffled, so the plan survives a 100×
     * scale-up with iters× scans and iters× nCells-row shuffles.
     *
-    * `dim` AUTO-DETECTS from the first non-empty vector by default
-    * (one tiny driver job, as [[bucketedCorpus]] does); vectors of any
-    * other length are excluded up front, alongside zero-norm vectors.
+    * `dim` AUTO-DETECTS as the modal non-empty vector length by
+    * default ([[detectDim]] — one tiny driver job, deterministic on
+    * any corpus); vectors of any other length are excluded up front,
+    * alongside zero-norm vectors.
     * Cells that lose all members drop out (standard Lloyd); iterations
     * are a fixed small count (k-means converges fast and an IVF index
     * needs "good", not "optimal", cells). Seeds = the nCells lowest-id
@@ -277,11 +293,7 @@ object Similarity {
     require(nCells > 0 && iters >= 0)
     val session = embeddings.sparkSession
     import session.implicits._
-    val d =
-      if (dim > 0) dim
-      else embeddings
-        .select(size(col("embedding")).as("d")).filter(col("d") > 0)
-        .head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    val d = if (dim > 0) dim else detectDim(embeddings)
     if (d <= 0) // empty corpus (or all-empty vectors)
       return Seq.empty[(Long, Seq[Double])].toDF("cell", "cv")
     val u = prepared(embeddings)
@@ -328,25 +340,46 @@ object Similarity {
       .select(col("cell"), transform(col("m"), x => x / col("mn")).as("cv"))
   }
 
-  /** Nearest-cell assignment of every corpus vector against a
-    * broadcast centroid table — the expensive per-index pass, split
-    * out so a probe SWEEP ([[annEval]]) can checkpoint it once and
-    * search it at several operating points.
+  /** Nearest-cell assignment of every corpus vector — the per-index
+    * build pass. EXCHANGE-FREE: the centroid table is bounded
+    * (≤nCells×dim doubles), so it is collected once and embedded as
+    * LITERAL structs, and the assignment becomes a pure scan-side
+    * argmax projection (one codegen'd VecDot per cell + an array_max
+    * over ≤nCells (ccos, -cell, cell) structs) — the [[lloydStep]]
+    * shape. The old broadcast-crossJoin + groupBy(vec_id) form carried
+    * one full-corpus-cardinality shuffle per index build; this carries
+    * none. Ties resolve to the smallest cell id and NaN/null cosines
+    * order exactly as the old max_by(struct) did (struct ordering is
+    * identical), so the assignment is row-for-row unchanged.
     */
-  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
-      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      // nearest cell per vector; ties resolved to the smallest cell id
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cell"), struct(col("ccos"), (-col("cell")).as("tb"))).as("cell"))
+  private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    val cl = cents.select(col("cell"), col("cv"), col("cn")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).sortBy(_._1)
+    if (cl.isEmpty) return e.select(col("vec_id"), lit(null).cast("bigint").as("cell")).limit(0)
+    val arms = cl.map { case (cell, cv, cn) =>
+      struct((dot(col("v"), typedLit(cv)) / (col("nrm") * lit(cn))).as("ccos"),
+        lit(-cell).as("tb"), lit(cell).as("cell"))
+    }
+    e.select(col("vec_id"),
+      array_max(array(arms.toIndexedSeq: _*)).getField("cell").as("cell"))
+  }
 
-  private def ivfAnnFrom(
-      e: DataFrame,
-      cents: DataFrame,
-      nQueries: Int,
-      k: Int,
-      nProbe: Int): DataFrame =
-    ivfSearch(e, assignCells(e, cents), cents, nQueries, k, nProbe)
+  /** Memoized, materialized [[assignCells]] — the cell table IS the
+    * IVF index (at 100 TB it is what you'd persist + bucket by cell),
+    * and the standalone searches (q_ann_ivf, q_ann_ivf_kmeans) and the
+    * audit ([[annEval]]) all search the SAME index, so it builds once
+    * per (corpus, index tag) per session. The tag names the centroid
+    * recipe ("seed:n" / "kmeans:n:iters") — the centroid table itself
+    * is derived from the same corpus, so the pair is a complete key.
+    */
+  private val assignMemo =
+    graft.Memo[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), DataFrame]()
+
+  private def assignCellsCached(
+      embeddings: DataFrame, cents: DataFrame, tag: String): DataFrame =
+    assignMemo.getOrElseUpdate(embeddings.sparkSession,
+      (embeddings.queryExecution.analyzed.canonicalized, tag))(
+      assignCells(prepared(embeddings), cents).localCheckpoint())
 
   /** The search tail over a prebuilt cell assignment: rank probe
     * cells per query, candidate-join, exact re-score.
@@ -444,8 +477,11 @@ object Similarity {
         .agg((min(col("pidx")) + 1).cast("long").as("lvl")))
 
     // IVF family: lvl = the rank of the candidate's assigned cell in
-    // the query's centroid ranking (ivfSearch probes the top-nProbe)
-    def ivfLevels(cents: DataFrame): DataFrame = {
+    // the query's centroid ranking (ivfSearch probes the top-nProbe).
+    // The cell assignment comes from the SAME memoized index build the
+    // standalone q_ann_ivf / q_ann_ivf_kmeans queries search, so the
+    // audit adds zero extra index-build passes.
+    def ivfLevels(cents: DataFrame, tag: String): DataFrame = {
       val w = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cell").asc)
       val qRanks = e.filter(col("vec_id") < nQueries).crossJoin(broadcast(cents))
         .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
@@ -454,16 +490,17 @@ object Similarity {
         .filter(col("lvl") <= maxP)
         .select(col("query_id"), col("cell"), col("lvl"))
       scoredLevels(
-        assignCells(e, cents).join(broadcast(qRanks), Seq("cell"))
+        assignCellsCached(embeddings, cents, tag).join(broadcast(qRanks), Seq("cell"))
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id"), col("lvl")))
     }
     val seedCents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
-    val kmCents = kmeansCached(embeddings, nCells)
+    val kmIters = 5 // q_ann_ivf_kmeans' default: audit THAT index, not a variant
+    val kmCents = kmeansCached(embeddings, nCells, kmIters)
       .select(col("cell"), col("cv"), lit(1.0).as("cn")) // unit centroids
-    val ivfLvl = ivfLevels(seedCents)
-    val kmLvl = ivfLevels(kmCents)
+    val ivfLvl = ivfLevels(seedCents, s"seed:$nCells")
+    val kmLvl = ivfLevels(kmCents, s"kmeans:$nCells:$kmIters")
 
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     def recallAt(name: String, scored: DataFrame, p: Int): DataFrame = {

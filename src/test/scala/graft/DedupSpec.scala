@@ -249,6 +249,25 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected eval-side broadcast:\n$plan")
   }
 
+  test("span-window table derives once per (corpus, k): spans + scrub + report share the memo") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "z z a b c d e f"),
+      (3L, "too short")).toDF("doc_id", "text")
+    val m0 = Memo.missCount
+    Dedup.dupSpans(docs, k = 4).collect()
+    val afterFirst = Memo.missCount
+    assert(afterFirst - m0 >= 1L, "the first span query must pay the window-table derivation")
+    Dedup.dupSpanScrub(docs, k = 4).collect()
+    Dedup.dupSpanReport(docs, k = 4).collect()
+    assert(Memo.missCount === afterFirst,
+      "scrub/report must hit the shared span-window memo, not re-derive the tokenize+explode scan")
+    // a different k keys separately
+    Dedup.dupSpans(docs, k = 5).collect()
+    assert(Memo.missCount === afterFirst + 1L)
+  }
+
   test("dupSpans: hand-built docs pin window counts, cross-doc-only duplication, short-doc exclusion") {
     import spark.implicits._
     // k=4. doc 1: 6 tokens -> 3 windows; doc 2 shares doc 1's full

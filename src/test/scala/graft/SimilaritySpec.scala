@@ -97,7 +97,11 @@ class SimilaritySpec extends SparkSpec {
 
   test("bucketedCorpus drops malformed vectors (wrong dims / null element) instead of mis-bucketing") {
     import spark.implicits._
+    // two 64-dim rows so 64 is the MODAL length detectDim resolves to
+    // (a 1-1 tie between a real and a malformed length is genuinely
+    // ambiguous; the documented rule is majority-wins, ties smaller)
     val rows = Seq(
+      (0L, Array.fill(64)(0.25f)),
       (1L, Array.fill(64)(0.5f)),
       (2L, Array.fill(63)(0.5f)),          // wrong dimensionality
       (3L, Array.empty[Float])             // empty
@@ -106,7 +110,7 @@ class SimilaritySpec extends SparkSpec {
       Seq((4L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
     val kept = Similarity.bucketedCorpus(withNull, 2, 4).select("vec_id")
       .collect().map(_.getLong(0)).toSet
-    assert(kept === Set(1L))
+    assert(kept === Set(0L, 1L))
   }
 
   test("quantizeInt8 matches a driver-side reimplementation; codes bounded; identical vectors collide") {
@@ -181,6 +185,45 @@ class SimilaritySpec extends SparkSpec {
     val exchanges = "(?m)^.*Exchange".r.findAllIn(plan).size
     assert(exchanges === 1, s"Lloyd step must shuffle only the per-cell rollup:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("Join"), plan)
+  }
+
+  test("assignCells is a pure scan-side projection (zero Exchange, zero Join) and matches a driver argmax") {
+    import org.apache.spark.sql.functions.sqrt
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.vecDot(col("v"), col("v"))))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = Similarity.assignCells(e, cents)
+    val plan = planOf(assigned)
+    assert(!plan.contains("Exchange"), s"cell assignment must not shuffle the corpus:\n$plan")
+    assert(!plan.contains("Join"), s"cell assignment must not join:\n$plan")
+    // row-for-row equality with an independent driver-side argmax
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cellVecs = (0L until 8L).map(c => c -> vecs(c))
+    val expected = vecs.map { case (id, v) =>
+      id -> cellVecs.map { case (c, cv) => (c, cos(v, cv)) }
+        .maxBy { case (c, s) => (s, -c) }._1
+    }
+    val got = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("detectDim picks the modal vector length deterministically, ties to the smaller") {
+    import spark.implicits._
+    val rows = (0 until 20).map(i => (i.toLong, Array.fill(16)(1.0f))) ++
+      Seq((20L, Array.fill(8)(1.0f)), (21L, Array.fill(24)(1.0f)), (22L, Array.empty[Float]))
+    assert(Similarity.detectDim(rows.toDF("vec_id", "embedding")) === 16)
+    assert(Similarity.detectDim(rows.reverse.toDF("vec_id", "embedding")) === 16,
+      "row order must not change the detected dimensionality")
+    val tie = Seq((0L, Array.fill(8)(1.0f)), (1L, Array.fill(16)(1.0f)))
+    assert(Similarity.detectDim(tie.toDF("vec_id", "embedding")) === 8)
+    assert(Similarity.detectDim(Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")) === 0)
   }
 
   test("kmeansCentroids auto-detects dimensionality: a 16-dim corpus trains real centroids") {
