@@ -178,6 +178,7 @@ object SparkEntry {
     "q_dedup_report" -> ((s, dir) => Dedup.dedupReport(Tables.documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
+    "q_dedup_eval" -> ((s, dir) => Dedup.dedupEval(Tables.documents(s, dir))),
     "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingPairsCached(Tables.embeddings(s, dir))),
     // the 100 TB path for the same semantics (LSH blocking, exact
     // re-score => precision 1, recall-gated in DedupSpec); approximate
@@ -533,7 +534,9 @@ object SparkEntry {
     "q_bm25_search" -> text.Search.sqlBm25Search(),
     "q_fingerprint" -> Text.sqlFingerprint,
     // q_dedup_minhash / q_dedup_simhash are sketch-based (not
-    // SQL-expressible) => rows-only driver gate + ScalaTest invariants.
+    // SQL-expressible) => rows-only driver gate + ScalaTest invariants;
+    // q_dedup_eval audits both against the exact pair set (same hash
+    // models => rows-only, monotone-recall-pinned in DedupSpec).
     "q_dedup_exact" -> Dedup.sqlExact,
     "q_dup_spans" -> Dedup.sqlDupSpans(),
     "q_dup_span_scrub" -> Dedup.sqlDupSpanScrub(),

@@ -589,6 +589,112 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // q98: near-dup AGREEMENT AUDIT — recall of the approximate dedup
+  // paths (MinHash-LSH band sweep, SimHash Hamming sweep) against the
+  // EXACT n-gram pair set at matched tau, as a queryable artifact (the
+  // q_ann_eval pattern: the evaluation that DECIDES which operating
+  // point the approximate path may run at, emitted as a query so the
+  // decision input is itself a gated artifact).
+  //
+  // One row per (method, level): for minhash, level = number of LSH
+  // bands over the fixed 32-hash signature (more bands = shorter
+  // bands = more candidates = higher recall); for simhash, level =
+  // the Hamming cutoff. Both sweeps are NESTED, so recall is monotone
+  // non-decreasing in level (DedupSpec pins it):
+  //   - minhash: band levels are aligned refinements (each coarse
+  //     band is a union of finer bands, ratios divide), and a pair
+  //     agreeing on a coarse band agrees on all its sub-bands — so
+  //     the candidate set only grows with the band count. The sweep
+  //     derives every level from ONE finest-level self-join: per pair
+  //     the agreeing finest bands form a <=32-bit mask, and "candidate
+  //     at b bands" = the mask contains a full aligned run of
+  //     maxBands/b finest bands — a literal bit test, no extra joins.
+  //   - simhash: hamming <= h is a filter on the one banded pair set.
+  // Candidates are verified with the exact Jaccard ONCE (minhash
+  // verified pairs are therefore a subset of the exact set: precision
+  // 1, recall = count ratio); simhash pairs intersect the exact set
+  // explicitly (its Hamming metric is not Jaccard-comparable).
+  // Hash-model-dependent => rows-only driver gate.
+  // ------------------------------------------------------------------
+  /** (method, level, n_exact, n_pairs, recall) — see block comment.
+    * `bandSweep` must be ascending, each dividing numHashes and the
+    * max (so band levels nest); `hammingSweep` ascending within the
+    * lossless 0..3 range.
+    */
+  def dedupEval(
+      documents: DataFrame,
+      tau: Double = 0.5,
+      numHashes: Int = 32,
+      bandSweep: Seq[Int] = Seq(2, 4, 8, 16),
+      hammingSweep: Seq[Int] = Seq(0, 1, 2, 3)): DataFrame = {
+    val maxBands = bandSweep.max
+    require(bandSweep == bandSweep.sorted && bandSweep.forall(b =>
+      b > 0 && numHashes % b == 0 && maxBands % b == 0),
+      s"band sweep must ascend and nest into $numHashes hashes: $bandSweep")
+    require(maxBands <= 32, "the per-pair band mask is a 32-bit literal test")
+    require(hammingSweep == hammingSweep.sorted && hammingSweep.forall(h => h >= 0 && h <= 3))
+
+    val exact = pairsCached(documents, tau)
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+
+    // ---- minhash: one finest-level band self-join -> per-pair mask
+    val sets = hashedShingleSets(documents).localCheckpoint()
+    val sigs = minhashSignaturesFrom(sets, numHashes).localCheckpoint()
+    val rowsPerBand = numHashes / maxBands
+    val bandKeys = (0 until maxBands).map { b =>
+      xxhash64((lit(b) +: (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))): _*)
+    }
+    val banded = sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("b", "bkey")))
+    val masks = banded.as("x")
+      .join(banded.as("y").hint("shuffle_hash"),
+        col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("x.b").as("b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(expr("bit_or(shiftleft(1L, b))").as("mask"))
+    def candAt(bands: Int): Column = {
+      val run = maxBands / bands
+      (0 until bands).map { i =>
+        val m = ((1L << run) - 1) << (i * run)
+        col("mask").bitwiseAND(lit(m)) === lit(m)
+      }.reduce(_ || _)
+    }
+    // smallest band count whose aligned-run test passes (mask != 0 =>
+    // the finest level always passes, so lvl is never null)
+    val lvl = least(bandSweep.map(b => when(candAt(b), lit(b))): _*)
+    val mhVerified = withJaccard(
+      masks.select(col("doc_a"), col("doc_b"), lvl.as("lvl"))
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .filter(sizeRatioFilter(tau)))
+      .filter(col("jac") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("lvl"))
+    val mhWide = mhVerified.agg(
+      bandSweep.map(b => sum(when(col("lvl") <= b, 1L).otherwise(0L)).as(s"n$b")).head,
+      bandSweep.map(b => sum(when(col("lvl") <= b, 1L).otherwise(0L)).as(s"n$b")).tail: _*)
+    val mhRows = mhWide.select(explode(array(bandSweep.map(b =>
+      struct(lit("minhash").as("method"), lit(b).cast("long").as("level"),
+        coalesce(col(s"n$b"), lit(0L)).as("n_pairs"))): _*)).as("r"))
+      .select(col("r.method"), col("r.level"), col("r.n_pairs"))
+
+    // ---- simhash: hamming rides along; intersect the exact set
+    val shHits = simhashPairs(documents, maxHamming = hammingSweep.max)
+      .join(exact.select(col("doc_a"), col("doc_b")), Seq("doc_a", "doc_b"))
+    val shWide = shHits.agg(
+      hammingSweep.map(h => sum(when(col("hamming") <= h, 1L).otherwise(0L)).as(s"n$h")).head,
+      hammingSweep.map(h => sum(when(col("hamming") <= h, 1L).otherwise(0L)).as(s"n$h")).tail: _*)
+    val shRows = shWide.select(explode(array(hammingSweep.map(h =>
+      struct(lit("simhash").as("method"), lit(h).cast("long").as("level"),
+        coalesce(col(s"n$h"), lit(0L)).as("n_pairs"))): _*)).as("r"))
+      .select(col("r.method"), col("r.level"), col("r.n_pairs"))
+
+    Det.attachScalar(mhRows.unionAll(shRows), nExact)
+      .select(col("method"), col("level"), col("n_exact"), col("n_pairs"),
+        Det.r(col("n_pairs").cast("double") /
+          greatest(col("n_exact"), lit(1L)).cast("double"), 6).as("recall"))
+  }
+
+  // ------------------------------------------------------------------
   // q26: embedding-cosine near-dup pairs — the brute-force baseline.
   //
   // All-pairs cosine >= tau over the embeddings table. This is the

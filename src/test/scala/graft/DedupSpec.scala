@@ -249,6 +249,34 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected eval-side broadcast:\n$plan")
   }
 
+  test("dedupEval: monotone recall along both sweeps, precision-1 minhash levels, sane floors") {
+    val docs = Tables.documents(spark, sf)
+    val rows = Dedup.dedupEval(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val nExact = Dedup.pairsCached(docs).count()
+    assert(rows.forall(_._3 === nExact), "n_exact must equal the exact pair-set size on every row")
+    assert(rows.forall { case (_, _, _, n, rec) => n >= 0 && rec >= 0.0 && rec <= 1.0 })
+    def recalls(method: String): Seq[(Long, Double)] =
+      rows.filter(_._1 == method).sortBy(_._2).map(r => (r._2, r._5)).toSeq
+    val mh = recalls("minhash")
+    val sh = recalls("simhash")
+    assert(mh.map(_._1) === Seq(2L, 4L, 8L, 16L))
+    assert(sh.map(_._1) === Seq(0L, 1L, 2L, 3L))
+    assert(mh.map(_._2).sliding(2).forall { case Seq(a, b) => b >= a - 1e-12 },
+      s"minhash recall must be monotone in bands: $mh")
+    assert(sh.map(_._2).sliding(2).forall { case Seq(a, b) => b >= a - 1e-12 },
+      s"simhash recall must be monotone in hamming: $sh")
+    // the finest minhash level must agree with the standalone LSH path
+    // at the same (numHashes=32, bands=16... note: the standalone uses
+    // 8 bands) — floor instead: the 16-band level dominates the
+    // 8-band level, which IS the standalone operating point
+    val lshPairs = Dedup.minhashLshPairs(docs).count()
+    val mh8 = mh.find(_._1 == 8L).get._2
+    assert(math.abs(mh8 - lshPairs.toDouble / math.max(nExact, 1L)) < 1e-6,
+      "the 8-band sweep level must equal the standalone minhashLshPairs operating point")
+    assert(mh.last._2 >= mh8 - 1e-12)
+  }
+
   test("span-window table derives once per (corpus, k): spans + scrub + report share the memo") {
     import spark.implicits._
     val docs = Seq(
