@@ -179,6 +179,7 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "q_dedup_eval" -> ((s, dir) => Dedup.dedupEval(Tables.documents(s, dir))),
+    "q_bpe_tokenize" -> ((s, dir) => text.Bpe.bpeTokenize(Tables.documents(s, dir))),
     "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingPairsCached(Tables.embeddings(s, dir))),
     // the 100 TB path for the same semantics (LSH blocking, exact
     // re-score => precision 1, recall-gated in DedupSpec); approximate
@@ -533,6 +534,7 @@ object SparkEntry {
     "q_surprisal_bigram" -> text.LangModel.sqlSurprisalBigram(),
     "q_bm25_search" -> text.Search.sqlBm25Search(),
     "q_fingerprint" -> Text.sqlFingerprint,
+    "q_bpe_tokenize" -> text.Bpe.sqlBpeTokenize(),
     // q_dedup_minhash / q_dedup_simhash are sketch-based (not
     // SQL-expressible) => rows-only driver gate + ScalaTest invariants;
     // q_dedup_eval audits both against the exact pair set (same hash

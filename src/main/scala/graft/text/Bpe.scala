@@ -1,0 +1,141 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Det
+
+/** Trained-merges BPE tokenization — the one operator the corpus
+  * families lacked: a real LLM-data pipeline tokenizes with a trained
+  * merges table (the tiktoken/sentencepiece artifact), not a lexer
+  * regex ([[Text.bpeTokens]] stays as the cheap pre-count heuristic).
+  *
+  * Model: a SMALL ORDERED MERGES LIST (the head of a trained BPE
+  * vocabulary) applied GREEDILY, rule by rule, within each
+  * whitespace word: rule (a, b) replaces adjacent token pairs a∣b by
+  * the concatenation ab, scanning left to right without rescanning
+  * its own output (the fast sequential-application form; the list is
+  * driver-bounded, exactly what a shipped `merges.txt` is). Merges
+  * never cross word boundaries.
+  *
+  * EXECUTION — the whole pass is one scan-side projection per
+  * document, no explode, no shuffle, no UDF:
+  *
+  *   1. words are space-joined and every non-space char is wrapped as
+  *      `|c|` (one regexp_replace), so the token stream of "the cat"
+  *      is `|t||h||e| |c||a||t|`;
+  *   2. each merge rule is ONE native `replace`: `|a||b|` -> `|ab|`.
+  *      On this delimited representation, non-overlapping left-to-
+  *      right string replacement IS the greedy pairwise merge: a
+  *      match consumes both wrapped tokens including their shared
+  *      boundary, so overlapping candidates (`|a||a||a|` under
+  *      (a,a)) resolve exactly like the classic fold — `|aa||a|`;
+  *   3. token counts and the tokenization fingerprint read off the
+  *      merged string: tokens = `||` boundaries + one per word, and
+  *      md5 of the delimited string is the unambiguous identity of
+  *      the whole tokenization.
+  *
+  * The delimiter `|` is RESERVED: it is stripped from the text up
+  * front (both engines), the same move real tokenizers make by
+  * reserving control bytes. The DuckDB twin replays the identical
+  * string pipeline (same regex, same replace chain, same counts), so
+  * the gate is hash-exact — deterministic string ops only.
+  *
+  * Scale shape: per-row string work bounded by document length ×
+  * #merges, embarrassingly parallel, zero Exchange; the merges table
+  * is a literal in the plan (a few hundred bytes), the natural
+  * upstream of q_pack_sequences / q_chunk token budgeting.
+  */
+object Bpe {
+
+  /** The shipped merges head: ordered, chain-aware (later rules merge
+    * the outputs of earlier ones: t+h, th+e; a+n, an+d; ...). A
+    * stand-in for a real trained `merges.txt` — the operator takes
+    * any list.
+    */
+  val defaultMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r", "o" -> "n",
+    "r" -> "e", "a" -> "t", "e" -> "n", "o" -> "r", "e" -> "s", "s" -> "t",
+    "an" -> "d", "in" -> "g", "a" -> "r", "a" -> "l", "o" -> "u", "i" -> "s",
+    "o" -> "f", "e" -> "d", "i" -> "t", "l" -> "l", "c" -> "h", "th" -> "er",
+    "h" -> "e", "e" -> "a", "o" -> "w", "r" -> "o", "s" -> "e", "l" -> "e",
+    "d" -> "e", "a" -> "s")
+
+  private def checkMerges(merges: Seq[(String, String)]): Unit =
+    merges.foreach { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty && !(a + b).exists(c => c == '|' || c.isWhitespace),
+        s"merge tokens must be non-empty, '|'-free and whitespace-free: ($a, $b)")
+    }
+
+  /** (doc_id, n_words, n_chars, n_bpe_tokens, compression, bpe_md5):
+    * greedy merges applied per word; compression = chars per BPE
+    * token (null for empty documents).
+    */
+  def bpeTokenize(
+      documents: DataFrame,
+      merges: Seq[(String, String)] = defaultMerges): DataFrame = {
+    checkMerges(merges)
+    val toks = Text.tokens(regexp_replace(col("text"), "\\|", ""))
+    val wrapped = regexp_replace(concat_ws(" ", col("toks")), "([^ ])", "|$1|")
+    val merged = merges.foldLeft(wrapped) { case (c, (a, b)) =>
+      replace(c, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+    }
+    // the pipe-count diff is always even; Column `/` is DOUBLE
+    // division, so divide first (exact: doc lengths << 2^52) and cast
+    // back to long to keep the count integral like the oracle's `//`
+    val nBoundaries =
+      ((length(col("merged")) - length(replace(col("merged"), lit("||"), lit("")))) / 2)
+        .cast("long")
+    graft.Spread(documents)
+      .withColumn("toks", toks)
+      // merged is materialized as a column so the replace chain runs
+      // once per document, not once per consumer below
+      .withColumn("merged", merged)
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_bpe_tokens",
+        when(col("n_words") === 0, 0L).otherwise(nBoundaries + col("n_words")))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        length(concat_ws("", col("toks"))).cast("long").as("n_chars"),
+        col("n_bpe_tokens"),
+        when(col("n_bpe_tokens") > 0,
+          Det.r(length(concat_ws("", col("toks"))).cast("long").cast("double") /
+            col("n_bpe_tokens").cast("double"), 6)).as("compression"),
+        md5(col("merged").cast("binary")).as("bpe_md5"))
+  }
+
+  /** DuckDB twin: the same reserved-delimiter string pipeline, merge
+    * for merge. array_to_string([]) is NULL in DuckDB (Spark's
+    * concat_ws gives ''), hence the coalesces.
+    */
+  def sqlBpeTokenize(merges: Seq[(String, String)] = defaultMerges): String = {
+    checkMerges(merges)
+    val mergedExpr = merges.foldLeft("w") { case (e, (a, b)) =>
+      s"replace($e, '|$a||$b|', '|$a$b|')"
+    }
+    s"""WITH c AS (
+       |  SELECT doc_id, ${Text.sqlTokens("replace(text, '|', '')")} AS toks FROM documents
+       |), j AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(len(coalesce(array_to_string(toks, ''), '')) AS BIGINT) AS n_chars,
+       |    regexp_replace(coalesce(array_to_string(toks, ' '), ''), '([^ ])', '|\\1|', 'g') AS w
+       |  FROM c
+       |), m AS (
+       |  SELECT doc_id, n_words, n_chars, $mergedExpr AS mg FROM j
+       |), t AS (
+       |  SELECT doc_id, n_words, n_chars, mg,
+       |    CASE WHEN n_words = 0 THEN 0
+       |         ELSE (len(mg) - len(replace(mg, '||', ''))) // 2 + n_words
+       |    END AS n_bpe_tokens
+       |  FROM m
+       |)
+       |SELECT doc_id, n_words, n_chars, CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+       |  CASE WHEN n_bpe_tokens > 0
+       |       THEN floor(CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+       |  END AS compression,
+       |  md5(mg) AS bpe_md5
+       |FROM t""".stripMargin
+  }
+}
