@@ -27,6 +27,19 @@ import org.apache.spark.sql.DataFrame
   * through to an unconditional repartition. That errs toward one
   * narrow raw-row shuffle on stat-less inputs (bounded: such frames
   * are never the 100 TB scan, which always carries file-index stats).
+  *
+  * SCOPE of the stat-less branch (deliberate, recorded here so the
+  * coverage claim is honest): every DRIVER-GATED query reads parquet
+  * through the catalog, whose file index always yields a real size
+  * statistic — so no CORRECTNESS/BENCH artifact can reach this
+  * branch, and none is routed through it artificially. The branch is
+  * the guard for the LIBRARY surface: operators accept any DataFrame,
+  * and a user handing a LocalRelation / RDD-backed frame (exactly
+  * what every hand-built `toDF` spec corpus is, which is why the
+  * branch runs in nearly every suite, pinned in SpreadSpec) would
+  * otherwise run the per-row expression work of a whole operator on
+  * one thread. Library-surface-only, test-observed; not artifact-
+  * observable by construction.
   */
 object Spread {
   def apply(df: DataFrame): DataFrame = {

@@ -58,8 +58,8 @@ class PlanHardeningSpec extends SparkSpec {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // exactly the documented model-dependent / sketch-based set
     assert(rowsOnly === mlQueries ++ Set(
-      "q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh", "q_ann_ivf",
-      "q_ann_ivf_kmeans", "q_ann_eval", "q_dedup_embedding_lsh",
+      "q_dedup_minhash", "q_dedup_simhash", "q_dedup_eval", "q_ann_lsh",
+      "q_ann_ivf", "q_ann_ivf_kmeans", "q_ann_eval", "q_dedup_embedding_lsh",
       "q_corpus_stats_approx", "q_media_features", "q_distinct_approx"))
   }
 
@@ -112,6 +112,12 @@ class PlanHardeningSpec extends SparkSpec {
     // round-7 operators
     assert(Dedup.dupSpanReport(emptyDocs).count() === 0)
     assert(Similarity.kmeansCentroids(emptyEmb).count() === 0)
+    // round-8 operators: the audit emits its full (method, level) grid
+    // with n_pairs=0 on an empty corpus; BPE emits no rows
+    assert(graft.text.Bpe.bpeTokenize(emptyDocs).count() === 0)
+    val emptyEval = Dedup.dedupEval(emptyDocs).collect()
+    assert(emptyEval.length === 8)
+    assert(emptyEval.forall(r => r.getLong(2) === 0L && r.getLong(3) === 0L))
   }
 
   test("temporal and outlier operators behave on an empty event stream") {
