@@ -180,6 +180,7 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "q_dedup_eval" -> ((s, dir) => Dedup.dedupEval(Tables.documents(s, dir))),
     "q_bpe_tokenize" -> ((s, dir) => text.Bpe.bpeTokenize(Tables.documents(s, dir))),
+    "q_bpe_train" -> ((s, dir) => text.Bpe.trainBpe(Tables.documents(s, dir))),
     "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingPairsCached(Tables.embeddings(s, dir))),
     // the 100 TB path for the same semantics (LSH blocking, exact
     // re-score => precision 1, recall-gated in DedupSpec); approximate
@@ -535,6 +536,7 @@ object SparkEntry {
     "q_bm25_search" -> text.Search.sqlBm25Search(),
     "q_fingerprint" -> Text.sqlFingerprint,
     "q_bpe_tokenize" -> text.Bpe.sqlBpeTokenize(),
+    "q_bpe_train" -> text.Bpe.sqlTrainBpe(),
     // q_dedup_minhash / q_dedup_simhash are sketch-based (not
     // SQL-expressible) => rows-only driver gate + ScalaTest invariants;
     // q_dedup_eval audits both against the exact pair set (same hash

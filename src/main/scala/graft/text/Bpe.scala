@@ -105,6 +105,126 @@ object Bpe {
         md5(col("merged").cast("binary")).as("bpe_md5"))
   }
 
+  /** Default number of merge rules [[trainBpe]] learns — small enough
+    * that the generated round-per-round DuckDB twin stays readable,
+    * large enough to exercise chained merges (later rules merging the
+    * outputs of earlier ones).
+    */
+  val defaultTrainRounds = 16
+
+  /** BPE TRAINING — learn the ordered merges list from the corpus
+    * itself (the artifact [[bpeTokenize]] consumes; together they are
+    * the train/apply pair every real tokenizer ships as).
+    *
+    * Algorithm — textbook BPE, restructured for Spark scale:
+    *
+    *   1. ONE corpus scan builds the word histogram (word, cnt) —
+    *      the only corpus-sized operation; everything after runs on
+    *      the vocabulary-bounded table, exactly how industrial BPE
+    *      trainers work (train on the word histogram, not the raw
+    *      text). The histogram is localCheckpoint'd so no round
+    *      re-reads the corpus.
+    *   2. Words are held in the SAME reserved-delimiter symbol
+    *      representation as [[bpeTokenize]] (`|c||a||t|`), so a
+    *      learned rule is applied with the same single native
+    *      `replace` — training and application share one semantics
+    *      by construction.
+    *   3. Each round: split the representation into its symbol array
+    *      (one `split` on the `||` boundary), count adjacent pairs
+    *      weighted by word count (`zip_with` + explode — OVERLAPPING
+    *      pairs, the classic get_stats), take the argmax with a
+    *      deterministic tie-break (support DESC, then lexicographic
+    *      on both tokens), append the rule, extend the in-plan
+    *      replace chain. The collect is ONE row per round (the Lloyd
+    *      discipline: bounded driver artifacts only).
+    *
+    * Scale shape: corpus scan + one hash aggregation once, then
+    * nMerges vocabulary-bounded aggregations each ending in a 1-row
+    * TakeOrdered — no corpus-sized shuffle after step 1, no UDF, no
+    * cartesian. Deterministic end to end, so the DuckDB twin
+    * ([[sqlTrainBpe]]) replays training round for round and the gate
+    * is hash-exact — rare for a TRAINING operator.
+    *
+    * Returns (rank, lhs, rhs, merged, support): the ordered merges
+    * table, rank 1-based in learning order; stops early if the
+    * vocabulary runs out of adjacent pairs.
+    */
+  def trainBpe(
+      documents: DataFrame,
+      nMerges: Int = defaultTrainRounds): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64, s"nMerges must be in [1, 64]: $nMerges")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val hist = graft.Spread(documents)
+      .select(explode(Text.tokens(regexp_replace(col("text"), "\\|", ""))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("word"), "([^ ])", "|$1|").as("w"), col("cnt"))
+      .localCheckpoint()
+
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var wCol: Column = col("w")
+    var exhausted = false
+    while (learned.length < nMerges && !exhausted) {
+      val syms = split(trim(wCol, "|"), "\\|\\|")
+      val best = hist
+        .select(col("cnt"), syms.as("syms"))
+        .where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("z"))
+        .groupBy(col("z.lhs").as("lhs"), col("z.rhs").as("rhs"))
+        .agg(sum("cnt").as("support"))
+        .orderBy(desc("support"), asc("lhs"), asc("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, s) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        learned += (((learned.length + 1).toLong, l, r, l + r, s))
+        wCol = replace(wCol, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+      }
+    }
+    learned.toSeq.toDF("rank", "lhs", "rhs", "merged", "support")
+  }
+
+  /** DuckDB twin of [[trainBpe]]: the identical algorithm unrolled as
+    * one CTE chain per round — h0 is the word histogram, p_r the
+    * weighted pair counts over h_{r-1}, b_r the argmax under the same
+    * (support DESC, lhs, rhs) tie-break, h_r the merged vocabulary via
+    * the same literal `replace` (the learned pair enters as a scalar
+    * subquery). list_zip yields unnamed structs here, hence z[1]/z[2].
+    */
+  def sqlTrainBpe(nMerges: Int = defaultTrainRounds): String = {
+    require(nMerges >= 1 && nMerges <= 64, s"nMerges must be in [1, 64]: $nMerges")
+    val rounds = (1 to nMerges).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT z[1] AS lhs, z[2] AS rhs, CAST(sum(cnt) AS BIGINT) AS support
+         |  FROM (
+         |    SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS z
+         |    FROM (SELECT cnt, string_split(trim(w, '|'), '||') AS syms FROM h${r - 1})
+         |    WHERE len(syms) >= 2
+         |  ) GROUP BY 1, 2
+         |), b$r AS MATERIALIZED (
+         |  SELECT lhs, rhs, support FROM p$r ORDER BY support DESC, lhs, rhs LIMIT 1
+         |), h$r AS MATERIALIZED (
+         |  SELECT replace(w, '|' || (SELECT lhs FROM b$r) || '||' || (SELECT rhs FROM b$r) || '|',
+         |                    '|' || (SELECT lhs FROM b$r) || (SELECT rhs FROM b$r) || '|') AS w, cnt
+         |  FROM h${r - 1}
+         |)""".stripMargin
+    }.mkString(", ")
+    val union = (1 to nMerges).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, lhs, rhs, lhs || rhs AS merged, support FROM b$r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (
+       |  SELECT unnest(${Text.sqlTokens("replace(text, '|', '')")}) AS word FROM documents
+       |), h0 AS MATERIALIZED (
+       |  SELECT regexp_replace(word, '([^ ])', '|\\1|', 'g') AS w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM t GROUP BY 1
+       |), $rounds
+       |$union
+       |ORDER BY rank""".stripMargin
+  }
+
   /** DuckDB twin: the same reserved-delimiter string pipeline, merge
     * for merge. array_to_string([]) is NULL in DuckDB (Spark's
     * concat_ws gives ''), hence the coalesces.
