@@ -201,6 +201,7 @@ object SparkEntry {
     // (Lloyd) plugged into the seam q_ann_ivf's lowest-id seeds stand
     // in for (round-6 addition)
     "q_ann_ivf_kmeans" -> ((s, dir) => Similarity.ivfAnnKmeans(Tables.embeddings(s, dir))),
+    "q_ann_pq" -> ((s, dir) => Similarity.pqAnn(Tables.embeddings(s, dir))),
     // recall@k audit of the approximate indexes vs the exact brute
     // top-k — the decision input for serving ANN instead of exact;
     // approximate => rows-only gate + recall floors in SimilaritySpec

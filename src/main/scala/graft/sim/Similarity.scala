@@ -410,6 +410,134 @@ object Similarity {
     rankTopK(pairs, e, nQueries, k)
   }
 
+  /** Product-quantization ANN — THE standard memory-compression search
+    * path at 100 TB (the IVF-PQ half the family lacked): each vector is
+    * stored as nSub small codes instead of dim floats, and candidate
+    * scoring reads the codes through per-query lookup tables (ADC)
+    * instead of touching the raw vectors.
+    *
+    *   - TRAIN on a bounded sample (the faiss discipline — codebooks
+    *     never see the whole corpus): the sample's subvector slices are
+    *     exploded to (vec_id, sub, x) rows — bounded: trainN×nSub — and
+    *     ALL nSub codebooks train simultaneously, each Lloyd round ONE
+    *     broadcast join + min_by argmin + (sub, code) mean rollup in
+    *     plain R^{dim/nSub} L2 (classic PQ k-means, not the spherical
+    *     variant — subvectors of unit vectors are not unit). One
+    *     bounded collect per round (the Lloyd discipline).
+    *   - ENCODE in one corpus pass, scan-side only: per subspace an
+    *     argmax over nCodes literal (2·dot(x,cb) − ‖cb‖², tiebreak,
+    *     code) structs — the [[assignCells]] shape; no join, no
+    *     Exchange. codes = array<int> of length nSub: dim floats → nSub
+    *     bytes (32× here), which is the entire point of PQ — at scale
+    *     THIS table is what you persist and serve from RAM.
+    *   - SEARCH asymmetrically (ADC): queries keep their exact
+    *     subvectors and carry a literal-free in-plan lookup table
+    *     qtab[sub][code] = dot(q_sub, cb[sub][code]) (nQueries×nSub×
+    *     nCodes doubles, built on the queries-sized side and broadcast);
+    *     the corpus-×-queries pass scores a pair with nSub array
+    *     lookups (zip_with + aggregate over the codes) instead of a
+    *     dim-wide dot — 8 reads vs 64 mults here, and the raw vectors
+    *     never stream through the join.
+    *   - REFINE: the top refine·k ADC candidates per query are
+    *     re-scored EXACTLY ([[rankTopK]]) — the family's invariant:
+    *     approximate paths generate candidates, exact arithmetic ranks
+    *     them (emitted cosines are bit-exact, only the candidate SET is
+    *     approximate; recall-gated in SimilaritySpec vs the memoized
+    *     brute truth).
+    *
+    * Deterministic end to end (seeds = lowest vec_ids, lexicographic
+    * tie-breaks), but replaying iterative codebook training in SQL is
+    * impractical — rows-only driver gate like the other trained index
+    * (q_ann_ivf_kmeans). Output contract (query_id, rank, vec_id,
+    * cosine) matches the family.
+    */
+  def pqAnn(
+      embeddings: DataFrame,
+      nQueries: Int = 10,
+      k: Int = 10,
+      nSub: Int = 8,
+      nCodes: Int = 16,
+      iters: Int = 3,
+      trainN: Int = 256,
+      refine: Int = 4,
+      dim: Int = -1): DataFrame = {
+    require(nSub > 0 && nCodes > 1 && iters >= 0 && trainN >= nCodes && refine >= 1)
+    val session = embeddings.sparkSession
+    import session.implicits._
+    val empty = Seq.empty[(Long, Int, Long, Double)]
+      .toDF("query_id", "rank", "vec_id", "cosine")
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+    val d = if (dim > 0) dim else detectDim(embeddings)
+    if (d <= 0) return empty
+    require(d % nSub == 0, s"dim $d must divide into nSub=$nSub subspaces")
+    val ds = d / nSub
+
+    val e = prepared(embeddings).filter(col("nrm") > 0 && size(col("v")) === d)
+    val u = e.select(col("vec_id"),
+      transform(col("v"), x => x / col("nrm")).as("u"))
+
+    // ---- train: bounded sample, all subspaces in one Lloyd loop ----
+    val slices = u.filter(col("vec_id") < trainN)
+      .select(col("vec_id"), explode(sequence(lit(0), lit(nSub - 1))).as("sub"), col("u"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("u"), col("sub") * ds + 1, lit(ds)).as("x"))
+      .localCheckpoint()
+    var books: Array[(Int, Int, Array[Double])] = slices.filter(col("vec_id") < nCodes)
+      .select(col("sub"), col("vec_id").cast("int").as("code"), col("x"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy(t => (t._1, t._2))
+    for (_ <- 1 to iters if books.nonEmpty) {
+      val cur = books.toSeq.map { case (s, c, cb) => (s, c, cb.toSeq) }.toDF("sub", "code", "cb")
+      val means = (0 until ds).map(i => avg(col("best.x")(i)).as(s"m$i"))
+      books = slices.join(broadcast(cur), Seq("sub"))
+        .withColumn("d2",
+          dot(col("x"), col("x")) - lit(2.0) * dot(col("x"), col("cb")) + dot(col("cb"), col("cb")))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(struct(col("code"), col("x")), struct(col("d2"), col("code"))).as("best"))
+        .groupBy(col("sub"), col("best.code").as("code"))
+        .agg(means.head, means.tail: _*)
+        .select(col("sub"), col("code"), array((0 until ds).map(i => col(s"m$i")): _*).as("cb"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        .sortBy(t => (t._1, t._2))
+    }
+    slices.unpersist()
+    if (books.isEmpty) return empty
+    val bySub: Map[Int, Array[(Int, Array[Double], Double)]] =
+      books.groupBy(_._1).map { case (s, arr) =>
+        s -> arr.map { case (_, c, cb) => (c, cb, cb.map(x => x * x).sum) }.sortBy(_._1)
+      }
+
+    // ---- encode: one scan-side pass, the assignCells shape ----
+    val codeCols = (0 until nSub).map { s =>
+      val xs = slice(col("u"), lit(s * ds + 1), lit(ds))
+      val arms = bySub(s).map { case (code, cb, cb2) =>
+        struct((lit(2.0) * dot(xs, typedLit(cb.toSeq)) - lit(cb2)).as("sc"),
+          lit(-code).as("tb"), lit(code).as("code"))
+      }
+      array_max(array(arms.toIndexedSeq: _*)).getField("code")
+    }
+    val codes = u.select(col("vec_id"), array(codeCols: _*).as("codes"))
+
+    // ---- ADC lookup tables, built on the queries-sized side ----
+    val qtab = array((0 until nSub).map { s =>
+      val qxs = slice(col("u"), lit(s * ds + 1), lit(ds))
+      array(bySub(s).map { case (_, cb, _) => dot(qxs, typedLit(cb.toSeq)) }.toIndexedSeq: _*)
+    }: _*)
+    val qs = u.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), qtab.as("qtab"))
+
+    // ---- ADC scoring + exact refinement ----
+    val w = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id").asc)
+    val pairs = codes.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .withColumn("approx",
+        aggregate(zip_with(col("codes"), col("qtab"),
+          (c, row) => element_at(row, c + 1)), lit(0.0), (acc, x) => acc + x))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= refine * k)
+      .select(col("query_id"), col("vec_id"))
+    rankTopK(pairs, e, nQueries, k)
+  }
+
   /** ANN quality audit — recall@k of each approximate index against
     * the exact brute top-k on the same queries, SWEPT across probe
     * operating points (the q_langid_eval pattern: the evaluation that

@@ -49,6 +49,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall@10 $recall below floor")
   }
 
+  test("PQ ANN: acceptable recall, exact re-scored cosines, full per-query contract") {
+    val pq = Similarity.pqAnn(Tables.embeddings(spark, sf)).cache()
+    val recall = pairSet(pq).intersect(pairSet(brute)).size.toDouble / pairSet(brute).size
+    assert(recall >= 0.5, s"PQ recall@10 $recall below floor")
+    // the family invariant: only the candidate SET is approximate —
+    // any pair the exact baseline also ranks must carry the identical
+    // exact cosine (candidates are re-scored, never ADC-scored, in
+    // the emitted artifact)
+    val exact = brute.collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val overlaps = pq.collect().flatMap { r =>
+      exact.get((r.getLong(0), r.getLong(2))).map(_ -> r.getDouble(3))
+    }
+    assert(overlaps.nonEmpty)
+    overlaps.foreach { case (b, p) => assert(b === p, "re-scored cosine drifted from exact") }
+    val counts = pq.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(counts.length === 10 && counts.forall(_ === 10L))
+    assert(pq.filter(col("query_id") === col("vec_id")).count() === 0)
+  }
+
+  test("PQ ANN training is deterministic: two independent builds agree row for row") {
+    val a = Similarity.pqAnn(Tables.embeddings(spark, sf), iters = 2).collect()
+    val b = Similarity.pqAnn(Tables.embeddings(spark, sf), iters = 2).collect()
+    assert(a.map(_.toString).sorted.toSeq === b.map(_.toString).sorted.toSeq)
+  }
+
   test("HyperplaneBuckets planes are bit-identical to the xxhash64-expression definition") {
     // the native expression precomputes planes via XXH64.hashInt; the
     // original definition was CAST(xxhash64(t*1000003+b*1009+j) AS
