@@ -449,19 +449,21 @@ object Similarity {
     * tie-breaks), but replaying iterative codebook training in SQL is
     * impractical — rows-only driver gate like the other trained index
     * (q_ann_ivf_kmeans). Output contract (query_id, rank, vec_id,
-    * cosine) matches the family.
+    * cosine) matches the family. The codebooks and the encoded codes
+    * table are memoized ([[assignCellsCached]] discipline), so the
+    * standalone search and the [[annEval]] audit build the index once.
     */
   def pqAnn(
       embeddings: DataFrame,
       nQueries: Int = 10,
       k: Int = 10,
-      nSub: Int = 8,
-      nCodes: Int = 16,
-      iters: Int = 3,
-      trainN: Int = 256,
+      nSub: Int = PqSub,
+      nCodes: Int = PqCodes,
+      iters: Int = PqIters,
+      trainN: Int = PqTrainN,
       refine: Int = 4,
       dim: Int = -1): DataFrame = {
-    require(nSub > 0 && nCodes > 1 && iters >= 0 && trainN >= nCodes && refine >= 1)
+    require(refine >= 1)
     val session = embeddings.sparkSession
     import session.implicits._
     val empty = Seq.empty[(Long, Int, Long, Double)]
@@ -470,14 +472,46 @@ object Similarity {
     val d = if (dim > 0) dim else detectDim(embeddings)
     if (d <= 0) return empty
     require(d % nSub == 0, s"dim $d must divide into nSub=$nSub subspaces")
-    val ds = d / nSub
-
+    val bySub = pqCodebooksCached(embeddings, nSub, nCodes, iters, trainN, d)
+    if (bySub.isEmpty) return empty
     val e = prepared(embeddings).filter(col("nrm") > 0 && size(col("v")) === d)
-    val u = e.select(col("vec_id"),
-      transform(col("v"), x => x / col("nrm")).as("u"))
+    val codes = pqCodesCached(embeddings, bySub, nSub, nCodes, iters, trainN, d)
+    val qs = pqQueryTabs(unitCorpus(embeddings, d), bySub, nSub, d, nQueries)
 
-    // ---- train: bounded sample, all subspaces in one Lloyd loop ----
-    val slices = u.filter(col("vec_id") < trainN)
+    // ---- ADC scoring + exact refinement ----
+    val w = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id").asc)
+    val pairs = pqAdcScore(codes, qs)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= refine * k)
+      .select(col("query_id"), col("vec_id"))
+    rankTopK(pairs, e, nQueries, k)
+  }
+
+  /** PQ index defaults, shared so [[annEval]] audits THE standalone
+    * index (the kmIters discipline), not a variant.
+    */
+  private[graft] val PqSub = 8
+  private[graft] val PqCodes = 16
+  private[graft] val PqIters = 3
+  private[graft] val PqTrainN = 256
+
+  /** (vec_id, u) — normalized valid d-dim vectors. */
+  private def unitCorpus(embeddings: DataFrame, d: Int): DataFrame =
+    prepared(embeddings).filter(col("nrm") > 0 && size(col("v")) === d)
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+
+  /** Train the PQ codebooks on a bounded sample — all nSub subspaces in
+    * one Lloyd loop per round (see [[pqAnn]]). Returns sub → sorted
+    * (code, centroid, ‖centroid‖²); empty on an empty corpus.
+    */
+  private[graft] def pqCodebooks(
+      embeddings: DataFrame, nSub: Int, nCodes: Int, iters: Int, trainN: Int,
+      d: Int): Map[Int, Array[(Int, Array[Double], Double)]] = {
+    require(nSub > 0 && nCodes > 1 && iters >= 0 && trainN >= nCodes)
+    val session = embeddings.sparkSession
+    import session.implicits._
+    val ds = d / nSub
+    val slices = unitCorpus(embeddings, d).filter(col("vec_id") < trainN)
       .select(col("vec_id"), explode(sequence(lit(0), lit(nSub - 1))).as("sub"), col("u"))
       .select(col("vec_id"), col("sub"),
         slice(col("u"), col("sub") * ds + 1, lit(ds)).as("x"))
@@ -501,13 +535,30 @@ object Similarity {
         .sortBy(t => (t._1, t._2))
     }
     slices.unpersist()
-    if (books.isEmpty) return empty
-    val bySub: Map[Int, Array[(Int, Array[Double], Double)]] =
-      books.groupBy(_._1).map { case (s, arr) =>
-        s -> arr.map { case (_, c, cb) => (c, cb, cb.map(x => x * x).sum) }.sortBy(_._1)
-      }
+    books.groupBy(_._1).map { case (s, arr) =>
+      s -> arr.map { case (_, c, cb) => (c, cb, cb.map(x => x * x).sum) }.sortBy(_._1)
+    }
+  }
 
-    // ---- encode: one scan-side pass, the assignCells shape ----
+  private val pqBookMemo = graft.Memo[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
+    Map[Int, Array[(Int, Array[Double], Double)]]]()
+
+  private def pqCodebooksCached(
+      embeddings: DataFrame, nSub: Int, nCodes: Int, iters: Int, trainN: Int,
+      d: Int): Map[Int, Array[(Int, Array[Double], Double)]] =
+    pqBookMemo.getOrElseUpdate(embeddings.sparkSession,
+      (embeddings.queryExecution.analyzed.canonicalized, s"pqb:$nSub:$nCodes:$iters:$trainN:$d"))(
+      pqCodebooks(embeddings, nSub, nCodes, iters, trainN, d))
+
+  /** Encode the corpus: (vec_id, codes array<int> length nSub) — one
+    * scan-side pass, per subspace an argmax over nCodes literal
+    * (2·dot−‖cb‖², tiebreak, code) structs (the [[assignCells]] shape).
+    */
+  private[graft] def pqEncode(
+      u: DataFrame, bySub: Map[Int, Array[(Int, Array[Double], Double)]],
+      nSub: Int, d: Int): DataFrame = {
+    val ds = d / nSub
     val codeCols = (0 until nSub).map { s =>
       val xs = slice(col("u"), lit(s * ds + 1), lit(ds))
       val arms = bySub(s).map { case (code, cb, cb2) =>
@@ -516,27 +567,48 @@ object Similarity {
       }
       array_max(array(arms.toIndexedSeq: _*)).getField("code")
     }
-    val codes = u.select(col("vec_id"), array(codeCols: _*).as("codes"))
+    u.select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
 
-    // ---- ADC lookup tables, built on the queries-sized side ----
+  /** Memoized, materialized codes table — at 100 TB THIS is the
+    * persisted PQ index; the standalone search and the audit read the
+    * same materialization.
+    */
+  private val pqCodesMemo = graft.Memo[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), DataFrame]()
+
+  private def pqCodesCached(
+      embeddings: DataFrame, bySub: Map[Int, Array[(Int, Array[Double], Double)]],
+      nSub: Int, nCodes: Int, iters: Int, trainN: Int, d: Int): DataFrame =
+    pqCodesMemo.getOrElseUpdate(embeddings.sparkSession,
+      (embeddings.queryExecution.analyzed.canonicalized, s"pqc:$nSub:$nCodes:$iters:$trainN:$d"))(
+      pqEncode(unitCorpus(embeddings, d), bySub, nSub, d).localCheckpoint())
+
+  /** (query_id, qtab) — the per-query ADC lookup tables
+    * qtab[sub][code] = dot(q_sub, cb[sub][code]), built on the
+    * queries-sized side (to be broadcast by the caller).
+    */
+  private def pqQueryTabs(
+      u: DataFrame, bySub: Map[Int, Array[(Int, Array[Double], Double)]],
+      nSub: Int, d: Int, nQueries: Int): DataFrame = {
+    val ds = d / nSub
     val qtab = array((0 until nSub).map { s =>
       val qxs = slice(col("u"), lit(s * ds + 1), lit(ds))
       array(bySub(s).map { case (_, cb, _) => dot(qxs, typedLit(cb.toSeq)) }.toIndexedSeq: _*)
     }: _*)
-    val qs = u.filter(col("vec_id") < nQueries)
+    u.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), qtab.as("qtab"))
+  }
 
-    // ---- ADC scoring + exact refinement ----
-    val w = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id").asc)
-    val pairs = codes.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+  /** The ADC pass: (query_id, vec_id, approx) for every corpus ×
+    * broadcast-query pair — nSub array reads per pair via zip_with.
+    */
+  private def pqAdcScore(codes: DataFrame, qs: DataFrame): DataFrame =
+    codes.join(broadcast(qs), col("vec_id") =!= col("query_id"))
       .withColumn("approx",
         aggregate(zip_with(col("codes"), col("qtab"),
           (c, row) => element_at(row, c + 1)), lit(0.0), (acc, x) => acc + x))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= refine * k)
-      .select(col("query_id"), col("vec_id"))
-    rankTopK(pairs, e, nQueries, k)
-  }
+      .select(col("query_id"), col("vec_id"), col("approx"))
 
   /** ANN quality audit — recall@k of each approximate index against
     * the exact brute top-k on the same queries, SWEPT across probe
@@ -546,9 +618,10 @@ object Similarity {
     * a query so the decision input is itself a gated artifact). One
     * row per (method, n_probe ∈ probeSweep): for the IVF family
     * n_probe = cells probed; for LSH n_probe = buckets probed per
-    * table. Probe sets are nested in n_probe for all three methods,
-    * so recall is monotone non-decreasing along the sweep
-    * (SimilaritySpec pins it).
+    * table; for PQ n_probe = the refinement factor (top n_probe·k ADC
+    * candidates re-scored). Probe/candidate sets are nested in
+    * n_probe for all four methods, so recall is monotone
+    * non-decreasing along the sweep (SimilaritySpec pins it).
     *
     * Cost discipline: the brute truth is checkpointed (the
     * corpus-×-queries exact pass runs ONCE, not once per row); each
@@ -630,6 +703,31 @@ object Similarity {
     val ivfLvl = ivfLevels(seedCents, s"seed:$nCells")
     val kmLvl = ivfLevels(kmCents, s"kmeans:$nCells:$kmIters")
 
+    // PQ: lvl = ceil(ADC rank / k) — the top refine·k candidate sets
+    // nest in the refine factor exactly as probe sets do, so one ADC
+    // ranking at the max level prices every sweep point. Audits the
+    // SAME memoized index q_ann_pq searches; skipped only when the
+    // corpus dimensionality does not divide into the standard subspace
+    // count (the index itself would refuse to build).
+    val dPq = detectDim(embeddings)
+    val pqLvl: Option[DataFrame] =
+      if (dPq <= 0 || dPq % PqSub != 0) None
+      else {
+        val books = pqCodebooksCached(embeddings, PqSub, PqCodes, PqIters, PqTrainN, dPq)
+        if (books.isEmpty) None
+        else {
+          val codes = pqCodesCached(embeddings, books, PqSub, PqCodes, PqIters, PqTrainN, dPq)
+          val pqQs = pqQueryTabs(unitCorpus(embeddings, dPq), books, PqSub, dPq, nQueries)
+          val wAdc = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id").asc)
+          Some(scoredLevels(
+            pqAdcScore(codes, pqQs)
+              .withColumn("rk", row_number().over(wAdc))
+              .filter(col("rk") <= maxP * k)
+              .select(col("query_id"), col("vec_id"),
+                ceil(col("rk").cast("double") / lit(k)).cast("long").as("lvl"))))
+        }
+      }
+
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     def recallAt(name: String, scored: DataFrame, p: Int): DataFrame = {
       val topk = scored.filter(col("lvl") <= p)
@@ -645,9 +743,10 @@ object Similarity {
             .as("recall"))
     }
     probeSweep.sorted.map { p =>
-      recallAt("lsh", lshLvl, p)
+      val base = recallAt("lsh", lshLvl, p)
         .unionAll(recallAt("ivf", ivfLvl, p))
         .unionAll(recallAt("ivf_kmeans", kmLvl, p))
+      pqLvl.fold(base)(l => base.unionAll(recallAt("pq", l, p)))
     }.reduce(_.unionAll(_))
   }
 

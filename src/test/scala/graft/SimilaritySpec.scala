@@ -286,7 +286,8 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
       .toMap
     val sweep = Seq(1L, 2L, 4L, 8L)
-    assert(rows.keySet === (for (m <- Seq("lsh", "ivf", "ivf_kmeans"); p <- sweep) yield (m, p)).toSet)
+    assert(rows.keySet ===
+      (for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq"); p <- sweep) yield (m, p)).toSet)
     rows.foreach { case ((m, p), (nTruth, nHit, recall)) =>
       assert(nTruth > 0 && nHit >= 0 && nHit <= nTruth, s"$m@$p counts")
       assert(recall >= 0.0 && recall <= 1.0, s"$m@$p recall $recall")
@@ -294,7 +295,7 @@ class SimilaritySpec extends SparkSpec {
     }
     // nested probe sets => recall monotone non-decreasing in n_probe —
     // the tradeoff the artifact exists to drive
-    for (m <- Seq("lsh", "ivf", "ivf_kmeans"); Seq(a, b) <- sweep.sliding(2))
+    for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq"); Seq(a, b) <- sweep.sliding(2))
       assert(rows((m, b))._3 >= rows((m, a))._3,
         s"$m recall not monotone: p=$a ${rows((m, a))._3} > p=$b ${rows((m, b))._3}")
     // multi-probe LSH at the top sweep point finds a usable share of
@@ -311,6 +312,9 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(("lsh", 8L))._1 === truth.size.toLong)
     val ivf4 = set(Similarity.ivfAnn(e, nProbe = 4))
     assert(rows(("ivf", 4L))._2 === (truth & ivf4).size.toLong)
+    // pq at refine level r audits exactly the standalone pqAnn(refine=r)
+    val pq4 = set(Similarity.pqAnn(e, refine = 4))
+    assert(rows(("pq", 4L))._2 === (truth & pq4).size.toLong)
   }
 
   test("labelCentroids equals the posexplode formulation; counts partition the table") {
