@@ -417,13 +417,12 @@ object Similarity {
     * instead of touching the raw vectors.
     *
     *   - TRAIN on a bounded sample (the faiss discipline — codebooks
-    *     never see the whole corpus): the sample's subvector slices are
-    *     exploded to (vec_id, sub, x) rows — bounded: trainN×nSub — and
-    *     ALL nSub codebooks train simultaneously, each Lloyd round ONE
-    *     broadcast join + min_by argmin + (sub, code) mean rollup in
-    *     plain R^{dim/nSub} L2 (classic PQ k-means, not the spherical
-    *     variant — subvectors of unit vectors are not unit). One
-    *     bounded collect per round (the Lloyd discipline).
+    *     never see the whole corpus): ONE bounded collect of trainN
+    *     sample vectors, then per-subspace k-means in plain
+    *     R^{dim/nSub} L2 (classic PQ, not the spherical variant —
+    *     subvectors of unit vectors are not unit) entirely on the
+    *     driver with vec_id-sorted sequential arithmetic
+    *     (deterministic by construction; see [[pqCodebooks]]).
     *   - ENCODE in one corpus pass, scan-side only: per subspace an
     *     argmax over nCodes literal (2·dot(x,cb) − ‖cb‖², tiebreak,
     *     code) structs — the [[assignCells]] shape; no join, no
@@ -500,43 +499,54 @@ object Similarity {
     prepared(embeddings).filter(col("nrm") > 0 && size(col("v")) === d)
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
 
-  /** Train the PQ codebooks on a bounded sample — all nSub subspaces in
-    * one Lloyd loop per round (see [[pqAnn]]). Returns sub → sorted
-    * (code, centroid, ‖centroid‖²); empty on an empty corpus.
+  /** Train the PQ codebooks on a bounded sample. The sample is bounded
+    * BY DESIGN (trainN vectors — the faiss discipline: codebooks never
+    * see the whole corpus), so after ONE bounded collect the k-means
+    * runs entirely on the driver with vec_id-sorted sequential
+    * arithmetic — DETERMINISTIC by construction, unlike a distributed
+    * `avg` whose partial-merge order floats with shuffle fetch order,
+    * and ~5 fewer fixed-latency Spark jobs on the audit's critical
+    * path. Distributing k-means over a few thousand sample rows is
+    * pure overhead; the corpus-sized work (encoding, ADC search) stays
+    * distributed. Returns sub → sorted (code, centroid, ‖centroid‖²);
+    * empty on an empty corpus.
     */
   private[graft] def pqCodebooks(
       embeddings: DataFrame, nSub: Int, nCodes: Int, iters: Int, trainN: Int,
       d: Int): Map[Int, Array[(Int, Array[Double], Double)]] = {
     require(nSub > 0 && nCodes > 1 && iters >= 0 && trainN >= nCodes)
-    val session = embeddings.sparkSession
-    import session.implicits._
     val ds = d / nSub
-    val slices = unitCorpus(embeddings, d).filter(col("vec_id") < trainN)
-      .select(col("vec_id"), explode(sequence(lit(0), lit(nSub - 1))).as("sub"), col("u"))
-      .select(col("vec_id"), col("sub"),
-        slice(col("u"), col("sub") * ds + 1, lit(ds)).as("x"))
-      .localCheckpoint()
-    var books: Array[(Int, Int, Array[Double])] = slices.filter(col("vec_id") < nCodes)
-      .select(col("sub"), col("vec_id").cast("int").as("code"), col("x"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      .sortBy(t => (t._1, t._2))
-    for (_ <- 1 to iters if books.nonEmpty) {
-      val cur = books.toSeq.map { case (s, c, cb) => (s, c, cb.toSeq) }.toDF("sub", "code", "cb")
-      val means = (0 until ds).map(i => avg(col("best.x")(i)).as(s"m$i"))
-      books = slices.join(broadcast(cur), Seq("sub"))
-        .withColumn("d2",
-          dot(col("x"), col("x")) - lit(2.0) * dot(col("x"), col("cb")) + dot(col("cb"), col("cb")))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(min_by(struct(col("code"), col("x")), struct(col("d2"), col("code"))).as("best"))
-        .groupBy(col("sub"), col("best.code").as("code"))
-        .agg(means.head, means.tail: _*)
-        .select(col("sub"), col("code"), array((0 until ds).map(i => col(s"m$i")): _*).as("cb"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-        .sortBy(t => (t._1, t._2))
+    val sample: Array[(Long, Array[Double])] = unitCorpus(embeddings, d)
+      .filter(col("vec_id") < trainN)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val books = (0 until nSub).flatMap { s =>
+      val xs = sample.map { case (id, u) => id -> u.slice(s * ds, (s + 1) * ds) }
+      var cents: Array[(Int, Array[Double])] =
+        xs.takeWhile(_._1 < nCodes).map { case (id, x) => id.toInt -> x }
+      for (_ <- 1 to iters if cents.nonEmpty) {
+        val assigned = xs.map { case (_, x) =>
+          // argmin L2, ties to the smaller code — the assignCells order
+          val code = cents.map { case (c, cb) =>
+            var d2 = 0.0
+            var i = 0
+            while (i < ds) { val t = x(i) - cb(i); d2 += t * t; i += 1 }
+            (d2, c)
+          }.min._2
+          code -> x
+        }
+        cents = assigned.groupBy(_._1).toArray.sortBy(_._1).map { case (c, xsc) =>
+          val m = new Array[Double](ds)
+          // vec_id-sorted member order (xs is sorted) => fixed IEEE sum
+          xsc.foreach { case (_, x) => var i = 0; while (i < ds) { m(i) += x(i); i += 1 } }
+          var i = 0
+          while (i < ds) { m(i) /= xsc.length; i += 1 }
+          c -> m
+        }
+      }
+      cents.map { case (c, cb) => (s, c, cb) }
     }
-    slices.unpersist()
     books.groupBy(_._1).map { case (s, arr) =>
-      s -> arr.map { case (_, c, cb) => (c, cb, cb.map(x => x * x).sum) }.sortBy(_._1)
+      s -> arr.map { case (_, c, cb) => (c, cb, cb.map(x => x * x).sum) }.sortBy(_._1).toArray
     }
   }
 

@@ -68,10 +68,22 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.filter(col("query_id") === col("vec_id")).count() === 0)
   }
 
-  test("PQ ANN training is deterministic: two independent builds agree row for row") {
-    val a = Similarity.pqAnn(Tables.embeddings(spark, sf), iters = 2).collect()
-    val b = Similarity.pqAnn(Tables.embeddings(spark, sf), iters = 2).collect()
-    assert(a.map(_.toString).sorted.toSeq === b.map(_.toString).sorted.toSeq)
+  test("PQ ANN training is deterministic: two independent UNCACHED trainings agree exactly") {
+    // pqCodebooks directly, NOT through pqAnn — the memo would make a
+    // second pqAnn build a cache hit and the comparison vacuous
+    val e = Tables.embeddings(spark, sf)
+    val a = Similarity.pqCodebooks(e, 8, 16, 2, 256, 64)
+    val b = Similarity.pqCodebooks(e, 8, 16, 2, 256, 64)
+    assert(a.keySet === b.keySet)
+    a.keySet.foreach { s =>
+      val (ca, cb) = (a(s), b(s))
+      assert(ca.length === cb.length && ca.length > 0)
+      ca.zip(cb).foreach { case ((c1, v1, n1), (c2, v2, n2)) =>
+        assert(c1 === c2 && n1 === n2 && v1.toSeq === v2.toSeq, s"sub $s code $c1 drifted")
+      }
+    }
+    // codebook geometry: every centroid lives in its subspace's R^{d/nSub}
+    a.values.foreach(_.foreach { case (_, v, _) => assert(v.length === 8) })
   }
 
   test("HyperplaneBuckets planes are bit-identical to the xxhash64-expression definition") {
