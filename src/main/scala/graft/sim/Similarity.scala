@@ -738,26 +738,38 @@ object Similarity {
         }
       }
 
+    // One subtree per METHOD, not per (method, sweep point): a single
+    // shared window (identical partition+order+frame for every sweep
+    // column ⇒ ONE WindowExec) carries |probeSweep| conditional
+    // running counts — rk_p = rank among candidates with lvl ≤ p,
+    // which for a row with lvl ≤ p equals row_number over the
+    // filtered set — so one truth join and one aggregation price
+    // every operating point, and the per-point rows unpivot from the
+    // 1-row aggregate (the labelCentroids explode-a-literal-struct-
+    // array move). Row-identical to the per-point formulation at a
+    // quarter of the plan (16 window+join+agg subtrees → 4).
+    val sweep = probeSweep.sorted
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-    def recallAt(name: String, scored: DataFrame, p: Int): DataFrame = {
-      val topk = scored.filter(col("lvl") <= p)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-      truth
-        .join(topk.select(col("query_id"), col("vec_id"), lit(1L).as("hit")),
-          Seq("query_id", "vec_id"), "left")
-        .agg(count(lit(1)).as("n_truth"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-        .select(lit(name).as("method"), lit(p).cast("long").as("n_probe"),
-          col("n_truth"), col("n_hit"),
-          Det.r(col("n_hit").cast("double") / greatest(col("n_truth"), lit(1L)).cast("double"), 6)
-            .as("recall"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def methodRows(name: String, scored: DataFrame): DataFrame = {
+      val ranked = scored.select(
+        Seq(col("query_id"), col("vec_id"), col("lvl")) ++
+          sweep.map(p => sum(when(col("lvl") <= p, 1L).otherwise(0L)).over(w).as(s"rk$p")): _*)
+      val hits = sweep.map(p =>
+        sum(when(col("lvl") <= p && col(s"rk$p") <= k, 1L).otherwise(0L)).as(s"h$p"))
+      val agg = truth.join(ranked, Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_truth"), hits: _*)
+      val rows = sweep.map(p => struct(
+        lit(name).as("method"), lit(p).cast("long").as("n_probe"),
+        col("n_truth"), col(s"h$p").as("n_hit"),
+        Det.r(col(s"h$p").cast("double") / greatest(col("n_truth"), lit(1L)).cast("double"), 6)
+          .as("recall")))
+      agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
     }
-    probeSweep.sorted.map { p =>
-      val base = recallAt("lsh", lshLvl, p)
-        .unionAll(recallAt("ivf", ivfLvl, p))
-        .unionAll(recallAt("ivf_kmeans", kmLvl, p))
-      pqLvl.fold(base)(l => base.unionAll(recallAt("pq", l, p)))
-    }.reduce(_.unionAll(_))
+    val base = methodRows("lsh", lshLvl)
+      .unionAll(methodRows("ivf", ivfLvl))
+      .unionAll(methodRows("ivf_kmeans", kmLvl))
+    pqLvl.fold(base)(l => base.unionAll(methodRows("pq", l)))
   }
 
   /** Per-label embedding centroids — the bridge between the vector
