@@ -181,6 +181,7 @@ object SparkEntry {
     "q_dedup_eval" -> ((s, dir) => Dedup.dedupEval(Tables.documents(s, dir))),
     "q_bpe_tokenize" -> ((s, dir) => text.Bpe.bpeTokenize(Tables.documents(s, dir))),
     "q_bpe_train" -> ((s, dir) => text.Bpe.trainBpe(Tables.documents(s, dir))),
+    "q_bpe_train_apply" -> ((s, dir) => text.Bpe.bpeTokenizeTrained(Tables.documents(s, dir))),
     "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingPairsCached(Tables.embeddings(s, dir))),
     // the 100 TB path for the same semantics (LSH blocking, exact
     // re-score => precision 1, recall-gated in DedupSpec); approximate
@@ -538,6 +539,7 @@ object SparkEntry {
     "q_fingerprint" -> Text.sqlFingerprint,
     "q_bpe_tokenize" -> text.Bpe.sqlBpeTokenize(),
     "q_bpe_train" -> text.Bpe.sqlTrainBpe(),
+    "q_bpe_train_apply" -> text.Bpe.sqlBpeTokenizeTrained(),
     // q_dedup_minhash / q_dedup_simhash are sketch-based (not
     // SQL-expressible) => rows-only driver gate + ScalaTest invariants;
     // q_dedup_eval audits both against the exact pair set (same hash

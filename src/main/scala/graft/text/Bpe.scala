@@ -152,9 +152,31 @@ object Bpe {
   def trainBpe(
       documents: DataFrame,
       nMerges: Int = defaultTrainRounds): DataFrame = {
-    require(nMerges >= 1 && nMerges <= 64, s"nMerges must be in [1, 64]: $nMerges")
     val spark = documents.sparkSession
     import spark.implicits._
+    trainMergesCached(documents, nMerges)
+      .toDF("rank", "lhs", "rhs", "merged", "support")
+  }
+
+  /** The training loop behind [[trainBpe]], returning the driver-side
+    * merges table (bounded: ≤nMerges rows). Memoized — the standalone
+    * merges artifact (q_bpe_train) and the train→apply composition
+    * (q_bpe_train_apply) learn the rules once per (corpus, nMerges)
+    * per session.
+    */
+  private val trainMemo = graft.Memo[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    Seq[(Long, String, String, String, Long)]]()
+
+  private[graft] def trainMergesCached(
+      documents: DataFrame, nMerges: Int): Seq[(Long, String, String, String, Long)] =
+    trainMemo.getOrElseUpdate(documents.sparkSession,
+      (documents.queryExecution.analyzed.canonicalized, nMerges))(
+      trainMerges(documents, nMerges))
+
+  private[graft] def trainMerges(
+      documents: DataFrame, nMerges: Int): Seq[(Long, String, String, String, Long)] = {
+    require(nMerges >= 1 && nMerges <= 64, s"nMerges must be in [1, 64]: $nMerges")
     val hist = graft.Spread(documents)
       .select(explode(Text.tokens(regexp_replace(col("text"), "\\|", ""))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -184,7 +206,63 @@ object Bpe {
         wCol = replace(wCol, lit(s"|$l||$r|"), lit(s"|$l$r|"))
       }
     }
-    learned.toSeq.toDF("rank", "lhs", "rhs", "merged", "support")
+    learned.toSeq
+  }
+
+  /** TRAIN → APPLY composition: tokenize the corpus with the merges
+    * learned from the corpus ITSELF — the full tokenizer lifecycle
+    * (what q_bpe_tokenize's shipped-merges stand-in actually comes
+    * from) as one end-to-end artifact. The learned rules enter
+    * [[bpeTokenize]] as a bounded driver artifact (≤nMerges pairs, the
+    * Lloyd-collect discipline), so the apply pass keeps its pure
+    * scan-side zero-Exchange shape; training is memoized and shared
+    * with the standalone q_bpe_train.
+    */
+  def bpeTokenizeTrained(
+      documents: DataFrame,
+      nMerges: Int = defaultTrainRounds): DataFrame = {
+    val rules = trainMergesCached(documents, nMerges)
+      .sortBy(_._1).map { case (_, l, r, _, _) => l -> r }
+    bpeTokenize(documents, rules)
+  }
+
+  /** DuckDB twin of [[bpeTokenizeTrained]]: the [[sqlTrainBpe]] CTE
+    * chain, then the [[sqlBpeTokenize]] string pipeline whose r-th
+    * merge rule reads b_r via scalar subqueries. If training exhausted
+    * before round r, b_r is empty and the subqueries are NULL — the
+    * pattern coalesces to `'|||'`, a sequence that can never occur in
+    * the wrapped representation (runs of pipes are at most 2), making
+    * the round a structural no-op exactly like the Scala side applying
+    * fewer rules.
+    */
+  def sqlBpeTokenizeTrained(nMerges: Int = defaultTrainRounds): String = {
+    val mergedExpr = (1 to nMerges).foldLeft("w") { case (e, r) =>
+      s"""replace($e, coalesce('|' || (SELECT lhs FROM b$r) || '||' || (SELECT rhs FROM b$r) || '|', '|||'),
+         |      coalesce('|' || (SELECT lhs FROM b$r) || (SELECT rhs FROM b$r) || '|', ''))""".stripMargin
+    }
+    s"""${sqlTrainChain(nMerges)}, c AS (
+       |  SELECT doc_id, ${Text.sqlTokens("replace(text, '|', '')")} AS toks FROM documents
+       |), j AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(len(coalesce(array_to_string(toks, ''), '')) AS BIGINT) AS n_chars,
+       |    regexp_replace(coalesce(array_to_string(toks, ' '), ''), '([^ ])', '|\\1|', 'g') AS w
+       |  FROM c
+       |), m AS (
+       |  SELECT doc_id, n_words, n_chars, $mergedExpr AS mg FROM j
+       |), tk AS (
+       |  SELECT doc_id, n_words, n_chars, mg,
+       |    CASE WHEN n_words = 0 THEN 0
+       |         ELSE (len(mg) - len(replace(mg, '||', ''))) // 2 + n_words
+       |    END AS n_bpe_tokens
+       |  FROM m
+       |)
+       |SELECT doc_id, n_words, n_chars, CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+       |  CASE WHEN n_bpe_tokens > 0
+       |       THEN floor(CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+       |  END AS compression,
+       |  md5(mg) AS bpe_md5
+       |FROM tk""".stripMargin
   }
 
   /** DuckDB twin of [[trainBpe]]: the identical algorithm unrolled as
@@ -194,7 +272,11 @@ object Bpe {
     * the same literal `replace` (the learned pair enters as a scalar
     * subquery). list_zip yields unnamed structs here, hence z[1]/z[2].
     */
-  def sqlTrainBpe(nMerges: Int = defaultTrainRounds): String = {
+  /** The shared training CTE chain ("WITH t, h0, p1, b1, h1, …,
+    * h_nMerges") consumed by both [[sqlTrainBpe]] and
+    * [[sqlBpeTokenizeTrained]].
+    */
+  private def sqlTrainChain(nMerges: Int): String = {
     require(nMerges >= 1 && nMerges <= 64, s"nMerges must be in [1, 64]: $nMerges")
     val rounds = (1 to nMerges).map { r =>
       s"""p$r AS MATERIALIZED (
@@ -212,15 +294,19 @@ object Bpe {
          |  FROM h${r - 1}
          |)""".stripMargin
     }.mkString(", ")
-    val union = (1 to nMerges).map { r =>
-      s"SELECT CAST($r AS BIGINT) AS rank, lhs, rhs, lhs || rhs AS merged, support FROM b$r"
-    }.mkString("\nUNION ALL\n")
     s"""WITH t AS (
        |  SELECT unnest(${Text.sqlTokens("replace(text, '|', '')")}) AS word FROM documents
        |), h0 AS MATERIALIZED (
        |  SELECT regexp_replace(word, '([^ ])', '|\\1|', 'g') AS w, CAST(count(*) AS BIGINT) AS cnt
        |  FROM t GROUP BY 1
-       |), $rounds
+       |), $rounds""".stripMargin
+  }
+
+  def sqlTrainBpe(nMerges: Int = defaultTrainRounds): String = {
+    val union = (1 to nMerges).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, lhs, rhs, lhs || rhs AS merged, support FROM b$r"
+    }.mkString("\nUNION ALL\n")
+    s"""${sqlTrainChain(nMerges)}
        |$union
        |ORDER BY rank""".stripMargin
   }

@@ -120,6 +120,7 @@ class PlanHardeningSpec extends SparkSpec {
     // with n_pairs=0 on an empty corpus; BPE emits no rows
     assert(graft.text.Bpe.bpeTokenize(emptyDocs).count() === 0)
     assert(graft.text.Bpe.trainBpe(emptyDocs).count() === 0)
+    assert(graft.text.Bpe.bpeTokenizeTrained(emptyDocs).count() === 0)
     val emptyEval = Dedup.dedupEval(emptyDocs).collect()
     assert(emptyEval.length === 8)
     assert(emptyEval.forall(r => r.getLong(2) === 0L && r.getLong(3) === 0L))
