@@ -478,12 +478,30 @@ object Similarity {
     val qs = pqQueryTabs(unitCorpus(embeddings, d), bySub, nSub, d, nQueries)
 
     // ---- ADC scoring + exact refinement ----
-    val w = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id").asc)
-    val pairs = pqAdcScore(codes, qs)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= refine * k)
+    // two-phase exact top-m (the ngramVocab discipline): a plain
+    // per-query window would funnel the whole corpus's ADC scores
+    // through nQueries partitions; the bucketed pre-window keeps only
+    // top-m per (query, vec_id-hash bucket) first, so the global
+    // ranking sorts ≤ buckets·m rows per query
+    val pairs = pqTopM(pqAdcScore(codes, qs), refine * k)
       .select(col("query_id"), col("vec_id"))
     rankTopK(pairs, e, nQueries, k)
+  }
+
+  /** Exact top-m ADC candidates per query, two-phase (see [[pqAnn]]);
+    * emits (query_id, vec_id, rk) with rk the global ADC rank ≤ m.
+    */
+  private def pqTopM(scored: DataFrame, m: Int, buckets: Int = 64): DataFrame = {
+    val wBucket = Window
+      .partitionBy(col("query_id"), pmod(xxhash64(col("vec_id")), lit(buckets)))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val w = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id").asc)
+    scored
+      .withColumn("brk", row_number().over(wBucket))
+      .filter(col("brk") <= m)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= m)
+      .select(col("query_id"), col("vec_id"), col("rk"))
   }
 
   /** PQ index defaults, shared so [[annEval]] audits THE standalone
@@ -728,11 +746,8 @@ object Similarity {
         else {
           val codes = pqCodesCached(embeddings, books, PqSub, PqCodes, PqIters, PqTrainN, dPq)
           val pqQs = pqQueryTabs(unitCorpus(embeddings, dPq), books, PqSub, dPq, nQueries)
-          val wAdc = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id").asc)
           Some(scoredLevels(
-            pqAdcScore(codes, pqQs)
-              .withColumn("rk", row_number().over(wAdc))
-              .filter(col("rk") <= maxP * k)
+            pqTopM(pqAdcScore(codes, pqQs), maxP * k)
               .select(col("query_id"), col("vec_id"),
                 ceil(col("rk").cast("double") / lit(k)).cast("long").as("lvl"))))
         }
