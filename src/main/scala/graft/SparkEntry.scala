@@ -203,6 +203,7 @@ object SparkEntry {
     // in for (round-6 addition)
     "q_ann_ivf_kmeans" -> ((s, dir) => Similarity.ivfAnnKmeans(Tables.embeddings(s, dir))),
     "q_ann_pq" -> ((s, dir) => Similarity.pqAnn(Tables.embeddings(s, dir))),
+    "q_ann_ivfpq" -> ((s, dir) => Similarity.ivfPqAnn(Tables.embeddings(s, dir))),
     // recall@k audit of the approximate indexes vs the exact brute
     // top-k — the decision input for serving ANN instead of exact;
     // approximate => rows-only gate + recall floors in SimilaritySpec

@@ -638,6 +638,75 @@ object Similarity {
           (c, row) => element_at(row, c + 1)), lit(0.0), (acc, x) => acc + x))
       .select(col("query_id"), col("vec_id"), col("approx"))
 
+  /** IVF-PQ — the canonical billion-scale index layout (coarse
+    * quantizer + product codes): IVF cell pruning decides WHICH
+    * fraction of the corpus gets scored, PQ codes decide HOW CHEAPLY
+    * each survivor is scored, and the top candidates are re-scored
+    * exactly. Pure composition of the repo's memoized seams — the
+    * cell assignment IS q_ann_ivf's index and the codebooks+codes ARE
+    * q_ann_pq's, so this query builds NOTHING new per session.
+    *
+    * Scale shape — strictly better than either parent alone: unlike
+    * pure PQ (whose ADC pass scores every corpus code against every
+    * query), scoring touches only the probed cells' codes, and every
+    * join is an equi-join (cell, vec_id, query_id) off broadcast
+    * query-sized tables — ZERO nested-loop joins in the plan
+    * (asserted in SimilaritySpec), the ngramVocab two-phase guarding
+    * the candidate ranking. Deterministic; rows-only like its
+    * parents; recall-gated vs the memoized brute truth.
+    */
+  def ivfPqAnn(
+      embeddings: DataFrame,
+      nQueries: Int = 10,
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      refine: Int = 4,
+      dim: Int = -1): DataFrame = {
+    require(nProbe > 0 && refine >= 1)
+    val session = embeddings.sparkSession
+    import session.implicits._
+    val empty = Seq.empty[(Long, Int, Long, Double)]
+      .toDF("query_id", "rank", "vec_id", "cosine")
+    val d = if (dim > 0) dim else detectDim(embeddings)
+    if (d <= 0) return empty
+    require(d % PqSub == 0, s"dim $d must divide into nSub=$PqSub subspaces")
+    val books = pqCodebooksCached(embeddings, PqSub, PqCodes, PqIters, PqTrainN, d)
+    if (books.isEmpty) return empty
+    val e = prepared(embeddings)
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = assignCellsCached(embeddings, cents, s"seed:$nCells")
+    val codes = pqCodesCached(embeddings, books, PqSub, PqCodes, PqIters, PqTrainN, d)
+    // probe ranking scan-side (the assignCells move): the bounded
+    // centroid table embeds as literal (ccos, -cell, cell) structs,
+    // and top-nProbe per query is array_sort desc + slice + explode —
+    // no crossJoin, so not even the probe subtree nested-loops. Tie
+    // order (ccos desc, cell asc) matches ivfSearch's window exactly.
+    val cl = cents.select(col("cell"), col("cv"), col("cn")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).sortBy(_._1)
+    if (cl.isEmpty) return empty
+    val arms = cl.map { case (cell, cv, cn) =>
+      struct((dot(col("v"), typedLit(cv)) / (col("nrm") * lit(cn))).as("ccos"),
+        lit(-cell).as("tb"), lit(cell).as("cell"))
+    }
+    val qProbes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(slice(reverse(array_sort(array(arms.toIndexedSeq: _*))), 1, nProbe)).as("a"))
+      .select(col("query_id"), col("a.cell").as("cell"))
+    val qs = pqQueryTabs(unitCorpus(embeddings, d), books, PqSub, d, nQueries)
+    val scored = assigned.join(broadcast(qProbes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .withColumn("approx",
+        aggregate(zip_with(col("codes"), col("qtab"),
+          (c, row) => element_at(row, c + 1)), lit(0.0), (acc, x) => acc + x))
+      .select(col("query_id"), col("vec_id"), col("approx"))
+    val pairs = pqTopM(scored, refine * k).select(col("query_id"), col("vec_id"))
+    rankTopK(pairs, e, nQueries, k)
+  }
+
   /** ANN quality audit — recall@k of each approximate index against
     * the exact brute top-k on the same queries, SWEPT across probe
     * operating points (the q_langid_eval pattern: the evaluation that

@@ -33,7 +33,9 @@ class PlanHardeningSpec extends SparkSpec {
         // the IVF family legitimately nested-loops against the tiny
         // broadcast centroid table
         // q_ann_pq's ADC pass is a corpus-×-broadcast-queries scan by
-        // design (nSub code lookups per pair instead of a dim-wide dot)
+        // design (nSub code lookups per pair instead of a dim-wide
+        // dot); q_ann_ivfpq is NOT exempt — its cell-pruned ADC is
+        // all equi-joins and must stay that way
         assert(!plan.contains("BroadcastNestedLoopJoin")
             || name == "q_ann_ivf" || name == "q_ann_ivf_kmeans" || name == "q_ann_pq",
           s"$name has an unexpected BroadcastNestedLoopJoin")
@@ -61,7 +63,7 @@ class PlanHardeningSpec extends SparkSpec {
     // exactly the documented model-dependent / sketch-based set
     assert(rowsOnly === mlQueries ++ Set(
       "q_dedup_minhash", "q_dedup_simhash", "q_dedup_eval", "q_ann_lsh",
-      "q_ann_ivf", "q_ann_ivf_kmeans", "q_ann_pq", "q_ann_eval",
+      "q_ann_ivf", "q_ann_ivf_kmeans", "q_ann_pq", "q_ann_ivfpq", "q_ann_eval",
       "q_dedup_embedding_lsh",
       "q_corpus_stats_approx", "q_media_features", "q_distinct_approx"))
   }
@@ -116,6 +118,7 @@ class PlanHardeningSpec extends SparkSpec {
     assert(Dedup.dupSpanReport(emptyDocs).count() === 0)
     assert(Similarity.kmeansCentroids(emptyEmb).count() === 0)
     assert(Similarity.pqAnn(emptyEmb).count() === 0)
+    assert(Similarity.ivfPqAnn(emptyEmb).count() === 0)
     // round-8 operators: the audit emits its full (method, level) grid
     // with n_pairs=0 on an empty corpus; BPE emits no rows
     assert(graft.text.Bpe.bpeTokenize(emptyDocs).count() === 0)

@@ -68,6 +68,29 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.filter(col("query_id") === col("vec_id")).count() === 0)
   }
 
+  test("IVF-PQ: acceptable recall, candidates confined to probed cells, equi-join-only plan") {
+    val e = Tables.embeddings(spark, sf)
+    val ipq = Similarity.ivfPqAnn(e).cache()
+    val recall = pairSet(ipq).intersect(pairSet(brute)).size.toDouble / pairSet(brute).size
+    assert(recall >= 0.4, s"IVF-PQ recall@10 $recall below floor")
+    // exact re-score invariant holds through the composition too
+    val exact = brute.collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    ipq.collect().foreach { r =>
+      exact.get((r.getLong(0), r.getLong(2)))
+        .foreach(c => assert(c === r.getDouble(3), "re-scored cosine drifted"))
+    }
+    val counts = ipq.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(counts.length === 10 && counts.forall(n => n > 0 && n <= 10))
+    assert(ipq.filter(col("query_id") === col("vec_id")).count() === 0)
+    // the composition's plan must be strictly equi-join: cell pruning
+    // means no corpus-x-queries nested loop anywhere (unlike pure PQ),
+    // and the scan-side probe ranking means not even the probe subtree
+    // crossJoins
+    val plan = planOf(Similarity.ivfPqAnn(e))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("PQ ANN training is deterministic: two independent UNCACHED trainings agree exactly") {
     // pqCodebooks directly, NOT through pqAnn — the memo would make a
     // second pqAnn build a cache hit and the comparison vacuous
