@@ -628,11 +628,13 @@ object Dedup {
       bandSweep: Seq[Int] = Seq(2, 4, 8, 16),
       hammingSweep: Seq[Int] = Seq(0, 1, 2, 3)): DataFrame = {
     val maxBands = bandSweep.max
-    require(bandSweep == bandSweep.sorted && bandSweep.forall(b =>
-      b > 0 && numHashes % b == 0 && maxBands % b == 0),
-      s"band sweep must ascend and nest into $numHashes hashes: $bandSweep")
+    require(bandSweep == bandSweep.sorted && bandSweep.distinct == bandSweep &&
+      bandSweep.forall(b => b > 0 && numHashes % b == 0 && maxBands % b == 0),
+      s"band sweep must strictly ascend and nest into $numHashes hashes: $bandSweep")
     require(maxBands <= 32, "the per-pair band mask is a 32-bit literal test")
-    require(hammingSweep == hammingSweep.sorted && hammingSweep.forall(h => h >= 0 && h <= 3))
+    require(hammingSweep == hammingSweep.sorted && hammingSweep.distinct == hammingSweep &&
+      hammingSweep.forall(h => h >= 0 && h <= 3),
+      s"hamming sweep must strictly ascend within [0, 3]: $hammingSweep")
 
     val exact = pairsCached(documents, tau)
     val nExact = exact.agg(count(lit(1)).as("n_exact"))

@@ -353,16 +353,26 @@ object Similarity {
     * identical), so the assignment is row-for-row unchanged.
     */
   private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
-    val cl = cents.select(col("cell"), col("cv"), col("cn")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).sortBy(_._1)
+    val cl = collectCells(cents)
     if (cl.isEmpty) return e.select(col("vec_id"), lit(null).cast("bigint").as("cell")).limit(0)
-    val arms = cl.map { case (cell, cv, cn) =>
+    e.select(col("vec_id"),
+      array_max(array(cellArms(cl).toIndexedSeq: _*)).getField("cell").as("cell"))
+  }
+
+  /** The bounded centroid table as driver rows, cell-sorted. */
+  private def collectCells(cents: DataFrame): Array[(Long, Seq[Double], Double)] =
+    cents.select(col("cell"), col("cv"), col("cn")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).sortBy(_._1)
+
+  /** Literal (ccos, -cell, cell) struct per centroid over a prepared
+    * row's (v, nrm) — the scan-side argmax/argsort arms shared by
+    * [[assignCells]] and [[ivfPqAnn]]'s probe ranking.
+    */
+  private def cellArms(cl: Array[(Long, Seq[Double], Double)]): Array[Column] =
+    cl.map { case (cell, cv, cn) =>
       struct((dot(col("v"), typedLit(cv)) / (col("nrm") * lit(cn))).as("ccos"),
         lit(-cell).as("tb"), lit(cell).as("cell"))
     }
-    e.select(col("vec_id"),
-      array_max(array(arms.toIndexedSeq: _*)).getField("cell").as("cell"))
-  }
 
   /** Memoized, materialized [[assignCells]] — the cell table IS the
     * IVF index (at 100 TB it is what you'd persist + bucket by cell),
@@ -467,7 +477,6 @@ object Similarity {
     import session.implicits._
     val empty = Seq.empty[(Long, Int, Long, Double)]
       .toDF("query_id", "rank", "vec_id", "cosine")
-      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
     val d = if (dim > 0) dim else detectDim(embeddings)
     if (d <= 0) return empty
     require(d % nSub == 0, s"dim $d must divide into nSub=$nSub subspaces")
@@ -563,8 +572,16 @@ object Similarity {
       }
       cents.map { case (c, cb) => (s, c, cb) }
     }
+    // RE-LABEL DENSELY: k-means can drop an empty cluster (or a seed
+    // can be filtered by unitCorpus), leaving label gaps — but the ADC
+    // lookup reads qtab POSITIONALLY (element_at(row, code + 1)), so
+    // codes must be positions in the sorted codebook, 0..n-1 with no
+    // holes, or a gapped label would read the wrong (or an absent)
+    // table entry. This is also what PQ codes ARE in any real index:
+    // positions, not training-seed ids.
     books.groupBy(_._1).map { case (s, arr) =>
-      s -> arr.map { case (_, c, cb) => (c, cb, cb.map(x => x * x).sum) }.sortBy(_._1).toArray
+      s -> arr.map { case (_, c, cb) => (c, cb, cb.map(x => x * x).sum) }.sortBy(_._1)
+        .zipWithIndex.map { case ((_, cb, n2), i) => (i, cb, n2) }.toArray
     }
   }
 
@@ -628,14 +645,21 @@ object Similarity {
       .select(col("vec_id").as("query_id"), qtab.as("qtab"))
   }
 
+  /** Approximate score of a (codes, qtab) pair — nSub positional array
+    * reads via zip_with (codes are positions in the sorted codebook;
+    * see the dense re-label in [[pqCodebooks]]). Shared by [[pqAnn]]'s
+    * full-corpus pass and [[ivfPqAnn]]'s cell-pruned pass.
+    */
+  private def adcApprox: Column =
+    aggregate(zip_with(col("codes"), col("qtab"),
+      (c, row) => element_at(row, c + 1)), lit(0.0), (acc, x) => acc + x)
+
   /** The ADC pass: (query_id, vec_id, approx) for every corpus ×
     * broadcast-query pair — nSub array reads per pair via zip_with.
     */
   private def pqAdcScore(codes: DataFrame, qs: DataFrame): DataFrame =
     codes.join(broadcast(qs), col("vec_id") =!= col("query_id"))
-      .withColumn("approx",
-        aggregate(zip_with(col("codes"), col("qtab"),
-          (c, row) => element_at(row, c + 1)), lit(0.0), (acc, x) => acc + x))
+      .withColumn("approx", adcApprox)
       .select(col("query_id"), col("vec_id"), col("approx"))
 
   /** IVF-PQ — the canonical billion-scale index layout (coarse
@@ -679,29 +703,23 @@ object Similarity {
     val assigned = assignCellsCached(embeddings, cents, s"seed:$nCells")
     val codes = pqCodesCached(embeddings, books, PqSub, PqCodes, PqIters, PqTrainN, d)
     // probe ranking scan-side (the assignCells move): the bounded
-    // centroid table embeds as literal (ccos, -cell, cell) structs,
-    // and top-nProbe per query is array_sort desc + slice + explode —
-    // no crossJoin, so not even the probe subtree nested-loops. Tie
+    // centroid table embeds as literal (ccos, -cell, cell) structs
+    // (cellArms — the same arms assignCells argmaxes over), and
+    // top-nProbe per query is array_sort desc + slice + explode — no
+    // crossJoin, so not even the probe subtree nested-loops. Tie
     // order (ccos desc, cell asc) matches ivfSearch's window exactly.
-    val cl = cents.select(col("cell"), col("cv"), col("cn")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).sortBy(_._1)
+    val cl = collectCells(cents)
     if (cl.isEmpty) return empty
-    val arms = cl.map { case (cell, cv, cn) =>
-      struct((dot(col("v"), typedLit(cv)) / (col("nrm") * lit(cn))).as("ccos"),
-        lit(-cell).as("tb"), lit(cell).as("cell"))
-    }
     val qProbes = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
-        explode(slice(reverse(array_sort(array(arms.toIndexedSeq: _*))), 1, nProbe)).as("a"))
+        explode(slice(reverse(array_sort(array(cellArms(cl).toIndexedSeq: _*))), 1, nProbe)).as("a"))
       .select(col("query_id"), col("a.cell").as("cell"))
     val qs = pqQueryTabs(unitCorpus(embeddings, d), books, PqSub, d, nQueries)
     val scored = assigned.join(broadcast(qProbes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(codes, Seq("vec_id"))
       .join(broadcast(qs), Seq("query_id"))
-      .withColumn("approx",
-        aggregate(zip_with(col("codes"), col("qtab"),
-          (c, row) => element_at(row, c + 1)), lit(0.0), (acc, x) => acc + x))
+      .withColumn("approx", adcApprox)
       .select(col("query_id"), col("vec_id"), col("approx"))
     val pairs = pqTopM(scored, refine * k).select(col("query_id"), col("vec_id"))
     rankTopK(pairs, e, nQueries, k)
@@ -737,7 +755,9 @@ object Similarity {
       tables: Int = 8,
       bits: Int = 8,
       nCells: Int = 16): DataFrame = {
-    require(probeSweep.nonEmpty && probeSweep.forall(_ > 0))
+    require(probeSweep.nonEmpty && probeSweep.forall(_ > 0) &&
+      probeSweep.distinct.size == probeSweep.size,
+      s"probe sweep must be positive and duplicate-free: $probeSweep")
     val maxP = probeSweep.max
     val truth = bruteKnnCached(embeddings, nQueries, k)
       .select(col("query_id"), col("vec_id"))

@@ -107,6 +107,10 @@ class SimilaritySpec extends SparkSpec {
     }
     // codebook geometry: every centroid lives in its subspace's R^{d/nSub}
     a.values.foreach(_.foreach { case (_, v, _) => assert(v.length === 8) })
+    // codes are DENSE positions 0..n-1 — the ADC lookup indexes qtab
+    // positionally, so a label gap (dropped empty cluster) would read
+    // the wrong table entry if this ever regressed
+    a.values.foreach(arr => assert(arr.map(_._1).toSeq === arr.indices.toSeq))
   }
 
   test("HyperplaneBuckets planes are bit-identical to the xxhash64-expression definition") {
