@@ -58,11 +58,28 @@ final class Memo[K, V] private[graft] () {
 
   /** The memoized value for `key` in `session`'s scope, computing (and
     * counting) it exactly once per (session, key).
+    *
+    * Failure semantics: if `compute` throws (e.g. a transient Spark job
+    * failure), the cell is REMOVED from the map and the exception
+    * propagates — the next caller installs a fresh cell and retries
+    * cleanly, and only SUCCESSFUL materializations count as misses (a
+    * poisoned cell would otherwise re-run the thunk on every access
+    * while inflating the counter). Compute thunks may force OTHER memos
+    * (the seams form an acyclic dependency chain, e.g. sigsCached →
+    * setsCached) but must never force cells that transitively force
+    * this one — cyclic forcing would deadlock on the cells' lazy-val
+    * monitors.
     */
   def getOrElseUpdate(session: SparkSession, key: K)(compute: => V): V = {
     val m = mapFor(session)
-    val cell = new Memo.Cell[V](() => { Memo.misses.incrementAndGet(); compute })
-    m.putIfAbsent(key, cell).getOrElse(cell).value
+    val cell = new Memo.Cell[V](() => { val v = compute; Memo.misses.incrementAndGet(); v })
+    val winner = m.putIfAbsent(key, cell).getOrElse(cell)
+    try winner.value
+    catch {
+      case t: Throwable =>
+        m.remove(key, winner)
+        throw t
+    }
   }
 
   /** Drop every entry scoped to `session`. */

@@ -627,6 +627,10 @@ object Dedup {
       numHashes: Int = 32,
       bandSweep: Seq[Int] = Seq(2, 4, 8, 16),
       hammingSweep: Seq[Int] = Seq(0, 1, 2, 3)): DataFrame = {
+    // validate BEFORE .max — an empty sweep must fail with the intended
+    // message, not `empty.max`'s UnsupportedOperationException
+    require(bandSweep.nonEmpty, "band sweep must be non-empty")
+    require(hammingSweep.nonEmpty, "hamming sweep must be non-empty")
     val maxBands = bandSweep.max
     require(bandSweep == bandSweep.sorted && bandSweep.distinct == bandSweep &&
       bandSweep.forall(b => b > 0 && numHashes % b == 0 && maxBands % b == 0),

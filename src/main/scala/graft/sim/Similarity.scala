@@ -543,13 +543,22 @@ object Similarity {
       d: Int): Map[Int, Array[(Int, Array[Double], Double)]] = {
     require(nSub > 0 && nCodes > 1 && iters >= 0 && trainN >= nCodes)
     val ds = d / nSub
+    // sample = the LOWEST trainN vec_ids (TakeOrdered — one bounded
+    // job), not `vec_id < trainN`: an absolute-id threshold silently
+    // yields an EMPTY sample on a valid corpus whose ids don't start
+    // near 0 (a filtered/re-keyed frame), and an empty codebook would
+    // make pqAnn return zero rows with no error. On contiguous 0-based
+    // ids (the testdata) the two selections are identical.
     val sample: Array[(Long, Array[Double])] = unitCorpus(embeddings, d)
-      .filter(col("vec_id") < trainN)
+      .orderBy(col("vec_id")).limit(trainN)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    if (sample.isEmpty) return Map.empty // genuinely empty corpus
     val books = (0 until nSub).flatMap { s =>
       val xs = sample.map { case (id, u) => id -> u.slice(s * ds, (s + 1) * ds) }
+      // seeds = the first (lowest-id) nCodes sample rows — positional,
+      // so any non-empty corpus seeds a real codebook
       var cents: Array[(Int, Array[Double])] =
-        xs.takeWhile(_._1 < nCodes).map { case (id, x) => id.toInt -> x }
+        xs.take(nCodes).zipWithIndex.map { case ((_, x), i) => i -> x }
       for (_ <- 1 to iters if cents.nonEmpty) {
         val assigned = xs.map { case (_, x) =>
           // argmin L2, ties to the smaller code — the assignCells order
