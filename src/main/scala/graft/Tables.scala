@@ -19,12 +19,17 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
-    * default; read nanos as long and convert with integer division
-    * (a double roundtrip would lose precision above 2^53 ns).
-    * Truncation ns→µs composes with any later µs→ms floor, so
-    * epoch-millis outputs stay bit-identical to engines that read the
-    * nanos natively.
+  /** events.parquet has shipped with two physical `ts` encodings
+    * across testdata generations: TIMESTAMP(NANOS) (which Spark 4
+    * rejects by default — read nanos as long and convert with integer
+    * division; a double roundtrip would lose precision above 2^53 ns)
+    * and plain TIMESTAMP(MICROS) (which Spark 4 reads natively as
+    * TIMESTAMP_NTZ under parquet NTZ inference). Branch on the READ
+    * schema so both land on the same logical column: a session-zone
+    * TimestampType instant. The session runs UTC (GraftSession), so
+    * the NTZ cast maps the generator's naive-UTC wall-clock to the
+    * identical epoch the nanos path produced — every downstream
+    * unix_millis/window/date_trunc is value-identical either way.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Session builders (Verify/Bench/tests) set this at construction;
@@ -32,9 +37,16 @@ object Tables {
     // that call `SparkEntry.queries` directly. It is scoped to the
     // nanos-typed events read — other tables never carry nanos.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

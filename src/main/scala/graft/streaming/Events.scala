@@ -18,6 +18,21 @@ import graft.Det
   */
 object Events {
 
+  /** Normalize a raw events frame's `ts` to a session-zone
+    * TimestampType instant — the streaming twin of the schema branch
+    * in [[graft.Tables.events]]: legacy TIMESTAMP(NANOS) testdata
+    * reads as long nanos (`nanosAsLong`), newer generations carry a
+    * native µs timestamp (TIMESTAMP_NTZ under Spark 4's parquet
+    * inference). The session runs UTC, so both branches yield the
+    * identical epoch instants.
+    */
+  private def normTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    case _ =>
+      df.withColumn("ts", col("ts").cast("timestamp"))
+  }
+
   /** q32: tumbling 1-hour event aggregation (batch form). value is
     * 2-decimal => summed as exact integer cents (order-independent at
     * any parallelism). countDistinct(user_id) is the single distinct
@@ -97,10 +112,9 @@ object Events {
   def slidingStream(spark: SparkSession, dir: String,
       windowMinutes: Int = 60, slideMinutes: Int = 15): DataFrame = {
     val schema = spark.read.parquet(dir).schema
-    spark.readStream
+    normTs(spark.readStream
       .schema(schema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .parquet(dir))
       .withWatermark("ts", "2 hours")
       .groupBy(
         window(col("ts"), s"$windowMinutes minutes", s"$slideMinutes minutes")
@@ -118,10 +132,9 @@ object Events {
     */
   def hourlyStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema
-    spark.readStream
+    normTs(spark.readStream
       .schema(schema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .parquet(dir))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"), col("event_type"))
       .agg(
@@ -248,9 +261,8 @@ object Events {
     */
   def attributionStream(spark: SparkSession, dir: String, windowMinutes: Int = 60): DataFrame = {
     val schema = spark.read.parquet(dir).schema
-    def side(t: String, wm: String) = spark.readStream
-      .schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    def side(t: String, wm: String) = normTs(spark.readStream
+      .schema(schema).parquet(dir))
       .filter(col("event_type") === t)
       .withWatermark("ts", wm)
     attributionJoin(
@@ -345,13 +357,13 @@ object Events {
   def snapshotStream(spark: SparkSession, dir: String): Dataset[UserSnapshot] = {
     import spark.implicits._
     val schema = spark.read.parquet(dir).schema
-    val typed = spark.readStream
+    val typed = normTs(spark.readStream
       .schema(schema)
-      .parquet(dir)
-      // parquet nanos -> epoch-ms by integer floor; ns DIV 1e6 equals
-      // the Tables.events ns->us->ms two-step floor composition
+      .parquet(dir))
+      // epoch-ms by integer floor; unix_millis on the normalized
+      // timestamp equals the legacy ns DIV 1e6 two-step composition
       .select(col("user_id"), col("event_id"),
-        expr("ts DIV 1000000").as("ts_ms"), col("event_type"))
+        unix_millis(col("ts")).as("ts_ms"), col("event_type"))
       .as[Ev]
     snapshotStateful(typed)
   }

@@ -275,6 +275,45 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(mh8 - lshPairs.toDouble / math.max(nExact, 1L)) < 1e-6,
       "the 8-band sweep level must equal the standalone minhashLshPairs operating point")
     assert(mh.last._2 >= mh8 - 1e-12)
+    // the r9 cross-check column: non-null ONLY on the (minhash, 8)
+    // row, where it must equal both n_pairs and the standalone count
+    val withCc = Dedup.dedupEval(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    withCc.foreach { case (method, level, nPairs, cc) =>
+      if (method == "minhash" && level == 8L) {
+        assert(cc === Some(nPairs), "cross-check must equal the sweep's own 8-band count")
+        assert(cc === Some(lshPairs), "cross-check must equal the standalone pair count")
+      } else assert(cc.isEmpty, s"n_standalone must be null off the operating point: $method/$level")
+    }
+  }
+
+  test("shingle/signature/simhash tables derive once across the dedup family (setsCached/sigsCached/simhashCached)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k m"),
+      (3L, "completely different words here to make another doc"),
+      (4L, "completely different words here to make another doc too")).toDF("doc_id", "text")
+    // first consumer of each seam pays; the rest must be memo hits.
+    val m0 = Memo.missCount
+    Dedup.minhashLshPairs(docs).collect() // pays sets + sigs
+    val afterMinhash = Memo.missCount
+    assert(afterMinhash - m0 >= 2L, "minhash must pay the shingle-set and signature seams")
+    Dedup.simhashPairs(docs).collect() // pays the simhash fingerprint table
+    val afterSimhash = Memo.missCount
+    assert(afterSimhash - afterMinhash === 1L,
+      "simhash must pay exactly its own fingerprint seam (shingle scan already shared)")
+    // the audit composes ALL the seams + pairsCached; it must add only
+    // the pair-graph materialization, never re-derive sets/sigs/simhash
+    Dedup.dedupEval(docs).collect()
+    val afterEval = Memo.missCount
+    assert(afterEval - afterSimhash === 1L,
+      "dedupEval must hit the shared seams and pay only pairsCached")
+    // and the ngram path reads the same shingle-set memo (already paid)
+    Dedup.ngramPairs(docs).collect()
+    assert(Memo.missCount === afterEval,
+      "ngramPairs must reuse the family's shingle-set materialization")
   }
 
   test("span-window table derives once per (corpus, k): spans + scrub + report share the memo") {
