@@ -261,6 +261,12 @@ object SparkEntry {
     // exact recount; output equals the naive groupBy, so hash-exact
     // oracle (round-6 addition)
     "q_skew_profile" -> ((s, dir) => graft.ops.Skew.skewProfileQuery(Tables.events(s, dir))),
+    // bucketed-layout gate: orders+lineitem written co-bucketed on the
+    // join key (memoized once per dir), then the fact join runs with
+    // ZERO exchanges (plan-asserted in BucketingSpec) — hash-equal to
+    // the plain-join oracle, proving the layout changes the plan, not
+    // the answer (round-9 addition)
+    "q_bucketed_join" -> ((s, dir) => graft.sources.Bucketing.bucketedJoinRollup(s, dir)),
     // --- H. Corpus reporting & mixing (round-2 additions) -----------
     "q_corpus_stats" -> ((s, dir) => Corpus.stats(Tables.documents(s, dir))),
     "q_token_entropy" -> ((s, dir) => Corpus.tokenEntropy(Tables.documents(s, dir))),
@@ -566,6 +572,7 @@ object SparkEntry {
     "q_stream_hourly" -> Events.sqlHourlyAgg,
     "q_partition_prune" -> graft.sources.Partitioned.sqlDailyPruned(),
     "q_skew_profile" -> graft.ops.Skew.sqlSkewProfile(),
+    "q_bucketed_join" -> graft.sources.Bucketing.sqlBucketedJoinRollup,
     "q_stream_sliding" -> Events.sqlSlidingAgg(),
     "q_session_window" -> Events.sqlSessionWindowAgg(),
     "q_corpus_stats" -> Corpus.sqlStats,

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bucketed table layout — the storage-side half of the 100 TB join
   * strategy.
@@ -46,4 +47,88 @@ object Bucketing {
     */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Drop a managed table AND its warehouse directory. `saveAsTable`
+    * can only overwrite what the catalog knows about: after a dead JVM
+    * the in-memory catalog is empty while the warehouse dir survives,
+    * and a fresh CREATE then fails on the stale location — so reruns
+    * must clear both.
+    */
+  private def resetTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+      .stripPrefix("file:")
+    val dir = new java.io.File(s"$wh/$table")
+    if (dir.exists()) rm(dir)
+  }
+
+  /** Memoized once-per-(session, dir, buckets) write of the
+    * orders/lineitem pair as co-bucketed managed tables — the
+    * write-once-shuffle-never layout. The `repartition(numBuckets,
+    * key)` before each write uses the SAME murmur3 hash partitioning
+    * as the bucket spec, so every task holds exactly one bucket's rows
+    * and each bucket lands as ONE file — the precondition for Spark
+    * trusting per-bucket sortedness at planning (no re-Sort under
+    * `legacy.bucketedTableScan.outputOrdering`).
+    */
+  private val bucketedMemo = graft.Memo[(String, Int), (String, String)]()
+
+  private def ensureBucketedFacts(
+      spark: SparkSession, dir: String, numBuckets: Int): (String, String) =
+    bucketedMemo.getOrElseUpdate(spark, (dir, numBuckets)) {
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_") + s"_b$numBuckets"
+      val (ot, lt) = (s"orders$suffix", s"lineitem$suffix")
+      resetTable(spark, ot); resetTable(spark, lt)
+      writeBucketed(
+        graft.Tables.orders(spark, dir).repartition(numBuckets, col("o_orderkey")),
+        ot, "o_orderkey", numBuckets)
+      writeBucketed(
+        graft.Tables.lineitem(spark, dir).repartition(numBuckets, col("l_orderkey")),
+        lt, "l_orderkey", numBuckets)
+      (ot, lt)
+    }
+
+  /** The co-bucketed orders⋈lineitem join subtree — exposed so the
+    * spec can assert the scale claim on exactly this plan: ZERO
+    * Exchange (the bucketed scans ARE the required hash partitioning).
+    * The `merge` hint pins sort-merge — the shape the fact-fact join
+    * takes at 100 TB, where neither side broadcasts; without it the
+    * small-sf driver run would elect a broadcast join and the layout
+    * would prove nothing.
+    */
+  def bucketedFactJoin(spark: SparkSession, dir: String, numBuckets: Int = 8): DataFrame = {
+    val (ot, lt) = ensureBucketedFacts(spark, dir, numBuckets)
+    readBucketed(spark, ot).hint("merge")
+      .join(readBucketed(spark, lt), col("o_orderkey") === col("l_orderkey"))
+  }
+
+  /** q_bucketed_join: per-priority revenue rollup THROUGH the bucketed
+    * layout — hash-equal to the plain-join oracle over the raw parquet,
+    * proving the storage layout changes the plan (no join Exchange),
+    * never the answer. The only Exchange in the whole query is the
+    * final ≤|priorities|-row aggregate's.
+    */
+  def bucketedJoinRollup(spark: SparkSession, dir: String, numBuckets: Int = 8): DataFrame =
+    bucketedFactJoin(spark, dir, numBuckets)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        graft.Det.fromCents(sum(graft.Det.cents(col("l_extendedprice")))).as("revenue"))
+
+  /** DuckDB twin of [[bucketedJoinRollup]]: the PLAIN join over the
+    * raw parquet — the whole point is that the bucketed path must
+    * hash-match it.
+    */
+  def sqlBucketedJoinRollup: String =
+    """SELECT o.o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+      |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1""".stripMargin
 }

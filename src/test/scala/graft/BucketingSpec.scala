@@ -60,6 +60,27 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("q_bucketed_join: zero-Exchange fact join through the bucketed layout; answer equals the plain join") {
+    // the driver-gated query's join subtree: bucketed scans ARE the
+    // hash partitioning, so there must be NO Exchange anywhere in it
+    val joined = Bucketing.bucketedFactJoin(spark, sf)
+    val plan = planOf(joined)
+    assert(!plan.contains("Exchange"), s"bucketed fact join still shuffles:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"merge hint must pin SMJ:\n$plan")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = canon(Bucketing.bucketedJoinRollup(spark, sf))
+    val plain = canon(Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        Det.fromCents(sum(Det.cents(col("l_extendedprice")))).as("revenue")))
+    assert(got === plain)
+    assert(got.nonEmpty)
+  }
+
   test("salted join equals the plain join on an adversarially skewed key") {
     import spark.implicits._
     // 10k fact rows, 90% on ONE key — the shape AQE alone cannot fix
