@@ -12,6 +12,7 @@ MODEL_OUT      ?= data/models/latest
 MODEL_DIR      ?= $(MODEL_OUT)/model
 CUTOFF         ?= 2000-06-30
 LOOKAHEAD      ?= 180
+PQ_DIR         ?= data/pq_index
 
 CV             ?= false           # true = reference 3-fold 3x3 CV grid
 CV_PARALLELISM ?= 4
@@ -30,7 +31,7 @@ SBT            ?= sbt -batch
 
 .PHONY: help compile test etl train eval metrics coefs \
         serve curl_predict curl_batch verify bench \
-        plot_threshold plot_importance \
+        plot_threshold plot_importance pq_index pq_search \
         clean_data clean_model clean_all
 
 help:
@@ -47,6 +48,8 @@ help:
 	@echo "  curl_batch    - Sample batch prediction against running API"
 	@echo "  plot_threshold - Save threshold optimization curve (PNG/CSV) for SPLIT"
 	@echo "  plot_importance - Save signed feature-importance PNG (TOP=N by |coef|)"
+	@echo "  pq_index      - Train + persist the PQ ANN index (codebooks.json + codes parquet)"
+	@echo "  pq_search     - Top-k ANN search over the persisted PQ index"
 	@echo "  verify        - Dump SparkEntry queries + oracle SQL (driver gate shape)"
 	@echo "  bench         - Run the benchmark main"
 	@echo "  clean_data    - Remove processed parquet splits"
@@ -98,6 +101,12 @@ plot_threshold:
 plot_importance:
 	$(SBT) "runMain graft.cli.PlotFeatureImportance --coef_csv $(MODEL_OUT)/coefficients.csv \
 		--out $(FI_PNG) --top $(TOP)"
+
+pq_index:
+	$(SBT) "runMain graft.cli.PqIndexTool --mode build --data $(RAW_DIR) --index_dir $(PQ_DIR)"
+
+pq_search:
+	$(SBT) "runMain graft.cli.PqIndexTool --mode search --data $(RAW_DIR) --index_dir $(PQ_DIR)"
 
 verify:
 	$(SBT) "runMain graft.Verify $(RAW_DIR) /tmp/graft_verify"

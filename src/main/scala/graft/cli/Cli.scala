@@ -327,3 +327,32 @@ object Serve {
     new java.util.concurrent.CountDownLatch(1).await() // serve until killed
   }
 }
+
+/** `graft.cli.PqIndexTool --mode build --data <sfDir> --index_dir <dir>`
+  * trains+persists the PQ index (codebooks.json + codes parquet);
+  * `--mode search` reads it back and prints the top-k neighbors —
+  * the train-once/search-forever serving lifecycle for the ANN
+  * family. Search over a read-back index is proven hash-equal to the
+  * in-session train→search in SimilaritySpec.
+  */
+object PqIndexTool {
+  def main(argv: Array[String]): Unit = CliSession.withSession { spark =>
+    val a = Args.parse(argv)
+    val data = Args.required(a, "data")
+    val indexDir = Args.required(a, "index_dir")
+    val emb = graft.Tables.embeddings(spark, data)
+    a.getOrElse("mode", "build") match {
+      case "build" =>
+        graft.sim.PqIndex.write(emb, indexDir)
+        println(s"[PQ] index written to $indexDir")
+      case "search" =>
+        graft.sim.PqIndex.search(spark, indexDir, emb,
+          nQueries = a.getOrElse("nqueries", "10").toInt,
+          k = a.getOrElse("k", "10").toInt,
+          refine = a.getOrElse("refine", "4").toInt)
+          .orderBy(col("query_id"), col("rank"))
+          .show(200, truncate = false)
+      case other => throw new IllegalArgumentException(s"unknown --mode '$other'")
+    }
+  }
+}

@@ -1,0 +1,122 @@
+package graft.sim
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Persistence for the PQ index — the artifact a serving pipeline
+  * trains ONCE and searches from forever after.
+  *
+  * Layout under `dir`:
+  *   - `codes/`          the encoded corpus (vec_id, codes array<int>)
+  *                       as parquet — the data-sized artifact ("at
+  *                       100 TB THIS is the persisted index"): nSub
+  *                       small ints per vector instead of dim floats.
+  *   - `codebooks.json`  the trained codebooks — bounded
+  *                       (nSub × nCodes × dim/nSub doubles) so JSON is
+  *                       the right wire format; code identity is the
+  *                       POSITION in each sub-list (the dense re-label
+  *                       invariant of [[Similarity.pqCodebooks]]), and
+  *                       ‖centroid‖² is recomputed on read with the
+  *                       identical IEEE sum, so only centroids ship.
+  *
+  * Doubles round-trip bit-exactly through JSON: Jackson writes
+  * `Double.toString` (the shortest representation that parses back to
+  * the same IEEE-754 value) and reads `Double.parseDouble`. That makes
+  * the identity in SimilaritySpec possible: search over a read-back
+  * index is hash-EQUAL to the in-session train→search, not just close.
+  */
+object PqIndex {
+
+  private val mapper = new ObjectMapper()
+
+  /** Train (memoized) and persist the index for `embeddings`. No-op
+    * write of an empty index (no valid vectors) produces a codebooks
+    * file with zero books — [[search]] then returns an empty frame
+    * rather than failing, matching [[Similarity.pqAnn]] on the same
+    * corpus.
+    */
+  def write(
+      embeddings: DataFrame,
+      dir: String,
+      nSub: Int = Similarity.PqSub,
+      nCodes: Int = Similarity.PqCodes,
+      iters: Int = Similarity.PqIters,
+      trainN: Int = Similarity.PqTrainN,
+      dim: Int = -1): Unit = {
+    val (d, books, codes) = Similarity.pqArtifacts(embeddings, nSub, nCodes, iters, trainN, dim)
+    val root = mapper.createObjectNode()
+    root.put("nSub", nSub)
+    root.put("nCodes", nCodes)
+    root.put("dim", d)
+    val booksNode = root.putObject("books")
+    books.toSeq.sortBy(_._1).foreach { case (s, arr) =>
+      val subNode = booksNode.putArray(s.toString)
+      arr.foreach { case (_, cb, _) =>
+        val cbNode = subNode.addArray()
+        cb.foreach { x => cbNode.add(x); () }
+      }
+    }
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, "codebooks.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+        .getBytes(StandardCharsets.UTF_8))
+    codes.foreach(_.write.mode(SaveMode.Overwrite).parquet(s"$dir/codes"))
+  }
+
+  /** Read the persisted codebooks (code = position, ‖c‖² recomputed
+    * with the training-side IEEE sum) and lazily the codes parquet.
+    */
+  def read(spark: SparkSession, dir: String)
+      : (Int, Map[Int, Array[(Int, Array[Double], Double)]], Option[DataFrame]) = {
+    val root = mapper.readTree(Files.readString(Paths.get(dir, "codebooks.json")))
+    val d = root.get("dim").asInt()
+    val booksNode = root.get("books")
+    val books = booksNode.fields()
+    val out = scala.collection.mutable.Map[Int, Array[(Int, Array[Double], Double)]]()
+    while (books.hasNext) {
+      val e = books.next()
+      val sub = e.getKey.toInt
+      val arr = (0 until e.getValue.size()).map { code =>
+        val cbNode = e.getValue.get(code)
+        val cb = Array.tabulate(cbNode.size())(i => cbNode.get(i).asDouble())
+        (code, cb, cb.map(x => x * x).sum)
+      }.toArray
+      out(sub) = arr
+    }
+    val codesDir = Paths.get(dir, "codes")
+    val codes =
+      if (out.nonEmpty && Files.exists(codesDir)) Some(spark.read.parquet(codesDir.toString))
+      else None
+    (d, out.toMap, codes)
+  }
+
+  /** Search a READ-BACK index: the identical pipeline as the
+    * in-session [[Similarity.pqAnn]] ([[Similarity.pqSearchWith]]),
+    * just with the codebooks parsed from JSON and the codes scanned
+    * from parquet. SimilaritySpec proves the results hash-equal.
+    * `embeddings` supplies the query vectors and the exact-refine
+    * store (the asymmetric-search contract: queries and final
+    * re-scoring stay exact; only the candidate generation reads the
+    * compressed index).
+    */
+  def search(
+      spark: SparkSession,
+      dir: String,
+      embeddings: DataFrame,
+      nQueries: Int = 10,
+      k: Int = 10,
+      refine: Int = 4): DataFrame = {
+    import spark.implicits._
+    val (d, books, codes) = read(spark, dir)
+    (books.isEmpty, codes) match {
+      case (false, Some(c)) =>
+        Similarity.pqSearchWith(embeddings, books, c, nQueries, k, books.size, refine, d)
+      case _ =>
+        Seq.empty[(Long, Int, Long, Double)].toDF("query_id", "rank", "vec_id", "cosine")
+    }
+  }
+}

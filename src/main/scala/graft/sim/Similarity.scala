@@ -482,19 +482,47 @@ object Similarity {
     require(d % nSub == 0, s"dim $d must divide into nSub=$nSub subspaces")
     val bySub = pqCodebooksCached(embeddings, nSub, nCodes, iters, trainN, d)
     if (bySub.isEmpty) return empty
-    val e = prepared(embeddings).filter(col("nrm") > 0 && size(col("v")) === d)
     val codes = pqCodesCached(embeddings, bySub, nSub, nCodes, iters, trainN, d)
-    val qs = pqQueryTabs(unitCorpus(embeddings, d), bySub, nSub, d, nQueries)
+    pqSearchWith(embeddings, bySub, codes, nQueries, k, nSub, refine, d)
+  }
 
-    // ---- ADC scoring + exact refinement ----
-    // two-phase exact top-m (the ngramVocab discipline): a plain
-    // per-query window would funnel the whole corpus's ADC scores
-    // through nQueries partitions; the bucketed pre-window keeps only
-    // top-m per (query, vec_id-hash bucket) first, so the global
-    // ranking sorts ≤ buckets·m rows per query
+  /** The PQ SEARCH phase against provided index artifacts (codebooks +
+    * codes table) — factored out of [[pqAnn]] so a persisted index
+    * read back from disk ([[PqIndex]]) drives the IDENTICAL pipeline:
+    * ADC scoring, two-phase exact top-m (the ngramVocab discipline: a
+    * plain per-query window would funnel the whole corpus's ADC scores
+    * through nQueries partitions; the bucketed pre-window keeps only
+    * top-m per (query, vec_id-hash bucket) first, so the global
+    * ranking sorts ≤ buckets·m rows per query), then exact
+    * re-scoring of the top refine·k candidates.
+    */
+  private[graft] def pqSearchWith(
+      embeddings: DataFrame,
+      bySub: Map[Int, Array[(Int, Array[Double], Double)]],
+      codes: DataFrame,
+      nQueries: Int, k: Int, nSub: Int, refine: Int, d: Int): DataFrame = {
+    val e = prepared(embeddings).filter(col("nrm") > 0 && size(col("v")) === d)
+    val qs = pqQueryTabs(unitCorpus(embeddings, d), bySub, nSub, d, nQueries)
     val pairs = pqTopM(pqAdcScore(codes, qs), refine * k)
       .select(col("query_id"), col("vec_id"))
     rankTopK(pairs, e, nQueries, k)
+  }
+
+  /** The trained PQ index artifacts for `embeddings` — the memoized
+    * (codebooks, codes) pair both searches read; exposed for
+    * [[PqIndex]] persistence. Codebooks empty on an empty corpus.
+    */
+  private[graft] def pqArtifacts(
+      embeddings: DataFrame,
+      nSub: Int = PqSub, nCodes: Int = PqCodes, iters: Int = PqIters,
+      trainN: Int = PqTrainN, dim: Int = -1)
+      : (Int, Map[Int, Array[(Int, Array[Double], Double)]], Option[DataFrame]) = {
+    val d = if (dim > 0) dim else detectDim(embeddings)
+    if (d <= 0) return (d, Map.empty, None)
+    require(d % nSub == 0, s"dim $d must divide into nSub=$nSub subspaces")
+    val books = pqCodebooksCached(embeddings, nSub, nCodes, iters, trainN, d)
+    if (books.isEmpty) (d, books, None)
+    else (d, books, Some(pqCodesCached(embeddings, books, nSub, nCodes, iters, trainN, d)))
   }
 
   /** Exact top-m ADC candidates per query, two-phase (see [[pqAnn]]);

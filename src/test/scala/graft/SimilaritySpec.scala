@@ -113,6 +113,39 @@ class SimilaritySpec extends SparkSpec {
     a.values.foreach(arr => assert(arr.map(_._1).toSeq === arr.indices.toSeq))
   }
 
+  test("PqIndex: write -> read -> search is hash-EQUAL to the in-session train -> search") {
+    val e = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("pq_index_").toString
+    try {
+      graft.sim.PqIndex.write(e, dir)
+      // the persisted artifacts exist and have the documented shapes
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "codebooks.json")))
+      val (d, books, codes) = graft.sim.PqIndex.read(spark, dir)
+      assert(d === 64 && books.keySet === (0 until 8).toSet)
+      books.values.foreach { arr =>
+        assert(arr.map(_._1).toSeq === arr.indices.toSeq, "codes must stay dense positions")
+        arr.foreach { case (_, cb, n2) => assert(cb.length === 8 && n2 === cb.map(x => x * x).sum) }
+      }
+      assert(codes.isDefined)
+      assert(codes.get.columns.toSeq === Seq("vec_id", "codes"))
+      assert(codes.get.count() === e.count(), "every valid vector must be encoded")
+      // search identity: bit-exact rows, not approximate agreement —
+      // doubles round-trip through JSON via shortest-repr toString
+      def set(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val fromDisk = set(graft.sim.PqIndex.search(spark, dir, e))
+      val inSession = set(Similarity.pqAnn(e))
+      assert(fromDisk === inSession)
+      assert(fromDisk.nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("HyperplaneBuckets planes are bit-identical to the xxhash64-expression definition") {
     // the native expression precomputes planes via XXH64.hashInt; the
     // original definition was CAST(xxhash64(t*1000003+b*1009+j) AS
