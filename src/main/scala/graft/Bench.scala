@@ -40,6 +40,26 @@ object Bench {
     try graft.sources.Csv.lineitemViaCsv(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] csv setup failed: ${e.getMessage}") }
 
+    // Pre-warm the memoized index/scan seams (brute truth, IVF
+    // assignments, k-means model, PQ codebooks+codes, shingle sets,
+    // signatures, pair graphs, span windows) into their own `build`
+    // line item: the seams are shared by design, so their one-time
+    // materialization used to land on whichever consumer ran first
+    // (e.g. q_ann_eval fronting six builds) and made that query's
+    // number unreadable. With the split, per-query timings are pure
+    // query cost and build cost is itemized; per-query memo_misses
+    // still marks any build a query DOES pay (a prewarm failure falls
+    // back to exactly the old attribution).
+    var buildItems = Seq.empty[(String, Double)]
+    try buildItems =
+      graft.sim.Similarity.prewarmIndexes(Tables.embeddings(spark, sfDir)) ++
+        graft.dedup.Dedup.prewarm(Tables.documents(spark, sfDir), Tables.embeddings(spark, sfDir)) ++
+        graft.sources.Bucketing.prewarm(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] prewarm failed (queries will pay builds inline): ${e.getMessage}")
+    }
+    val buildSec = buildItems.map(_._2).sum
+
     // memoized-seam queries (pairsCached/winsCached/kmeansCached/...)
     // are run-order dependent by design: the first consumer pays the
     // materialization, later ones hit the memo. Mark each timing with
@@ -85,7 +105,9 @@ object Bench {
     val cpuCount = Runtime.getRuntime.availableProcessors
     val mm = memoMisses.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","fit_sec":$fitSec,"queries":$qs,"failures":$fs,"memo_misses":$mm,"load_avg":$loadAvg,"available_cpus":$cpuCount,"sf":"$sfDir"}""")
+    val build = buildItems
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","fit_sec":$fitSec,"build_sec":$buildSec,"build":$build,"queries":$qs,"failures":$fs,"memo_misses":$mm,"load_avg":$loadAvg,"available_cpus":$cpuCount,"sf":"$sfDir"}""")
     // The harness keeps only a small TAIL of stdout and the full line
     // above (85 queries) outgrew it, truncating away total/fit_sec.
     // Emit a compact headline LAST (<500 bytes: totals, failure list,
@@ -96,7 +118,7 @@ object Bench {
     // n_queries counts only SUCCESSFUL timings (total/top5 exclude
     // failures, so the headline counts must describe the same set)
     val nOk = results.count(_._2 >= 0)
-    println(s"""{"metric":"headline","total":${r3(total)},"unit":"sec","fit_sec":${r3(fitSec)},"n_queries":$nOk,"n_failed":${failures.size},"failures":$fs,"top5":$top5,"load_avg":$loadAvg,"available_cpus":$cpuCount,"sf":"$sfDir"}""")
+    println(s"""{"metric":"headline","total":${r3(total)},"unit":"sec","fit_sec":${r3(fitSec)},"build_sec":${r3(buildSec)},"n_queries":$nOk,"n_failed":${failures.size},"failures":$fs,"top5":$top5,"load_avg":$loadAvg,"available_cpus":$cpuCount,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

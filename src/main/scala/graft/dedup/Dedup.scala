@@ -992,6 +992,29 @@ object Dedup {
       (documents.queryExecution.analyzed.canonicalized, k))(
       spanWindows(documents, k).localCheckpoint())
 
+  /** Force every memoized derivation the dedup family shares — the
+    * shingle sets, minhash signatures, simhash fingerprints, the exact
+    * pair graph, the span-window table, and the embedding pair graph —
+    * at the family's default operating parameters (the same memo keys
+    * the queries read), returning (seam, seconds) per build. The bench
+    * calls this so shared-scan cost lands in its own `build` line item
+    * instead of inflating whichever consumer runs first.
+    */
+  def prewarm(documents: DataFrame, embeddings: DataFrame): Seq[(String, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def timed(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      out += name -> ((System.nanoTime() - t0) / 1e9)
+    }
+    timed("dedup_shingle_sets") { setsCached(documents); () }
+    timed("dedup_minhash_sigs") { sigsCached(documents); () }
+    timed("dedup_simhash_table") { simhashCached(documents); () }
+    timed("dedup_ngram_pairs") { pairsCached(documents); () }
+    timed("dedup_span_windows") { winsCached(documents); () }
+    timed("dedup_embedding_pairs") { embeddingPairsCached(embeddings); () }
+    out.toSeq
+  }
+
   /** Per-document duplicated-span report: (doc_id, n_windows,
     * n_dup_windows, dup_fraction) over k-token stride-1 windows;
     * documents with fewer than k tokens carry no windows and are

@@ -92,6 +92,17 @@ object Bucketing {
       (ot, lt)
     }
 
+  /** Force the one-time bucketed write (the "write once" half of
+    * write-once-shuffle-never) into the bench's `build` line item, so
+    * q_bucketed_join times the zero-Exchange JOIN the layout exists
+    * for, not the layout construction.
+    */
+  def prewarm(spark: SparkSession, dir: String, numBuckets: Int = 8): Seq[(String, Double)] = {
+    val t0 = System.nanoTime()
+    ensureBucketedFacts(spark, dir, numBuckets)
+    Seq("bucketed_facts" -> (System.nanoTime() - t0) / 1e9)
+  }
+
   /** The co-bucketed orders⋈lineitem join subtree — exposed so the
     * spec can assert the scale claim on exactly this plan: ZERO
     * Exchange (the bucketed scans ARE the required hash partitioning).

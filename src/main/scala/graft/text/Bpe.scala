@@ -184,11 +184,24 @@ object Bpe {
       .localCheckpoint()
 
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    // The merge chain is applied LAZILY: round r's plan carries the
+    // replaces accumulated since the last materialization, and every
+    // `checkpointEvery` rounds the merged histogram is materialized
+    // (localCheckpoint — the clusters-loop discipline) and the chain
+    // resets. Without this, round r re-applies all r−1 prior merges to
+    // the round-0 histogram — O(nMerges²) total replace work and a
+    // linearly growing plan; with it, total work is O(nMerges ·
+    // checkpointEvery) over the vocabulary-bounded table and late-round
+    // plans stay flat. Values are identical either way (same replaces
+    // in the same order), so the hash-exact DuckDB twin is unaffected.
+    val checkpointEvery = 8
+    var cur = hist
     var wCol: Column = col("w")
+    var pending = 0
     var exhausted = false
     while (learned.length < nMerges && !exhausted) {
       val syms = split(trim(wCol, "|"), "\\|\\|")
-      val best = hist
+      val best = cur
         .select(col("cnt"), syms.as("syms"))
         .where(size(col("syms")) >= 2)
         .select(col("cnt"), explode(zip_with(
@@ -204,6 +217,12 @@ object Bpe {
         val (l, r, s) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
         learned += (((learned.length + 1).toLong, l, r, l + r, s))
         wCol = replace(wCol, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+        pending += 1
+        if (pending >= checkpointEvery) {
+          cur = cur.select(wCol.as("w"), col("cnt")).localCheckpoint()
+          wCol = col("w")
+          pending = 0
+        }
       }
     }
     learned.toSeq
