@@ -204,6 +204,11 @@ object SparkEntry {
     "q_ann_ivf_kmeans" -> ((s, dir) => Similarity.ivfAnnKmeans(Tables.embeddings(s, dir))),
     "q_ann_pq" -> ((s, dir) => Similarity.pqAnn(Tables.embeddings(s, dir))),
     "q_ann_ivfpq" -> ((s, dir) => Similarity.ivfPqAnn(Tables.embeddings(s, dir))),
+    // SQ8 scalar-quantized ANN: uint8 codes (4x compression) scored
+    // scan-side, top refine*k re-scored exactly — the third
+    // compression point between the flat scan and PQ's nibbles
+    // (round-9 addition)
+    "q_ann_sq8" -> ((s, dir) => Similarity.sq8Ann(Tables.embeddings(s, dir))),
     // recall@k audit of the approximate indexes vs the exact brute
     // top-k — the decision input for serving ANN instead of exact;
     // approximate => rows-only gate + recall floors in SimilaritySpec

@@ -295,6 +295,11 @@ object Similarity {
         }
       }
     }
+    if (d > 0) {
+      timed("sim_sq8_codes") {
+        if (sq8BoundsCached(embeddings, d).nonEmpty) { sq8CodesCached(embeddings, d); () }
+      }
+    }
     out.toSeq
   }
 
@@ -569,6 +574,106 @@ object Similarity {
     if (books.isEmpty) (d, books, None)
     else (d, books, Some(pqCodesCached(embeddings, books, nSub, nCodes, iters, trainN, d)))
   }
+
+  /** SQ8 scalar-quantized ANN — the THIRD compression point between
+    * the flat float scan (q_knn_brute: dim float32s per vector) and
+    * PQ's 4-bit codes (q_ann_pq: nSub nibbles): each UNIT vector is
+    * stored as dim uint8 codes — 4× smaller than float32, the
+    * [[quantizeInt8]] per-dimension min/max recipe applied to the unit
+    * corpus — and candidates are scored against the CODES, with the
+    * top refine·k re-scored exactly ([[rankTopK]], the family
+    * invariant: emitted cosines are bit-exact, only the candidate set
+    * is approximate).
+    *
+    * Ranking identity: the reconstruction is v̂_i = lo_i + c_i·step_i,
+    * so dot(q, v̂) = Σ q_i·lo_i + Σ (q_i·step_i)·c_i — the first term
+    * is constant per query, so ranking by Σ w_i·c_i with the per-query
+    * weight array w_i = q_i·step_i IS ranking by the reconstructed
+    * dot. w is built on the queries side and broadcast; the corpus
+    * pass reads only the uint8 codes (the persisted-index read shape:
+    * 4× less memory bandwidth than the flat scan). Like flat PQ, the
+    * scoring pass is by definition a linear corpus scan (a documented
+    * BNLJ exemption); the cell-pruned paths (q_ann_ivf*, q_ann_ivfpq)
+    * are the scan-avoiding alternatives.
+    *
+    * Quantization-model-dependent ⇒ rows-only driver gate;
+    * SimilaritySpec pins the recall floor (tight: uint8 per dimension
+    * loses little) and the exact-re-score invariant.
+    */
+  def sq8Ann(
+      embeddings: DataFrame,
+      nQueries: Int = 10,
+      k: Int = 10,
+      refine: Int = 4,
+      dim: Int = -1): DataFrame = {
+    require(refine >= 1)
+    val session = embeddings.sparkSession
+    import session.implicits._
+    val empty = Seq.empty[(Long, Int, Long, Double)]
+      .toDF("query_id", "rank", "vec_id", "cosine")
+    val d = if (dim > 0) dim else detectDim(embeddings)
+    if (d <= 0) return empty
+    val bounds = sq8BoundsCached(embeddings, d)
+    if (bounds.isEmpty) return empty
+    val codes = sq8CodesCached(embeddings, d)
+    val steps = bounds.map { case (lo, hi) => if (hi > lo) (hi - lo) / 255.0 else 0.0 }
+    val warr = array((0 until d).map(i => col("u")(i) * lit(steps(i))): _*)
+    val qs = unitCorpus(embeddings, d).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), warr.as("w"))
+    val scored = codes.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .withColumn("approx",
+        aggregate(zip_with(col("qc"), col("w"), (c, x) => c.cast("double") * x),
+          lit(0.0), (acc, x) => acc + x))
+      .select(col("query_id"), col("vec_id"), col("approx"))
+    val pairs = pqTopM(scored, refine * k).select(col("query_id"), col("vec_id"))
+    rankTopK(pairs, prepared(embeddings).filter(col("nrm") > 0 && size(col("v")) === d),
+      nQueries, k)
+  }
+
+  /** Per-dimension (lo, hi) of the unit corpus — one 2·dim-column
+    * aggregate reduced to a single driver row (bounded artifact, the
+    * quantizeInt8 pass-1 shape); empty on an empty corpus.
+    */
+  private[graft] def sq8Bounds(embeddings: DataFrame, d: Int): Array[(Double, Double)] = {
+    val u = unitCorpus(embeddings, d)
+    val aggs = (0 until d).flatMap(i =>
+      Seq(min(col("u")(i)).as(s"lo$i"), max(col("u")(i)).as(s"hi$i")))
+    val r = u.agg(aggs.head, aggs.tail: _*).collect().head
+    if (r.isNullAt(0)) Array.empty
+    else Array.tabulate(d)(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+  }
+
+  /** Scan-side uint8 encoding of the unit corpus against driver-literal
+    * bounds: (vec_id, qc array<int>) — no join, no Exchange (the
+    * [[pqEncode]] discipline).
+    */
+  private[graft] def sq8Encode(u: DataFrame, bounds: Array[(Double, Double)]): DataFrame = {
+    val codeCols: Seq[Column] = bounds.toIndexedSeq.zipWithIndex.map { case ((lo, hi), i) =>
+      if (hi > lo)
+        floor((col("u")(i) - lit(lo)) / lit(hi - lo) * lit(255.0) + lit(0.5)).cast("int")
+      else lit(0)
+    }
+    u.select(col("vec_id"), array(codeCols: _*).as("qc"))
+  }
+
+  private val sq8BoundsMemo = graft.Memo[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), Array[(Double, Double)]]()
+
+  private def sq8BoundsCached(embeddings: DataFrame, d: Int): Array[(Double, Double)] =
+    sq8BoundsMemo.getOrElseUpdate(embeddings.sparkSession,
+      (embeddings.queryExecution.analyzed.canonicalized, d))(
+      sq8Bounds(embeddings, d))
+
+  /** Memoized, materialized SQ8 codes table — like the PQ codes, this
+    * is what a serving index persists and reads.
+    */
+  private val sq8CodesMemo = graft.Memo[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), DataFrame]()
+
+  private def sq8CodesCached(embeddings: DataFrame, d: Int): DataFrame =
+    sq8CodesMemo.getOrElseUpdate(embeddings.sparkSession,
+      (embeddings.queryExecution.analyzed.canonicalized, d))(
+      sq8Encode(unitCorpus(embeddings, d), sq8BoundsCached(embeddings, d)).localCheckpoint())
 
   /** Exact top-m ADC candidates per query, two-phase (see [[pqAnn]]);
     * emits (query_id, vec_id, rk) with rk the global ADC rank ≤ m.

@@ -36,8 +36,12 @@ class PlanHardeningSpec extends SparkSpec {
         // design (nSub code lookups per pair instead of a dim-wide
         // dot); q_ann_ivfpq is NOT exempt — its cell-pruned ADC is
         // all equi-joins and must stay that way
+        // q_ann_sq8's code-scoring pass is likewise a linear scan by
+        // definition (flat quantized index); the pruned paths stay
+        // equi-join-only
         assert(!plan.contains("BroadcastNestedLoopJoin")
-            || name == "q_ann_ivf" || name == "q_ann_ivf_kmeans" || name == "q_ann_pq",
+            || name == "q_ann_ivf" || name == "q_ann_ivf_kmeans" || name == "q_ann_pq"
+            || name == "q_ann_sq8",
           s"$name has an unexpected BroadcastNestedLoopJoin")
       }
     }
@@ -63,8 +67,8 @@ class PlanHardeningSpec extends SparkSpec {
     // exactly the documented model-dependent / sketch-based set
     assert(rowsOnly === mlQueries ++ Set(
       "q_dedup_minhash", "q_dedup_simhash", "q_dedup_eval", "q_ann_lsh",
-      "q_ann_ivf", "q_ann_ivf_kmeans", "q_ann_pq", "q_ann_ivfpq", "q_ann_eval",
-      "q_dedup_embedding_lsh",
+      "q_ann_ivf", "q_ann_ivf_kmeans", "q_ann_pq", "q_ann_ivfpq", "q_ann_sq8",
+      "q_ann_eval", "q_dedup_embedding_lsh",
       "q_corpus_stats_approx", "q_media_features", "q_distinct_approx"))
   }
 

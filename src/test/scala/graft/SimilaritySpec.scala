@@ -68,6 +68,34 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.filter(col("query_id") === col("vec_id")).count() === 0)
   }
 
+  test("SQ8 ANN: tight recall (uint8 loses little), exact re-scored cosines, full contract") {
+    val sq8 = Similarity.sq8Ann(Tables.embeddings(spark, sf)).cache()
+    val recall = pairSet(sq8).intersect(pairSet(brute)).size.toDouble / pairSet(brute).size
+    // per-dimension uint8 quantization is far gentler than PQ's 16
+    // codes per 8-dim subspace — the floor is correspondingly higher
+    assert(recall >= 0.8, s"SQ8 recall@10 $recall below floor")
+    val exact = brute.collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val overlaps = sq8.collect().flatMap { r =>
+      exact.get((r.getLong(0), r.getLong(2))).map(_ -> r.getDouble(3))
+    }
+    assert(overlaps.nonEmpty)
+    overlaps.foreach { case (b, p) => assert(b === p, "re-scored cosine drifted from exact") }
+    val counts = sq8.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(counts.length === 10 && counts.forall(_ === 10L))
+    assert(sq8.filter(col("query_id") === col("vec_id")).count() === 0)
+    // codes really are uint8: every element in [0, 255] when the
+    // encoded frame is the same unit corpus the bounds were fit on
+    val unit = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, b) => a + b)))
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+    val codeRange = Similarity.sq8Encode(unit, Similarity.sq8Bounds(Tables.embeddings(spark, sf), 64))
+      .select(explode(col("qc")).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(codeRange.getInt(0) >= 0 && codeRange.getInt(1) <= 255)
+  }
+
   test("IVF-PQ: acceptable recall, candidates confined to probed cells, equi-join-only plan") {
     val e = Tables.embeddings(spark, sf)
     val ipq = Similarity.ivfPqAnn(e).cache()
