@@ -613,21 +613,34 @@ object Similarity {
       .toDF("query_id", "rank", "vec_id", "cosine")
     val d = if (dim > 0) dim else detectDim(embeddings)
     if (d <= 0) return empty
+    sq8Scored(embeddings, d, nQueries) match {
+      case None => empty
+      case Some(scored) =>
+        val pairs = pqTopM(scored, refine * k).select(col("query_id"), col("vec_id"))
+        rankTopK(pairs, prepared(embeddings).filter(col("nrm") > 0 && size(col("v")) === d),
+          nQueries, k)
+    }
+  }
+
+  /** (query_id, vec_id, approx) code-scan scores against the SQ8 index
+    * — the candidate-generation pass shared by [[sq8Ann]] and the
+    * [[annEval]] audit (which must audit THE index the standalone
+    * query searches, so both read the same memoized bounds+codes).
+    * None on an empty corpus.
+    */
+  private def sq8Scored(embeddings: DataFrame, d: Int, nQueries: Int): Option[DataFrame] = {
     val bounds = sq8BoundsCached(embeddings, d)
-    if (bounds.isEmpty) return empty
+    if (bounds.isEmpty) return None
     val codes = sq8CodesCached(embeddings, d)
     val steps = bounds.map { case (lo, hi) => if (hi > lo) (hi - lo) / 255.0 else 0.0 }
     val warr = array((0 until d).map(i => col("u")(i) * lit(steps(i))): _*)
     val qs = unitCorpus(embeddings, d).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), warr.as("w"))
-    val scored = codes.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+    Some(codes.join(broadcast(qs), col("vec_id") =!= col("query_id"))
       .withColumn("approx",
         aggregate(zip_with(col("qc"), col("w"), (c, x) => c.cast("double") * x),
           lit(0.0), (acc, x) => acc + x))
-      .select(col("query_id"), col("vec_id"), col("approx"))
-    val pairs = pqTopM(scored, refine * k).select(col("query_id"), col("vec_id"))
-    rankTopK(pairs, prepared(embeddings).filter(col("nrm") > 0 && size(col("v")) === d),
-      nQueries, k)
+      .select(col("query_id"), col("vec_id"), col("approx")))
   }
 
   /** Per-dimension (lo, hi) of the unit corpus — one 2·dim-column
@@ -1057,10 +1070,23 @@ object Similarity {
           .as("recall")))
       agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
     }
+    // SQ8: lvl = ceil(code-scan rank / k) — refine levels nest exactly
+    // as PQ's do; audits the SAME memoized bounds+codes q_ann_sq8
+    // searches (sq8@refine r in the audit equals sq8Ann(refine=r),
+    // pinned in SimilaritySpec).
+    val sq8Lvl: Option[DataFrame] =
+      if (dPq <= 0) None
+      else sq8Scored(embeddings, dPq, nQueries).map(scored =>
+        scoredLevels(
+          pqTopM(scored, maxP * k)
+            .select(col("query_id"), col("vec_id"),
+              ceil(col("rk").cast("double") / lit(k)).cast("long").as("lvl"))))
+
     val base = methodRows("lsh", lshLvl)
       .unionAll(methodRows("ivf", ivfLvl))
       .unionAll(methodRows("ivf_kmeans", kmLvl))
-    pqLvl.fold(base)(l => base.unionAll(methodRows("pq", l)))
+    val withPq = pqLvl.fold(base)(l => base.unionAll(methodRows("pq", l)))
+    sq8Lvl.fold(withPq)(l => withPq.unionAll(methodRows("sq8", l)))
   }
 
   /** Per-label embedding centroids — the bridge between the vector

@@ -387,7 +387,7 @@ class SimilaritySpec extends SparkSpec {
       .toMap
     val sweep = Seq(1L, 2L, 4L, 8L)
     assert(rows.keySet ===
-      (for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq"); p <- sweep) yield (m, p)).toSet)
+      (for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq", "sq8"); p <- sweep) yield (m, p)).toSet)
     rows.foreach { case ((m, p), (nTruth, nHit, recall)) =>
       assert(nTruth > 0 && nHit >= 0 && nHit <= nTruth, s"$m@$p counts")
       assert(recall >= 0.0 && recall <= 1.0, s"$m@$p recall $recall")
@@ -395,7 +395,7 @@ class SimilaritySpec extends SparkSpec {
     }
     // nested probe sets => recall monotone non-decreasing in n_probe —
     // the tradeoff the artifact exists to drive
-    for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq"); Seq(a, b) <- sweep.sliding(2))
+    for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq", "sq8"); Seq(a, b) <- sweep.sliding(2))
       assert(rows((m, b))._3 >= rows((m, a))._3,
         s"$m recall not monotone: p=$a ${rows((m, a))._3} > p=$b ${rows((m, b))._3}")
     // multi-probe LSH at the top sweep point finds a usable share of
@@ -415,6 +415,11 @@ class SimilaritySpec extends SparkSpec {
     // pq at refine level r audits exactly the standalone pqAnn(refine=r)
     val pq4 = set(Similarity.pqAnn(e, refine = 4))
     assert(rows(("pq", 4L))._2 === (truth & pq4).size.toLong)
+    // sq8 likewise audits THE standalone index at the same refine level
+    val sq84 = set(Similarity.sq8Ann(e, refine = 4))
+    assert(rows(("sq8", 4L))._2 === (truth & sq84).size.toLong)
+    // uint8 quantization is gentle — the audit must show the high floor
+    assert(rows(("sq8", 4L))._3 >= 0.8, s"sq8 recall ${rows(("sq8", 4L))._3}")
   }
 
   test("labelCentroids equals the posexplode formulation; counts partition the table") {
