@@ -88,8 +88,13 @@ object PqIndex {
       out(sub) = arr
     }
     val codesDir = Paths.get(dir, "codes")
+    // a non-empty codebook with no codes/ is a CORRUPT index (write
+    // always emits both) — fail loudly rather than silently searching
+    // an empty index (the ADVICE-r8 empty-codebook lesson)
+    require(out.isEmpty || Files.exists(codesDir),
+      s"corrupt PQ index at $dir: codebooks.json has ${out.size} books but codes/ is missing")
     val codes =
-      if (out.nonEmpty && Files.exists(codesDir)) Some(spark.read.parquet(codesDir.toString))
+      if (out.nonEmpty) Some(spark.read.parquet(codesDir.toString))
       else None
     (d, out.toMap, codes)
   }

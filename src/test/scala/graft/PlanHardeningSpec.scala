@@ -169,6 +169,8 @@ class PlanHardeningSpec extends SparkSpec {
     assert(Similarity.bruteKnn(emptyEmb).count() === 0)
     assert(Similarity.lshAnn(emptyEmb).count() === 0)
     assert(Similarity.ivfAnn(emptyEmb).count() === 0)
+    assert(Similarity.pqAnn(emptyEmb).count() === 0)
+    assert(Similarity.sq8Ann(emptyEmb).count() === 0)
   }
 
   test("single-document and single-token corpora do not break the pair operators") {
