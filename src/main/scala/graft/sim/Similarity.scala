@@ -32,7 +32,7 @@ object Similarity {
     * per-element closure on every corpus scan; values are identical
     * (element-wise float-to-double is exact).
     */
-  private def prepared(embeddings: DataFrame): DataFrame =
+  private[graft] def prepared(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
@@ -435,7 +435,7 @@ object Similarity {
   private val assignMemo =
     graft.Memo[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), DataFrame]()
 
-  private def assignCellsCached(
+  private[graft] def assignCellsCached(
       embeddings: DataFrame, cents: DataFrame, tag: String): DataFrame =
     assignMemo.getOrElseUpdate(embeddings.sparkSession,
       (embeddings.queryExecution.analyzed.canonicalized, tag))(
@@ -444,7 +444,7 @@ object Similarity {
   /** The search tail over a prebuilt cell assignment: rank probe
     * cells per query, candidate-join, exact re-score.
     */
-  private def ivfSearch(
+  private[graft] def ivfSearch(
       e: DataFrame,
       assigned: DataFrame,
       cents: DataFrame,

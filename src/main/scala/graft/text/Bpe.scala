@@ -176,7 +176,13 @@ object Bpe {
 
   private[graft] def trainMerges(
       documents: DataFrame, nMerges: Int): Seq[(Long, String, String, String, Long)] = {
-    require(nMerges >= 1 && nMerges <= 64, s"nMerges must be in [1, 64]: $nMerges")
+    // the cap bounds the DuckDB twin's unrolled round-CTE chain and
+    // the tokenizer's replace chain, both LINEAR in nMerges since the
+    // round-9 checkpoint-every-8 flattening (before it, round r
+    // re-applied all r-1 prior merges — quadratic); 256 is a real
+    // small-tokenizer merge budget, not a structural limit (BpeSpec
+    // trains past the old 64 cap and pins driver equality)
+    require(nMerges >= 1 && nMerges <= 256, s"nMerges must be in [1, 256]: $nMerges")
     val hist = graft.Spread(documents)
       .select(explode(Text.tokens(regexp_replace(col("text"), "\\|", ""))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -296,7 +302,7 @@ object Bpe {
     * [[sqlBpeTokenizeTrained]].
     */
   private def sqlTrainChain(nMerges: Int): String = {
-    require(nMerges >= 1 && nMerges <= 64, s"nMerges must be in [1, 64]: $nMerges")
+    require(nMerges >= 1 && nMerges <= 256, s"nMerges must be in [1, 256]: $nMerges")
     val rounds = (1 to nMerges).map { r =>
       s"""p$r AS MATERIALIZED (
          |  SELECT z[1] AS lhs, z[2] AS rhs, CAST(sum(cnt) AS BIGINT) AS support

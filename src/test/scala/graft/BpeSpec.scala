@@ -128,6 +128,22 @@ class BpeSpec extends SparkSpec {
     assert(got.tail.forall(_._5 <= got.head._5))
   }
 
+  test("trainBpe past the old 64-round cap: 72 rounds stay driver-equal (linear flattened chain)") {
+    import spark.implicits._
+    // a corpus rich enough to sustain 72 distinct merges: varied words
+    // with deterministic structure
+    val texts = (0 until 120).map(i =>
+      s"alpha$i beta${i % 7} gamma${i % 11} delta epsilon zeta${i % 5} " +
+        "the quick brown fox jumps over the lazy dog repeatedly")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Bpe.trainBpe(docs, nMerges = 72).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+      .sortBy(_._1)
+    val exp = driverTrain(texts, 72)
+    assert(got.length === 72, s"corpus must sustain 72 rounds, got ${got.length}")
+    assert(got === exp, "rounds past the checkpoint boundaries must stay rule-for-rule exact")
+  }
+
   test("trained merges compose into bpeTokenize; more rules never inflate the token count") {
     val docs = Tables.documents(spark, sf)
     val rules = Bpe.trainBpe(docs).collect()

@@ -174,6 +174,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IvfIndex: write -> read -> search is hash-EQUAL to the in-session search (seed + kmeans)") {
+    val e = Tables.embeddings(spark, sf)
+    def set(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    for (km <- Seq(false, true)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"ivf_index_$km").toString
+      try {
+        graft.sim.IvfIndex.write(e, dir, kmeans = km)
+        val (cents, assigned) = graft.sim.IvfIndex.read(spark, dir)
+        assert(cents.count() > 0 && cents.count() <= 16)
+        assert(assigned.count() === e.count(), "every vector must carry a cell")
+        val fromDisk = set(graft.sim.IvfIndex.search(spark, dir, e))
+        val inSession = set(
+          if (km) Similarity.ivfAnnKmeans(e) else Similarity.ivfAnn(e))
+        assert(fromDisk === inSession, s"kmeans=$km read-back search drifted")
+        assert(fromDisk.nonEmpty)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(dir))
+      }
+    }
+  }
+
   test("HyperplaneBuckets planes are bit-identical to the xxhash64-expression definition") {
     // the native expression precomputes planes via XXH64.hashInt; the
     // original definition was CAST(xxhash64(t*1000003+b*1009+j) AS
