@@ -328,31 +328,42 @@ object Serve {
   }
 }
 
-/** `graft.cli.PqIndexTool --mode build --data <sfDir> --index_dir <dir>`
-  * trains+persists the PQ index (codebooks.json + codes parquet);
-  * `--mode search` reads it back and prints the top-k neighbors —
-  * the train-once/search-forever serving lifecycle for the ANN
-  * family. Search over a read-back index is proven hash-equal to the
-  * in-session train→search in SimilaritySpec.
+/** `graft.cli.PqIndexTool --mode build --data <sfDir> --index_dir <dir>
+  * [--family pq|ivf|ivf_kmeans]` trains+persists an ANN index (PQ:
+  * codebooks.json + codes parquet; IVF: centroids.json + assignment
+  * parquet); `--mode search` reads it back and prints the top-k
+  * neighbors — the train-once/search-forever serving lifecycle for
+  * the ANN family. Search over a read-back index is proven hash-equal
+  * to the in-session train→search in SimilaritySpec for every family.
   */
 object PqIndexTool {
   def main(argv: Array[String]): Unit = CliSession.withSession { spark =>
     val a = Args.parse(argv)
     val data = Args.required(a, "data")
     val indexDir = Args.required(a, "index_dir")
+    val family = a.getOrElse("family", "pq")
     val emb = graft.Tables.embeddings(spark, data)
-    a.getOrElse("mode", "build") match {
-      case "build" =>
+    def show(df: org.apache.spark.sql.DataFrame): Unit =
+      df.orderBy(col("query_id"), col("rank")).show(200, truncate = false)
+    (a.getOrElse("mode", "build"), family) match {
+      case ("build", "pq") =>
         graft.sim.PqIndex.write(emb, indexDir)
         println(s"[PQ] index written to $indexDir")
-      case "search" =>
-        graft.sim.PqIndex.search(spark, indexDir, emb,
+      case ("build", "ivf") | ("build", "ivf_kmeans") =>
+        graft.sim.IvfIndex.write(emb, indexDir, kmeans = family == "ivf_kmeans")
+        println(s"[IVF] index written to $indexDir (kmeans=${family == "ivf_kmeans"})")
+      case ("search", "pq") =>
+        show(graft.sim.PqIndex.search(spark, indexDir, emb,
           nQueries = a.getOrElse("nqueries", "10").toInt,
           k = a.getOrElse("k", "10").toInt,
-          refine = a.getOrElse("refine", "4").toInt)
-          .orderBy(col("query_id"), col("rank"))
-          .show(200, truncate = false)
-      case other => throw new IllegalArgumentException(s"unknown --mode '$other'")
+          refine = a.getOrElse("refine", "4").toInt))
+      case ("search", "ivf") | ("search", "ivf_kmeans") =>
+        show(graft.sim.IvfIndex.search(spark, indexDir, emb,
+          nQueries = a.getOrElse("nqueries", "10").toInt,
+          k = a.getOrElse("k", "10").toInt,
+          nProbe = a.getOrElse("nprobe", "2").toInt))
+      case (mode, fam) =>
+        throw new IllegalArgumentException(s"unknown --mode '$mode' / --family '$fam'")
     }
   }
 }
