@@ -329,12 +329,13 @@ object Serve {
 }
 
 /** `graft.cli.PqIndexTool --mode build --data <sfDir> --index_dir <dir>
-  * [--family pq|ivf|ivf_kmeans]` trains+persists an ANN index (PQ:
-  * codebooks.json + codes parquet; IVF: centroids.json + assignment
-  * parquet); `--mode search` reads it back and prints the top-k
-  * neighbors — the train-once/search-forever serving lifecycle for
-  * the ANN family. Search over a read-back index is proven hash-equal
-  * to the in-session train→search in SimilaritySpec for every family.
+  * [--family pq|ivf|ivf_kmeans|sq8]` trains+persists an ANN index
+  * (PQ: codebooks.json + codes parquet; IVF: centroids.json +
+  * assignment parquet; SQ8: bounds.json + codes parquet); `--mode
+  * search` reads it back and prints the top-k neighbors — the
+  * train-once/search-forever serving lifecycle for the ANN family.
+  * Search over a read-back index is proven hash-equal to the
+  * in-session train→search in SimilaritySpec for every family.
   */
 object PqIndexTool {
   def main(argv: Array[String]): Unit = CliSession.withSession { spark =>
@@ -352,6 +353,14 @@ object PqIndexTool {
       case ("build", "ivf") | ("build", "ivf_kmeans") =>
         graft.sim.IvfIndex.write(emb, indexDir, kmeans = family == "ivf_kmeans")
         println(s"[IVF] index written to $indexDir (kmeans=${family == "ivf_kmeans"})")
+      case ("build", "sq8") =>
+        graft.sim.Sq8Index.write(emb, indexDir)
+        println(s"[SQ8] index written to $indexDir")
+      case ("search", "sq8") =>
+        show(graft.sim.Sq8Index.search(spark, indexDir, emb,
+          nQueries = a.getOrElse("nqueries", "10").toInt,
+          k = a.getOrElse("k", "10").toInt,
+          refine = a.getOrElse("refine", "4").toInt))
       case ("search", "pq") =>
         show(graft.sim.PqIndex.search(spark, indexDir, emb,
           nQueries = a.getOrElse("nqueries", "10").toInt,

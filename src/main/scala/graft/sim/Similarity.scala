@@ -613,13 +613,9 @@ object Similarity {
       .toDF("query_id", "rank", "vec_id", "cosine")
     val d = if (dim > 0) dim else detectDim(embeddings)
     if (d <= 0) return empty
-    sq8Scored(embeddings, d, nQueries) match {
-      case None => empty
-      case Some(scored) =>
-        val pairs = pqTopM(scored, refine * k).select(col("query_id"), col("vec_id"))
-        rankTopK(pairs, prepared(embeddings).filter(col("nrm") > 0 && size(col("v")) === d),
-          nQueries, k)
-    }
+    val bounds = sq8BoundsCached(embeddings, d)
+    if (bounds.isEmpty) return empty
+    sq8SearchWith(embeddings, bounds, sq8CodesCached(embeddings, d), nQueries, k, refine, d)
   }
 
   /** (query_id, vec_id, approx) code-scan scores against the SQ8 index
@@ -630,17 +626,52 @@ object Similarity {
     */
   private def sq8Scored(embeddings: DataFrame, d: Int, nQueries: Int): Option[DataFrame] = {
     val bounds = sq8BoundsCached(embeddings, d)
-    if (bounds.isEmpty) return None
-    val codes = sq8CodesCached(embeddings, d)
+    if (bounds.isEmpty) None
+    else Some(sq8ScoredWith(embeddings, bounds, sq8CodesCached(embeddings, d), d, nQueries))
+  }
+
+  /** The SQ8 candidate scoring against PROVIDED index artifacts —
+    * factored so a persisted index ([[Sq8Index]]) drives the identical
+    * pass.
+    */
+  private[graft] def sq8ScoredWith(
+      embeddings: DataFrame, bounds: Array[(Double, Double)], codes: DataFrame,
+      d: Int, nQueries: Int): DataFrame = {
     val steps = bounds.map { case (lo, hi) => if (hi > lo) (hi - lo) / 255.0 else 0.0 }
     val warr = array((0 until d).map(i => col("u")(i) * lit(steps(i))): _*)
     val qs = unitCorpus(embeddings, d).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), warr.as("w"))
-    Some(codes.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+    codes.join(broadcast(qs), col("vec_id") =!= col("query_id"))
       .withColumn("approx",
         aggregate(zip_with(col("qc"), col("w"), (c, x) => c.cast("double") * x),
           lit(0.0), (acc, x) => acc + x))
-      .select(col("query_id"), col("vec_id"), col("approx")))
+      .select(col("query_id"), col("vec_id"), col("approx"))
+  }
+
+  /** The SQ8 SEARCH phase against provided artifacts — scoring,
+    * two-phase top-m, exact refine (the [[pqSearchWith]] shape for the
+    * scalar-quantized family).
+    */
+  private[graft] def sq8SearchWith(
+      embeddings: DataFrame, bounds: Array[(Double, Double)], codes: DataFrame,
+      nQueries: Int, k: Int, refine: Int, d: Int): DataFrame = {
+    val scored = sq8ScoredWith(embeddings, bounds, codes, d, nQueries)
+    val pairs = pqTopM(scored, refine * k).select(col("query_id"), col("vec_id"))
+    rankTopK(pairs, prepared(embeddings).filter(col("nrm") > 0 && size(col("v")) === d),
+      nQueries, k)
+  }
+
+  /** The SQ8 index artifacts (bounds, codes) — exposed for
+    * [[Sq8Index]] persistence; bounds empty on an empty corpus.
+    */
+  private[graft] def sq8Artifacts(
+      embeddings: DataFrame, dim: Int = -1)
+      : (Int, Array[(Double, Double)], Option[DataFrame]) = {
+    val d = if (dim > 0) dim else detectDim(embeddings)
+    if (d <= 0) return (d, Array.empty, None)
+    val bounds = sq8BoundsCached(embeddings, d)
+    if (bounds.isEmpty) (d, bounds, None)
+    else (d, bounds, Some(sq8CodesCached(embeddings, d)))
   }
 
   /** Per-dimension (lo, hi) of the unit corpus — one 2·dim-column

@@ -174,6 +174,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("Sq8Index: write -> read -> search is hash-EQUAL to the in-session sq8Ann") {
+    val e = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("sq8_index_").toString
+    try {
+      graft.sim.Sq8Index.write(e, dir)
+      val (d, bounds, codes) = graft.sim.Sq8Index.read(spark, dir)
+      assert(d === 64 && bounds.length === 64)
+      bounds.foreach { case (lo, hi) => assert(lo <= hi) }
+      assert(codes.isDefined && codes.get.count() === e.count())
+      def set(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val fromDisk = set(graft.sim.Sq8Index.search(spark, dir, e))
+      val inSession = set(Similarity.sq8Ann(e))
+      assert(fromDisk === inSession)
+      assert(fromDisk.nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("IvfIndex: write -> read -> search is hash-EQUAL to the in-session search (seed + kmeans)") {
     val e = Tables.embeddings(spark, sf)
     def set(df: org.apache.spark.sql.DataFrame) = df.collect()
