@@ -317,6 +317,10 @@ object SparkEntry {
     "q_decontaminate_frac" -> ((s, dir) => Dedup.decontaminateFrac(Tables.documents(s, dir))),
     // concat-and-chunk sequence packing via the two-level cumsum
     "q_pack_sequences" -> ((s, dir) => Corpus.packSequences(Tables.documents(s, dir))),
+    // packing under the TOKENIZER's budget (BPE counts, not whitespace
+    // words) — the production training-data layout composition
+    // (round-9 addition)
+    "q_pack_bpe" -> ((s, dir) => Corpus.packSequencesBpe(Tables.documents(s, dir))),
     // per-language top-k bigram vocabulary (two-phase exact top-k)
     "q_ngram_vocab" -> ((s, dir) => Corpus.ngramVocab(Tables.documents(s, dir))),
     // exact heavy hitters over the open token domain, two-pass:
@@ -594,6 +598,7 @@ object SparkEntry {
     "q_decontaminate" -> Dedup.sqlDecontaminate(),
     "q_decontaminate_frac" -> Dedup.sqlDecontaminateFrac(),
     "q_pack_sequences" -> Corpus.sqlPackSequences(),
+    "q_pack_bpe" -> Corpus.sqlPackSequencesBpe(),
     "q_ngram_vocab" -> Corpus.sqlNgramVocab(),
     "q_heavy_hitters" -> Corpus.sqlHeavyHitters(),
     // the JSONL round-trip must be value-exact vs the parquet source,

@@ -1094,12 +1094,21 @@ object Similarity {
         sum(when(col("lvl") <= p && col(s"rk$p") <= k, 1L).otherwise(0L)).as(s"h$p"))
       val agg = truth.join(ranked, Seq("query_id", "vec_id"), "left")
         .agg(count(lit(1)).as("n_truth"), hits: _*)
+      // the COST axis of the tradeoff the audit exists to drive:
+      // candidates the method scored exactly at each operating point
+      // (the truth-left join above keeps only truth pairs, so this is
+      // its own 1-row aggregate over the checkpointed scored table)
+      val candAggs = sweep.map(p =>
+        sum(when(col("lvl") <= p, 1L).otherwise(0L)).as(s"c$p"))
+      val cands = scored.agg(candAggs.head, candAggs.tail: _*)
       val rows = sweep.map(p => struct(
         lit(name).as("method"), lit(p).cast("long").as("n_probe"),
         col("n_truth"), col(s"h$p").as("n_hit"),
         Det.r(col(s"h$p").cast("double") / greatest(col("n_truth"), lit(1L)).cast("double"), 6)
-          .as("recall")))
-      agg.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+          .as("recall"),
+        coalesce(col(s"c$p"), lit(0L)).as("n_cands")))
+      Det.attachScalar(agg, cands)
+        .select(explode(array(rows: _*)).as("r")).select(col("r.*"))
     }
     // SQ8: lvl = ceil(code-scan rank / k) — refine levels nest exactly
     // as PQ's do; audits the SAME memoized bounds+codes q_ann_sq8

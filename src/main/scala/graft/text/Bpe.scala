@@ -340,12 +340,17 @@ object Bpe {
     * for merge. array_to_string([]) is NULL in DuckDB (Spark's
     * concat_ws gives ''), hence the coalesces.
     */
-  def sqlBpeTokenize(merges: Seq[(String, String)] = defaultMerges): String = {
+  /** The shared CTE chain (c, j, m, t) computing per-doc n_bpe_tokens
+    * under the shipped merges — consumed by [[sqlBpeTokenize]] and the
+    * BPE-budget packing oracle
+    * ([[graft.text.Corpus.sqlPackSequencesBpe]]).
+    */
+  private[graft] def sqlBpeCountCtes(merges: Seq[(String, String)] = defaultMerges): String = {
     checkMerges(merges)
     val mergedExpr = merges.foldLeft("w") { case (e, (a, b)) =>
       s"replace($e, '|$a||$b|', '|$a$b|')"
     }
-    s"""WITH c AS (
+    s"""c AS (
        |  SELECT doc_id, ${Text.sqlTokens("replace(text, '|', '')")} AS toks FROM documents
        |), j AS (
        |  SELECT doc_id,
@@ -361,12 +366,15 @@ object Bpe {
        |         ELSE (len(mg) - len(replace(mg, '||', ''))) // 2 + n_words
        |    END AS n_bpe_tokens
        |  FROM m
-       |)
+       |)""".stripMargin
+  }
+
+  def sqlBpeTokenize(merges: Seq[(String, String)] = defaultMerges): String =
+    s"""WITH ${sqlBpeCountCtes(merges)}
        |SELECT doc_id, n_words, n_chars, CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
        |  CASE WHEN n_bpe_tokens > 0
        |       THEN floor(CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
        |  END AS compression,
        |  md5(mg) AS bpe_md5
        |FROM t""".stripMargin
-  }
 }

@@ -496,11 +496,40 @@ object Corpus {
   def packSequences(
       documents: DataFrame,
       seqLen: Long = 2048,
-      blockSize: Long = 65536): DataFrame = {
-    val base = documents
-      .withColumn("toks", Text.tokens(col("text")))
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
+      blockSize: Long = 65536): DataFrame =
+    packByCounts(
+      documents
+        .withColumn("toks", Text.tokens(col("text")))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens")),
+      seqLen, blockSize)
+
+  /** q_pack_bpe: sequence packing under the TOKENIZER's budget — the
+    * production shape: a training-data layout packs by the model
+    * tokenizer's counts ([[graft.text.Bpe.bpeTokenize]], the shipped
+    * merges), not whitespace words (a merge-heavy document occupies
+    * fewer sequence slots than its word count suggests). Same
+    * two-level cumsum as [[packSequences]]; only the count column's
+    * derivation changes — zero extra shuffles, the tokenize pass is
+    * pure scan-side.
+    */
+  def packSequencesBpe(
+      documents: DataFrame,
+      seqLen: Long = 2048,
+      blockSize: Long = 65536): DataFrame =
+    packByCounts(
+      graft.text.Bpe.bpeTokenize(documents)
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
+      seqLen, blockSize)
+
+  /** The packing core over a provided (doc_id, n_tokens) table — the
+    * two-level global cumsum (block rollup + block-partitioned
+    * windows + broadcast offsets) shared by the whitespace and BPE
+    * budget variants.
+    */
+  private def packByCounts(
+      counts: DataFrame, seqLen: Long, blockSize: Long): DataFrame = {
+    val base = counts
+      .select(col("doc_id"), col("n_tokens"),
         expr(s"doc_id DIV ${blockSize}L").as("blk"))
     val wBlk = Window.partitionBy(Det.constKey(col("blk"))).orderBy(col("blk").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -539,6 +568,25 @@ object Corpus {
        |  start_off % $seqLen AS seq_offset
        |FROM c""".stripMargin
   }
+
+  /** DuckDB twin of [[packSequencesBpe]]: the shared BPE token-count
+    * CTE chain ([[graft.text.Bpe.sqlBpeCountCtes]]) feeding the plain
+    * single-window cumsum — the same oracle shape as
+    * [[sqlPackSequences]], with the budget column swapped.
+    */
+  def sqlPackSequencesBpe(seqLen: Long = 2048): String =
+    s"""WITH ${graft.text.Bpe.sqlBpeCountCtes()}, pb AS (
+       |  SELECT doc_id, CAST(n_bpe_tokens AS BIGINT) AS n_tokens FROM t
+       |), pc AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+       |  FROM pb
+       |)
+       |SELECT doc_id, n_tokens,
+       |  start_off // $seqLen AS seq_id,
+       |  start_off % $seqLen AS seq_offset
+       |FROM pc""".stripMargin
 
   /** Per-language n-gram vocabulary: the k most frequent bigrams of
     * every language slice (corpus drift / boilerplate reporting).

@@ -177,6 +177,31 @@ class CorpusSpec extends SparkSpec {
     assert(rows(7) === rows(1000000))
   }
 
+  test("packSequencesBpe: budgets are the BPE token counts; layout equals a driver-side cumsum") {
+    val docs = Tables.documents(spark, sf)
+    val got = Corpus.packSequencesBpe(docs, seqLen = 64, blockSize = 7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // budgets must be EXACTLY bpeTokenize's n_bpe_tokens (merge-heavy
+    // docs take fewer slots than their word count — the operator's
+    // reason to exist vs the whitespace-budget q_pack_sequences)
+    val counts = graft.text.Bpe.bpeTokenize(docs)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.view.mapValues(_._1).toMap === counts)
+    // and at least one document must differ from its whitespace count
+    val ws = Corpus.packSequences(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.exists { case (id, n) => n != ws(id) },
+      "BPE budgets should diverge from whitespace budgets somewhere")
+    // driver-side recomputation of the full layout
+    var off = 0L
+    counts.toSeq.sortBy(_._1).foreach { case (id, n) =>
+      val (gn, seqId, seqOff) = got(id)
+      assert(gn === n && seqId === off / 64 && seqOff === off % 64, s"doc $id layout")
+      off += n
+    }
+  }
+
   test("ngramVocab: hand-built corpus pins ranks and the bucket pre-prune is lossless") {
     val docs = Seq(
       (0L, "x y x y x z", "en"), (1L, "x y q r", "en"), (2L, "s t s t", "de"))

@@ -470,6 +470,17 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(("sq8", 4L))._2 === (truth & sq84).size.toLong)
     // uint8 quantization is gentle — the audit must show the high floor
     assert(rows(("sq8", 4L))._3 >= 0.8, s"sq8 recall ${rows(("sq8", 4L))._3}")
+    // the r9 cost column: candidates scored per operating point —
+    // monotone in the probe level (nested candidate sets), never
+    // below the hits it produced
+    val cands = Similarity.annEval(e).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(5)))).toMap
+    for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq", "sq8")) {
+      for (Seq(a, b) <- sweep.sliding(2))
+        assert(cands((m, b))._2 >= cands((m, a))._2, s"$m n_cands not monotone")
+      sweep.foreach(p => assert(cands((m, p))._2 >= cands((m, p))._1,
+        s"$m@$p cands ${cands((m, p))._2} < hits ${cands((m, p))._1}"))
+    }
   }
 
   test("labelCentroids equals the posexplode formulation; counts partition the table") {
