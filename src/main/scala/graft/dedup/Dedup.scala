@@ -666,13 +666,17 @@ object Dedup {
   // explicitly (its Hamming metric is not Jaccard-comparable).
   // Hash-model-dependent => rows-only driver gate.
   // ------------------------------------------------------------------
-  /** (method, level, n_exact, n_pairs, recall, n_standalone) — see
-    * block comment. `bandSweep` must be ascending, each dividing
+  /** (method, level, n_exact, n_pairs, recall, n_cands, n_standalone)
+    * — see block comment. `bandSweep` must be ascending, each dividing
     * numHashes and the max (so band levels nest); `hammingSweep`
-    * ascending within the lossless 0..3 range. `n_standalone` is
-    * non-null only on the (minhash, crossCheckBands) row: the
-    * standalone [[minhashLshPairs]] count recomputed independently,
-    * so the sweep/standalone agreement is auditable in the artifact.
+    * ascending within the lossless 0..3 range. `n_cands` is the COST
+    * axis: candidate pairs the method surfaces at that operating point
+    * (minhash: entrants to exact verification; simhash: banded pairs
+    * within the Hamming cutoff) — monotone in level like the recall.
+    * `n_standalone` is non-null only on the (minhash, crossCheckBands)
+    * row: the standalone [[minhashLshPairs]] count recomputed
+    * independently, so the sweep/standalone agreement is auditable in
+    * the artifact.
     */
   def dedupEval(
       documents: DataFrame,
@@ -736,21 +740,38 @@ object Dedup {
     val mhWide = mhVerified.agg(
       bandSweep.map(b => sum(when(col("lvl") <= b, 1L).otherwise(0L)).as(s"n$b")).head,
       bandSweep.map(b => sum(when(col("lvl") <= b, 1L).otherwise(0L)).as(s"n$b")).tail: _*)
-    val mhRows = mhWide.select(explode(array(bandSweep.map(b =>
-      struct(lit("minhash").as("method"), lit(b).cast("long").as("level"),
-        coalesce(col(s"n$b"), lit(0L)).as("n_pairs"))): _*)).as("r"))
-      .select(col("r.method"), col("r.level"), col("r.n_pairs"))
+    // the COST axis: candidate pairs that enter exact verification at
+    // each operating point (nested band levels ⇒ lvl ≤ b is exactly
+    // candAt(b)) — the verification work the banding choice buys or
+    // saves, next to the recall it achieves
+    val mhCands = masks.select(lvl.as("lvl")).agg(
+      bandSweep.map(b => sum(when(col("lvl") <= b, 1L).otherwise(0L)).as(s"c$b")).head,
+      bandSweep.map(b => sum(when(col("lvl") <= b, 1L).otherwise(0L)).as(s"c$b")).tail: _*)
+    val mhRows = Det.attachScalar(mhWide, mhCands)
+      .select(explode(array(bandSweep.map(b =>
+        struct(lit("minhash").as("method"), lit(b).cast("long").as("level"),
+          coalesce(col(s"n$b"), lit(0L)).as("n_pairs"),
+          coalesce(col(s"c$b"), lit(0L)).as("n_cands"))): _*)).as("r"))
+      .select(col("r.method"), col("r.level"), col("r.n_pairs"), col("r.n_cands"))
 
-    // ---- simhash: hamming rides along; intersect the exact set
-    val shHits = simhashPairs(documents, maxHamming = hammingSweep.max)
+    // ---- simhash: hamming rides along; intersect the exact set.
+    // Materialized: both the candidate-count aggregate (cost axis)
+    // and the exact-set intersection read the banded pair table.
+    val shPairs = simhashPairs(documents, maxHamming = hammingSweep.max).localCheckpoint()
+    val shHits = shPairs
       .join(exact.select(col("doc_a"), col("doc_b")), Seq("doc_a", "doc_b"))
     val shWide = shHits.agg(
       hammingSweep.map(h => sum(when(col("hamming") <= h, 1L).otherwise(0L)).as(s"n$h")).head,
       hammingSweep.map(h => sum(when(col("hamming") <= h, 1L).otherwise(0L)).as(s"n$h")).tail: _*)
-    val shRows = shWide.select(explode(array(hammingSweep.map(h =>
-      struct(lit("simhash").as("method"), lit(h).cast("long").as("level"),
-        coalesce(col(s"n$h"), lit(0L)).as("n_pairs"))): _*)).as("r"))
-      .select(col("r.method"), col("r.level"), col("r.n_pairs"))
+    val shCands = shPairs.agg(
+      hammingSweep.map(h => sum(when(col("hamming") <= h, 1L).otherwise(0L)).as(s"c$h")).head,
+      hammingSweep.map(h => sum(when(col("hamming") <= h, 1L).otherwise(0L)).as(s"c$h")).tail: _*)
+    val shRows = Det.attachScalar(shWide, shCands)
+      .select(explode(array(hammingSweep.map(h =>
+        struct(lit("simhash").as("method"), lit(h).cast("long").as("level"),
+          coalesce(col(s"n$h"), lit(0L)).as("n_pairs"),
+          coalesce(col(s"c$h"), lit(0L)).as("n_cands"))): _*)).as("r"))
+      .select(col("r.method"), col("r.level"), col("r.n_pairs"), col("r.n_cands"))
 
     // ---- cross-check column: the STANDALONE q_dedup_minhash pair
     // count at its operating point, recomputed through the standalone
@@ -767,6 +788,7 @@ object Dedup {
       .select(col("method"), col("level"), col("n_exact"), col("n_pairs"),
         Det.r(col("n_pairs").cast("double") /
           greatest(col("n_exact"), lit(1L)).cast("double"), 6).as("recall"),
+        col("n_cands"),
         when(col("method") === lit("minhash") && col("level") === lit(crossCheckBands.toLong),
           col("n_standalone")).as("n_standalone"))
   }

@@ -276,16 +276,23 @@ class DedupSpec extends SparkSpec {
       "the 8-band sweep level must equal the standalone minhashLshPairs operating point")
     assert(mh.last._2 >= mh8 - 1e-12)
     // the r9 cross-check column: non-null ONLY on the (minhash, 8)
-    // row, where it must equal both n_pairs and the standalone count
+    // row, where it must equal both n_pairs and the standalone count;
+    // and the r9 cost column: candidates monotone in level, >= pairs
     val withCc = Dedup.dedupEval(docs).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(3),
-        if (r.isNullAt(5)) None else Some(r.getLong(5))))
-    withCc.foreach { case (method, level, nPairs, cc) =>
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    withCc.foreach { case (method, level, nPairs, nCands, cc) =>
+      assert(nCands >= nPairs, s"$method/$level cands $nCands < verified pairs $nPairs")
       if (method == "minhash" && level == 8L) {
         assert(cc === Some(nPairs), "cross-check must equal the sweep's own 8-band count")
         assert(cc === Some(lshPairs), "cross-check must equal the standalone pair count")
       } else assert(cc.isEmpty, s"n_standalone must be null off the operating point: $method/$level")
     }
+    def candsOf(method: String) =
+      withCc.filter(_._1 == method).sortBy(_._2).map(_._4).toSeq
+    for (m <- Seq("minhash", "simhash"))
+      assert(candsOf(m).sliding(2).forall { case Seq(a, b) => b >= a; case _ => true },
+        s"$m n_cands must be monotone in level: ${candsOf(m)}")
   }
 
   test("shingle/signature/simhash tables derive once across the dedup family (setsCached/sigsCached/simhashCached)") {
