@@ -179,6 +179,12 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "q_dedup_eval" -> ((s, dir) => Dedup.dedupEval(Tables.documents(s, dir))),
+    // incremental dedup: screen a new batch against the existing
+    // corpus — batch-prefix probes the existing full index (one-sided
+    // prefix filter, lossless under any fixed order), cost ∝ batch,
+    // never existing×existing; oracle is the brute cross comparison
+    // (round-9 addition)
+    "q_dedup_incremental" -> ((s, dir) => Dedup.incrementalDedup(Tables.documents(s, dir))),
     "q_bpe_tokenize" -> ((s, dir) => text.Bpe.bpeTokenize(Tables.documents(s, dir))),
     "q_bpe_train" -> ((s, dir) => text.Bpe.trainBpe(Tables.documents(s, dir))),
     "q_bpe_train_apply" -> ((s, dir) => text.Bpe.bpeTokenizeTrained(Tables.documents(s, dir))),
@@ -565,6 +571,7 @@ object SparkEntry {
     "q_dup_span_scrub" -> Dedup.sqlDupSpanScrub(),
     "q_dup_span_report" -> Dedup.sqlDupSpanReport(),
     "q_dedup_ngram" -> Dedup.sqlNgramPairs(),
+    "q_dedup_incremental" -> Dedup.sqlIncrementalDedup(),
     "q_dedup_clusters" -> Dedup.sqlClusters(),
     "q_dedup_best" -> Dedup.sqlBestSurvivors(),
     "q_dedup_report" -> Dedup.sqlDedupReport(),

@@ -1364,4 +1364,111 @@ object Dedup {
        |FROM documents d
        |WHERE d.doc_id % $evalMod <> 0
        |  AND NOT EXISTS (SELECT 1 FROM c WHERE c.doc_id = d.doc_id)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q107: INCREMENTAL dedup — dedupe a NEW batch against the EXISTING
+  // corpus (the production crawl-ingest shape: the corpus is an
+  // immutable store, today's batch must be screened against it before
+  // appending). The batch here is the deterministic slice
+  // doc_id % batchMod == 0, standing in for a landed micro-batch.
+  //
+  // The scale contract is what distinguishes this from the all-pairs
+  // operators: incremental cost is ∝ BATCH × (matching existing
+  // candidates), NEVER existing × existing — the existing corpus
+  // contributes only its inverted shingle index (at 100 TB, the
+  // persisted index the store maintains; here derived in-query from
+  // the shared setsCached seam). Candidate generation uses a
+  // ONE-SIDED prefix filter: jac(A,B) >= tau implies |A∩B| >=
+  // ceil(tau·|A|) =: α, and for A sorted under any fixed total order
+  // the smallest common element must sit within A's first |A|−α+1
+  // positions (all α common elements cannot fit in the last α−1
+  // slots) — so probing the existing index with only the batch doc's
+  // prefix is lossless, with NO ordering or statistics needed from
+  // the existing side (unlike the symmetric df-ordered prefix of
+  // ngramPairs, which must rank both sides consistently). The sorted
+  // hash order of setsCached IS the fixed total order.
+  // ------------------------------------------------------------------
+  /** (doc_id, is_exact_dup, n_near_dups, keep) for every BATCH doc:
+    * is_exact_dup = 1 iff some existing doc has identical content
+    * (md5); n_near_dups = existing docs with shingle Jaccard >= tau;
+    * keep = 1 iff neither. Flags are BIGINT 0/1 (cross-engine dtype
+    * stability). Batch-INTERNAL duplicates are deliberately out of
+    * scope — they are the next pass's corpus-side problem (or a
+    * composed [[exact]]/[[pairsCached]] over the batch alone); this
+    * operator's contract is the screen against the immutable store.
+    */
+  def incrementalDedup(
+      documents: DataFrame, batchMod: Long = 10, tau: Double = 0.5): DataFrame = {
+    require(batchMod >= 2, "batchMod must split the corpus into batch and existing")
+    val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
+    // ---- exact screen: batch content hashes vs the existing store's
+    val hashed = documents.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("ch"), isBatch.as("b"))
+    val exactDups = hashed.filter(col("b"))
+      .join(hashed.filter(!col("b")).select(col("ch")).distinct(), Seq("ch"), "left_semi")
+      .select(col("doc_id"))
+    // ---- near screen: batch prefixes probe the existing full index
+    val sets = setsCached(documents)
+    val batchSets = sets.filter(isBatch)
+    val exIndex = sets.filter(!isBatch)
+      .select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
+    val probe = batchSets
+      .select(col("doc_id"), size(col("sh")).as("n_sh"),
+        posexplode(col("sh")).as(Seq("pos0", "h")))
+      // prefix bound |A| - ceil(tau*|A|) + 1 with the same
+      // epsilon-lowered ceil as ngramPairs (under-ceiling only ever
+      // lengthens the prefix — extra verification, never lost recall)
+      .filter(col("pos0") + 1 <=
+        col("n_sh") - ceil(lit(tau) * col("n_sh") - lit(1e-9)).cast("int") + 1)
+      .select(col("doc_id"), col("h"))
+    val cands = probe.join(exIndex.hint("shuffle_hash"), Seq("h"))
+      .select(col("doc_id"), col("ex_id"))
+      .distinct()
+    val near = withJaccard(
+      cands
+        .join(sets.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+        .join(sets.select(col("doc_id").as("ex_id"), col("sh").as("sh_b")), "ex_id")
+        .filter(sizeRatioFilter(tau)))
+      .filter(col("jac") >= tau)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_near_dups"))
+    documents.filter(isBatch).select(col("doc_id"))
+      .join(exactDups.withColumn("e", lit(1L)), Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("e"), lit(0L)).as("is_exact_dup"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        when(coalesce(col("e"), lit(0L)) === 0L && coalesce(col("n_near_dups"), lit(0L)) === 0L,
+          lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
+
+  /** DuckDB twin of [[incrementalDedup]]: brute batch × existing cross
+    * comparison (exactly the shape the Spark side must avoid at scale
+    * — which is the point of the cross-check).
+    */
+  def sqlIncrementalDedup(batchMod: Long = 10, tau: Double = 0.5): String = {
+    val jac = "CAST(len(list_intersect(b.sh, e.sh)) AS DOUBLE) / CAST(len(b.sh) + len(e.sh) - len(list_intersect(b.sh, e.sh)) AS DOUBLE)"
+    s"""WITH s AS (
+       |  SELECT doc_id, ${sqlHashedShingleSet("text")} AS sh, md5(text) AS ch FROM documents
+       |), b AS (
+       |  SELECT doc_id, sh, ch FROM s WHERE doc_id % $batchMod = 0
+       |), e AS (
+       |  SELECT doc_id, sh, ch FROM s WHERE doc_id % $batchMod <> 0
+       |), nearp AS (
+       |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_near_dups
+       |  FROM b JOIN e ON ($jac) >= $tau
+       |  GROUP BY 1
+       |), exd AS (
+       |  SELECT DISTINCT b.doc_id FROM b JOIN e ON b.ch = e.ch
+       |)
+       |SELECT b.doc_id,
+       |  CAST(CASE WHEN exd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_exact_dup,
+       |  CAST(coalesce(nearp.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+       |  CAST(CASE WHEN exd.doc_id IS NULL AND coalesce(nearp.n_near_dups, 0) = 0
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM b
+       |LEFT JOIN exd USING (doc_id)
+       |LEFT JOIN nearp USING (doc_id)""".stripMargin
+  }
 }

@@ -323,6 +323,71 @@ class DedupSpec extends SparkSpec {
       "ngramPairs must reuse the family's shingle-set materialization")
   }
 
+  test("incrementalDedup: hand-built batch vs existing — exact twin, near-dup, unique, batch-internal ignored") {
+    import spark.implicits._
+    // batchMod=10: docs 0,10,20,30 are the batch; 1..9 the existing.
+    // doc 0  = exact twin of existing doc 1 (identical text)
+    // doc 10 = near-dup of existing doc 2 (9/11 shingles shared)
+    // doc 20 = unique -> keep
+    // doc 30 = near-dup of BATCH doc 20 only -> still keep (contract:
+    //          the screen is against the existing store, not the batch)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, shared),
+      (3L, "completely different existing content words here for padding"),
+      (10L, shared + " extra tail"),
+      (20L, "unique batch content nothing like anything in the store at all"),
+      (30L, "unique batch content nothing like anything in the store at all really")).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(docs, batchMod = 10, tau = 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === Set(0L, 10L, 20L, 30L))
+    assert(got(0L)._1 === 1L, "identical text must flag exact")
+    assert(got(0L)._2 >= 1L && got(0L)._3 === 0L, "an exact twin is also a near-dup; not kept")
+    assert(got(10L) === ((0L, 1L, 0L)), "near-dup of existing doc 2 only")
+    assert(got(20L) === ((0L, 0L, 1L)), "unique batch doc keeps")
+    assert(got(30L) === ((0L, 0L, 1L)), "batch-internal near-dup must NOT flag")
+  }
+
+  test("incrementalDedup: one-sided prefix probe equals the brute cross comparison on a fixed-seed corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("red", "blue", "green", "stone", "river", "cloud", "iron", "wolf",
+      "amber", "pine", "salt", "storm", "ember", "frost", "moss", "raven")
+    def doc(): String = Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val base = (0L until 60L).map(i => (i, doc()))
+    // plant near-dups across the slice boundary: batch ids are %10==0
+    val planted = base.map {
+      case (i, t) if i == 20L => (i, base.find(_._1 == 7L).get._2 + " tail")
+      case (i, t) if i == 40L => (i, base.find(_._1 == 13L).get._2)
+      case x => x
+    }
+    val docs = planted.toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(docs, batchMod = 10, tau = 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // driver-side brute: shingle sets per doc, batch x existing
+    def shingles(t: String): Set[Seq[String]] = {
+      val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.length < 3) Set(toks) else toks.sliding(3).map(_.toSeq).toSet
+    }
+    val sets = planted.map { case (i, t) => i -> shingles(t) }.toMap
+    val texts = planted.toMap
+    val (batch, existing) = planted.map(_._1).partition(_ % 10 == 0)
+    batch.foreach { b =>
+      val nNear = existing.count { e =>
+        val (a, c) = (sets(b), sets(e))
+        val inter = a.intersect(c).size.toDouble
+        inter / (a.size + c.size - inter) >= 0.5
+      }
+      val isExact = existing.exists(e => texts(e) == texts(b))
+      val (ge, gn, gk) = got(b)
+      assert(ge === (if (isExact) 1L else 0L), s"doc $b exact flag")
+      assert(gn === nNear.toLong, s"doc $b near count")
+      assert(gk === (if (!isExact && nNear == 0) 1L else 0L), s"doc $b keep flag")
+    }
+  }
+
   test("span-window table derives once per (corpus, k): spans + scrub + report share the memo") {
     import spark.implicits._
     val docs = Seq(
