@@ -185,6 +185,10 @@ object SparkEntry {
     // never existing×existing; oracle is the brute cross comparison
     // (round-9 addition)
     "q_dedup_incremental" -> ((s, dir) => Dedup.incrementalDedup(Tables.documents(s, dir))),
+    // incremental SEMANTIC dedup: the batch side broadcasts, the
+    // screen is one map-side pass over the existing corpus scan —
+    // no n² pairs, no corpus shuffle (round-9 addition)
+    "q_embed_incremental" -> ((s, dir) => Dedup.embedIncremental(Tables.embeddings(s, dir))),
     "q_bpe_tokenize" -> ((s, dir) => text.Bpe.bpeTokenize(Tables.documents(s, dir))),
     "q_bpe_train" -> ((s, dir) => text.Bpe.trainBpe(Tables.documents(s, dir))),
     "q_bpe_train_apply" -> ((s, dir) => text.Bpe.bpeTokenizeTrained(Tables.documents(s, dir))),
@@ -572,6 +576,7 @@ object SparkEntry {
     "q_dup_span_report" -> Dedup.sqlDupSpanReport(),
     "q_dedup_ngram" -> Dedup.sqlNgramPairs(),
     "q_dedup_incremental" -> Dedup.sqlIncrementalDedup(),
+    "q_embed_incremental" -> Dedup.sqlEmbedIncremental(),
     "q_dedup_clusters" -> Dedup.sqlClusters(),
     "q_dedup_best" -> Dedup.sqlBestSurvivors(),
     "q_dedup_report" -> Dedup.sqlDedupReport(),

@@ -836,6 +836,70 @@ object Dedup {
       (embeddings.queryExecution.analyzed.canonicalized, tau))(
       embeddingPairs(embeddings, tau).localCheckpoint())
 
+  /** q108: INCREMENTAL semantic dedup — the [[incrementalDedup]]
+    * contract for the embedding modality: per BATCH vector (the
+    * deterministic doc_id % batchMod == 0 slice standing in for a
+    * landed micro-batch), the count of EXISTING vectors with cosine
+    * ≥ tau and the keep flag.
+    *
+    * Scale shape — the reason this is not just a filtered
+    * [[embeddingPairs]]: the batch is SMALL by construction, so it
+    * BROADCASTS and the whole screen is ONE map-side pass over the
+    * existing corpus scan followed by a batch-sized rollup — no n²
+    * pair materialization, no corpus shuffle (contrast the all-pairs
+    * baseline, which must compare everything to everything). Exactly
+    * SQL-expressible ⇒ DuckDB brute batch×existing oracle, like the
+    * other incremental screen.
+    */
+  def embedIncremental(
+      embeddings: DataFrame, batchMod: Long = 10, tau: Double = 0.35): DataFrame = {
+    require(batchMod >= 2, "batchMod must split the corpus into batch and existing")
+    val dot = graft.functions.GraftFunctions.vecDot _
+    val isBatch = pmod(col("vec_id"), lit(batchMod)) === 0
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val batch = e.filter(isBatch)
+      .select(col("vec_id"), col("v").as("bv"), col("nrm").as("bn"))
+    val existing = e.filter(!isBatch)
+      .select(col("vec_id").as("ex_id"), col("v").as("ev"), col("nrm").as("en"))
+    val near = existing.join(broadcast(batch), col("ex_id") =!= col("vec_id"))
+      .withColumn("cos", dot(col("ev"), col("bv")) / (col("en") * col("bn")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_near_dups"))
+    batch.select(col("vec_id"))
+      .join(near, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        when(coalesce(col("n_near_dups"), lit(0L)) === 0L, lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
+
+  /** DuckDB twin of [[embedIncremental]]: the brute batch × existing
+    * cosine comparison with the identical IEEE sequence.
+    */
+  def sqlEmbedIncremental(batchMod: Long = 10, tau: Double = 0.35): String = {
+    val dot = "list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * e.v[i]))"
+    s"""WITH p AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM p
+       |), b AS (
+       |  SELECT vec_id, v, nrm FROM n WHERE vec_id % $batchMod = 0
+       |), e AS (
+       |  SELECT vec_id, v, nrm FROM n WHERE vec_id % $batchMod <> 0
+       |), nearp AS (
+       |  SELECT b.vec_id, CAST(count(*) AS BIGINT) AS n_near_dups
+       |  FROM b JOIN e ON ($dot) / (b.nrm * e.nrm) >= $tau
+       |  GROUP BY 1
+       |)
+       |SELECT b.vec_id,
+       |  CAST(coalesce(nearp.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+       |  CAST(CASE WHEN coalesce(nearp.n_near_dups, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM b LEFT JOIN nearp USING (vec_id)""".stripMargin
+  }
+
   /** The SCALE PATH for embeddingPairs' semantics: random-hyperplane
     * LSH blocking (one exact bucket per table on one side, that bucket
     * plus every 1-bit flip on the other) generates candidates through

@@ -388,6 +388,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("embedIncremental: brute cross-slice agreement and the broadcast-batch plan shape") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Dedup.embedIncremental(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // driver-side brute cross-slice recomputation
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val (batch, existing) = vecs.keys.toSeq.partition(_ % 10 == 0)
+    assert(got.keySet === batch.toSet)
+    batch.foreach { b =>
+      val n = existing.count(e => cos(vecs(b), vecs(e)) >= 0.35)
+      assert(got(b)._1 === n.toLong, s"vec $b near count")
+      assert(got(b)._2 === (if (n == 0) 1L else 0L), s"vec $b keep")
+    }
+    // the scale claim: the batch side broadcasts (one map-side pass
+    // over the existing scan), and nothing shuffles the corpus into
+    // an n² pair materialization
+    val plan = planOf(Dedup.embedIncremental(emb))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"batch side must broadcast:\n$plan")
+  }
+
   test("span-window table derives once per (corpus, k): spans + scrub + report share the memo") {
     import spark.implicits._
     val docs = Seq(

@@ -23,7 +23,11 @@ class PlanHardeningSpec extends SparkSpec {
   // q_ann_eval composes the brute truth (broadcast-queries NLJ) and
   // ivfAnn (broadcast-centroid NLJ), so it inherits their documented
   // nested loops
-  private val bruteBaselines = Set("q_knn_brute", "q_dedup_embedding", "q_ann_eval")
+  // q_embed_incremental is not a brute BASELINE but shares the shape:
+  // its batch side broadcasts against the corpus scan by design (the
+  // scan-x-broadcast screen IS the operator's scale contract)
+  private val bruteBaselines =
+    Set("q_knn_brute", "q_dedup_embedding", "q_ann_eval", "q_embed_incremental")
 
   test("every non-ML query plans without a CartesianProduct") {
     SparkEntry.queries.filterNot(q => mlQueries(q._1)).foreach { case (name, fn) =>
