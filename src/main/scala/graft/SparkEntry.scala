@@ -189,6 +189,14 @@ object SparkEntry {
     // screen is one map-side pass over the existing corpus scan —
     // no n² pairs, no corpus shuffle (round-9 addition)
     "q_embed_incremental" -> ((s, dir) => Dedup.embedIncremental(Tables.embeddings(s, dir))),
+    // the 100 TB path for the same screen: hyperplane-LSH blocking
+    // replaces dot-everything — the broadcast batch bucket table
+    // prefilters the one map-side corpus pass to bucket-matching rows,
+    // exact re-score at the join (precision 1, recall-gated vs the
+    // brute default in DedupSpec); approximate recall => rows-only
+    // driver gate (round-10 addition)
+    "q_embed_incremental_lsh" ->
+      ((s, dir) => Dedup.embedIncremental(Tables.embeddings(s, dir), useLsh = true)),
     "q_bpe_tokenize" -> ((s, dir) => text.Bpe.bpeTokenize(Tables.documents(s, dir))),
     "q_bpe_train" -> ((s, dir) => text.Bpe.trainBpe(Tables.documents(s, dir))),
     "q_bpe_train_apply" -> ((s, dir) => text.Bpe.bpeTokenizeTrained(Tables.documents(s, dir))),

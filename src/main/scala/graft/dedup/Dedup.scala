@@ -720,6 +720,10 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("x.b").as("b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(expr("bit_or(shiftleft(1L, b))").as("mask"))
+      // consumed twice (the verification path and the n_cands cost
+      // aggregate) — materialize so the band self-join runs once, the
+      // same reason shPairs below is checkpointed
+      .localCheckpoint()
     def candAt(bands: Int): Column = {
       val run = maxBands / bands
       (0 until bands).map { i =>
@@ -850,25 +854,73 @@ object Dedup {
     * baseline, which must compare everything to everything). Exactly
     * SQL-expressible ⇒ DuckDB brute batch×existing oracle, like the
     * other incremental screen.
+    *
+    * `useLsh = true` swaps the dot-everything screen for the
+    * hyperplane-LSH BLOCKED variant — the 100 TB path, mirroring how
+    * [[embeddingPairsLsh]] backs [[embeddingPairs]]: both sides bucket
+    * under the same deterministic hyperplanes, the (tables × probes)
+    * batch bucket table broadcasts, and the existing scan computes the
+    * exact cosine ONLY for rows whose bucket matches a batch probe —
+    * still one map-side corpus pass (an equi-join on (t, bkt), no
+    * BNLJ), but each existing row now pays a hash-set probe instead of
+    * |batch| dot products. Candidates are exactly re-scored at the
+    * join, so precision is 1 and only recall is approximate
+    * (recall-gated vs the brute default in DedupSpec).
     */
   def embedIncremental(
-      embeddings: DataFrame, batchMod: Long = 10, tau: Double = 0.35): DataFrame = {
+      embeddings: DataFrame, batchMod: Long = 10, tau: Double = 0.35,
+      useLsh: Boolean = false, tables: Int = 8, bits: Int = 8): DataFrame = {
     require(batchMod >= 2, "batchMod must split the corpus into batch and existing")
     val dot = graft.functions.GraftFunctions.vecDot _
     val isBatch = pmod(col("vec_id"), lit(batchMod)) === 0
     val e = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val batch = e.filter(isBatch)
-      .select(col("vec_id"), col("v").as("bv"), col("nrm").as("bn"))
-    val existing = e.filter(!isBatch)
-      .select(col("vec_id").as("ex_id"), col("v").as("ev"), col("nrm").as("en"))
-    val near = existing.join(broadcast(batch), col("ex_id") =!= col("vec_id"))
-      .withColumn("cos", dot(col("ev"), col("bv")) / (col("en") * col("bn")))
-      .filter(col("cos") >= tau)
-      .groupBy(col("vec_id"))
-      .agg(count(lit(1)).as("n_near_dups"))
-    batch.select(col("vec_id"))
+      // zero-norm guard (the Similarity-family `nrm > 0` discipline):
+      // without it cos = 0/0 = NaN, and Spark ORDERS NaN above all
+      // doubles so `cos >= tau` would count a zero vector as a
+      // near-dup of everything
+      .filter(col("nrm") > 0)
+    val near =
+      if (!useLsh) {
+        val batch = e.filter(isBatch)
+          .select(col("vec_id"), col("v").as("bv"), col("nrm").as("bn"))
+        val existing = e.filter(!isBatch)
+          .select(col("vec_id").as("ex_id"), col("v").as("ev"), col("nrm").as("en"))
+        existing.join(broadcast(batch), col("ex_id") =!= col("vec_id"))
+          .withColumn("cos", dot(col("ev"), col("bv")) / (col("en") * col("bn")))
+          .filter(col("cos") >= tau)
+          .groupBy(col("vec_id"))
+          .agg(count(lit(1)).as("n_near_dups"))
+      } else {
+        val bc = graft.sim.Similarity.bucketedCorpus(embeddings, tables, bits)
+          .filter(col("nrm") > 0)
+        // batch side: exact bucket + every 1-bit flip per table (the
+        // multi-probe recall knob), vector carried for the re-score —
+        // a (batch × tables × (bits+1))-row broadcast table
+        val probe = bc.filter(isBatch)
+          .select(col("vec_id"), col("v").as("bv"), col("nrm").as("bn"),
+            posexplode(col("buckets")).as(Seq("t", "qbkt")))
+          .select(col("vec_id"), col("bv"), col("bn"), col("t"),
+            explode(expr(
+              s"transform(sequence(-1, ${bits - 1}), j -> if(j < 0, qbkt, qbkt ^ shiftleft(1L, j)))"))
+              .as("bkt"))
+        // existing side: exact buckets only; v/nrm ride the map-side
+        // pipeline (the join is broadcast — nothing here shuffles, so
+        // the carried vector never crosses the network)
+        val ex = bc.filter(!isBatch)
+          .select(col("vec_id").as("ex_id"), col("v").as("ev"), col("nrm").as("en"),
+            posexplode(col("buckets")).as(Seq("t", "bkt")))
+        ex.join(broadcast(probe), Seq("t", "bkt"))
+          .withColumn("cos", dot(col("ev"), col("bv")) / (col("en") * col("bn")))
+          .filter(col("cos") >= tau)
+          .groupBy(col("vec_id"))
+          // the same (batch, existing) pair can collide in several
+          // tables/probes — countDistinct dedups inside the one
+          // candidate-sized aggregate instead of a pre-join distinct
+          .agg(countDistinct(col("ex_id")).as("n_near_dups"))
+      }
+    e.filter(isBatch).select(col("vec_id"))
       .join(near, Seq("vec_id"), "left")
       .select(
         col("vec_id"),
@@ -885,6 +937,7 @@ object Dedup {
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
        |), n AS (
        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM p
+       |  WHERE sqrt(list_sum(list_transform(v, x -> x * x))) > 0
        |), b AS (
        |  SELECT vec_id, v, nrm FROM n WHERE vec_id % $batchMod = 0
        |), e AS (

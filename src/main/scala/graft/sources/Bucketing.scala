@@ -57,12 +57,17 @@ object Bucketing {
   private def resetTable(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(); ()
     }
     val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
       .stripPrefix("file:")
-    val dir = new java.io.File(s"$wh/$table")
+    // the catalog lowercases managed-table identifiers, so the
+    // warehouse directory is the LOWERCASED name — deleting by the
+    // case-preserving name would miss the stale dir when the data-dir
+    // suffix contains uppercase and the post-crash rerun would still
+    // fail on the existing location
+    val dir = new java.io.File(s"$wh/${table.toLowerCase(java.util.Locale.ROOT)}")
     if (dir.exists()) rm(dir)
   }
 

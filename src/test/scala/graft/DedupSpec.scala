@@ -414,6 +414,34 @@ class DedupSpec extends SparkSpec {
       s"batch side must broadcast:\n$plan")
   }
 
+  test("embedIncremental useLsh: never over-counts vs brute, usable recall, BNLJ-free plan") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Dedup.embedIncremental(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lshDf = Dedup.embedIncremental(emb, useLsh = true)
+    val lsh = lshDf.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // same batch coverage, and exact re-scoring means the LSH counts
+    // are a per-doc LOWER bound on brute (precision 1: candidates are
+    // a subset of the true near-dup set)
+    assert(lsh.keySet === brute.keySet)
+    lsh.foreach { case (id, (n, keep)) =>
+      assert(n <= brute(id), s"vec $id: lsh $n > brute ${brute(id)}")
+      assert(keep === (if (n == 0) 1L else 0L), s"vec $id keep flag")
+    }
+    val (bruteTotal, lshTotal) = (brute.values.sum, lsh.values.map(_._1).sum)
+    assert(bruteTotal > 0, "gate needs near-dups to exist at this sf")
+    assert(lshTotal.toDouble / bruteTotal >= 0.25,
+      s"recall ${lshTotal.toDouble / bruteTotal}")
+    // the scale claim that distinguishes this path from the brute
+    // screen: candidates come from a bucket EQUI-join (broadcast hash),
+    // never a nested loop or cartesian
+    val plan = planOf(lshDf)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("span-window table derives once per (corpus, k): spans + scrub + report share the memo") {
     import spark.implicits._
     val docs = Seq(

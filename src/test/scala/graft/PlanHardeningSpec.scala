@@ -72,7 +72,7 @@ class PlanHardeningSpec extends SparkSpec {
     assert(rowsOnly === mlQueries ++ Set(
       "q_dedup_minhash", "q_dedup_simhash", "q_dedup_eval", "q_ann_lsh",
       "q_ann_ivf", "q_ann_ivf_kmeans", "q_ann_pq", "q_ann_ivfpq", "q_ann_sq8",
-      "q_ann_eval", "q_dedup_embedding_lsh",
+      "q_ann_eval", "q_dedup_embedding_lsh", "q_embed_incremental_lsh",
       "q_corpus_stats_approx", "q_media_features", "q_distinct_approx"))
   }
 
