@@ -185,6 +185,11 @@ object SparkEntry {
     // never existing×existing; oracle is the brute cross comparison
     // (round-9 addition)
     "q_dedup_incremental" -> ((s, dir) => Dedup.incrementalDedup(Tables.documents(s, dir))),
+    // the batch's OTHER screen: a crawl batch self-duplicates, so
+    // after the store screen the batch is screened against itself —
+    // first-wins (earlier doc_id kept), same prefix-probe machinery
+    // over the batch slice alone (round-10 addition)
+    "q_dedup_batch" -> ((s, dir) => Dedup.batchDedup(Tables.documents(s, dir))),
     // incremental SEMANTIC dedup: the batch side broadcasts, the
     // screen is one map-side pass over the existing corpus scan —
     // no n² pairs, no corpus shuffle (round-9 addition)
@@ -584,6 +589,7 @@ object SparkEntry {
     "q_dup_span_report" -> Dedup.sqlDupSpanReport(),
     "q_dedup_ngram" -> Dedup.sqlNgramPairs(),
     "q_dedup_incremental" -> Dedup.sqlIncrementalDedup(),
+    "q_dedup_batch" -> Dedup.sqlBatchDedup(),
     "q_embed_incremental" -> Dedup.sqlEmbedIncremental(),
     "q_dedup_clusters" -> Dedup.sqlClusters(),
     "q_dedup_best" -> Dedup.sqlBestSurvivors(),

@@ -47,7 +47,12 @@ object Dedup {
       // sorted so pair verification can use the zero-allocation merge
       // walk (graft.functions.SortedIntersectSize)
       .select(col("doc_id"),
-        array_sort(array_distinct(transform(col("shs"), s => xxhash64(s)))).as("sh"))
+        array_sort(array_distinct(transform(col("shs"), s => xxhash64(s)))).as("sh"),
+        // the exact-dup content hash rides the same scan: the
+        // incremental screen needs BOTH the shingle set and the md5,
+        // and carrying ch here means one corpus read feeds both
+        // screens instead of a second full pass over `documents`
+        md5(col("text").cast("binary")).as("ch"))
 
   def sqlHashedShingleSet(x: String): String =
     s"list_distinct(list_transform(${Text.sqlShingles(x)}, s -> hash(s)))"
@@ -1518,14 +1523,16 @@ object Dedup {
       documents: DataFrame, batchMod: Long = 10, tau: Double = 0.5): DataFrame = {
     require(batchMod >= 2, "batchMod must split the corpus into batch and existing")
     val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
+    // ONE corpus scan feeds both screens: the memoized shingle seam
+    // carries the md5 content hash alongside the shingle set, so the
+    // exact screen below reads the same materialized table as the
+    // near screen instead of re-scanning `documents`
+    val sets = setsCached(documents)
     // ---- exact screen: batch content hashes vs the existing store's
-    val hashed = documents.select(col("doc_id"),
-      md5(col("text").cast("binary")).as("ch"), isBatch.as("b"))
-    val exactDups = hashed.filter(col("b"))
-      .join(hashed.filter(!col("b")).select(col("ch")).distinct(), Seq("ch"), "left_semi")
+    val exactDups = sets.filter(isBatch).select(col("doc_id"), col("ch"))
+      .join(sets.filter(!isBatch).select(col("ch")).distinct(), Seq("ch"), "left_semi")
       .select(col("doc_id"))
     // ---- near screen: batch prefixes probe the existing full index
-    val sets = setsCached(documents)
     val batchSets = sets.filter(isBatch)
     val exIndex = sets.filter(!isBatch)
       .select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
@@ -1549,7 +1556,7 @@ object Dedup {
       .filter(col("jac") >= tau)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_near_dups"))
-    documents.filter(isBatch).select(col("doc_id"))
+    sets.filter(isBatch).select(col("doc_id"))
       .join(exactDups.withColumn("e", lit(1L)), Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(
@@ -1578,6 +1585,100 @@ object Dedup {
        |  GROUP BY 1
        |), exd AS (
        |  SELECT DISTINCT b.doc_id FROM b JOIN e ON b.ch = e.ch
+       |)
+       |SELECT b.doc_id,
+       |  CAST(CASE WHEN exd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_exact_dup,
+       |  CAST(coalesce(nearp.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+       |  CAST(CASE WHEN exd.doc_id IS NULL AND coalesce(nearp.n_near_dups, 0) = 0
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM b
+       |LEFT JOIN exd USING (doc_id)
+       |LEFT JOIN nearp USING (doc_id)""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q109: BATCH-INTERNAL dedup — the screen [[incrementalDedup]]
+  // deliberately leaves out of contract: a real crawl batch
+  // self-duplicates heavily, so after screening against the immutable
+  // store the batch must also be screened against ITSELF before
+  // appending. First-wins convention: a doc is a duplicate iff an
+  // EARLIER batch doc (smaller doc_id — the fixed arrival order) is an
+  // exact or near twin, so every duplicate cluster keeps exactly its
+  // first member and the two screens compose: append the docs BOTH
+  // screens keep.
+  //
+  // Same machinery as the incremental screen — the memoized shingle+
+  // hash seam feeds both sub-screens, candidates come from the
+  // one-sided prefix probe (lossless under the sorted-hash order for
+  // the LATER doc of any qualifying pair; the earlier-only filter
+  // keeps each unordered pair exactly once) — just pointed at the
+  // batch slice on both sides. Cost ∝ batch × batch-candidates, never
+  // corpus-sized.
+  // ------------------------------------------------------------------
+  /** (doc_id, is_exact_dup, n_near_dups, keep) for every BATCH doc,
+    * screened against EARLIER batch docs only: is_exact_dup = 1 iff an
+    * earlier batch doc has identical content (md5); n_near_dups =
+    * earlier batch docs with shingle Jaccard >= tau; keep = 1 iff
+    * neither. Flags are BIGINT 0/1 like [[incrementalDedup]].
+    */
+  def batchDedup(
+      documents: DataFrame, batchMod: Long = 10, tau: Double = 0.5): DataFrame = {
+    require(batchMod >= 2, "batchMod must carve a batch slice out of the corpus")
+    val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
+    val sets = setsCached(documents).filter(isBatch)
+    // ---- exact screen: an earlier batch doc with the same md5
+    val exactDups = sets.as("a")
+      .join(sets.as("e").hint("shuffle_hash"),
+        col("a.ch") === col("e.ch") && col("e.doc_id") < col("a.doc_id"), "left_semi")
+      .select(col("a.doc_id").as("doc_id"))
+    // ---- near screen: every batch doc's prefix probes the batch's
+    // own inverted index; earlier-only keeps each pair once, credited
+    // to the LATER doc (whose prefix the losslessness bound covers)
+    val exIndex = sets.select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
+    val probe = sets
+      .select(col("doc_id"), size(col("sh")).as("n_sh"),
+        posexplode(col("sh")).as(Seq("pos0", "h")))
+      .filter(col("pos0") + 1 <=
+        col("n_sh") - ceil(lit(tau) * col("n_sh") - lit(1e-9)).cast("int") + 1)
+      .select(col("doc_id"), col("h"))
+    val cands = probe.join(exIndex.hint("shuffle_hash"), Seq("h"))
+      .filter(col("ex_id") < col("doc_id"))
+      .select(col("doc_id"), col("ex_id"))
+      .distinct()
+    val near = withJaccard(
+      cands
+        .join(sets.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+        .join(sets.select(col("doc_id").as("ex_id"), col("sh").as("sh_b")), "ex_id")
+        .filter(sizeRatioFilter(tau)))
+      .filter(col("jac") >= tau)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_near_dups"))
+    sets.select(col("doc_id"))
+      .join(exactDups.withColumn("e", lit(1L)), Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("e"), lit(0L)).as("is_exact_dup"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        when(coalesce(col("e"), lit(0L)) === 0L && coalesce(col("n_near_dups"), lit(0L)) === 0L,
+          lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
+
+  /** DuckDB twin of [[batchDedup]]: brute batch × batch earlier-only
+    * cross comparison.
+    */
+  def sqlBatchDedup(batchMod: Long = 10, tau: Double = 0.5): String = {
+    val jac = "CAST(len(list_intersect(a.sh, e.sh)) AS DOUBLE) / CAST(len(a.sh) + len(e.sh) - len(list_intersect(a.sh, e.sh)) AS DOUBLE)"
+    s"""WITH s AS (
+       |  SELECT doc_id, ${sqlHashedShingleSet("text")} AS sh, md5(text) AS ch FROM documents
+       |), b AS (
+       |  SELECT doc_id, sh, ch FROM s WHERE doc_id % $batchMod = 0
+       |), nearp AS (
+       |  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_near_dups
+       |  FROM b a JOIN b e ON e.doc_id < a.doc_id AND ($jac) >= $tau
+       |  GROUP BY 1
+       |), exd AS (
+       |  SELECT DISTINCT a.doc_id FROM b a JOIN b e ON e.doc_id < a.doc_id AND e.ch = a.ch
        |)
        |SELECT b.doc_id,
        |  CAST(CASE WHEN exd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_exact_dup,

@@ -321,6 +321,12 @@ class DedupSpec extends SparkSpec {
     Dedup.ngramPairs(docs).collect()
     assert(Memo.missCount === afterEval,
       "ngramPairs must reuse the family's shingle-set materialization")
+    // the incremental screen reads the SAME seam for BOTH its screens
+    // (the md5 content hash rides setsCached), so it adds no misses
+    // and no second corpus scan
+    Dedup.incrementalDedup(docs, batchMod = 2).collect()
+    assert(Memo.missCount === afterEval,
+      "incrementalDedup must feed both screens from the shared shingle+hash seam")
   }
 
   test("incrementalDedup: hand-built batch vs existing — exact twin, near-dup, unique, batch-internal ignored") {
@@ -381,6 +387,72 @@ class DedupSpec extends SparkSpec {
         inter / (a.size + c.size - inter) >= 0.5
       }
       val isExact = existing.exists(e => texts(e) == texts(b))
+      val (ge, gn, gk) = got(b)
+      assert(ge === (if (isExact) 1L else 0L), s"doc $b exact flag")
+      assert(gn === nNear.toLong, s"doc $b near count")
+      assert(gk === (if (!isExact && nNear == 0) 1L else 0L), s"doc $b keep flag")
+    }
+  }
+
+  test("batchDedup: first-wins within the batch — hand-built clusters") {
+    import spark.implicits._
+    // batchMod=10: docs 0,10,20,30,40 are the batch; existing docs are
+    // present but must be IGNORED by this screen.
+    // doc 0  = first of an exact-twin pair (0,20) -> kept
+    // doc 10 = near-dup of BATCH doc 0 (shared prefix + tail) -> dropped
+    // doc 20 = exact twin of EARLIER batch doc 0 -> dropped
+    // doc 30 = unique in the batch (its twin doc 3 is existing) -> kept
+    // doc 40 = unique -> kept
+    val base = "the quick brown fox jumps over the lazy dog again and again and again"
+    val docs = Seq(
+      (0L, base),
+      (3L, "an existing twin of a batch doc should not matter here at all"),
+      (5L, base), // existing exact twin of doc 0: ignored by this screen
+      (10L, base + " with a small tail"),
+      (20L, base),
+      (30L, "an existing twin of a batch doc should not matter here at all"),
+      (40L, "completely unrelated batch content nothing shared with anyone")).toDF("doc_id", "text")
+    val got = Dedup.batchDedup(docs, batchMod = 10, tau = 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === Set(0L, 10L, 20L, 30L, 40L))
+    assert(got(0L) === ((0L, 0L, 1L)), "first member of the cluster is kept")
+    assert(got(10L)._2 >= 1L && got(10L)._3 === 0L, "near-dup of earlier batch doc 0")
+    assert(got(20L)._1 === 1L && got(20L)._3 === 0L, "exact twin of earlier batch doc 0")
+    assert(got(30L) === ((0L, 0L, 1L)), "existing-store twins are out of this screen's scope")
+    assert(got(40L) === ((0L, 0L, 1L)), "unique batch doc keeps")
+  }
+
+  test("batchDedup: prefix probe equals the brute earlier-only cross comparison on a fixed-seed corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4321)
+    val vocab = Vector("red", "blue", "green", "stone", "river", "cloud", "iron", "wolf",
+      "amber", "pine", "salt", "storm", "ember", "frost", "moss", "raven")
+    def doc(): String = Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val base = (0L until 60L).map(i => (i, doc()))
+    // plant batch-internal dups (ids %10==0): 30 near-dups 10, 50 == 20
+    val planted = base.map {
+      case (i, _) if i == 30L => (i, base.find(_._1 == 10L).get._2 + " tail")
+      case (i, _) if i == 50L => (i, base.find(_._1 == 20L).get._2)
+      case x => x
+    }
+    val docs = planted.toDF("doc_id", "text")
+    val got = Dedup.batchDedup(docs, batchMod = 10, tau = 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def shingles(t: String): Set[Seq[String]] = {
+      val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.length < 3) Set(toks) else toks.sliding(3).map(_.toSeq).toSet
+    }
+    val sets = planted.map { case (i, t) => i -> shingles(t) }.toMap
+    val texts = planted.toMap
+    val batch = planted.map(_._1).filter(_ % 10 == 0)
+    batch.foreach { b =>
+      val earlier = batch.filter(_ < b)
+      val nNear = earlier.count { e =>
+        val (a, c) = (sets(b), sets(e))
+        val inter = a.intersect(c).size.toDouble
+        inter / (a.size + c.size - inter) >= 0.5
+      }
+      val isExact = earlier.exists(e => texts(e) == texts(b))
       val (ge, gn, gk) = got(b)
       assert(ge === (if (isExact) 1L else 0L), s"doc $b exact flag")
       assert(gn === nNear.toLong, s"doc $b near count")
