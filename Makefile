@@ -108,6 +108,9 @@ pq_index:
 pq_search:
 	$(SBT) "runMain graft.cli.PqIndexTool --mode search --data $(RAW_DIR) --index_dir $(PQ_DIR)"
 
+pq_append:
+	$(SBT) "runMain graft.cli.PqIndexTool --mode append --data $(RAW_DIR) --index_dir $(PQ_DIR)"
+
 verify:
 	$(SBT) "runMain graft.Verify $(RAW_DIR) /tmp/graft_verify"
 

@@ -334,8 +334,12 @@ object Serve {
   * assignment parquet; SQ8: bounds.json + codes parquet); `--mode
   * search` reads it back and prints the top-k neighbors — the
   * train-once/search-forever serving lifecycle for the ANN family.
+  * `--mode append --batch_mod N` encodes the vec_id % N == 0 slice
+  * (the landed-batch convention of q_dedup_incremental) against the
+  * PERSISTED model — no retrain — and appends it to the index.
   * Search over a read-back index is proven hash-equal to the
-  * in-session train→search in SimilaritySpec for every family.
+  * in-session train→search in SimilaritySpec for every family, and
+  * append is proven one-shot-equivalent under the same model.
   */
 object PqIndexTool {
   def main(argv: Array[String]): Unit = CliSession.withSession { spark =>
@@ -356,6 +360,16 @@ object PqIndexTool {
       case ("build", "sq8") =>
         graft.sim.Sq8Index.write(emb, indexDir)
         println(s"[SQ8] index written to $indexDir")
+      case ("append", fam) =>
+        val batch = emb.filter(
+          pmod(col("vec_id"), lit(a.getOrElse("batch_mod", "10").toLong)) === 0)
+        fam match {
+          case "pq" => graft.sim.PqIndex.append(spark, batch, indexDir)
+          case "ivf" | "ivf_kmeans" => graft.sim.IvfIndex.append(spark, batch, indexDir)
+          case "sq8" => graft.sim.Sq8Index.append(spark, batch, indexDir)
+          case other => throw new IllegalArgumentException(s"unknown --family '$other'")
+        }
+        println(s"[${fam.toUpperCase}] batch appended to $indexDir (no retrain)")
       case ("search", "sq8") =>
         show(graft.sim.Sq8Index.search(spark, indexDir, emb,
           nQueries = a.getOrElse("nqueries", "10").toInt,

@@ -79,6 +79,22 @@ object IvfIndex {
       Similarity.prepared(embeddings).filter(col("vec_id") < nCells)
         .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
 
+  /** Append a NEW batch against the PERSISTED centroids without
+    * retraining (the [[PqIndex.append]] contract for the cell-probe
+    * family): each batch vector is assigned to its nearest persisted
+    * centroid — the same scan-side argmax [[Similarity.assignCells]]
+    * runs at write time, per-vector deterministic — and the
+    * assignments append to `assigned/`. Fails loudly on an empty
+    * index (no centroids to assign against).
+    */
+  def append(spark: SparkSession, batch: DataFrame, dir: String): Unit = {
+    val (cents, _) = read(spark, dir)
+    require(cents.limit(1).count() > 0,
+      s"cannot append to the empty IVF index at $dir: no centroids to assign against")
+    Similarity.assignCells(Similarity.prepared(batch), cents)
+      .write.mode(SaveMode.Append).parquet(s"$dir/assigned")
+  }
+
   /** Read the persisted centroid table (driver-built bounded frame)
     * and the lazily-scanned assignment parquet. Fails loudly on a
     * centroid file with no assignment directory (write emits both).

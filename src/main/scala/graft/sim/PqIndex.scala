@@ -67,6 +67,31 @@ object PqIndex {
     codes.foreach(_.write.mode(SaveMode.Overwrite).parquet(s"$dir/codes"))
   }
 
+  /** Append a NEW batch to a persisted index WITHOUT retraining — the
+    * faiss train/add split, and the missing half of the crawl-ingest
+    * story (q_dedup_incremental screens the batch; this indexes the
+    * kept docs): the batch is encoded with the PERSISTED codebooks —
+    * a pure scan-side pass, per-vector deterministic, identical to how
+    * [[write]] would have encoded the same vectors under the same
+    * model — and the codes append to `codes/` (parquet append: the
+    * existing code files are untouched). SimilaritySpec proves
+    * search over (write existing, append batch) hash-EQUAL to search
+    * over a one-shot encoding of the full corpus under the same
+    * trained model.
+    *
+    * Appending to an EMPTY index fails loudly (there is no model to
+    * encode against — train first); de-duplicating vec_ids against
+    * the already-indexed corpus is the caller's screen
+    * ([[graft.dedup.Dedup.incrementalDedup]] exists for exactly that).
+    */
+  def append(spark: SparkSession, batch: DataFrame, dir: String): Unit = {
+    val (d, books, _) = read(spark, dir)
+    require(books.nonEmpty,
+      s"cannot append to the empty PQ index at $dir: no trained codebooks to encode against")
+    Similarity.pqEncode(Similarity.unitCorpus(batch, d), books, books.size, d)
+      .write.mode(SaveMode.Append).parquet(s"$dir/codes")
+  }
+
   /** Read the persisted codebooks (code = position, ‖c‖² recomputed
     * with the training-side IEEE sum) and lazily the codes parquet.
     */

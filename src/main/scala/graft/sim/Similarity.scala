@@ -694,7 +694,13 @@ object Similarity {
   private[graft] def sq8Encode(u: DataFrame, bounds: Array[(Double, Double)]): DataFrame = {
     val codeCols: Seq[Column] = bounds.toIndexedSeq.zipWithIndex.map { case ((lo, hi), i) =>
       if (hi > lo)
-        floor((col("u")(i) - lit(lo)) / lit(hi - lo) * lit(255.0) + lit(0.5)).cast("int")
+        // clamp to the uint8 range: a no-op for the corpus the bounds
+        // were trained on (they ARE its min/max) but required for
+        // vectors APPENDED against a persisted index (Sq8Index.append)
+        // whose values may fall outside the trained bounds
+        greatest(lit(0),
+          least(lit(255),
+            floor((col("u")(i) - lit(lo)) / lit(hi - lo) * lit(255.0) + lit(0.5)).cast("int")))
       else lit(0)
     }
     u.select(col("vec_id"), array(codeCols: _*).as("qc"))
@@ -744,7 +750,7 @@ object Similarity {
   private[graft] val PqTrainN = 256
 
   /** (vec_id, u) — normalized valid d-dim vectors. */
-  private def unitCorpus(embeddings: DataFrame, d: Int): DataFrame =
+  private[graft] def unitCorpus(embeddings: DataFrame, d: Int): DataFrame =
     prepared(embeddings).filter(col("nrm") > 0 && size(col("v")) === d)
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
 

@@ -46,6 +46,20 @@ object Sq8Index {
     codes.foreach(_.write.mode(SaveMode.Overwrite).parquet(s"$dir/codes"))
   }
 
+  /** Append a NEW batch against the PERSISTED bounds without
+    * retraining (the [[PqIndex.append]] contract for the scalar
+    * family): scan-side uint8 encoding — values outside the trained
+    * bounds clamp to the code range, so appended codes stay valid
+    * uint8 — appended to `codes/`. Fails loudly on an empty index.
+    */
+  def append(spark: SparkSession, batch: DataFrame, dir: String): Unit = {
+    val (d, bounds, _) = read(spark, dir)
+    require(bounds.nonEmpty,
+      s"cannot append to the empty SQ8 index at $dir: no trained bounds to encode against")
+    Similarity.sq8Encode(Similarity.unitCorpus(batch, d), bounds)
+      .write.mode(SaveMode.Append).parquet(s"$dir/codes")
+  }
+
   /** Read the persisted bounds and lazily the codes parquet; a bounds
     * file with no codes directory is a corrupt index and fails loudly
     * (write emits both).

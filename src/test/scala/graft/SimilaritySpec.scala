@@ -224,6 +224,101 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("index append: write(existing) + append(batch) searches hash-EQUAL to a one-shot encoding under the same model (pq/sq8/ivf)") {
+    // the q_dedup_incremental corpus split: vec_id % 10 == 0 is the
+    // landed batch, the rest the already-indexed store. The model
+    // (codebooks / bounds / centroids) trains on the EXISTING slice in
+    // BOTH scenarios — append's contract is the faiss train/add split:
+    // encoding is per-vector deterministic given the model, so codes
+    // that arrive via append are identical to codes written one-shot.
+    val e = Tables.embeddings(spark, sf)
+    val existing = e.filter(col("vec_id") % 10 =!= 0)
+    val batch = e.filter(col("vec_id") % 10 === 0)
+    def set(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    def rmrf(dir: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+
+    // ---- PQ
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("pq_append_").toString
+      try {
+        graft.sim.PqIndex.write(existing, dir)
+        graft.sim.PqIndex.append(spark, batch, dir)
+        val (_, _, codes) = graft.sim.PqIndex.read(spark, dir)
+        assert(codes.get.count() === e.count(), "existing + appended must cover the corpus")
+        val got = set(graft.sim.PqIndex.search(spark, dir, e))
+        val (d, books, _) = Similarity.pqArtifacts(existing)
+        val oneShot = Similarity.pqEncode(Similarity.unitCorpus(e, d), books, books.size, d)
+        val ref = set(Similarity.pqSearchWith(e, books, oneShot, 10, 10, books.size, 4, d))
+        assert(got === ref, "pq append drifted from one-shot encoding")
+        assert(got.nonEmpty)
+      } finally rmrf(dir)
+    }
+
+    // ---- SQ8 (batch values outside the existing-trained bounds clamp)
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("sq8_append_").toString
+      try {
+        graft.sim.Sq8Index.write(existing, dir)
+        graft.sim.Sq8Index.append(spark, batch, dir)
+        val (_, _, codes) = graft.sim.Sq8Index.read(spark, dir)
+        assert(codes.get.count() === e.count())
+        // every appended code must stay a valid uint8 even where the
+        // batch falls outside the existing-trained bounds
+        import org.apache.spark.sql.functions.{array_max, array_min, col => c}
+        val mm = codes.get
+          .agg(org.apache.spark.sql.functions.min(array_min(c("qc"))),
+            org.apache.spark.sql.functions.max(array_max(c("qc")))).collect().head
+        assert(mm.getInt(0) >= 0 && mm.getInt(1) <= 255, "appended codes must clamp to uint8")
+        val got = set(graft.sim.Sq8Index.search(spark, dir, e))
+        val (d, bounds, _) = Similarity.sq8Artifacts(existing)
+        val oneShot = Similarity.sq8Encode(Similarity.unitCorpus(e, d), bounds)
+        val ref = set(Similarity.sq8SearchWith(e, bounds, oneShot, 10, 10, 4, d))
+        assert(got === ref, "sq8 append drifted from one-shot encoding")
+        assert(got.nonEmpty)
+      } finally rmrf(dir)
+    }
+
+    // ---- IVF (seed centroids from the existing slice)
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("ivf_append_").toString
+      try {
+        graft.sim.IvfIndex.write(existing, dir)
+        graft.sim.IvfIndex.append(spark, batch, dir)
+        val (cents, assigned) = graft.sim.IvfIndex.read(spark, dir)
+        assert(assigned.count() === e.count())
+        val got = set(graft.sim.IvfIndex.search(spark, dir, e))
+        val oneShot = Similarity.assignCells(Similarity.prepared(e), cents)
+        val ref = set(Similarity.ivfSearch(Similarity.prepared(e), oneShot, cents, 10, 10, 2))
+        assert(got === ref, "ivf append drifted from one-shot assignment")
+        assert(got.nonEmpty)
+      } finally rmrf(dir)
+    }
+
+    // appending to an untrained index fails loudly, all three families
+    val empty = e.filter(col("vec_id") < 0)
+    for ((fam, wr, ap) <- Seq[(String, String => Unit, String => Unit)](
+      ("pq", d => graft.sim.PqIndex.write(empty, d),
+        d => graft.sim.PqIndex.append(spark, batch, d)),
+      ("sq8", d => graft.sim.Sq8Index.write(empty, d),
+        d => graft.sim.Sq8Index.append(spark, batch, d)),
+      ("ivf", d => graft.sim.IvfIndex.write(empty, d),
+        d => graft.sim.IvfIndex.append(spark, batch, d)))) {
+      val dir = java.nio.file.Files.createTempDirectory(s"${fam}_append_empty_").toString
+      try {
+        wr(dir)
+        val ex = intercept[IllegalArgumentException] { ap(dir) }
+        assert(ex.getMessage.contains("append"), s"$fam: $ex")
+      } finally rmrf(dir)
+    }
+  }
+
   test("HyperplaneBuckets planes are bit-identical to the xxhash64-expression definition") {
     // the native expression precomputes planes via XXH64.hashInt; the
     // original definition was CAST(xxhash64(t*1000003+b*1009+j) AS
