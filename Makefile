@@ -13,6 +13,7 @@ MODEL_DIR      ?= $(MODEL_OUT)/model
 CUTOFF         ?= 2000-06-30
 LOOKAHEAD      ?= 180
 PQ_DIR         ?= data/pq_index
+BPE_MODEL      ?= data/bpe/merges.txt
 
 CV             ?= false           # true = reference 3-fold 3x3 CV grid
 CV_PARALLELISM ?= 4
@@ -110,6 +111,12 @@ pq_search:
 
 pq_append:
 	$(SBT) "runMain graft.cli.PqIndexTool --mode append --data $(RAW_DIR) --index_dir $(PQ_DIR)"
+
+bpe_train:
+	$(SBT) "runMain graft.cli.BpeModelTool --mode train --data $(RAW_DIR) --model $(BPE_MODEL)"
+
+bpe_tokenize:
+	$(SBT) "runMain graft.cli.BpeModelTool --mode tokenize --data $(RAW_DIR) --model $(BPE_MODEL)"
 
 verify:
 	$(SBT) "runMain graft.Verify $(RAW_DIR) /tmp/graft_verify"

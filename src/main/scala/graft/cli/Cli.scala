@@ -328,6 +328,32 @@ object Serve {
   }
 }
 
+/** `graft.cli.BpeModelTool --mode train --data <sfDir> --model <path>
+  * [--n_merges N]` trains BPE merges on the documents table and ships
+  * them as an ordered merges.txt; `--mode tokenize` reads the model
+  * back and tokenizes — the train-once/tokenize-forever lifecycle.
+  * Tokenize-with-read-back is proven hash-equal to the in-session
+  * train→apply composition in BpeSpec.
+  */
+object BpeModelTool {
+  def main(argv: Array[String]): Unit = CliSession.withSession { spark =>
+    val a = Args.parse(argv)
+    val data = Args.required(a, "data")
+    val model = Args.required(a, "model")
+    val docs = graft.Tables.documents(spark, data)
+    a.getOrElse("mode", "train") match {
+      case "train" =>
+        graft.text.BpeModel.writeTrained(docs, model,
+          a.getOrElse("n_merges", graft.text.Bpe.defaultTrainRounds.toString).toInt)
+        println(s"[BPE] merges written to $model")
+      case "tokenize" =>
+        graft.text.BpeModel.tokenize(docs, model)
+          .orderBy(col("doc_id")).show(20, truncate = false)
+      case m => throw new IllegalArgumentException(s"unknown --mode '$m'")
+    }
+  }
+}
+
 /** `graft.cli.PqIndexTool --mode build --data <sfDir> --index_dir <dir>
   * [--family pq|ivf|ivf_kmeans|sq8]` trains+persists an ANN index
   * (PQ: codebooks.json + codes parquet; IVF: centroids.json +

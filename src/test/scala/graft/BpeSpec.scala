@@ -193,6 +193,57 @@ class BpeSpec extends SparkSpec {
       s"self-trained merges should beat the generic shipped head: $trained vs $shipped")
   }
 
+  test("BpeModel: train -> write -> read -> tokenize is hash-EQUAL to the in-session train->apply") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_model_").toString
+    val path = s"$dir/merges.txt"
+    try {
+      graft.text.BpeModel.writeTrained(docs, path)
+      // the persisted file is the merges.txt shape: header + ordered rules
+      val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+      assert(lines.get(0) === "#graft-bpe-v1")
+      assert(lines.size() > 1)
+      // read-back rules are bit-identical to the in-session memo
+      val rules = graft.text.BpeModel.read(path)
+      val inSession = Bpe.trainBpe(docs).collect()
+        .sortBy(_.getLong(0)).map(r => r.getString(1) -> r.getString(2)).toSeq
+      assert(rules === inSession)
+      // and tokenizing under the read-back model is row-identical to
+      // the composed q_bpe_train_apply
+      val fromDisk = graft.text.BpeModel.tokenize(docs, path).collect().map(_.toSeq).toSet
+      val composed = Bpe.bpeTokenizeTrained(docs).collect().map(_.toSeq).toSet
+      assert(fromDisk === composed)
+      assert(fromDisk.nonEmpty)
+    } finally {
+      new java.io.File(path).delete()
+      new java.io.File(dir).delete()
+    }
+  }
+
+  test("BpeModel: corrupt, empty and headerless models fail loudly") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("bpe_model_bad_").toString
+    def put(name: String, content: String): String = {
+      val p = s"$dir/$name"
+      Files.write(Paths.get(p), content.getBytes("UTF-8"))
+      p
+    }
+    try {
+      intercept[IllegalArgumentException](graft.text.BpeModel.write(Seq.empty, s"$dir/empty.txt"))
+      intercept[IllegalArgumentException](
+        graft.text.BpeModel.write(Seq("a" -> "|"), s"$dir/badtok.txt"))
+      intercept[IllegalArgumentException](
+        graft.text.BpeModel.read(put("noheader.txt", "a b\nc d")))
+      intercept[IllegalArgumentException](
+        graft.text.BpeModel.read(put("norules.txt", "#graft-bpe-v1\n")))
+      intercept[IllegalArgumentException](
+        graft.text.BpeModel.read(put("badline.txt", "#graft-bpe-v1\na b c")))
+    } finally {
+      Option(new java.io.File(dir).listFiles()).foreach(_.foreach(_.delete()))
+      new java.io.File(dir).delete()
+    }
+  }
+
   test("the wrapped representation never contains a triple pipe (the SQL no-op guard)") {
     // sqlBpeTokenizeTrained coalesces an exhausted round's pattern to
     // '|||'; that is only a no-op if '|||' cannot occur in the wrapped
