@@ -1525,16 +1525,27 @@ object Dedup {
     val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
     // ONE corpus scan feeds both screens: the memoized shingle seam
     // carries the md5 content hash alongside the shingle set, so the
-    // exact screen below reads the same materialized table as the
-    // near screen instead of re-scanning `documents`
+    // exact screen reads the same materialized table as the near
+    // screen instead of a second pass over `documents`
     val sets = setsCached(documents)
+    screenSets(sets.filter(isBatch), sets.filter(!isBatch), tau)
+  }
+
+  /** The screen core over prepared (doc_id, sh, ch) set-frames — the
+    * [[incrementalDedup]] semantics with the batch/store split made
+    * explicit, so the mod-split batch query, the [[screenAgainst]]
+    * library entry and the per-micro-batch streaming form
+    * ([[graft.streaming.Events.incrementalScreenStream]]) all run the
+    * IDENTICAL plan: exact screen on `ch`, one-sided prefix probe into
+    * the store's inverted index, exact Jaccard verification.
+    */
+  private def screenSets(batchSets: DataFrame, exSets: DataFrame, tau: Double): DataFrame = {
     // ---- exact screen: batch content hashes vs the existing store's
-    val exactDups = sets.filter(isBatch).select(col("doc_id"), col("ch"))
-      .join(sets.filter(!isBatch).select(col("ch")).distinct(), Seq("ch"), "left_semi")
+    val exactDups = batchSets.select(col("doc_id"), col("ch"))
+      .join(exSets.select(col("ch")).distinct(), Seq("ch"), "left_semi")
       .select(col("doc_id"))
     // ---- near screen: batch prefixes probe the existing full index
-    val batchSets = sets.filter(isBatch)
-    val exIndex = sets.filter(!isBatch)
+    val exIndex = exSets
       .select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
     val probe = batchSets
       .select(col("doc_id"), size(col("sh")).as("n_sh"),
@@ -1550,13 +1561,13 @@ object Dedup {
       .distinct()
     val near = withJaccard(
       cands
-        .join(sets.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
-        .join(sets.select(col("doc_id").as("ex_id"), col("sh").as("sh_b")), "ex_id")
+        .join(batchSets.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+        .join(exSets.select(col("doc_id").as("ex_id"), col("sh").as("sh_b")), "ex_id")
         .filter(sizeRatioFilter(tau)))
       .filter(col("jac") >= tau)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_near_dups"))
-    sets.filter(isBatch).select(col("doc_id"))
+    batchSets.select(col("doc_id"))
       .join(exactDups.withColumn("e", lit(1L)), Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(
@@ -1566,6 +1577,21 @@ object Dedup {
         when(coalesce(col("e"), lit(0L)) === 0L && coalesce(col("n_near_dups"), lit(0L)) === 0L,
           lit(1L)).otherwise(lit(0L)).as("keep"))
   }
+
+  /** Screen ARBITRARY new documents against an ARBITRARY existing
+    * store — the [[incrementalDedup]] contract without the mod-split
+    * convention: `newDocs` is whatever landed (a crawl drop, one
+    * streaming micro-batch), `existingDocs` the immutable corpus. The
+    * store's shingle+hash seam is memoized ([[setsCached]]), so
+    * repeated screens against the same store — every micro-batch of a
+    * streaming ingest — derive the store index ONCE per session; the
+    * batch side is batch-sized and derived fresh. Per-doc results
+    * depend only on (doc, store), which is what makes the streaming
+    * form's micro-batched union provably equal to one big screen.
+    */
+  def screenAgainst(
+      newDocs: DataFrame, existingDocs: DataFrame, tau: Double = 0.5): DataFrame =
+    screenSets(hashedShingleSets(newDocs), setsCached(existingDocs), tau)
 
   /** DuckDB twin of [[incrementalDedup]]: brute batch × existing cross
     * comparison (exactly the shape the Spark side must avoid at scale

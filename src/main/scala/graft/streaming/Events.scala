@@ -228,6 +228,55 @@ object Events {
   }
 
   // ------------------------------------------------------------------
+  // Streaming incremental dedup screen (the crawl-ingest pipeline).
+  // ------------------------------------------------------------------
+
+  /** The [[graft.dedup.Dedup.incrementalDedup]] contract as a
+    * Structured Streaming job: documents STREAM in, and every
+    * micro-batch is screened against the STATIC existing store —
+    * exact (content hash) + near (one-sided prefix probe into the
+    * store's inverted shingle index) — via
+    * [[graft.dedup.Dedup.screenAgainst]] inside `foreachBatch`.
+    *
+    * Why `foreachBatch` and not a fully-declarative streaming plan:
+    * the screen ends in a per-doc candidate rollup over a pair-dedup
+    * (`distinct` on (doc, ex) then count), a chain of stateful
+    * operators Structured Streaming cannot express in one query — but
+    * a micro-batch is a BOUNDED landed batch by definition, so running
+    * the proven batch screen per micro-batch is not a workaround, it
+    * is the production shape (and Spark's documented pattern for
+    * batch-only logic in streams). The store-side index is the
+    * memoized [[graft.dedup.Dedup.setsCached]] seam, so micro-batch N
+    * pays ZERO store-side work after micro-batch 1 — per-batch cost is
+    * ∝ batch, the incremental contract. Per-doc results depend only on
+    * (doc, store), so the union over micro-batches is provably the one
+    * big screen's output — StreamingSpec drives the batch slice
+    * through file-per-trigger micro-batches and proves the
+    * accumulated output row-equal to the batch operator.
+    *
+    * Compose [[dedupStream]] upstream for within-stream exact
+    * suppression (`dropDuplicatesWithinWatermark` — watermark-bounded
+    * state), mirroring how [[graft.dedup.Dedup.batchDedup]] composes
+    * with the batch screen; this operator screens whatever reaches it
+    * against the STORE.
+    *
+    * Returns the prepared writer; the caller picks trigger/checkpoint
+    * and starts it. `sink` receives each screened micro-batch
+    * (the incrementalDedup schema) and its micro-batch id.
+    */
+  def incrementalScreenStream(
+      stream: DataFrame,
+      existingDocs: DataFrame,
+      tau: Double = 0.5)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(graft.dedup.Dedup.screenAgainst(mb.toDF(), existingDocs, tau), id)
+      }
+
+  // ------------------------------------------------------------------
   // Stream-stream interval join (windowed attribution).
   // ------------------------------------------------------------------
 

@@ -118,6 +118,38 @@ class StreamingSpec extends SparkSpec {
     })
   }
 
+  test("streaming incremental screen over micro-batches equals the batch incrementalDedup") {
+    import org.apache.spark.sql.SaveMode
+    val docs = Tables.documents(spark, sf)
+    val batchSlice = docs.filter(col("doc_id") % 10 === 0)
+    val existing = docs.filter(col("doc_id") % 10 =!= 0)
+    // land the batch slice as MANY small files and stream them one
+    // file per trigger, so the screen genuinely runs across several
+    // micro-batches (per-doc results depend only on (doc, store), so
+    // the union must equal the one-shot batch screen)
+    val tmp = Files.createTempDirectory("graft-inc-screen").toString
+    batchSlice.repartition(5).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    val got = new scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    var batches = 0
+    val q = Events.incrementalScreenStream(stream, existing) { (screened, _) =>
+      got.synchronized {
+        got ++= screened.collect().map(_.toSeq)
+        batches += 1
+      }
+      ()
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 2, s"test must exercise several micro-batches, got $batches")
+    val batch = graft.dedup.Dedup.incrementalDedup(docs).collect().map(_.toSeq).toSet
+    assert(got.toSet === batch,
+      "micro-batched screen union must equal the one-shot batch screen")
+    assert(got.size === got.toSet.size, "no doc may be screened twice")
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup keeps first arrival per content hash across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.SaveMode
