@@ -190,6 +190,10 @@ object SparkEntry {
     // first-wins (earlier doc_id kept), same prefix-probe machinery
     // over the batch slice alone (round-10 addition)
     "q_dedup_batch" -> ((s, dir) => Dedup.batchDedup(Tables.documents(s, dir))),
+    // the verdict the pipeline acts on: append iff BOTH screens keep
+    // (store screen AND first-wins batch self-screen), with the
+    // per-screen verdicts in the artifact (round-10 addition)
+    "q_ingest_decision" -> ((s, dir) => Dedup.ingestDecision(Tables.documents(s, dir))),
     // incremental SEMANTIC dedup: the batch side broadcasts, the
     // screen is one map-side pass over the existing corpus scan —
     // no n² pairs, no corpus shuffle (round-9 addition)
@@ -590,6 +594,7 @@ object SparkEntry {
     "q_dedup_ngram" -> Dedup.sqlNgramPairs(),
     "q_dedup_incremental" -> Dedup.sqlIncrementalDedup(),
     "q_dedup_batch" -> Dedup.sqlBatchDedup(),
+    "q_ingest_decision" -> Dedup.sqlIngestDecision(),
     "q_embed_incremental" -> Dedup.sqlEmbedIncremental(),
     "q_dedup_clusters" -> Dedup.sqlClusters(),
     "q_dedup_best" -> Dedup.sqlBestSurvivors(),

@@ -1690,6 +1690,41 @@ object Dedup {
           lit(1L)).otherwise(lit(0L)).as("keep"))
   }
 
+  /** q111: the INGEST DECISION — the verdict the pipeline actually
+    * acts on: a batch doc is appended to the store iff BOTH screens
+    * keep it ([[incrementalDedup]]: no exact/near twin in the
+    * existing store; [[batchDedup]]: no earlier twin within the
+    * batch). One row per batch doc with both verdicts and their
+    * conjunction, so the artifact shows WHY a doc was dropped, not
+    * just that it was. Both screens read the same memoized
+    * shingle+hash seam, so the composition costs two batch-sized
+    * screens over ONE corpus scan.
+    */
+  def ingestDecision(
+      documents: DataFrame, batchMod: Long = 10, tau: Double = 0.5): DataFrame = {
+    val store = incrementalDedup(documents, batchMod, tau)
+      .select(col("doc_id"), col("keep").as("store_keep"))
+    val intra = batchDedup(documents, batchMod, tau)
+      .select(col("doc_id"), col("keep").as("batch_keep"))
+    store.join(intra, Seq("doc_id"))
+      .select(col("doc_id"), col("store_keep"), col("batch_keep"),
+        (col("store_keep") * col("batch_keep")).as("keep"))
+  }
+
+  /** DuckDB twin of [[ingestDecision]]: the two screen twins composed
+    * as FROM-subqueries (each carries its own WITH chain).
+    */
+  def sqlIngestDecision(batchMod: Long = 10, tau: Double = 0.5): String =
+    s"""SELECT s.doc_id,
+       |  s.keep AS store_keep,
+       |  i.keep AS batch_keep,
+       |  s.keep * i.keep AS keep
+       |FROM (
+       |${sqlIncrementalDedup(batchMod, tau)}
+       |) s JOIN (
+       |${sqlBatchDedup(batchMod, tau)}
+       |) i ON s.doc_id = i.doc_id""".stripMargin
+
   /** DuckDB twin of [[batchDedup]]: brute batch × batch earlier-only
     * cross comparison.
     */

@@ -460,6 +460,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ingestDecision: the conjunction of the two screens, on the real corpus") {
+    val docs = Tables.documents(spark, sf)
+    val store = Dedup.incrementalDedup(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val intra = Dedup.batchDedup(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val got = Dedup.ingestDecision(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === store.keySet && got.keySet === intra.keySet)
+    got.foreach { case (id, (sk, bk, k)) =>
+      assert(sk === store(id), s"doc $id store verdict")
+      assert(bk === intra(id), s"doc $id batch verdict")
+      assert(k === sk * bk, s"doc $id conjunction")
+    }
+    // both screens must actually bite somewhere for the test to mean
+    // anything (the sf corpus plants both kinds of duplicates)
+    assert(got.values.exists(_._1 == 0L), "store screen never fired")
+    assert(got.values.exists(v => v._3 == 0L), "no doc was dropped at all")
+  }
+
   test("embedIncremental: brute cross-slice agreement and the broadcast-batch plan shape") {
     val emb = Tables.embeddings(spark, sf)
     val got = Dedup.embedIncremental(emb).collect()

@@ -135,6 +135,13 @@ class PlanHardeningSpec extends SparkSpec {
     val emptyEval = Dedup.dedupEval(emptyDocs).collect()
     assert(emptyEval.length === 8)
     assert(emptyEval.forall(r => r.getLong(2) === 0L && r.getLong(3) === 0L))
+    // round-9/10 operators: the incremental + batch-internal screens
+    // and the arbitrary-split screen core
+    assert(Dedup.incrementalDedup(emptyDocs).count() === 0)
+    assert(Dedup.batchDedup(emptyDocs).count() === 0)
+    assert(Dedup.screenAgainst(emptyDocs, emptyDocs).count() === 0)
+    assert(Dedup.embedIncremental(emptyEmb).count() === 0)
+    assert(Dedup.embedIncremental(emptyEmb, useLsh = true).count() === 0)
   }
 
   test("temporal and outlier operators behave on an empty event stream") {
