@@ -411,6 +411,14 @@ object PqIndexTool {
           nQueries = a.getOrElse("nqueries", "10").toInt,
           k = a.getOrElse("k", "10").toInt,
           nProbe = a.getOrElse("nprobe", "2").toInt))
+      case ("search", "ivfpq") =>
+        // the composition serves from its two persisted parents:
+        // --index_dir = the IVF index, --pq_dir = the PQ index
+        show(graft.sim.IvfPqIndex.search(spark, indexDir, Args.required(a, "pq_dir"), emb,
+          nQueries = a.getOrElse("nqueries", "10").toInt,
+          k = a.getOrElse("k", "10").toInt,
+          nProbe = a.getOrElse("nprobe", "4").toInt,
+          refine = a.getOrElse("refine", "4").toInt))
       case (mode, fam) =>
         throw new IllegalArgumentException(s"unknown --mode '$mode' / --family '$fam'")
     }

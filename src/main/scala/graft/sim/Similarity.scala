@@ -939,6 +939,27 @@ object Similarity {
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
     val assigned = assignCellsCached(embeddings, cents, s"seed:$nCells")
     val codes = pqCodesCached(embeddings, books, PqSub, PqCodes, PqIters, PqTrainN, d)
+    ivfPqSearchWith(embeddings, books, codes, cents, assigned, nQueries, k, nProbe, refine, d)
+  }
+
+  /** The IVF-PQ SEARCH phase against PROVIDED artifacts (PQ codebooks
+    * + codes, IVF centroids + cell assignment) — factored so the
+    * composed persisted indexes ([[IvfPqIndex]]: an [[IvfIndex]] and
+    * a [[PqIndex]] read back from disk) drive the identical pipeline
+    * the in-session [[ivfPqAnn]] runs.
+    */
+  private[graft] def ivfPqSearchWith(
+      embeddings: DataFrame,
+      books: Map[Int, Array[(Int, Array[Double], Double)]],
+      codes: DataFrame,
+      cents: DataFrame,
+      assigned: DataFrame,
+      nQueries: Int, k: Int, nProbe: Int, refine: Int, d: Int): DataFrame = {
+    val session = embeddings.sparkSession
+    import session.implicits._
+    val empty = Seq.empty[(Long, Int, Long, Double)]
+      .toDF("query_id", "rank", "vec_id", "cosine")
+    val e = prepared(embeddings)
     // probe ranking scan-side (the assignCells move): the bounded
     // centroid table embeds as literal (ccos, -cell, cell) structs
     // (cellArms — the same arms assignCells argmaxes over), and
@@ -951,7 +972,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"),
         explode(slice(reverse(array_sort(array(cellArms(cl).toIndexedSeq: _*))), 1, nProbe)).as("a"))
       .select(col("query_id"), col("a.cell").as("cell"))
-    val qs = pqQueryTabs(unitCorpus(embeddings, d), books, PqSub, d, nQueries)
+    val qs = pqQueryTabs(unitCorpus(embeddings, d), books, books.size, d, nQueries)
     val scored = assigned.join(broadcast(qProbes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(codes, Seq("vec_id"))

@@ -224,6 +224,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IvfPqIndex: search over the two read-back parents is hash-EQUAL to the in-session ivfPqAnn") {
+    val e = Tables.embeddings(spark, sf)
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivfpq_ivf_").toString
+    val pqDir = java.nio.file.Files.createTempDirectory("ivfpq_pq_").toString
+    try {
+      // the same artifacts the in-session composition reads: the
+      // seed-centroid IVF index and the PQ index, persisted separately
+      graft.sim.IvfIndex.write(e, ivfDir)
+      graft.sim.PqIndex.write(e, pqDir)
+      def set(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val fromDisk = set(graft.sim.IvfPqIndex.search(spark, ivfDir, pqDir, e))
+      val inSession = set(Similarity.ivfPqAnn(e))
+      assert(fromDisk === inSession, "composed read-back search drifted from ivfPqAnn")
+      assert(fromDisk.nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(ivfDir)); rm(new java.io.File(pqDir))
+    }
+  }
+
   test("index append: write(existing) + append(batch) searches hash-EQUAL to a one-shot encoding under the same model (pq/sq8/ivf)") {
     // the q_dedup_incremental corpus split: vec_id % 10 == 0 is the
     // landed batch, the rest the already-indexed store. The model
