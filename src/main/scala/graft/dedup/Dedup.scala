@@ -876,21 +876,45 @@ object Dedup {
       embeddings: DataFrame, batchMod: Long = 10, tau: Double = 0.35,
       useLsh: Boolean = false, tables: Int = 8, bits: Int = 8): DataFrame = {
     require(batchMod >= 2, "batchMod must split the corpus into batch and existing")
-    val dot = graft.functions.GraftFunctions.vecDot _
     val isBatch = pmod(col("vec_id"), lit(batchMod)) === 0
-    val e = embeddings
+    embedScreenAgainst(
+      embeddings.filter(isBatch), embeddings.filter(!isBatch), tau, useLsh, tables, bits)
+  }
+
+  /** Screen ARBITRARY new vectors against an ARBITRARY existing store
+    * — the [[embedIncremental]] contract without the mod-split
+    * convention (the [[screenAgainst]] shape for the embedding
+    * modality), and the entry the streaming form
+    * ([[graft.streaming.Events.embedScreenStream]]) calls per
+    * micro-batch. vec_ids must be unique across batch ∪ store (the
+    * same id-space contract as the text screen's doc_ids).
+    *
+    * Both paths are one map-side pass over the store scan: brute
+    * broadcasts the (batch × vector) table and dots everything; the
+    * LSH path broadcasts the multi-probe bucket table and dots only
+    * bucket-matching rows. The model side (dimensionality, and the
+    * deterministic hyperplanes derived from it) is defined by the
+    * STORE — the batch buckets under the store's dimensionality, so
+    * every micro-batch of a streaming ingest probes the same index
+    * geometry.
+    */
+  def embedScreenAgainst(
+      newVecs: DataFrame, existingVecs: DataFrame, tau: Double = 0.35,
+      useLsh: Boolean = false, tables: Int = 8, bits: Int = 8): DataFrame = {
+    val dot = graft.functions.GraftFunctions.vecDot _
+    // zero-norm guard (the Similarity-family `nrm > 0` discipline):
+    // without it cos = 0/0 = NaN, and Spark ORDERS NaN above all
+    // doubles so `cos >= tau` would count a zero vector as a
+    // near-dup of everything
+    def prep(df: DataFrame): DataFrame = df
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      // zero-norm guard (the Similarity-family `nrm > 0` discipline):
-      // without it cos = 0/0 = NaN, and Spark ORDERS NaN above all
-      // doubles so `cos >= tau` would count a zero vector as a
-      // near-dup of everything
       .filter(col("nrm") > 0)
     val near =
       if (!useLsh) {
-        val batch = e.filter(isBatch)
+        val batch = prep(newVecs)
           .select(col("vec_id"), col("v").as("bv"), col("nrm").as("bn"))
-        val existing = e.filter(!isBatch)
+        val existing = prep(existingVecs)
           .select(col("vec_id").as("ex_id"), col("v").as("ev"), col("nrm").as("en"))
         existing.join(broadcast(batch), col("ex_id") =!= col("vec_id"))
           .withColumn("cos", dot(col("ev"), col("bv")) / (col("en") * col("bn")))
@@ -898,12 +922,16 @@ object Dedup {
           .groupBy(col("vec_id"))
           .agg(count(lit(1)).as("n_near_dups"))
       } else {
-        val bc = graft.sim.Similarity.bucketedCorpus(embeddings, tables, bits)
-          .filter(col("nrm") > 0)
+        // the STORE defines the index geometry: its modal
+        // dimensionality seeds the shared deterministic hyperplanes
+        val d = graft.sim.Similarity.detectDim(existingVecs)
+        def bucketed(df: DataFrame): DataFrame =
+          graft.sim.Similarity.bucketedCorpus(df, tables, bits, d)
+            .filter(col("nrm") > 0)
         // batch side: exact bucket + every 1-bit flip per table (the
         // multi-probe recall knob), vector carried for the re-score —
         // a (batch × tables × (bits+1))-row broadcast table
-        val probe = bc.filter(isBatch)
+        val probe = bucketed(newVecs)
           .select(col("vec_id"), col("v").as("bv"), col("nrm").as("bn"),
             posexplode(col("buckets")).as(Seq("t", "qbkt")))
           .select(col("vec_id"), col("bv"), col("bn"), col("t"),
@@ -913,7 +941,7 @@ object Dedup {
         // existing side: exact buckets only; v/nrm ride the map-side
         // pipeline (the join is broadcast — nothing here shuffles, so
         // the carried vector never crosses the network)
-        val ex = bc.filter(!isBatch)
+        val ex = bucketed(existingVecs)
           .select(col("vec_id").as("ex_id"), col("v").as("ev"), col("nrm").as("en"),
             posexplode(col("buckets")).as(Seq("t", "bkt")))
         ex.join(broadcast(probe), Seq("t", "bkt"))
@@ -925,7 +953,7 @@ object Dedup {
           // candidate-sized aggregate instead of a pre-join distinct
           .agg(countDistinct(col("ex_id")).as("n_near_dups"))
       }
-    e.filter(isBatch).select(col("vec_id"))
+    prep(newVecs).select(col("vec_id"))
       .join(near, Seq("vec_id"), "left")
       .select(
         col("vec_id"),

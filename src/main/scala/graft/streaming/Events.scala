@@ -276,6 +276,30 @@ object Events {
         sink(graft.dedup.Dedup.screenAgainst(mb.toDF(), existingDocs, tau), id)
       }
 
+  /** The [[incrementalScreenStream]] contract for the EMBEDDING
+    * modality: vectors stream in, each micro-batch is screened for
+    * semantic near-duplicates against the static store via
+    * [[graft.dedup.Dedup.embedScreenAgainst]] — brute
+    * (broadcast-batch map-side pass) or LSH-blocked (`useLsh`, the
+    * 100 TB path: the store defines the hyperplane geometry, so every
+    * micro-batch probes the same index). Same foreachBatch rationale
+    * and same equality argument: per-vector results depend only on
+    * (vector, store), so the micro-batched union equals the one-shot
+    * screen (proven in StreamingSpec).
+    */
+  def embedScreenStream(
+      stream: DataFrame,
+      existingVecs: DataFrame,
+      tau: Double = 0.35,
+      useLsh: Boolean = false)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(graft.dedup.Dedup.embedScreenAgainst(mb.toDF(), existingVecs, tau, useLsh), id)
+      }
+
   // ------------------------------------------------------------------
   // Stream-stream interval join (windowed attribution).
   // ------------------------------------------------------------------

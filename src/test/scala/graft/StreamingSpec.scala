@@ -150,6 +150,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming embedding screen over micro-batches equals the batch embedIncremental (brute + lsh)") {
+    import org.apache.spark.sql.SaveMode
+    val emb = Tables.embeddings(spark, sf)
+    val batchSlice = emb.filter(col("vec_id") % 10 === 0)
+    val existing = emb.filter(col("vec_id") % 10 =!= 0)
+    val tmp = Files.createTempDirectory("graft-embed-screen").toString
+    batchSlice.repartition(4).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    for (lsh <- Seq(false, true)) {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val got = new scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+      var batches = 0
+      val q = Events.embedScreenStream(stream, existing, useLsh = lsh) { (screened, _) =>
+        got.synchronized { got ++= screened.collect().map(_.toSeq); batches += 1 }
+        ()
+      }.start()
+      try q.processAllAvailable() finally q.stop()
+      assert(batches >= 2, s"lsh=$lsh: must exercise several micro-batches, got $batches")
+      val batch = graft.dedup.Dedup.embedIncremental(emb, useLsh = lsh)
+        .collect().map(_.toSeq).toSet
+      assert(got.toSet === batch, s"lsh=$lsh: micro-batched union drifted from the batch screen")
+      assert(got.nonEmpty)
+    }
+  }
+
   test("streaming dedup keeps first arrival per content hash across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.SaveMode
