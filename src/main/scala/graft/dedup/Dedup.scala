@@ -1543,9 +1543,9 @@ object Dedup {
     * (md5); n_near_dups = existing docs with shingle Jaccard >= tau;
     * keep = 1 iff neither. Flags are BIGINT 0/1 (cross-engine dtype
     * stability). Batch-INTERNAL duplicates are deliberately out of
-    * scope — they are the next pass's corpus-side problem (or a
-    * composed [[exact]]/[[pairsCached]] over the batch alone); this
-    * operator's contract is the screen against the immutable store.
+    * this operator's contract — that is [[batchDedup]]'s first-wins
+    * screen, and [[ingestDecision]] emits the conjunction of the two;
+    * this operator screens against the immutable store only.
     */
   def incrementalDedup(
       documents: DataFrame, batchMod: Long = 10, tau: Double = 0.5): DataFrame = {
