@@ -89,8 +89,12 @@ object IvfIndex {
     */
   def append(spark: SparkSession, batch: DataFrame, dir: String): Unit = {
     val (cents, _) = read(spark, dir)
-    require(cents.limit(1).count() > 0,
+    // one bounded read answers both "is the index empty" and "what
+    // dimensionality did it train at" (the centroid vector's length)
+    val first = cents.select(size(col("cv"))).head(1)
+    require(first.nonEmpty,
       s"cannot append to the empty IVF index at $dir: no centroids to assign against")
+    Similarity.requireBatchDim(batch, first.head.getInt(0), s"the IVF index at $dir")
     Similarity.assignCells(Similarity.prepared(batch), cents)
       .write.mode(SaveMode.Append).parquet(s"$dir/assigned")
   }

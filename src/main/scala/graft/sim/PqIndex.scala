@@ -88,6 +88,7 @@ object PqIndex {
     val (d, books, _) = read(spark, dir)
     require(books.nonEmpty,
       s"cannot append to the empty PQ index at $dir: no trained codebooks to encode against")
+    Similarity.requireBatchDim(batch, d, s"the PQ index at $dir")
     Similarity.pqEncode(Similarity.unitCorpus(batch, d), books, books.size, d)
       .write.mode(SaveMode.Append).parquet(s"$dir/codes")
   }

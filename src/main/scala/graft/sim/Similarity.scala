@@ -754,6 +754,26 @@ object Similarity {
     prepared(embeddings).filter(col("nrm") > 0 && size(col("v")) === d)
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
 
+  /** Loud dimensionality guard for the no-retrain index appends: a
+    * batch vector whose dimensionality differs from the persisted
+    * model's would be silently DROPPED by the unit-corpus `size === d`
+    * filter (PQ/SQ8) or scored against mismatched centroid arrays
+    * (IVF) — either way the append would "succeed" while indexing
+    * nothing or garbage, the exact silent-downgrade shape the corrupt
+    * index readers fail loudly on. One batch-sized aggregate up
+    * front; empty vectors stay allowed (they are invalid everywhere
+    * and excluded by the nrm/size filters by design, same as at
+    * write time).
+    */
+  private[graft] def requireBatchDim(batch: DataFrame, d: Int, what: String): Unit = {
+    val bad = batch
+      .select(size(col("embedding")).as("bd"))
+      .filter(col("bd") > 0 && col("bd") =!= d)
+      .limit(1).count()
+    require(bad == 0,
+      s"cannot append to $what: batch contains vectors whose dimensionality != the trained $d")
+  }
+
   /** Train the PQ codebooks on a bounded sample. The sample is bounded
     * BY DESIGN (trainN vectors — the faiss discipline: codebooks never
     * see the whole corpus), so after ONE bounded collect the k-means

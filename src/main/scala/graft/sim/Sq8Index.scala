@@ -56,6 +56,7 @@ object Sq8Index {
     val (d, bounds, _) = read(spark, dir)
     require(bounds.nonEmpty,
       s"cannot append to the empty SQ8 index at $dir: no trained bounds to encode against")
+    Similarity.requireBatchDim(batch, d, s"the SQ8 index at $dir")
     Similarity.sq8Encode(Similarity.unitCorpus(batch, d), bounds)
       .write.mode(SaveMode.Append).parquet(s"$dir/codes")
   }

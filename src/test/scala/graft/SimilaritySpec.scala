@@ -341,6 +341,27 @@ class SimilaritySpec extends SparkSpec {
         assert(ex.getMessage.contains("append"), s"$fam: $ex")
       } finally rmrf(dir)
     }
+
+    // a DIMENSION-MISMATCHED batch fails loudly instead of silently
+    // appending nothing (pq/sq8's unit-corpus size filter) or
+    // garbage assignments (ivf) — the corrupt-index discipline
+    // applied to the append side
+    val sliced = batch.select(col("vec_id"),
+      org.apache.spark.sql.functions.expr("slice(embedding, 1, 3)").as("embedding"))
+    for ((fam, wr, ap) <- Seq[(String, String => Unit, String => Unit)](
+      ("pq", d => graft.sim.PqIndex.write(existing, d),
+        d => graft.sim.PqIndex.append(spark, sliced, d)),
+      ("sq8", d => graft.sim.Sq8Index.write(existing, d),
+        d => graft.sim.Sq8Index.append(spark, sliced, d)),
+      ("ivf", d => graft.sim.IvfIndex.write(existing, d),
+        d => graft.sim.IvfIndex.append(spark, sliced, d)))) {
+      val dir = java.nio.file.Files.createTempDirectory(s"${fam}_append_dim_").toString
+      try {
+        wr(dir)
+        val ex = intercept[IllegalArgumentException] { ap(dir) }
+        assert(ex.getMessage.contains("dimensionality"), s"$fam: $ex")
+      } finally rmrf(dir)
+    }
   }
 
   test("HyperplaneBuckets planes are bit-identical to the xxhash64-expression definition") {
