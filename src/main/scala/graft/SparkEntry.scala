@@ -209,6 +209,11 @@ object SparkEntry {
     "q_bpe_tokenize" -> ((s, dir) => text.Bpe.bpeTokenize(Tables.documents(s, dir))),
     "q_bpe_train" -> ((s, dir) => text.Bpe.trainBpe(Tables.documents(s, dir))),
     "q_bpe_train_apply" -> ((s, dir) => text.Bpe.bpeTokenizeTrained(Tables.documents(s, dir))),
+    // per-language tokenizer fertility (tokens/word + chars/token) —
+    // the tokenizer-fit audit: lang rides the same zero-Exchange
+    // scan-side tokenize pipeline, ≤|langs|-row rollup (round-10
+    // addition)
+    "q_bpe_fertility" -> ((s, dir) => text.Bpe.fertility(Tables.documents(s, dir))),
     "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingPairsCached(Tables.embeddings(s, dir))),
     // the 100 TB path for the same semantics (LSH blocking, exact
     // re-score => precision 1, recall-gated in DedupSpec); approximate
@@ -581,6 +586,7 @@ object SparkEntry {
     "q_bm25_search" -> text.Search.sqlBm25Search(),
     "q_fingerprint" -> Text.sqlFingerprint,
     "q_bpe_tokenize" -> text.Bpe.sqlBpeTokenize(),
+    "q_bpe_fertility" -> text.Bpe.sqlFertility(),
     "q_bpe_train" -> text.Bpe.sqlTrainBpe(),
     "q_bpe_train_apply" -> text.Bpe.sqlBpeTokenizeTrained(),
     // q_dedup_minhash / q_dedup_simhash are sketch-based (not

@@ -73,7 +73,26 @@ object Bpe {
     */
   def bpeTokenize(
       documents: DataFrame,
-      merges: Seq[(String, String)] = defaultMerges): DataFrame = {
+      merges: Seq[(String, String)] = defaultMerges): DataFrame =
+    withBpeCounts(documents, merges)
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("n_chars"),
+        col("n_bpe_tokens"),
+        when(col("n_bpe_tokens") > 0,
+          Det.r(col("n_chars").cast("double") /
+            col("n_bpe_tokens").cast("double"), 6)).as("compression"),
+        md5(col("merged").cast("binary")).as("bpe_md5"))
+
+  /** The shared scan-side tokenize+merge pipeline: every original
+    * document column plus (toks, merged, n_words, n_chars,
+    * n_bpe_tokens) — [[bpeTokenize]] projects the per-doc artifact off
+    * it, [[fertility]] rolls it up per language without a corpus-sized
+    * doc_id join back to `documents`.
+    */
+  private def withBpeCounts(
+      documents: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     checkMerges(merges)
     val toks = Text.tokens(regexp_replace(col("text"), "\\|", ""))
     val wrapped = regexp_replace(concat_ws(" ", col("toks")), "([^ ])", "|$1|")
@@ -92,18 +111,72 @@ object Bpe {
       // once per document, not once per consumer below
       .withColumn("merged", merged)
       .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_chars", length(concat_ws("", col("toks"))).cast("long"))
       .withColumn("n_bpe_tokens",
         when(col("n_words") === 0, 0L).otherwise(nBoundaries + col("n_words")))
-      .select(
-        col("doc_id"),
-        col("n_words"),
-        length(concat_ws("", col("toks"))).cast("long").as("n_chars"),
-        col("n_bpe_tokens"),
-        when(col("n_bpe_tokens") > 0,
-          Det.r(length(concat_ws("", col("toks"))).cast("long").cast("double") /
-            col("n_bpe_tokens").cast("double"), 6)).as("compression"),
-        md5(col("merged").cast("binary")).as("bpe_md5"))
   }
+
+  /** q112: per-language tokenizer FERTILITY — the standard
+    * multilingual tokenizer-evaluation metric (tokens per word): a
+    * tokenizer trained or shipped for one language mix FRAGMENTS the
+    * others, and fertility is the number that shows it per language
+    * slice, next to chars-per-token (the compression the corpus
+    * actually gets). The artifact that decides whether the tokenizer
+    * fits the corpus before a training run commits to it — high-
+    * fertility languages pay more sequence budget for the same text
+    * (q_pack_bpe's budget is exactly these token counts).
+    *
+    * One row per language: (lang, n_docs, total_words, total_chars,
+    * total_bpe_tokens, fertility = bpe_tokens/word, chars_per_token).
+    * The only corpus-sized work is the same zero-Exchange scan-side
+    * tokenize+merge pipeline as [[bpeTokenize]] (shared via
+    * [[withBpeCounts]] — lang rides the scan, so there is NO doc_id
+    * join back to `documents`); the rollup is a ≤|langs|-row
+    * aggregate. Ratios divide two exact BIGINT sums in one IEEE
+    * division + the fixed 6 dp rounding, identical in both engines ⇒
+    * hash-exact vs the DuckDB twin ([[sqlFertility]]).
+    */
+  def fertility(
+      documents: DataFrame,
+      merges: Seq[(String, String)] = defaultMerges): DataFrame =
+    withBpeCounts(documents, merges)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_bpe_tokens")).as("total_bpe_tokens"))
+      .select(
+        col("lang"), col("n_docs"), col("total_words"), col("total_chars"),
+        col("total_bpe_tokens"),
+        when(col("total_words") > 0,
+          Det.r(col("total_bpe_tokens").cast("double") /
+            col("total_words").cast("double"), 6)).as("fertility"),
+        when(col("total_bpe_tokens") > 0,
+          Det.r(col("total_chars").cast("double") /
+            col("total_bpe_tokens").cast("double"), 6)).as("chars_per_token"))
+
+  /** DuckDB twin of [[fertility]]: the shared per-doc count CTEs,
+    * lang attached via a plain doc_id join (the oracle's independent
+    * formulation — the Spark side carries lang through the scan
+    * precisely to AVOID this corpus-sized join), then the
+    * per-language rollup.
+    */
+  def sqlFertility(merges: Seq[(String, String)] = defaultMerges): String =
+    s"""WITH ${sqlBpeCountCtes(merges)}
+       |SELECT d.lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(t.n_words) AS BIGINT) AS total_words,
+       |  CAST(sum(t.n_chars) AS BIGINT) AS total_chars,
+       |  CAST(sum(t.n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       |  CASE WHEN sum(t.n_words) > 0
+       |       THEN floor(CAST(sum(t.n_bpe_tokens) AS DOUBLE) / CAST(sum(t.n_words) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+       |  END AS fertility,
+       |  CASE WHEN sum(t.n_bpe_tokens) > 0
+       |       THEN floor(CAST(sum(t.n_chars) AS DOUBLE) / CAST(sum(t.n_bpe_tokens) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+       |  END AS chars_per_token
+       |FROM t JOIN documents d USING (doc_id)
+       |GROUP BY 1""".stripMargin
 
   /** Default number of merge rules [[trainBpe]] learns — small enough
     * that the generated round-per-round DuckDB twin stays readable,

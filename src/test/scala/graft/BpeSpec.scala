@@ -76,6 +76,51 @@ class BpeSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size <= 1, s"only the Spread repartition may shuffle:\n$plan")
   }
 
+  test("fertility: hand-built per-language counts, null ratios on empty slices, no doc_id join") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the then and", "en"), // 3 words, 10 chars, 4 bpe tokens
+      (4L, "the the", "en"),      // 2 words, 6 chars, 2 bpe tokens
+      (2L, "zzq", "xx"),          // 1 word, 3 chars, 3 bpe tokens
+      (3L, "", "xx"),             // empty doc contributes zeros
+      (5L, "", "yy")              // all-empty slice: ratios are null
+    ).toDF("doc_id", "text", "lang")
+    val f = Bpe.fertility(docs).collect().map(r => r.getString(0) -> r).toMap
+    val en = f("en")
+    assert((en.getLong(1), en.getLong(2), en.getLong(3), en.getLong(4)) === ((2L, 5L, 16L, 6L)))
+    assert(en.getDouble(5) === math.floor(6.0 / 5.0 * 1e6 + 0.5) / 1e6)
+    assert(en.getDouble(6) === math.floor(16.0 / 6.0 * 1e6 + 0.5) / 1e6)
+    val xx = f("xx")
+    assert((xx.getLong(1), xx.getLong(2), xx.getLong(3), xx.getLong(4)) === ((2L, 1L, 3L, 3L)))
+    assert(xx.getDouble(5) === 3.0)
+    assert(xx.getDouble(6) === 1.0)
+    val yy = f("yy")
+    assert((yy.getLong(1), yy.getLong(2)) === ((1L, 0L)))
+    assert(yy.isNullAt(5) && yy.isNullAt(6), "zero-word slice must not divide")
+    // lang rides the scan: no Join anywhere, one Exchange for the
+    // ≤|langs|-row rollup (plus at most the Spread repartition)
+    val plan = planOf(Bpe.fertility(Tables.documents(spark, sf)))
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange".r.findAllIn(plan).size <= 2, s"scan + bounded rollup only:\n$plan")
+  }
+
+  test("fertility agrees with the per-doc tokenize artifact rolled up by language") {
+    val d = Tables.documents(spark, sf)
+    val perDoc = Bpe.bpeTokenize(d)
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_words")).as("w"),
+        sum(col("n_chars")).as("c"), sum(col("n_bpe_tokens")).as("t"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val got = Bpe.fertility(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === perDoc, "fertility drifted from the per-doc artifact it summarizes")
+    assert(got.nonEmpty)
+  }
+
   /** Independent driver-side BPE TRAINER: classic histogram-based
     * loop — overlapping pair counts (get_stats), deterministic
     * argmax, non-overlapping left-to-right merge — the algorithm the
