@@ -334,6 +334,11 @@ object SparkEntry {
     // fixed to integer micro-weights, pure scan-side keep predicate
     // (round-5 addition)
     "q_temperature_mix" -> ((s, dir) => Corpus.temperatureMix(Tables.documents(s, dir))),
+    // the recipe table BEHIND the temperature mix: per-language budget
+    // share, implied epochs over available tokens, and the ≤maxEpochs
+    // repeat-cap verdict — integer micro-arithmetic end to end
+    // (round-10 addition)
+    "q_mix_epochs" -> ((s, dir) => Corpus.mixEpochs(Tables.documents(s, dir))),
     // quality-weighted soft sampling: keep probability = quality
     // score, via a portable integer keep draw — one scan, scan-side
     // predicate (round-5 addition)
@@ -630,6 +635,7 @@ object SparkEntry {
     "q_group_sample" -> Corpus.sqlGroupSample(),
     "q_chunk" -> Corpus.sqlChunk(),
     "q_temperature_mix" -> Corpus.sqlTemperatureMix(),
+    "q_mix_epochs" -> Corpus.sqlMixEpochs(),
     "q_weighted_sample" -> Corpus.sqlQualityWeightedSample(),
     "q_contamination" -> Dedup.sqlContamination(),
     "q_decontaminate" -> Dedup.sqlDecontaminate(),

@@ -340,6 +340,102 @@ object Corpus {
       .select(col("doc_id"), col("lang"), size(col("toks")).cast("long").as("n_tokens"))
   }
 
+  /** q113: the DATA-RECIPE EPOCHS table — what the temperature mixture
+    * of [[temperatureMix]] IMPLIES per language slice before anyone
+    * samples a document: each language's token budget share
+    * (∝ share^(1/T), the identical micro-weight arithmetic), the
+    * EPOCHS that share demands over the tokens actually available
+    * (target/avail — the "epochs" column of a LLaMA-style data-mix
+    * table), and the repeat cap verdict: a language whose target
+    * exceeds `maxEpochs` passes over its data is CAPPED at
+    * maxEpochs·avail effective tokens (repeating a tiny slice forever
+    * degrades training — the standard ≤~4-epoch guidance), leaving
+    * the shortfall visible in the artifact (Σ effective < budget).
+    * This is the table a recipe review reads BEFORE committing a
+    * training run; [[temperatureMix]] then materializes the sample.
+    *
+    * One row per language: (lang, n_avail, target_tokens,
+    * epochs_micro = min(target/avail, maxEpochs) in integer
+    * micro-epochs, capped 0/1, effective_tokens). All data-sized work
+    * is the one tokenize scan + ≤|langs|-row rollup; every ratio is
+    * integer arithmetic staged through DECIMAL(38,0) (the
+    * temperatureMix policy: pow fixed to micro-weights BEFORE any
+    * sum, quotients via exact IntegralDivide) ⇒ hash-exact vs the
+    * DuckDB twin.
+    */
+  def mixEpochs(
+      documents: DataFrame,
+      temperature: Double = 2.0,
+      budgetTokens: Long = 20000L,
+      maxEpochs: Int = 4): DataFrame = {
+    require(temperature > 0 && budgetTokens > 0 && maxEpochs > 0)
+    val alpha = 1.0 / temperature
+    val w = Window.partitionBy(Det.constKey(col("lang")))
+    documents
+      .withColumn("toks", Text.tokens(col("text")))
+      .groupBy(col("lang"))
+      .agg(sum(size(col("toks")).cast("long")).as("n_avail"))
+      .filter(col("n_avail") > 0)
+      .withColumn("n_total", sum(col("n_avail")).over(w))
+      .withColumn("w_int",
+        floor(pow(col("n_avail").cast("double") / col("n_total").cast("double"), lit(alpha)) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("sum_w", sum(col("w_int")).over(w))
+      // the same DECIMAL(38,0) staging as temperatureMix: exact
+      // products, exact integral quotients, LONG results
+      .withColumn("target_tokens",
+        expr(s"(CAST($budgetTokens AS DECIMAL(38,0)) * w_int) DIV sum_w"))
+      .withColumn("epochs_raw",
+        expr("(CAST(target_tokens AS DECIMAL(38,0)) * 1000000) DIV n_avail"))
+      .withColumn("capped",
+        when(col("epochs_raw") > lit(maxEpochs * 1000000L), lit(1L)).otherwise(lit(0L)))
+      .select(
+        col("lang"),
+        col("n_avail"),
+        col("target_tokens"),
+        least(col("epochs_raw"), lit(maxEpochs * 1000000L)).as("epochs_micro"),
+        col("capped"),
+        when(col("capped") === 1L, col("n_avail") * lit(maxEpochs.toLong))
+          .otherwise(col("target_tokens")).as("effective_tokens"))
+  }
+
+  /** DuckDB twin of [[mixEpochs]]: identical micro-weight + HUGEINT
+    * integral arithmetic over the per-language token rollup.
+    */
+  def sqlMixEpochs(
+      temperature: Double = 2.0,
+      budgetTokens: Long = 20000L,
+      maxEpochs: Int = 4): String = {
+    val toks = Text.sqlTokens("text")
+    val alpha = 1.0 / temperature
+    val capMicro = maxEpochs * 1000000L
+    s"""WITH t AS (
+       |  SELECT lang, CAST(sum(len($toks)) AS BIGINT) AS n_avail
+       |  FROM documents GROUP BY 1
+       |), wt AS (
+       |  SELECT lang, n_avail,
+       |    CAST(floor(pow(CAST(n_avail AS DOUBLE) / CAST(sum(n_avail) OVER () AS DOUBLE), $alpha)
+       |      * 1000000.0 + 0.5) AS BIGINT) AS w_int
+       |  FROM t WHERE n_avail > 0
+       |), r AS (
+       |  SELECT lang, n_avail, w_int, sum(w_int) OVER () AS sum_w FROM wt
+       |), tt AS (
+       |  SELECT lang, n_avail,
+       |    CAST((CAST($budgetTokens AS HUGEINT) * w_int) // sum_w AS BIGINT) AS target_tokens
+       |  FROM r
+       |), ep AS (
+       |  SELECT lang, n_avail, target_tokens,
+       |    CAST((CAST(target_tokens AS HUGEINT) * 1000000) // n_avail AS BIGINT) AS epochs_raw
+       |  FROM tt
+       |)
+       |SELECT lang, n_avail, target_tokens,
+       |  CAST(least(epochs_raw, $capMicro) AS BIGINT) AS epochs_micro,
+       |  CAST(CASE WHEN epochs_raw > $capMicro THEN 1 ELSE 0 END AS BIGINT) AS capped,
+       |  CAST(CASE WHEN epochs_raw > $capMicro THEN n_avail * $maxEpochs
+       |       ELSE target_tokens END AS BIGINT) AS effective_tokens
+       |FROM ep""".stripMargin
+  }
+
   def sqlTemperatureMix(
       temperature: Double = 2.0,
       budgetTokens: Long = 20000L,

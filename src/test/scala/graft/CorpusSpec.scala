@@ -312,6 +312,56 @@ class CorpusSpec extends SparkSpec {
     assert(kept === Corpus.temperatureMix(docs).select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("mixEpochs: driver BigInt reimplementation agrees exactly; caps and budget accounting hold") {
+    val docs = Tables.documents(spark, sf)
+    val (temperature, budget, maxEp) = (2.0, 20000L, 4)
+    val got = Corpus.mixEpochs(docs, temperature, budget, maxEp).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.nonEmpty)
+    // independent driver-side BigInt arithmetic over the same rollup
+    val byLang = docs
+      .withColumn("n", size(graft.text.Text.tokens(col("text"))).cast("long"))
+      .groupBy("lang").agg(sum("n").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap.filter(_._2 > 0)
+    val nTotal = byLang.values.sum
+    val wInts = byLang.view.mapValues(nL =>
+      math.floor(math.pow(nL.toDouble / nTotal, 1.0 / temperature) * 1e6 + 0.5).toLong).toMap
+    val sumW = wInts.values.sum
+    val capMicro = maxEp * 1000000L
+    val expect = byLang.map { case (l, nL) =>
+      val target = (BigInt(budget) * wInts(l) / sumW).toLong
+      val raw = (BigInt(target) * 1000000 / nL).toLong
+      val capped = if (raw > capMicro) 1L else 0L
+      val eff = if (capped == 1L) nL * maxEp else target
+      l -> ((nL, target, math.min(raw, capMicro), capped, eff))
+    }
+    assert(got === expect, "mixEpochs drifted from the driver BigInt arithmetic")
+    // budget accounting: targets never exceed the budget, effective
+    // tokens never exceed the target, and a capped language's
+    // effective supply is exactly maxEpochs passes over its data
+    assert(got.values.map(_._2).sum <= budget)
+    got.values.foreach { case (nAvail, target, epMicro, capped, eff) =>
+      assert(eff <= target)
+      assert(epMicro <= capMicro)
+      if (capped == 1L) assert(eff === nAvail * maxEp) else assert(eff === target)
+    }
+    // maxEpochs=1 under a budget far beyond supply: every language
+    // capped at exactly one epoch (effective = available)
+    val onePass = Corpus.mixEpochs(docs, temperature, 1000000000000L, 1).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(onePass.nonEmpty)
+    onePass.foreach { case (nAvail, epMicro, capped, eff) =>
+      assert(capped === 1L && epMicro === 1000000L && eff === nAvail)
+    }
+    // flattening: higher T never lowers the tail language's implied
+    // epochs (its budget share only grows as the mix flattens)
+    val tail = byLang.minBy(_._2)._1
+    def epochsOf(t: Double) = Corpus.mixEpochs(docs, t, budget, 1000).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(epochsOf(8.0)(tail) >= epochsOf(1.0)(tail))
+  }
+
   test("temperatureMix: trillion-token budgets do not wrap (decimal-staged keep-rate products)") {
     // ADVICE r5: budgetTokens*w_int*granularity wrapped a Long once
     // budgetTokens exceeded ~9e10. At a 1e15 budget every language's
