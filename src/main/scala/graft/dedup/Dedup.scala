@@ -1679,7 +1679,15 @@ object Dedup {
       documents: DataFrame, batchMod: Long = 10, tau: Double = 0.5): DataFrame = {
     require(batchMod >= 2, "batchMod must carve a batch slice out of the corpus")
     val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
-    val sets = setsCached(documents).filter(isBatch)
+    selfScreenSets(setsCached(documents).filter(isBatch), tau)
+  }
+
+  /** The first-wins self-screen core over a prepared (doc_id, sh, ch)
+    * set-frame — [[batchDedup]] with the batch slice made explicit, so
+    * the mod-split query and the per-micro-batch streaming ingest
+    * ([[graft.streaming.Events.ingestStream]]) run the identical plan.
+    */
+  private[graft] def selfScreenSets(sets: DataFrame, tau: Double): DataFrame = {
     // ---- exact screen: an earlier batch doc with the same md5
     val exactDups = sets.as("a")
       .join(sets.as("e").hint("shuffle_hash"),
@@ -1730,9 +1738,23 @@ object Dedup {
     */
   def ingestDecision(
       documents: DataFrame, batchMod: Long = 10, tau: Double = 0.5): DataFrame = {
-    val store = incrementalDedup(documents, batchMod, tau)
+    require(batchMod >= 2, "batchMod must split the corpus into batch and existing")
+    val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
+    val sets = setsCached(documents)
+    decisionSets(sets.filter(isBatch), sets.filter(!isBatch), tau)
+  }
+
+  /** The decision core over prepared set-frames — both screens
+    * ([[screenSets]] against the store, [[selfScreenSets]] within the
+    * batch) plus their conjunction, the shape [[ingestDecision]] and
+    * the per-micro-batch streaming ingest
+    * ([[graft.streaming.Events.ingestStream]]) share.
+    */
+  private[graft] def decisionSets(
+      batchSets: DataFrame, exSets: DataFrame, tau: Double): DataFrame = {
+    val store = screenSets(batchSets, exSets, tau)
       .select(col("doc_id"), col("keep").as("store_keep"))
-    val intra = batchDedup(documents, batchMod, tau)
+    val intra = selfScreenSets(batchSets, tau)
       .select(col("doc_id"), col("keep").as("batch_keep"))
     store.join(intra, Seq("doc_id"))
       .select(col("doc_id"), col("store_keep"), col("batch_keep"),

@@ -276,6 +276,64 @@ object Events {
         sink(graft.dedup.Dedup.screenAgainst(mb.toDF(), existingDocs, tau), id)
       }
 
+  /** The FULL streaming ingest — the [[incrementalScreenStream]]
+    * contract with the store GROWING as batches land: each micro-batch
+    * is (1) self-screened first-wins
+    * ([[graft.dedup.Dedup.selfScreenSets]] — an earlier doc within the
+    * micro-batch that is an exact/near twin drops the later one), and
+    * (2) screened against the store AS OF THIS BATCH: the immutable
+    * initial corpus PLUS every earlier micro-batch's KEPT docs — the
+    * semantics a production crawl ingest actually has, because a store
+    * can only block against what it stored: a doc DROPPED in batch 2
+    * does not block its twin in batch 5 (its kept representative
+    * does). The emitted verdict per doc is the [[ingestDecision]]
+    * shape (doc_id, store_keep, batch_keep, keep).
+    *
+    * Cost per micro-batch stays the incremental contract: the initial
+    * store's inverted index is the memoized
+    * [[graft.dedup.Dedup.setsCached]] seam (paid once), the
+    * accumulated-keeper sets are batch-sized unions localCheckpoint'd
+    * per batch (bounded lineage), and both screens are one-sided
+    * prefix probes ∝ batch. When the whole drop arrives as ONE
+    * micro-batch this reduces exactly to the batch
+    * [[graft.dedup.Dedup.ingestDecision]] (accumulator empty) —
+    * pinned in StreamingSpec, along with the multi-batch sequential
+    * semantics against a driver-side greedy simulation.
+    *
+    * The verdict stream goes to `sink`; callers append the keepers to
+    * their store table / persisted indexes from there (the
+    * IvfIndex/PqIndex/Sq8Index.append path). State lives in this
+    * writer's closure — one query per ingest lifetime.
+    */
+  def ingestStream(
+      stream: DataFrame,
+      existingDocs: DataFrame,
+      tau: Double = 0.5)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // accumulated (doc_id, sh, ch) sets of every kept doc from earlier
+    // micro-batches; foreachBatch runs sequentially on the driver, so
+    // plain closure state is safe
+    var kept: Option[DataFrame] = None
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val mbSets = graft.dedup.Dedup.hashedShingleSets(mb.toDF()).localCheckpoint()
+        val storeSets = kept match {
+          case Some(k) => graft.dedup.Dedup.setsCached(existingDocs).unionByName(k)
+          case None    => graft.dedup.Dedup.setsCached(existingDocs)
+        }
+        // materialize the verdict BEFORE growing the accumulator: the
+        // decision for batch N must read the store as of batch N
+        val decision = graft.dedup.Dedup.decisionSets(mbSets, storeSets, tau).localCheckpoint()
+        val keeperSets = mbSets
+          .join(decision.filter(col("keep") === 1L).select("doc_id"), "doc_id")
+          .localCheckpoint()
+        kept = Some(kept.fold(keeperSets)(_.unionByName(keeperSets).localCheckpoint()))
+        sink(decision, id)
+      }
+  }
+
   /** The [[incrementalScreenStream]] contract for the EMBEDDING
     * modality: vectors stream in, each micro-batch is screened for
     * semantic near-duplicates against the static store via

@@ -150,6 +150,87 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming ingest with a GROWING store: one micro-batch reduces to ingestDecision; multi-batch matches the greedy sequential simulation") {
+    import org.apache.spark.sql.SaveMode
+    val docs = Tables.documents(spark, sf)
+    val batchSlice = docs.filter(col("doc_id") % 10 === 0)
+    val existing = docs.filter(col("doc_id") % 10 =!= 0)
+    val tau = 0.5
+
+    // ---- whole drop as ONE micro-batch: the accumulator never grows,
+    // so the verdicts must equal the batch ingestDecision exactly
+    val tmp1 = Files.createTempDirectory("graft-ingest-one").toString
+    batchSlice.repartition(1).write.mode(SaveMode.Overwrite).parquet(tmp1)
+    val schema = spark.read.parquet(tmp1).schema
+    locally {
+      val stream = spark.readStream.schema(schema).parquet(tmp1)
+      val got = new scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+      var batches = 0
+      val q = Events.ingestStream(stream, existing, tau) { (decision, _) =>
+        got.synchronized { got ++= decision.collect().map(_.toSeq); batches += 1 }
+        ()
+      }.start()
+      try q.processAllAvailable() finally q.stop()
+      assert(batches === 1, s"single-file drop must land as one micro-batch, got $batches")
+      val batch = graft.dedup.Dedup.ingestDecision(docs, 10, tau).collect().map(_.toSeq).toSet
+      assert(got.toSet === batch, "one-micro-batch ingest must reduce to the batch decision")
+      assert(got.nonEmpty)
+    }
+
+    // ---- several micro-batches: verdicts must match a driver-side
+    // GREEDY simulation over the exact batches the stream delivered —
+    // store screen against initial store ∪ earlier KEPT docs, within-
+    // batch first-wins against ALL earlier docs of the same batch
+    val tmp2 = Files.createTempDirectory("graft-ingest-grow").toString
+    batchSlice.repartition(5).write.mode(SaveMode.Overwrite).parquet(tmp2)
+    locally {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp2)
+      val delivered = new scala.collection.mutable.ArrayBuffer[(Long, Array[Seq[Any]])]()
+      val q = Events.ingestStream(stream, existing, tau) { (decision, id) =>
+        delivered.synchronized { delivered += ((id, decision.collect().map(_.toSeq))) }
+        ()
+      }.start()
+      try q.processAllAvailable() finally q.stop()
+      assert(delivered.size >= 2, s"must exercise several micro-batches, got ${delivered.size}")
+
+      // driver-side twin: per-doc (shingle set, content hash)
+      val sets = graft.dedup.Dedup.hashedShingleSets(docs).collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Long](1).toSet, r.getString(2)))).toMap
+      def twin(a: (Set[Long], String), b: (Set[Long], String)): Boolean = {
+        val exact = a._2 == b._2
+        val near = a._1.nonEmpty && b._1.nonEmpty && {
+          val i = (a._1 & b._1).size
+          i.toDouble / (a._1.size + b._1.size - i) >= tau
+        }
+        exact || near
+      }
+      val store = scala.collection.mutable.ArrayBuffer.empty[(Set[Long], String)]
+      existing.select("doc_id").collect().foreach(r => store += sets(r.getLong(0)))
+      val expect = scala.collection.mutable.Set.empty[Seq[Any]]
+      for ((_, rows) <- delivered.sortBy(_._1)) {
+        val ids = rows.map(_.head.asInstanceOf[Long]).sorted
+        val keptNow = scala.collection.mutable.ArrayBuffer.empty[(Set[Long], String)]
+        for (d <- ids) {
+          val me = sets(d)
+          val storeKeep = if (store.exists(twin(me, _))) 0L else 1L
+          val batchKeep =
+            if (ids.takeWhile(_ < d).exists(e => twin(me, sets(e)))) 0L else 1L
+          expect += Seq(d, storeKeep, batchKeep, storeKeep * batchKeep)
+          if (storeKeep * batchKeep == 1L) keptNow += me
+        }
+        store ++= keptNow
+      }
+      val got = delivered.flatMap(_._2).toSet
+      assert(got === expect.toSet, "growing-store verdicts drifted from the greedy simulation")
+      // and the growth is observable: at least one verdict must differ
+      // from the static-store batch decision OR every batch doc was
+      // independent (assert only set equality above; the semantics is
+      // pinned by the simulation either way)
+      assert(got.nonEmpty)
+    }
+  }
+
   test("streaming embedding screen over micro-batches equals the batch embedIncremental (brute + lsh)") {
     import org.apache.spark.sql.SaveMode
     val emb = Tables.embeddings(spark, sf)
