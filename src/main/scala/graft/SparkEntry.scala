@@ -262,6 +262,12 @@ object SparkEntry {
     // reliability/calibration bins over test predictions;
     // model-dependent => rows-only gate (round-5 addition)
     "q_calibration" -> ((s, dir) => Churn.calibrationTable(s, dir)),
+    // the LEARNED quality filter: HashingTF over the scan-side token
+    // array -> LR on weak labels from the heuristic score — the
+    // fasttext-style classifier sweep; model-dependent => rows-only
+    // (round-10 addition)
+    "q_quality_classifier" ->
+      ((s, dir) => ml.QualityFilter.trainScore(Tables.documents(s, dir))),
     // PSI drift of recency between train/test splits — feature-level
     // (no model), so fully oracle-checked; integer micro-nat bin
     // terms (round-5 addition)

@@ -1,0 +1,69 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.HashingTF
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Det
+import graft.text.Text
+
+/** q114: the LEARNED quality filter — the fasttext-shaped classifier
+  * every large-scale pretraining pipeline runs after (or instead of)
+  * hand-written heuristics (the GPT-3/PaLM discipline: a linear model
+  * over hashed token features, trained to separate a reference "good"
+  * corpus from raw crawl, then swept over the whole corpus as a keep
+  * score). The reference repo's MLlib stack (assembler → LR) is the
+  * same machinery pointed at behavioral features; this is its text
+  * twin, and together with q_text_quality it closes the
+  * heuristic→learned filter pair: the heuristic BOOTSTRAPS the labels
+  * (weak supervision — here quality_score ≥ labelTau standing in for
+  * the curated-corpus membership bit), the classifier GENERALIZES
+  * them to token evidence the heuristic never encoded.
+  *
+  * Scale shape: features are MLlib `HashingTF` over the same
+  * scan-side token array the heuristic reads — hashing-trick fixed
+  * width (no vocabulary collect, no fit pass, the property that makes
+  * it THE text featurizer at 100 TB), one corpus scan, no UDF of
+  * ours. LR training is MLlib's standard treeAggregate loop (each
+  * iteration one map-side gradient pass); scoring is one scan-side
+  * transform. The feature frame is localCheckpoint'd so train and
+  * score read one materialization.
+  *
+  * Output per doc: (doc_id, weak_label, q_prob 6dp, pred at 0.5).
+  * Model-dependent (L-BFGS float accumulation order) ⇒ rows-only
+  * driver gate; QualityFilterSpec gates separation (AUC vs its own
+  * weak labels well above chance), prediction consistency, range, and
+  * class presence.
+  */
+object QualityFilter {
+
+  def trainScore(
+      documents: DataFrame,
+      numFeatures: Int = 1024,
+      labelTau: Double = 0.64,
+      maxIter: Int = 40,
+      regParam: Double = 1e-3): DataFrame = {
+    val q = Text.qualityColumns(col("toks"), col("text"))
+    val base = graft.Spread(documents)
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("label",
+        when(q.score >= lit(labelTau), lit(1.0)).otherwise(lit(0.0)))
+      .select(col("doc_id"), col("toks"), col("label"))
+    val feats = new HashingTF()
+      .setInputCol("toks").setOutputCol("features").setNumFeatures(numFeatures)
+      .transform(base)
+      .localCheckpoint()
+    val model = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setFeaturesCol("features").setLabelCol("label")
+      .fit(feats)
+    val p1 = vector_to_array(col("probability")).getItem(1)
+    model.transform(feats).select(
+      col("doc_id"),
+      col("label").cast("long").as("weak_label"),
+      Det.r(p1, 6).as("q_prob"),
+      when(p1 >= 0.5, lit(1L)).otherwise(lit(0L)).as("pred"))
+  }
+}
