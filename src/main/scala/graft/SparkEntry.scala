@@ -314,6 +314,10 @@ object SparkEntry {
     "q_corpus_stats" -> ((s, dir) => Corpus.stats(Tables.documents(s, dir))),
     "q_token_entropy" -> ((s, dir) => Corpus.tokenEntropy(Tables.documents(s, dir))),
     "q_source_profile" -> ((s, dir) => Corpus.sourceProfile(Tables.documents(s, dir))),
+    // the pairwise cross-source near-dup matrix — which crawls mirror
+    // each other; pure composition off the memoized pair graph, zero
+    // extra corpus scans (round-10 addition)
+    "q_source_overlap" -> ((s, dir) => Corpus.sourceOverlap(Tables.documents(s, dir))),
     // the 100 TB path: sketch percentiles, one aggregation, no
     // per-language sort (agreement-gated in CorpusSpec); sketch-based
     // => rows-only driver gate
@@ -635,6 +639,7 @@ object SparkEntry {
     "q_corpus_stats" -> Corpus.sqlStats,
     "q_token_entropy" -> Corpus.sqlTokenEntropy,
     "q_source_profile" -> Corpus.sqlSourceProfile,
+    "q_source_overlap" -> Corpus.sqlSourceOverlap(),
     "q_stratified_sample" -> Corpus.sqlStratifiedSample(),
     "q_corpus_curation" -> Corpus.sqlCurate(),
     "q_token_budget_mix" -> Corpus.sqlTokenBudgetSample(),

@@ -192,6 +192,63 @@ object Corpus {
        |FROM sp_b JOIN sp_c USING (h) JOIN sp_q USING (doc_id)
        |GROUP BY 1""".stripMargin
 
+  /** q115: the cross-source OVERLAP matrix — WHICH pairs of crawls
+    * mirror each other, the diagnostic one level finer than
+    * [[sourceProfile]]'s corpus-wide dup flag: before mixing, a
+    * curation review wants "crawl A and crawl B share N near-dup
+    * pairs touching M of A's docs" (drop one source, or dedup the
+    * union — different actions). One row per unordered source pair
+    * with any near-duplication across (or within — the diagonal) it:
+    * (source_a ≤ source_b, n_pairs, n_docs_a, n_docs_b), endpoints
+    * counted on the canonicalized side they belong to.
+    *
+    * Pure composition off the memoized exact n-gram pair graph
+    * ([[graft.dedup.Dedup.pairsCached]] — alongside the dedup family
+    * this adds zero corpus scans): the duplicates-sized pair table
+    * joins the (doc_id, source) projection twice on doc_id, then a
+    * ≤|sources|²-row rollup. Hash-exact vs the composed DuckDB twin
+    * (the shared pair-oracle as a subquery).
+    */
+  def sourceOverlap(documents: DataFrame, tau: Double = 0.5): DataFrame = {
+    val src = documents.select(col("doc_id"), col("source"))
+    graft.dedup.Dedup.pairsCached(documents, tau)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        when(col("sa") <= col("sb"), col("doc_a")).otherwise(col("doc_b")).as("da"),
+        when(col("sa") <= col("sb"), col("doc_b")).otherwise(col("doc_a")).as("db"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("da")).as("n_docs_a"),
+        countDistinct(col("db")).as("n_docs_b"))
+  }
+
+  /** DuckDB twin of [[sourceOverlap]]: the shared n-gram pair oracle
+    * as a FROM-subquery, sources joined on, identical
+    * canonicalization.
+    */
+  def sqlSourceOverlap(tau: Double = 0.5): String =
+    s"""WITH so_p AS (
+       |  SELECT * FROM (
+       |${graft.dedup.Dedup.sqlNgramPairs(tau)}
+       |  )
+       |), so_j AS (
+       |  SELECT so_p.doc_a, so_p.doc_b, x.source AS sa, y.source AS sb
+       |  FROM so_p
+       |  JOIN documents x ON so_p.doc_a = x.doc_id
+       |  JOIN documents y ON so_p.doc_b = y.doc_id
+       |)
+       |SELECT
+       |  CASE WHEN sa <= sb THEN sa ELSE sb END AS source_a,
+       |  CASE WHEN sa <= sb THEN sb ELSE sa END AS source_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(count(DISTINCT CASE WHEN sa <= sb THEN doc_a ELSE doc_b END) AS BIGINT) AS n_docs_a,
+       |  CAST(count(DISTINCT CASE WHEN sa <= sb THEN doc_b ELSE doc_a END) AS BIGINT) AS n_docs_b
+       |FROM so_j GROUP BY 1, 2""".stripMargin
+
   /** Sketch-based variant for 100 TB: single aggregation, no sort;
     * approximate percentiles (accuracy 1/relativeError). Not
     * oracle-checkable (sketch) — covered by ScalaTest against the

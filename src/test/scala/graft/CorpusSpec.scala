@@ -312,6 +312,33 @@ class CorpusSpec extends SparkSpec {
     assert(kept === Corpus.temperatureMix(docs).select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("sourceOverlap: hand-built cross-source pairs canonicalize and count; totals tie to the pair graph") {
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, t, "srcB"),
+      (2L, t, "srcA"),
+      (3L, t, "srcA"),
+      (4L, "completely different words with no shared shingles at all here", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val got = Corpus.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // pairs: (1,2) (1,3) cross srcA/srcB — canonical a-side is srcA
+    // (docs 2,3), b-side srcB (doc 1); (2,3) on the srcA diagonal
+    assert(got === Map(
+      ("srcA", "srcB") -> ((2L, 2L, 1L)),
+      ("srcA", "srcA") -> ((1L, 1L, 1L))))
+    // real corpus: the matrix partitions the pair graph exactly, and
+    // every row is canonically ordered
+    val d = Tables.documents(spark, sf)
+    val rows = Corpus.sourceOverlap(d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0) <= r.getString(1)))
+    assert(rows.map(_.getLong(2)).sum === graft.dedup.Dedup.pairsCached(d).count(),
+      "every near-dup pair must land in exactly one matrix cell")
+  }
+
   test("mixEpochs: driver BigInt reimplementation agrees exactly; caps and budget accounting hold") {
     val docs = Tables.documents(spark, sf)
     val (temperature, budget, maxEp) = (2.0, 20000L, 4)
