@@ -101,6 +101,11 @@ object SparkEntry {
     // per-user spend z-score outliers: exact integer/decimal moments
     // in one groupBy, stats join back keyed on user (round-5 addition)
     "q_anomaly" -> ((s, dir) => ops.Outliers.spendOutliers(Tables.events(s, dir))),
+    // the same exact-integer-moment z-score screen on the EMBEDDING
+    // modality: cosine to the label centroid, z within label — the
+    // vector-quality gate before indexes/semantic dedup trust the
+    // vectors (round-10 addition)
+    "q_embed_outliers" -> ((s, dir) => ops.Outliers.embedOutliers(Tables.embeddings(s, dir))),
     // SCD-2 validity intervals from the CDC log: lead() per user, one
     // shuffle; open rows carry a -1 sentinel, never NULL (round-5
     // addition)
@@ -552,6 +557,7 @@ object SparkEntry {
     "q_scd2" -> ops.Temporal.sqlScd2(),
     "q_snapshot_diff" -> ops.Temporal.sqlSnapshotDiff(),
     "q_anomaly" -> ops.Outliers.sqlSpendOutliers(),
+    "q_embed_outliers" -> ops.Outliers.sqlEmbedOutliers(),
     "q_event_pivot" -> Relational.sqlEventPivot(),
     "q_revenue_rollup" -> Relational.sqlRevenueRollup(),
     "q_revenue_cube" -> Relational.sqlRevenueCube(),
