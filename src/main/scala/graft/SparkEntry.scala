@@ -367,6 +367,12 @@ object SparkEntry {
     // shared-shingle SHARE reaches the threshold; exact integer
     // cross-multiply at the boundary (round-6 addition)
     "q_decontaminate_frac" -> ((s, dir) => Dedup.decontaminateFrac(Tables.documents(s, dir))),
+    // SPAN-level (surgical) decontamination: cut exactly the
+    // eval-overlapping k-token windows out of each training doc —
+    // benchmark text never survives, the document does; eval window
+    // hashes broadcast, memoized span-window seam (round-10 addition)
+    "q_decontaminate_spans" ->
+      ((s, dir) => Dedup.decontaminateSpans(Tables.documents(s, dir))),
     // concat-and-chunk sequence packing via the two-level cumsum
     "q_pack_sequences" -> ((s, dir) => Corpus.packSequences(Tables.documents(s, dir))),
     // packing under the TOKENIZER's budget (BPE counts, not whitespace
@@ -657,6 +663,7 @@ object SparkEntry {
     "q_contamination" -> Dedup.sqlContamination(),
     "q_decontaminate" -> Dedup.sqlDecontaminate(),
     "q_decontaminate_frac" -> Dedup.sqlDecontaminateFrac(),
+    "q_decontaminate_spans" -> Dedup.sqlDecontaminateSpans(),
     "q_pack_sequences" -> Corpus.sqlPackSequences(),
     "q_pack_bpe" -> Corpus.sqlPackSequencesBpe(),
     "q_ngram_vocab" -> Corpus.sqlNgramVocab(),

@@ -1401,6 +1401,87 @@ object Dedup {
     * STRINGS in the oracle — equal modulo 64-bit collisions (same
     * argument as [[hashedShingleSets]]).
     */
+  /** q117: SPAN-level decontamination — the surgical form of
+    * [[decontaminate]]: instead of DROPPING every training document
+    * that overlaps the eval slice (which discards a long document for
+    * quoting one benchmark sentence) or keeping it whole, rewrite each
+    * training document with exactly the eval-overlapping k-token
+    * windows REMOVED — benchmark text never survives into training
+    * data, the surrounding document does. [[dupSpanScrub]]'s cut
+    * machinery pointed at the contamination problem (no owner
+    * concept: unlike corpus-internal span dedup, NO copy of an eval
+    * span may survive on the training side).
+    *
+    * Scale shape — strictly better than the span-dedup queries':
+    * benchmarks are MBs against TBs, so the eval slice's distinct
+    * window hashes BROADCAST and the training corpus is never
+    * shuffled by window hash (the [[contamination]] discipline); the
+    * window table is the memoized [[winsCached]] seam (one scan feeds
+    * the whole span family), cut sets travel as one position per
+    * contaminated window and expand scan-side, membership reads the
+    * cut array as a join attribute (the CollapseProject trap
+    * documented on [[dupSpanScrub]]). Output is the scrub shape:
+    * (doc_id, n_tokens, n_cut, clean_md5) over every training doc.
+    */
+  def decontaminateSpans(
+      documents: DataFrame, evalMod: Long = 50, k: Int = 10): DataFrame = {
+    require(evalMod >= 2, "evalMod must carve an eval slice out of the corpus")
+    val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
+    val wins = winsCached(documents, k)
+    val evalH = wins.filter(isEval).select(col("h")).distinct()
+    val cutLists = wins.filter(!isEval)
+      .join(broadcast(evalH), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("ps"))
+      .select(col("doc_id"),
+        expr(s"array_distinct(flatten(transform(ps, p -> sequence(p, p + ${k - 1}))))").as("cut0"))
+    documents.filter(!isEval)
+      .join(cutLists, Seq("doc_id"), "left")
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("cut", coalesce(col("cut0"), expr("array()")))
+      .withColumn("kept",
+        expr("filter(transform(toks, (t, i) -> if(array_contains(cut, i + 1), null, t)), x -> x IS NOT NULL)"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("cut")).cast("long").as("n_cut"),
+        md5(concat_ws(" ", col("kept")).cast("binary")).as("clean_md5"))
+  }
+
+  /** DuckDB twin of [[decontaminateSpans]]: the [[sqlDupSpanScrub]]
+    * window pipeline with the eval/train split and no owner rule.
+    */
+  def sqlDecontaminateSpans(evalMod: Long = 50, k: Int = 10): String = {
+    val toks = graft.text.Text.sqlTokens("text")
+    s"""WITH ds_t AS (
+       |  SELECT doc_id, $toks AS toks FROM documents
+       |), ds_w0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${k - 1} + 1),
+       |    i -> {'pos': i, 'h': hash(array_to_string(toks[i:i + ${k - 1}], ' '))})) AS s
+       |  FROM ds_t WHERE len(toks) >= $k
+       |), ds_w AS (
+       |  SELECT doc_id, s.pos AS pos, s.h AS h FROM ds_w0
+       |), ds_eh AS (
+       |  SELECT DISTINCT h FROM ds_w WHERE doc_id % $evalMod = 0
+       |), ds_cl AS (
+       |  SELECT ds_w.doc_id,
+       |    list_distinct(flatten(list_transform(list(DISTINCT ds_w.pos), p -> range(p, p + $k)))) AS cut0
+       |  FROM ds_w JOIN ds_eh USING (h)
+       |  WHERE ds_w.doc_id % $evalMod <> 0
+       |  GROUP BY 1
+       |), ds_x AS (
+       |  SELECT ds_t.doc_id, ds_t.toks, COALESCE(ds_cl.cut0, []) AS cut
+       |  FROM ds_t LEFT JOIN ds_cl USING (doc_id)
+       |  WHERE ds_t.doc_id % $evalMod <> 0
+       |)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(cut) AS BIGINT) AS n_cut,
+       |  md5(COALESCE(array_to_string(
+       |    list_filter(list_transform(range(1, len(toks) + 1),
+       |      i -> CASE WHEN list_contains(cut, i) THEN NULL ELSE toks[i] END),
+       |      x -> x IS NOT NULL), ' '), '')) AS clean_md5
+       |FROM ds_x""".stripMargin
+  }
+
   def contamination(documents: DataFrame, evalMod: Long = 50): DataFrame = {
     val evalGrams = hashedShingleSets(documents.filter(pmod(col("doc_id"), lit(evalMod)) === 0))
       .select(explode(col("sh")).as("h")).distinct()

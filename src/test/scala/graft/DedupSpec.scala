@@ -613,6 +613,35 @@ class DedupSpec extends SparkSpec {
     assert(all.keySet === Set(1L, 2L, 5L, 9L) && all(9L) === 0L)
   }
 
+  test("decontaminateSpans: eval-overlapping windows cut with NO owner rule; clean docs untouched") {
+    import spark.implicits._
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // evalMod=50 ⇒ doc 100 is the eval slice; k=3
+    val docs = Seq(
+      (100L, "secret bench question alpha beta"),          // eval
+      (1L, "intro words secret bench question tail part"), // quotes it
+      (2L, "completely unrelated text here now"),          // clean
+      (3L, "secret bench question"),                       // IS the benchmark line
+      (4L, "tiny doc"))                                    // below window size
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminateSpans(docs, evalMod = 50, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the eval slice is not training data and never appears
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    // doc 1: window "secret bench question" (pos 3) cut ⇒ tokens 3..5
+    assert(got(1L) === ((7L, 3L, md5("intro words tail part"))))
+    assert(got(2L) === ((5L, 0L, md5("completely unrelated text here now"))))
+    // no owner concept: the training copy of an eval span ALWAYS cuts,
+    // even when the training doc "owns" (pre-dates) nothing
+    assert(got(3L) === ((3L, 3L, md5(""))))
+    assert(got(4L) === ((2L, 0L, md5("tiny doc"))))
+    // scale contract: the eval window-hash set reaches the training
+    // scan through a broadcast, never a corpus shuffle by hash
+    val plan = planOf(Dedup.decontaminateSpans(Tables.documents(spark, sf)))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("dedupReport: one-row dashboard agrees with the operators it summarizes") {
     val docsDf = Tables.documents(spark, sf)
     val r = Dedup.dedupReport(docsDf).collect()

@@ -19,7 +19,7 @@ class PlanHardeningSpec extends SparkSpec {
   // broadcast side.
   private val mlQueries = Set(
     "q_train_coefficients", "q_predict_batch", "q_threshold_sweep",
-    "q_eval_confusion", "q_eval_auc", "q_calibration")
+    "q_eval_confusion", "q_eval_auc", "q_calibration", "q_quality_classifier")
   // q_ann_eval composes the brute truth (broadcast-queries NLJ) and
   // ivfAnn (broadcast-centroid NLJ), so it inherits their documented
   // nested loops
@@ -142,6 +142,11 @@ class PlanHardeningSpec extends SparkSpec {
     assert(Dedup.screenAgainst(emptyDocs, emptyDocs).count() === 0)
     assert(Dedup.embedIncremental(emptyEmb).count() === 0)
     assert(Dedup.embedIncremental(emptyEmb, useLsh = true).count() === 0)
+    // round-10 session additions
+    assert(graft.text.Bpe.fertility(emptyDocs).count() === 0)
+    assert(graft.text.Corpus.mixEpochs(emptyDocs).count() === 0)
+    assert(graft.text.Corpus.sourceOverlap(emptyDocs).count() === 0)
+    assert(graft.ops.Outliers.embedOutliers(emptyEmb).count() === 0)
   }
 
   test("temporal and outlier operators behave on an empty event stream") {
