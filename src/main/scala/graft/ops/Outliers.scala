@@ -84,12 +84,18 @@ object Outliers {
     val sums = (0 until dim).map(i =>
       sum(floor(col("embedding")(i).cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
         .as(s"s$i"))
-    val wide = embeddings.groupBy(col("label")).agg(count(lit(1)).as("cn"), sums: _*)
+    val wide = embeddings.filter(size(col("embedding")) === dim)
+      .groupBy(col("label")).agg(count(lit(1)).as("cn"), sums: _*)
     val mcols = (0 until dim).map(i =>
       col(s"s$i").cast("double") / (col("cn") * lit(1000000L)).cast("double"))
     val cents = wide.select(col("label"), array(mcols: _*).as("m"))
     val cos = embeddings
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      // ragged vectors are out of the screen's contract (the
+      // unitCorpus `size === d` discipline): VecDot returns NULL on a
+      // length mismatch where the SQL list fold may not, so the
+      // dimension filter is explicit and mirrored in the twin
+      .filter(size(col("v")) === dim)
       .join(broadcast(cents), "label")
       .withColumn("vn", sqrt(dot(col("v"), col("v"))))
       .withColumn("mn", sqrt(dot(col("m"), col("m"))))
@@ -138,12 +144,12 @@ object Outliers {
     s"""WITH eo_w AS (
        |  SELECT label, count(*) AS cn,
        |    $sums
-       |  FROM embeddings GROUP BY 1
+       |  FROM embeddings WHERE len(embedding) = $dim GROUP BY 1
        |), eo_m AS (
        |  SELECT label, $mList AS m FROM eo_w
        |), eo_v AS (
        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings
+       |  FROM embeddings WHERE len(embedding) = $dim
        |), eo_c AS (
        |  SELECT vec_id, eo_v.label,
        |    CAST(floor(

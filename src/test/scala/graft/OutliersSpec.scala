@@ -58,6 +58,20 @@ class OutliersSpec extends SparkSpec {
     assert(got.head.getLong(4) === 10L)
   }
 
+  test("embedOutliers: ragged (wrong-dimension) vectors are out of contract — excluded everywhere") {
+    val base = (1 to 9).map(i => (i.toLong, 0, Seq(1.0f, 0.01f * i, 0f, 0f)))
+    val planted = Seq((10L, 0, Seq(-1.0f, 0f, 0f, 0f)))
+    val ragged = Seq((99L, 0, Seq(-1.0f, 0f)))       // 2-dim in a 4-dim corpus
+    val clean = Outliers.embedOutliers((base ++ planted).toDF("vec_id", "label", "embedding"),
+      dim = 4, zThreshold = 2.0).collect()
+    val withRagged = Outliers.embedOutliers(
+      (base ++ planted ++ ragged).toDF("vec_id", "label", "embedding"),
+      dim = 4, zThreshold = 2.0).collect()
+    // the ragged vector neither flags nor shifts anyone's centroid/z
+    assert(withRagged.map(_.toSeq).toSet === clean.map(_.toSeq).toSet)
+    assert(!withRagged.exists(_.getLong(0) == 99L))
+  }
+
   test("embedOutliers on the real corpus: thresholds respected, zero-norm vectors never flag") {
     val out = Outliers.embedOutliers(Tables.embeddings(spark, sf)).localCheckpoint()
     assert(out.filter(abs(col("z")) < 2.0).count() === 0)
