@@ -367,6 +367,12 @@ object SparkEntry {
     // shared-shingle SHARE reaches the threshold; exact integer
     // cross-multiply at the boundary (round-6 addition)
     "q_decontaminate_frac" -> ((s, dir) => Dedup.decontaminateFrac(Tables.documents(s, dir))),
+    // the SPAN modality of the incremental screen: how much of a
+    // landed batch doc is already verbatim in the store — batch window
+    // hashes broadcast into one map-side store pass (round-10
+    // addition)
+    "q_dup_spans_incremental" ->
+      ((s, dir) => Dedup.incrementalSpans(Tables.documents(s, dir))),
     // SPAN-level (surgical) decontamination: cut exactly the
     // eval-overlapping k-token windows out of each training doc —
     // benchmark text never survives, the document does; eval window
@@ -664,6 +670,7 @@ object SparkEntry {
     "q_decontaminate" -> Dedup.sqlDecontaminate(),
     "q_decontaminate_frac" -> Dedup.sqlDecontaminateFrac(),
     "q_decontaminate_spans" -> Dedup.sqlDecontaminateSpans(),
+    "q_dup_spans_incremental" -> Dedup.sqlIncrementalSpans(),
     "q_pack_sequences" -> Corpus.sqlPackSequences(),
     "q_pack_bpe" -> Corpus.sqlPackSequencesBpe(),
     "q_ngram_vocab" -> Corpus.sqlNgramVocab(),

@@ -1401,6 +1401,73 @@ object Dedup {
     * STRINGS in the oracle — equal modulo 64-bit collisions (same
     * argument as [[hashedShingleSets]]).
     */
+  /** q118: the SPAN modality of the incremental ingest screen — how
+    * much of a LANDED batch document is already VERBATIM in the store
+    * (q_dedup_incremental answers "is this doc a near-twin of a
+    * stored doc"; this answers the passage-level question that
+    * doc-level Jaccard never reaches: a new doc that is 40% stored
+    * boilerplate should be span-scrubbed or downweighted even though
+    * no single stored doc resembles it). Per batch doc with ≥1
+    * window: (doc_id, n_windows, n_dup_windows, dup_fraction) where a
+    * window is DUP iff its identical k-token sequence occurs anywhere
+    * in the store — the [[dupSpans]] output shape pointed across the
+    * batch/store boundary.
+    *
+    * Scale shape — the incremental contract: the batch's distinct
+    * window hashes are batch-sized and BROADCAST into one map-side
+    * pass over the store's window scan (the memoized [[winsCached]]
+    * seam — alongside the span family this adds zero scans); the
+    * matched-hash set that comes back is ≤ batch windows and
+    * broadcasts again onto the batch side. The store is scanned, never
+    * shuffled by hash, and nothing pair-materializes.
+    */
+  def incrementalSpans(
+      documents: DataFrame, batchMod: Long = 10, k: Int = 10): DataFrame = {
+    require(batchMod >= 2, "batchMod must split the corpus into batch and existing")
+    val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
+    val wins = winsCached(documents, k)
+    val batchWins = wins.filter(isBatch)
+    val batchH = batchWins.select(col("h")).distinct()
+    // one map-side pass over the store scan; output bounded by the
+    // batch's own distinct windows
+    val matched = wins.filter(!isBatch)
+      .join(broadcast(batchH), Seq("h"))
+      .select(col("h")).distinct()
+      .withColumn("hit", lit(1L))
+    batchWins
+      .join(broadcast(matched), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        Det.r(col("n_dup_windows").cast("double") / col("n_windows").cast("double"), 6)
+          .as("dup_fraction"))
+  }
+
+  /** DuckDB twin of [[incrementalSpans]]: plain batch-window ∈
+    * store-window-set formulation.
+    */
+  def sqlIncrementalSpans(batchMod: Long = 10, k: Int = 10): String = {
+    val toks = graft.text.Text.sqlTokens("text")
+    s"""WITH is_t AS (
+       |  SELECT doc_id, $toks AS toks FROM documents
+       |), is_w AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${k - 1} + 1),
+       |    i -> hash(array_to_string(toks[i:i + ${k - 1}], ' ')))) AS h
+       |  FROM is_t WHERE len(toks) >= $k
+       |), is_sh AS (
+       |  SELECT DISTINCT h FROM is_w WHERE doc_id % $batchMod <> 0
+       |)
+       |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       |  CAST(sum(CASE WHEN is_sh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       |  floor(CAST(sum(CASE WHEN is_sh.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS dup_fraction
+       |FROM is_w w LEFT JOIN is_sh ON w.h = is_sh.h
+       |WHERE w.doc_id % $batchMod = 0
+       |GROUP BY 1""".stripMargin
+  }
+
   /** q117: SPAN-level decontamination — the surgical form of
     * [[decontaminate]]: instead of DROPPING every training document
     * that overlaps the eval slice (which discards a long document for

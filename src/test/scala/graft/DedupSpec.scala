@@ -642,6 +642,32 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("incrementalSpans: batch windows flag iff verbatim in the STORE; batch-internal repeats don't count") {
+    import spark.implicits._
+    // batchMod=10 ⇒ ids 10,20,30,40 are the batch; k=3
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),   // store: windows (a,b,g) (b,g,d)
+      (10L, "x alpha beta gamma y"),    // batch: middle window is stored
+      (20L, "p q r s"),                 // batch: clean
+      (30L, "u v w z1 z2"),             // batch: duplicates ONLY doc 40
+      (40L, "u v w z1 z2"),             // batch: duplicates ONLY doc 30
+      (21L, "below k"))                 // store, below window size
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalSpans(docs, batchMod = 10, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === Set(10L, 20L, 30L, 40L), "batch docs with windows only")
+    assert(got(10L) === ((3L, 1L, math.floor(1.0 / 3.0 * 1e6 + 0.5) / 1e6)))
+    assert(got(20L) === ((2L, 0L, 0.0)))
+    // the store screen must NOT flag batch-internal duplication (that
+    // is q_dedup_batch's job at doc level)
+    assert(got(30L)._2 === 0L && got(40L)._2 === 0L)
+    // scale contract: both hash joins are broadcasts — the store scan
+    // is never shuffled by window hash
+    val plan = planOf(Dedup.incrementalSpans(Tables.documents(spark, sf)))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("dedupReport: one-row dashboard agrees with the operators it summarizes") {
     val docsDf = Tables.documents(spark, sf)
     val r = Dedup.dedupReport(docsDf).collect()

@@ -143,6 +143,8 @@ class PlanHardeningSpec extends SparkSpec {
     assert(Dedup.embedIncremental(emptyEmb).count() === 0)
     assert(Dedup.embedIncremental(emptyEmb, useLsh = true).count() === 0)
     // round-10 session additions
+    assert(Dedup.incrementalSpans(emptyDocs).count() === 0)
+    assert(Dedup.decontaminateSpans(emptyDocs).count() === 0)
     assert(graft.text.Bpe.fertility(emptyDocs).count() === 0)
     assert(graft.text.Corpus.mixEpochs(emptyDocs).count() === 0)
     assert(graft.text.Corpus.sourceOverlap(emptyDocs).count() === 0)
