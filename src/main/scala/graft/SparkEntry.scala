@@ -296,6 +296,12 @@ object SparkEntry {
     // PartitionedSpec); value fidelity vs the unpartitioned oracle
     // (round-5 addition)
     "q_partition_prune" -> ((s, dir) => graft.sources.Partitioned.dailyPruned(s, dir)),
+    // the small-file compaction maintenance job under the gate: a
+    // constructed 64-file micro-batch layout compacts in place, and
+    // the rollup over the compacted files must hash-match the oracle
+    // over the ORIGINAL parquet — the layout changes the file count,
+    // never the answer (round-10 addition)
+    "q_compacted_read" -> ((s, dir) => graft.sources.Compact.eventsViaCompacted(s, dir)),
     // sliding-window aggregation (each event in window/slide windows;
     // fan-out inside the scan stage, one shuffle) (round-4 addition)
     "q_stream_sliding" -> ((s, dir) => Events.slidingAgg(Tables.events(s, dir))),
@@ -650,6 +656,7 @@ object SparkEntry {
     "q_media_resize" -> Multimodal.sqlMediaResize(),
     "q_stream_hourly" -> Events.sqlHourlyAgg,
     "q_partition_prune" -> graft.sources.Partitioned.sqlDailyPruned(),
+    "q_compacted_read" -> graft.sources.Compact.sqlCompactedRollup,
     "q_skew_profile" -> graft.ops.Skew.sqlSkewProfile(),
     "q_bucketed_join" -> graft.sources.Bucketing.sqlBucketedJoinRollup,
     "q_stream_sliding" -> Events.sqlSlidingAgg(),

@@ -83,4 +83,49 @@ object Compact {
     df.write.mode("overwrite").parquet(path)
     compact(df.sparkSession, path, targetBytes)
   }
+
+  // ------------------------------------------------------------------
+  // q119: the compaction maintenance job driven through the oracle
+  // gate (the q_bucketed_join pattern: the LAYOUT changes the file
+  // count and the scan plan, never the answer). The small-file
+  // pathology is CONSTRUCTED (the testdata's own tables are
+  // well-laid-out, like the skew-profile's planted hot key): the
+  // events table is exported as a 64-file micro-batch-shaped write,
+  // compacted in place down to ≈targetBytes files — the require
+  // proves the job actually collapsed the layout — and the gate query
+  // is a full-table rollup over the COMPACTED files that must
+  // hash-match the oracle computed over the ORIGINAL parquet
+  // (count / distinct-user / exact-cents invariants: any row lost,
+  // duplicated or mangled by the rewrite breaks the hash).
+  // ------------------------------------------------------------------
+
+  /** Per-event-type rollup over the compacted copy of `events` — the
+    * export + compact pair runs once per JVM (Scratch; itemized as
+    * `scratch_compacted_events` in the bench's build line).
+    */
+  def eventsViaCompacted(spark: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.materialize("compacted_events", dir) { out =>
+      graft.Tables.events(spark, dir)
+        .repartition(64)
+        .write.mode("overwrite").parquet(out)
+      val (before, after) = compact(spark, out, targetBytes = 4L * 1024 * 1024)
+      require(after < before,
+        s"compaction must collapse the 64-file layout, got $before -> $after")
+    }
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(path)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(graft.Det.cents(col("value"))).as("total_cents"))
+  }
+
+  /** DuckDB twin over the ORIGINAL events parquet. */
+  def sqlCompactedRollup: String =
+    s"""SELECT event_type,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+       |FROM events GROUP BY 1""".stripMargin
 }

@@ -36,6 +36,7 @@ object Sources {
     timed("scratch_avro_lineitem") { Avro.lineitemViaAvro(spark, dir); () }
     timed("scratch_jsonl_documents") { Jsonl.documentsViaJsonl(spark, dir); () }
     timed("scratch_events_by_day") { Partitioned.eventsViaPartitioned(spark, dir); () }
+    timed("scratch_compacted_events") { Compact.eventsViaCompacted(spark, dir); () }
     out.toSeq
   }
 }

@@ -28,6 +28,18 @@ class CompactSpec extends SparkSpec {
     assert(!new java.io.File(tmp + ".old").exists())
   }
 
+  test("gate query over the compacted layout equals the rollup over the original table") {
+    val viaCompacted = Compact.eventsViaCompacted(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val original = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)), countDistinct(col("user_id")), sum(graft.Det.cents(col("value"))))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(viaCompacted === original, "compaction changed the answer")
+    assert(viaCompacted.nonEmpty)
+  }
+
   test("compact splits into multiple files when bytes exceed the target") {
     val tmp = Files.createTempDirectory("graft-compact2").toString + "/li"
     Tables.lineitem(spark, sf).repartition(16)
