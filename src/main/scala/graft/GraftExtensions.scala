@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{HyperplaneBuckets, MisraGries, SortedIntersectSize, VecDot}
+import graft.functions.{BloomBuild, BloomMightContain, HyperplaneBuckets, MisraGries, SortedIntersectSize, VecDot}
 
 /** Session-extension entry point: registers graft's native Catalyst
   * expressions as SQL functions. Users opt in with
@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vecDot)
     ext.injectFunction(GraftExtensions.hyperplaneBuckets)
     ext.injectFunction(GraftExtensions.misraGries)
+    ext.injectFunction(GraftExtensions.bloomBuild)
+    ext.injectFunction(GraftExtensions.bloomMightContain)
   }
 }
 
@@ -84,5 +86,38 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("k must be an integer literal")
       }
       MisraGries(children.head, k)
+    })
+
+  val bloomBuild: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_build"),
+    new ExpressionInfo(
+      classOf[BloomBuild].getName,
+      null,
+      "bloom_build",
+      "bloom_build(key, num_bits, num_hashes) - mergeable Bloom-filter aggregate over " +
+        "pre-hashed bigint keys; returns the filter as binary (4-byte hash-count header + bits)",
+      ""),
+    (children: Seq[Expression]) => {
+      require(children.length == 3, "bloom_build takes exactly 3 arguments")
+      def intLit(e: Expression, name: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException(s"$name must be an integer literal")
+      }
+      BloomBuild(children.head,
+        intLit(children(1), "num_bits"), intLit(children(2), "num_hashes"))
+    })
+
+  val bloomMightContain: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_might_contain"),
+    new ExpressionInfo(
+      classOf[BloomMightContain].getName,
+      null,
+      "bloom_might_contain",
+      "bloom_might_contain(filter, key) - Bloom membership probe: false positives " +
+        "possible, false negatives impossible",
+      ""),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "bloom_might_contain takes exactly 2 arguments")
+      BloomMightContain(children.head, children(1))
     })
 }

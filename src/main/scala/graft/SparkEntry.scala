@@ -373,6 +373,12 @@ object SparkEntry {
     // shared-shingle SHARE reaches the threshold; exact integer
     // cross-multiply at the boundary (round-6 addition)
     "q_decontaminate_frac" -> ((s, dir) => Dedup.decontaminateFrac(Tables.documents(s, dir))),
+    // the BLOOM form of the incremental exact screen: the store ships
+    // a compact filter (native mergeable BloomBuild aggregate) and
+    // batch docs probe it scan-side (codegen BloomMightContain) —
+    // both verdicts in the artifact; hash-model-dependent => rows-only
+    // (round-10 addition)
+    "q_dedup_bloom" -> ((s, dir) => Dedup.bloomScreen(Tables.documents(s, dir))),
     // the SPAN modality of the incremental screen: how much of a
     // landed batch doc is already verbatim in the store — batch window
     // hashes broadcast into one map-side store pass (round-10

@@ -1401,6 +1401,63 @@ object Dedup {
     * STRINGS in the oracle — equal modulo 64-bit collisions (same
     * argument as [[hashedShingleSets]]).
     */
+  /** q120: the BLOOM form of the incremental EXACT screen — the
+    * membership path a 100 TB store actually serves: instead of
+    * semi-joining every landed batch against the store's full
+    * content-hash index (a store-sized shuffle-side, however well
+    * partitioned), the store publishes a COMPACT summary — a Bloom
+    * filter over its content hashes, bitsPerKey bits per stored doc
+    * regardless of key size, built in ONE map-side pass by the native
+    * [[graft.functions.BloomBuild]] aggregate (partials are bit
+    * arrays, merge is byte-wise OR — order-independent, so the filter
+    * bytes are DETERMINISTIC for a given store) — and each batch doc
+    * probes it SCAN-SIDE via the codegen'd
+    * [[graft.functions.BloomMightContain]]. No false negatives ever
+    * (every true exact-dup flags); false positives at the standard
+    * (1−e^(−k/bitsPerKey))^k rate (~0.8% at 10 bits / 7 hashes) — the
+    * artifact carries BOTH verdicts per batch doc (bloom_hit,
+    * is_exact_dup) so the FP behavior is in the output, and a real
+    * pipeline verifies only the maybe-set exactly (Spark's own
+    * runtime bloom-join move, made explicit and persistable: the
+    * filter bytes are what a store would SHIP to ingest workers).
+    *
+    * The filter is a bounded driver artifact (bitsPerKey·|store|/8
+    * bytes — 1e9 stored docs ≈ 1.2 GB at the defaults; beyond that a
+    * production store shards the filter by key range, documented, not
+    * implemented) embedded as a literal, the centroid-table move.
+    * Hash-model-dependent (splitmix64 probe positions — deliberately
+    * not SQL-replicated) ⇒ rows-only; DedupSpec gates zero false
+    * negatives, the FP-rate ceiling, filter determinism, and
+    * single-vs-many-partition build equality (true mergeability).
+    */
+  def bloomScreen(
+      documents: DataFrame, batchMod: Long = 10,
+      bitsPerKey: Int = 10, numHashes: Int = 7): DataFrame = {
+    require(batchMod >= 2, "batchMod must split the corpus into batch and existing")
+    require(bitsPerKey >= 1 && numHashes >= 1)
+    val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
+    val sets = setsCached(documents)
+    val storeKeys = sets.filter(!isBatch).select(xxhash64(col("ch")).as("v"))
+    val nStore = storeKeys.count()
+    val rawBits = math.max(64L, bitsPerKey.toLong * nStore)
+    require(rawBits <= Int.MaxValue - 8,
+      s"bloom filter of $rawBits bits exceeds the single-filter limit; shard by key range")
+    val bits = (((rawBits + 7) / 8) * 8).toInt
+    val filter = storeKeys
+      .agg(graft.functions.GraftFunctions.bloomBuild(col("v"), bits, numHashes).as("f"))
+      .head().getAs[Array[Byte]](0)
+    val batch = sets.filter(isBatch).select(col("doc_id"), col("ch"))
+    val exactDup = batch
+      .join(sets.filter(!isBatch).select(col("ch")).distinct(), Seq("ch"), "left_semi")
+      .select(col("doc_id")).withColumn("e", lit(1L))
+    batch
+      .select(col("doc_id"),
+        when(graft.functions.GraftFunctions.bloomMightContain(lit(filter), xxhash64(col("ch"))),
+          lit(1L)).otherwise(lit(0L)).as("bloom_hit"))
+      .join(exactDup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bloom_hit"), coalesce(col("e"), lit(0L)).as("is_exact_dup"))
+  }
+
   /** q118: the SPAN modality of the incremental ingest screen — how
     * much of a LANDED batch document is already VERBATIM in the store
     * (q_dedup_incremental answers "is this doc a near-twin of a

@@ -93,4 +93,14 @@ object GraftFunctions {
   def misraGries(item: Column, k: Int): Column =
     GraftSqlBridge.column(
       MisraGries(GraftSqlBridge.expression(item), k).toAggregateExpression())
+
+  /** Column wrapper for the [[BloomBuild]] aggregate. */
+  def bloomBuild(key: Column, numBits: Int, numHashes: Int): Column =
+    GraftSqlBridge.column(
+      BloomBuild(GraftSqlBridge.expression(key), numBits, numHashes).toAggregateExpression())
+
+  /** Column wrapper for [[BloomMightContain]]. */
+  def bloomMightContain(filter: Column, key: Column): Column =
+    GraftSqlBridge.column(
+      BloomMightContain(GraftSqlBridge.expression(filter), GraftSqlBridge.expression(key)))
 }

@@ -642,6 +642,38 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("bloomScreen: no false negatives ever, FP rate under the ceiling, deterministic mergeable filter") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.{bloomBuild, bloomMightContain}
+    // real corpus: every true exact-dup must flag; FPs stay rare
+    val rows = Dedup.bloomScreen(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, bloom, exact) => exact == 0L || bloom == 1L },
+      "a Bloom filter must NEVER miss a true member")
+    val nonDups = rows.filter(_._3 == 0L)
+    val fpRate = nonDups.count(_._2 == 1L).toDouble / math.max(nonDups.length, 1)
+    assert(fpRate <= 0.08, s"false-positive rate $fpRate above the ~0.8%-theory ceiling band")
+    // the filter is deterministic and truly mergeable: building over 7
+    // partitions and over 1 yields byte-identical filters
+    val keys = (1L to 500L).map(i => Tuple1(i * 0x9e3779b97f4a7c15L)).toDF("v")
+    def build(df: org.apache.spark.sql.DataFrame) =
+      df.agg(bloomBuild(col("v"), 8192, 7)).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(build(keys.repartition(7)), build(keys.repartition(1))),
+      "partial-merge order must not change the filter bytes")
+    // probe semantics on a hand-built filter: members always hit,
+    // non-member FP rate near theory
+    val filter = build(keys)
+    val members = keys.select(
+      bloomMightContain(lit(filter), col("v")).as("hit")).collect()
+    assert(members.forall(_.getBoolean(0)), "member probes must all hit")
+    val probes = (100001L to 101000L).map(i => Tuple1(i * 0x517cc1b727220a95L)).toDF("v")
+    val fp = probes.select(bloomMightContain(lit(filter), col("v")).as("hit"))
+      .collect().count(_.getBoolean(0))
+    // 500 keys in 8192 bits at k=7 ⇒ theory ~0.55%; allow wide slack
+    assert(fp <= 50, s"non-member FP count $fp way above theory on 1000 probes")
+  }
+
   test("incrementalSpans: batch windows flag iff verbatim in the STORE; batch-internal repeats don't count") {
     import spark.implicits._
     // batchMod=10 ⇒ ids 10,20,30,40 are the batch; k=3

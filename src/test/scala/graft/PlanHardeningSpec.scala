@@ -73,7 +73,8 @@ class PlanHardeningSpec extends SparkSpec {
       "q_dedup_minhash", "q_dedup_simhash", "q_dedup_eval", "q_ann_lsh",
       "q_ann_ivf", "q_ann_ivf_kmeans", "q_ann_pq", "q_ann_ivfpq", "q_ann_sq8",
       "q_ann_eval", "q_dedup_embedding_lsh", "q_embed_incremental_lsh",
-      "q_corpus_stats_approx", "q_media_features", "q_distinct_approx"))
+      "q_corpus_stats_approx", "q_media_features", "q_distinct_approx",
+      "q_dedup_bloom"))
   }
 
   private lazy val emptyDocs = spark.createDataFrame(
@@ -143,6 +144,7 @@ class PlanHardeningSpec extends SparkSpec {
     assert(Dedup.embedIncremental(emptyEmb).count() === 0)
     assert(Dedup.embedIncremental(emptyEmb, useLsh = true).count() === 0)
     // round-10 session additions
+    assert(Dedup.bloomScreen(emptyDocs).count() === 0)
     assert(Dedup.incrementalSpans(emptyDocs).count() === 0)
     assert(Dedup.decontaminateSpans(emptyDocs).count() === 0)
     assert(graft.text.Bpe.fertility(emptyDocs).count() === 0)
