@@ -674,6 +674,50 @@ class DedupSpec extends SparkSpec {
     assert(fp <= 50, s"non-member FP count $fp way above theory on 1000 probes")
   }
 
+  test("BloomIndex: write -> read -> probe identical to in-session; append equals one-shot union build") {
+    import spark.implicits._
+    def rmrf(dir: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+    val store = (1L to 400L).map(i => Tuple1(i * 0x9e3779b97f4a7c15L)).toDF("v")
+    val batch = (401L to 450L).map(i => Tuple1(i * 0x9e3779b97f4a7c15L)).toDF("v")
+    val dir = java.nio.file.Files.createTempDirectory("bloom_idx_").toString
+    try {
+      graft.dedup.BloomIndex.write(store, dir)
+      // read-back probe == in-session probe over the same filter bytes
+      val fromDisk = graft.dedup.BloomIndex.probe(spark, store.union(batch), dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      store.collect().map(_.getLong(0)).foreach(v =>
+        assert(fromDisk(v) === 1L, "a stored key must always hit the read-back filter"))
+      // append: OR-ing the batch in preserves the geometry, never
+      // loses a key, and at that FIXED geometry is byte-equal to a
+      // one-shot build over the union (OR IS the aggregate's merge)
+      val storeBytes = graft.dedup.BloomIndex.read(dir)
+      graft.dedup.BloomIndex.append(batch, dir)
+      val viaAppend = graft.dedup.BloomIndex.read(dir)
+      assert(storeBytes.length === viaAppend.length, "append must preserve geometry")
+      val hits = graft.dedup.BloomIndex.probe(spark, store.union(batch), dir).collect()
+      assert(hits.forall(_.getLong(1) == 1L), "append lost a key")
+      import graft.functions.GraftFunctions.bloomBuild
+      val bits = (viaAppend.length - 4) * 8
+      val oneShot = store.union(batch)
+        .agg(bloomBuild(col("v"), bits, 7)).head().getAs[Array[Byte]](0)
+      assert(java.util.Arrays.equals(viaAppend, oneShot),
+        "append drifted from the one-shot union build at fixed geometry")
+      // corrupt artifacts fail loudly
+      val bad = java.nio.file.Files.createTempDirectory("bloom_bad_").toString
+      try {
+        intercept[IllegalArgumentException] { graft.dedup.BloomIndex.read(bad) }
+        java.nio.file.Files.write(java.nio.file.Paths.get(bad, "filter.bin"), Array[Byte](0, 0, 0, 7))
+        intercept[IllegalArgumentException] { graft.dedup.BloomIndex.read(bad) }
+      } finally rmrf(bad)
+    } finally rmrf(dir)
+  }
+
   test("incrementalSpans: batch windows flag iff verbatim in the STORE; batch-internal repeats don't count") {
     import spark.implicits._
     // batchMod=10 ⇒ ids 10,20,30,40 are the batch; k=3
