@@ -397,6 +397,11 @@ object SparkEntry {
     // words) — the production training-data layout composition
     // (round-9 addition)
     "q_pack_bpe" -> ((s, dir) => Corpus.packSequencesBpe(Tables.documents(s, dir))),
+    // packing under a deterministic document SHUFFLE (portable md5
+    // order) — one training sequence mixes unrelated documents
+    // instead of a contiguous ingestion run (round-10 addition)
+    "q_pack_shuffled" ->
+      ((s, dir) => Corpus.packSequencesShuffled(Tables.documents(s, dir))),
     // per-language top-k bigram vocabulary (two-phase exact top-k)
     "q_ngram_vocab" -> ((s, dir) => Corpus.ngramVocab(Tables.documents(s, dir))),
     // exact heavy hitters over the open token domain, two-pass:
@@ -686,6 +691,7 @@ object SparkEntry {
     "q_dup_spans_incremental" -> Dedup.sqlIncrementalSpans(),
     "q_pack_sequences" -> Corpus.sqlPackSequences(),
     "q_pack_bpe" -> Corpus.sqlPackSequencesBpe(),
+    "q_pack_shuffled" -> Corpus.sqlPackSequencesShuffled(),
     "q_ngram_vocab" -> Corpus.sqlNgramVocab(),
     "q_heavy_hitters" -> Corpus.sqlHeavyHitters(),
     // the JSONL round-trip must be value-exact vs the parquet source,

@@ -674,16 +674,54 @@ object Corpus {
         .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
       seqLen, blockSize)
 
+  /** q121: packing under a deterministic document SHUFFLE — the
+    * training-data layout's missing half: production pipelines shuffle
+    * documents BEFORE concat-and-chunk so one training sequence mixes
+    * unrelated documents instead of a contiguous run of one crawl/
+    * source (doc_id order IS ingestion order — packing it bakes
+    * source-correlated batches into every epoch). The shuffle key is
+    * the portable md5 of the doc_id string (the [[groupSample]] key:
+    * engine-stable, id-correlation-free), so the "random" permutation
+    * is deterministic, reproducible, and oracle-checkable.
+    *
+    * Same two-level global cumsum as [[packSequences]]; only the
+    * ORDER changes: the coarse block key becomes the first 4 hex
+    * chars of the shuffle key (65536 order-PRESERVING buckets — equal
+    * hex-length means numeric prefix order == lexicographic key
+    * order, so block asc + in-block (key, doc_id) asc IS the global
+    * shuffle order), block offsets broadcast, in-block windows
+    * bounded ~N/65536. The md5 key also load-balances the blocks by
+    * construction — unlike doc_id blocks, no ingestion-time hot range
+    * survives into a window partition.
+    */
+  def packSequencesShuffled(
+      documents: DataFrame, seqLen: Long = 2048): DataFrame = {
+    val counts = documents
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string").cast("binary")).as("okey"))
+      .withColumn("blk", conv(substring(col("okey"), 1, 4), 16, 10).cast("long"))
+    packCore(counts, seqLen)
+  }
+
   /** The packing core over a provided (doc_id, n_tokens) table — the
     * two-level global cumsum (block rollup + block-partitioned
     * windows + broadcast offsets) shared by the whitespace and BPE
     * budget variants.
     */
   private def packByCounts(
-      counts: DataFrame, seqLen: Long, blockSize: Long): DataFrame = {
-    val base = counts
-      .select(col("doc_id"), col("n_tokens"),
-        expr(s"doc_id DIV ${blockSize}L").as("blk"))
+      counts: DataFrame, seqLen: Long, blockSize: Long): DataFrame =
+    packCore(
+      counts.select(col("doc_id"), col("n_tokens"),
+        col("doc_id").as("okey"), expr(s"doc_id DIV ${blockSize}L").as("blk")),
+      seqLen)
+
+  /** Shared core: concat in (blk asc, okey asc, doc_id asc) order —
+    * callers must derive `blk` as an order-preserving coarsening of
+    * `okey` so that order equals the global (okey, doc_id) order —
+    * and chunk into seqLen-token sequences via the two-level cumsum.
+    */
+  private def packCore(base: DataFrame, seqLen: Long): DataFrame = {
     val wBlk = Window.partitionBy(Det.constKey(col("blk"))).orderBy(col("blk").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val blkOffsets = base
@@ -691,7 +729,7 @@ object Corpus {
       .agg(sum(col("n_tokens")).as("blk_tokens"))
       .withColumn("blk_offset", coalesce(sum(col("blk_tokens")).over(wBlk), lit(0L)))
       .select(col("blk"), col("blk_offset"))
-    val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id").asc)
+    val wIn = Window.partitionBy(col("blk")).orderBy(col("okey").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     base
       .join(broadcast(blkOffsets), Seq("blk"))
@@ -740,6 +778,28 @@ object Corpus {
        |  start_off // $seqLen AS seq_id,
        |  start_off % $seqLen AS seq_offset
        |FROM pc""".stripMargin
+
+  /** DuckDB twin of [[packSequencesShuffled]]: the plain single-window
+    * cumsum over the (md5 key, doc_id) order — validating both the
+    * two-level decomposition AND the hex-prefix block coarsening.
+    */
+  def sqlPackSequencesShuffled(seqLen: Long = 2048): String = {
+    val toks = Text.sqlTokens("text")
+    s"""WITH shb AS (
+       |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents
+       |), shc AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+       |  FROM shb
+       |)
+       |SELECT doc_id, n_tokens,
+       |  start_off // $seqLen AS seq_id,
+       |  start_off % $seqLen AS seq_offset
+       |FROM shc""".stripMargin
+  }
 
   /** Per-language n-gram vocabulary: the k most frequent bigrams of
     * every language slice (corpus drift / boilerplate reporting).

@@ -202,6 +202,33 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("packSequencesShuffled: layout equals a driver-side cumsum over the md5 order") {
+    val docs = Tables.documents(spark, sf)
+    val got = Corpus.packSequencesShuffled(docs, seqLen = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val counts = Corpus.packSequences(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // budgets identical to the unshuffled layout — only the ORDER moves
+    assert(got.view.mapValues(_._1).toMap === counts)
+    // driver recomputation: concat in (md5(doc_id), doc_id) order
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    var off = 0L
+    counts.toSeq.sortBy { case (id, _) => (md5hex(id.toString), id) }.foreach {
+      case (id, n) =>
+        val (gn, seqId, seqOff) = got(id)
+        assert(gn === n && seqId === off / 64 && seqOff === off % 64, s"doc $id layout")
+        off += n
+    }
+    // and the shuffle is real: some doc lands in a different sequence
+    // than the doc_id-ordered layout puts it in
+    val plain = Corpus.packSequences(docs, seqLen = 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.exists { case (id, (_, seqId, _)) => seqId != plain(id) },
+      "shuffled layout should diverge from ingestion order somewhere")
+  }
+
   test("ngramVocab: hand-built corpus pins ranks and the bucket pre-prune is lossless") {
     val docs = Seq(
       (0L, "x y x y x z", "en"), (1L, "x y q r", "en"), (2L, "s t s t", "de"))
