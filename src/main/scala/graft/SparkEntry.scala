@@ -246,6 +246,12 @@ object SparkEntry {
     // compression point between the flat scan and PQ's nibbles
     // (round-9 addition)
     "q_ann_sq8" -> ((s, dir) => Similarity.sq8Ann(Tables.embeddings(s, dir))),
+    // PCA-reduced ANN: rank by the top-m projected dot (m-double rows
+    // instead of d — the faiss PCAMatrix pre-transform), exact refine
+    // (round-10 addition)
+    "q_ann_pca" -> ((s, dir) => Similarity.pcaAnn(Tables.embeddings(s, dir))),
+    // the variance-spectrum artifact that decides m (round-10 addition)
+    "q_embed_pca" -> ((s, dir) => Similarity.pcaSpectrum(Tables.embeddings(s, dir))),
     // recall@k audit of the approximate indexes vs the exact brute
     // top-k — the decision input for serving ANN instead of exact;
     // approximate => rows-only gate + recall floors in SimilaritySpec

@@ -355,9 +355,10 @@ object BpeModelTool {
 }
 
 /** `graft.cli.PqIndexTool --mode build --data <sfDir> --index_dir <dir>
-  * [--family pq|ivf|ivf_kmeans|sq8]` trains+persists an ANN index
+  * [--family pq|ivf|ivf_kmeans|sq8|pca]` trains+persists an ANN index
   * (PQ: codebooks.json + codes parquet; IVF: centroids.json +
-  * assignment parquet; SQ8: bounds.json + codes parquet); `--mode
+  * assignment parquet; SQ8: bounds.json + codes parquet; PCA:
+  * model.json + projected parquet); `--mode
   * search` reads it back and prints the top-k neighbors — the
   * train-once/search-forever serving lifecycle for the ANN family.
   * `--mode append --batch_mod N` encodes the vec_id % N == 0 slice
@@ -386,6 +387,9 @@ object PqIndexTool {
       case ("build", "sq8") =>
         graft.sim.Sq8Index.write(emb, indexDir)
         println(s"[SQ8] index written to $indexDir")
+      case ("build", "pca") =>
+        graft.sim.PcaIndex.write(emb, indexDir)
+        println(s"[PCA] index written to $indexDir")
       case ("append", fam) =>
         val batch = emb.filter(
           pmod(col("vec_id"), lit(a.getOrElse("batch_mod", "10").toLong)) === 0)
@@ -393,6 +397,7 @@ object PqIndexTool {
           case "pq" => graft.sim.PqIndex.append(spark, batch, indexDir)
           case "ivf" | "ivf_kmeans" => graft.sim.IvfIndex.append(spark, batch, indexDir)
           case "sq8" => graft.sim.Sq8Index.append(spark, batch, indexDir)
+          case "pca" => graft.sim.PcaIndex.append(spark, batch, indexDir)
           case other => throw new IllegalArgumentException(s"unknown --family '$other'")
         }
         println(s"[${fam.toUpperCase}] batch appended to $indexDir (no retrain)")
@@ -403,6 +408,11 @@ object PqIndexTool {
           refine = a.getOrElse("refine", "4").toInt))
       case ("search", "pq") =>
         show(graft.sim.PqIndex.search(spark, indexDir, emb,
+          nQueries = a.getOrElse("nqueries", "10").toInt,
+          k = a.getOrElse("k", "10").toInt,
+          refine = a.getOrElse("refine", "4").toInt))
+      case ("search", "pca") =>
+        show(graft.sim.PcaIndex.search(spark, indexDir, emb,
           nQueries = a.getOrElse("nqueries", "10").toInt,
           k = a.getOrElse("k", "10").toInt,
           refine = a.getOrElse("refine", "4").toInt))

@@ -300,6 +300,12 @@ object Similarity {
         if (sq8BoundsCached(embeddings, d).nonEmpty) { sq8CodesCached(embeddings, d); () }
       }
     }
+    if (d > 0 && PcaM <= d) {
+      timed("sim_pca_model") { pcaModelCached(embeddings, d); () }
+      timed("sim_pca_codes") {
+        if (pcaModelCached(embeddings, d)._1.nonEmpty) { pcaCodesCached(embeddings, d); () }
+      }
+    }
     out.toSeq
   }
 
@@ -724,6 +730,273 @@ object Similarity {
     sq8CodesMemo.getOrElseUpdate(embeddings.sparkSession,
       (embeddings.queryExecution.analyzed.canonicalized, d))(
       sq8Encode(unitCorpus(embeddings, d), sq8BoundsCached(embeddings, d)).localCheckpoint())
+
+  // ------------------------------------------------------------------
+  // PCA transform family (round-10 additions): the faiss PCAMatrix
+  // pre-transform — the remaining standard compression point between
+  // the flat scan and the quantized families: project to the top-m
+  // principal directions and rank by the m-dim dot.
+  // ------------------------------------------------------------------
+
+  /** PCA / ANN-PCA defaults, shared so [[annEval]] audits THE
+    * standalone index (the PqSub discipline).
+    */
+  private[graft] val PcaM = 16
+  private[graft] val PcaTrainN = 256
+
+  /** Deterministic UNCENTERED PCA trained on a bounded sample: the
+    * eigen-decomposition of the second-moment matrix
+    * M = (1/n)·Σ u·uᵀ over the lowest-trainN unit vectors (the
+    * [[pqCodebooks]] sampling discipline — TakeOrdered, positional).
+    *
+    * UNCENTERED by design: cosine/IP search must preserve DOT
+    * PRODUCTS, and qᵀx = Σ_j (v_jᵀq)(v_jᵀx) exactly when the v_j are
+    * a full orthonormal basis — truncating to the top m drops the
+    * smallest-eigenvalue terms, so the approximation error is bounded
+    * by the discarded spectrum mass. Mean-centering (classical PCA)
+    * would shift every dot product by query-independent-but-corpus-
+    * dependent cross terms and break that decomposition.
+    *
+    * Training is DRIVER-SIDE and deterministic by construction (the
+    * PQ argument): the sample accumulates in vec_id-sorted sequential
+    * IEEE order, and the eigen-solver is cyclic Jacobi with a fixed
+    * sweep order (upper-triangle row-major, fixed rotation formula,
+    * fixed convergence threshold) — two independent trainings agree
+    * EXACTLY (pinned in SimilaritySpec). Eigenvectors are sign-fixed
+    * (largest-|component| entry positive, ties to the lowest index)
+    * and sorted by (eigenvalue desc, original column asc).
+    *
+    * Returns (eigenvalues desc, eigenvectors as rows); empty on an
+    * empty corpus. For unit vectors trace(M) = 1, so the eigenvalues
+    * ARE the variance-explained shares (pinned).
+    */
+  private[graft] def pcaModel(
+      embeddings: DataFrame, d: Int, trainN: Int = PcaTrainN)
+      : (Array[Double], Array[Array[Double]]) = {
+    require(trainN >= 2, "PCA needs at least two sample vectors")
+    val sample: Array[Array[Double]] = unitCorpus(embeddings, d)
+      .orderBy(col("vec_id")).limit(trainN)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    if (sample.isEmpty) return (Array.empty, Array.empty)
+    val n = sample.length
+    // second-moment matrix, vec_id-sorted accumulation order
+    val a = Array.ofDim[Double](d, d)
+    sample.foreach { u =>
+      var i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) { a(i)(j) += u(i) * u(j); j += 1 }
+        i += 1
+      }
+    }
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) { a(i)(j) /= n; a(j)(i) = a(i)(j); j += 1 }
+      i += 1
+    }
+    // cyclic Jacobi: rotate away each upper-triangle element in fixed
+    // row-major order until the off-diagonal mass is negligible
+    val v = Array.tabulate(d, d)((r, c) => if (r == c) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a, d)
+    while (off > 1e-12 && sweep < 64) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case s => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var r = 0
+            while (r < d) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - s * arq
+              a(r)(q) = s * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - s * aqr
+              a(q)(r) = s * apr + c * aqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s * vrq
+              v(r)(q) = s * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a, d)
+      sweep += 1
+    }
+    // (eigenvalue, original column, eigenvector) sorted desc; sign fix
+    val pairs = (0 until d).map { j =>
+      val ev = Array.tabulate(d)(r => v(r)(j))
+      val pivot = ev.indices.maxBy(r => (math.abs(ev(r)), -r))
+      val fixed = if (ev(pivot) < 0) ev.map(-_) else ev
+      (a(j)(j), j, fixed)
+    }.sortBy { case (lambda, j, _) => (-lambda, j) }
+    (pairs.map(_._1).toArray, pairs.map(_._3).toArray)
+  }
+
+  private def offDiag(a: Array[Array[Double]], d: Int): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < d - 1) {
+      var j = i + 1
+      while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    s
+  }
+
+  private val pcaModelMemo = graft.Memo[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
+    (Array[Double], Array[Array[Double]])]()
+
+  private[graft] def pcaModelCached(
+      embeddings: DataFrame, d: Int, trainN: Int = PcaTrainN)
+      : (Array[Double], Array[Array[Double]]) =
+    pcaModelMemo.getOrElseUpdate(embeddings.sparkSession,
+      (embeddings.queryExecution.analyzed.canonicalized, s"pcam:$d:$trainN"))(
+      pcaModel(embeddings, d, trainN))
+
+  /** Scan-side projection of the unit corpus onto the top-m principal
+    * directions: (vec_id, p array<double> length m) — m codegen VecDot
+    * folds against literal rows, no join, no Exchange (the
+    * [[pqEncode]] discipline).
+    */
+  private[graft] def pcaProject(
+      u: DataFrame, basis: Array[Array[Double]], m: Int): DataFrame = {
+    val projCols: Seq[Column] =
+      (0 until m).map(j => dot(col("u"), typedLit(basis(j).toSeq)))
+    u.select(col("vec_id"), array(projCols: _*).as("p"))
+  }
+
+  /** Memoized, materialized projected corpus — what a serving PCA
+    * index persists and reads ([[PcaIndex]]).
+    */
+  private val pcaCodesMemo = graft.Memo[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), DataFrame]()
+
+  private[graft] def pcaCodesCached(
+      embeddings: DataFrame, d: Int, m: Int = PcaM, trainN: Int = PcaTrainN): DataFrame =
+    pcaCodesMemo.getOrElseUpdate(embeddings.sparkSession,
+      (embeddings.queryExecution.analyzed.canonicalized, s"pcac:$d:$m:$trainN"))(
+      pcaProject(unitCorpus(embeddings, d), pcaModelCached(embeddings, d, trainN)._2, m)
+        .localCheckpoint())
+
+  /** q122: the variance SPECTRUM artifact — the table that decides m
+    * (the audit-before-the-index discipline): per component its
+    * eigenvalue, variance-explained share and the cumulative share.
+    * For the unit corpus trace(M) = 1, so eigenvalue ≈ share (both
+    * emitted; the division is by the actual trace for honesty on
+    * near-unit sums). Bounded d-row driver artifact; model-dependent
+    * (sample + Jacobi float order) ⇒ rows-only.
+    */
+  def pcaSpectrum(embeddings: DataFrame, dim: Int = -1): DataFrame = {
+    val session = embeddings.sparkSession
+    import session.implicits._
+    val d = if (dim > 0) dim else detectDim(embeddings)
+    if (d <= 0) return Seq.empty[(Long, Double, Double, Double)]
+      .toDF("component", "eigenvalue", "var_explained", "cum_var")
+    val (evs, _) = pcaModelCached(embeddings, d)
+    if (evs.isEmpty) return Seq.empty[(Long, Double, Double, Double)]
+      .toDF("component", "eigenvalue", "var_explained", "cum_var")
+    val trace = evs.sum
+    var cum = 0.0
+    val rows = evs.zipWithIndex.map { case (ev, j) =>
+      cum += ev
+      (j.toLong, math.rint(ev * 1e6) / 1e6,
+        math.rint(ev / trace * 1e6) / 1e6, math.rint(cum / trace * 1e6) / 1e6)
+    }
+    rows.toSeq.toDF("component", "eigenvalue", "var_explained", "cum_var")
+  }
+
+  /** q123: PCA-reduced ANN — rank by the m-dim projected dot, then
+    * exact-refine: qᵀx ≈ (Vq)ᵀ(Vx) with V the top-m basis, so the
+    * candidate pass reads m doubles per vector instead of d (the
+    * memory-bandwidth claim, like SQ8's 4×; here d/m = 4 at the
+    * defaults) and the approximation error is bounded by the
+    * discarded spectrum mass — ON A CORPUS WITH SPECTRUM DECAY. The
+    * near-uniform synthetic testdata deliberately has almost none
+    * (the audit surfaces it — the q_ann_ivf_kmeans honesty pattern),
+    * so the recall gate is calibrated to what a flat spectrum can
+    * give and the operator's value case is documented, not faked.
+    *
+    * Scale shape: projection is one scan-side pass (memoized, the
+    * persisted artifact); scoring is a linear scan of m-dim rows by
+    * definition (the flat-PQ/SQ8 BNLJ exemption); the two-phase
+    * [[pqTopM]] guards the candidate ranking; top refine·k re-scored
+    * EXACTLY (family invariant: emitted cosines bit-exact).
+    * Model-dependent ⇒ rows-only.
+    */
+  def pcaAnn(
+      embeddings: DataFrame,
+      nQueries: Int = 10,
+      k: Int = 10,
+      m: Int = PcaM,
+      refine: Int = 4,
+      dim: Int = -1): DataFrame = {
+    require(refine >= 1 && m >= 1)
+    val session = embeddings.sparkSession
+    import session.implicits._
+    val empty = Seq.empty[(Long, Int, Long, Double)]
+      .toDF("query_id", "rank", "vec_id", "cosine")
+    val d = if (dim > 0) dim else detectDim(embeddings)
+    if (d <= 0 || m > d) return empty
+    val (evs, basis) = pcaModelCached(embeddings, d)
+    if (evs.isEmpty) return empty
+    pcaSearchWith(embeddings, pcaCodesCached(embeddings, d, m), nQueries, k, refine, d)
+  }
+
+  /** The PCA index artifacts (eigenvalues, basis, projected corpus) —
+    * exposed for [[PcaIndex]] persistence; empty on an empty corpus.
+    */
+  private[graft] def pcaArtifacts(
+      embeddings: DataFrame, dim: Int = -1, m: Int = PcaM)
+      : (Int, Array[Double], Array[Array[Double]], Option[DataFrame]) = {
+    val d = if (dim > 0) dim else detectDim(embeddings)
+    if (d <= 0 || m > d) return (d, Array.empty, Array.empty, None)
+    val (evs, basis) = pcaModelCached(embeddings, d)
+    if (evs.isEmpty) (d, evs, basis, None)
+    else (d, evs, basis, Some(pcaCodesCached(embeddings, d, m)))
+  }
+
+  /** The PCA candidate scoring against a PROVIDED projected table —
+    * factored so a persisted index ([[PcaIndex]]) drives the identical
+    * pass.
+    */
+  private[graft] def pcaScoredWith(codes: DataFrame, nQueries: Int): DataFrame = {
+    val qs = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("p").as("qp"))
+    codes.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .withColumn("approx", dot(col("p"), col("qp")))
+      .select(col("query_id"), col("vec_id"), col("approx"))
+  }
+
+  /** The PCA SEARCH phase against provided artifacts: scoring,
+    * two-phase top-m, exact refine (the [[sq8SearchWith]] shape).
+    */
+  private[graft] def pcaSearchWith(
+      embeddings: DataFrame, codes: DataFrame,
+      nQueries: Int, k: Int, refine: Int, d: Int): DataFrame = {
+    val pairs = pqTopM(pcaScoredWith(codes, nQueries), refine * k)
+      .select(col("query_id"), col("vec_id"))
+    rankTopK(pairs, prepared(embeddings).filter(col("nrm") > 0 && size(col("v")) === d),
+      nQueries, k)
+  }
 
   /** Exact top-m ADC candidates per query, two-phase (see [[pqAnn]]);
     * emits (query_id, vec_id, rk) with rk the global ADC rank ≤ m.
@@ -1169,11 +1442,27 @@ object Similarity {
             .select(col("query_id"), col("vec_id"),
               ceil(col("rk").cast("double") / lit(k)).cast("long").as("lvl"))))
 
+    // PCA: lvl = ceil(projected-dot rank / k) — refine levels nest
+    // exactly as PQ/SQ8's do; audits the SAME memoized basis+projected
+    // table q_ann_pca searches (pca@refine r equals pcaAnn(refine=r),
+    // pinned in SimilaritySpec).
+    val pcaLvl: Option[DataFrame] =
+      if (dPq <= 0 || PcaM > dPq) None
+      else {
+        val (evs, _) = pcaModelCached(embeddings, dPq)
+        if (evs.isEmpty) None
+        else Some(scoredLevels(
+          pqTopM(pcaScoredWith(pcaCodesCached(embeddings, dPq), nQueries), maxP * k)
+            .select(col("query_id"), col("vec_id"),
+              ceil(col("rk").cast("double") / lit(k)).cast("long").as("lvl"))))
+      }
+
     val base = methodRows("lsh", lshLvl)
       .unionAll(methodRows("ivf", ivfLvl))
       .unionAll(methodRows("ivf_kmeans", kmLvl))
     val withPq = pqLvl.fold(base)(l => base.unionAll(methodRows("pq", l)))
-    sq8Lvl.fold(withPq)(l => withPq.unionAll(methodRows("sq8", l)))
+    val withSq8 = sq8Lvl.fold(withPq)(l => withPq.unionAll(methodRows("sq8", l)))
+    pcaLvl.fold(withSq8)(l => withSq8.unionAll(methodRows("pca", l)))
   }
 
   /** Per-label embedding centroids — the bridge between the vector

@@ -43,9 +43,11 @@ class PlanHardeningSpec extends SparkSpec {
         // q_ann_sq8's code-scoring pass is likewise a linear scan by
         // definition (flat quantized index); the pruned paths stay
         // equi-join-only
+        // q_ann_pca's projected-dot pass is the same flat linear scan
+        // over m-double rows
         assert(!plan.contains("BroadcastNestedLoopJoin")
             || name == "q_ann_ivf" || name == "q_ann_ivf_kmeans" || name == "q_ann_pq"
-            || name == "q_ann_sq8",
+            || name == "q_ann_sq8" || name == "q_ann_pca",
           s"$name has an unexpected BroadcastNestedLoopJoin")
       }
     }
@@ -74,7 +76,7 @@ class PlanHardeningSpec extends SparkSpec {
       "q_ann_ivf", "q_ann_ivf_kmeans", "q_ann_pq", "q_ann_ivfpq", "q_ann_sq8",
       "q_ann_eval", "q_dedup_embedding_lsh", "q_embed_incremental_lsh",
       "q_corpus_stats_approx", "q_media_features", "q_distinct_approx",
-      "q_dedup_bloom"))
+      "q_dedup_bloom", "q_ann_pca", "q_embed_pca"))
   }
 
   private lazy val emptyDocs = spark.createDataFrame(
@@ -151,6 +153,9 @@ class PlanHardeningSpec extends SparkSpec {
     assert(graft.text.Corpus.mixEpochs(emptyDocs).count() === 0)
     assert(graft.text.Corpus.sourceOverlap(emptyDocs).count() === 0)
     assert(graft.ops.Outliers.embedOutliers(emptyEmb).count() === 0)
+    assert(Similarity.pcaAnn(emptyEmb).count() === 0)
+    assert(Similarity.pcaSpectrum(emptyEmb).count() === 0)
+    assert(graft.text.Corpus.packSequencesShuffled(emptyDocs).count() === 0)
   }
 
   test("temporal and outlier operators behave on an empty event stream") {

@@ -198,6 +198,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PcaIndex: write -> read -> search is hash-EQUAL to the in-session pcaAnn") {
+    val e = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("pca_index_").toString
+    try {
+      graft.sim.PcaIndex.write(e, dir)
+      val (d, evs, basis, codes) = graft.sim.PcaIndex.read(spark, dir)
+      assert(d === 64 && evs.length === 64 && basis.length === Similarity.PcaM)
+      basis.foreach(row => assert(row.length === 64))
+      // the persisted doubles round-trip bit-exactly (the PqIndex
+      // shortest-repr argument): read-back model == in-session model
+      val (evM, vM) = Similarity.pcaModelCached(e, 64)
+      assert(evs.toSeq === evM.toSeq)
+      basis.zip(vM.take(Similarity.PcaM)).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+      assert(codes.isDefined && codes.get.count() === e.count())
+      def set(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val fromDisk = set(graft.sim.PcaIndex.search(spark, dir, e))
+      val inSession = set(Similarity.pcaAnn(e))
+      assert(fromDisk === inSession)
+      assert(fromDisk.nonEmpty)
+      // corrupt layout (model present, codes/ gone) fails loudly
+      def rmCodes(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmCodes)
+        f.delete(); ()
+      }
+      rmCodes(new java.io.File(s"$dir/codes"))
+      val ex = intercept[IllegalArgumentException] {
+        graft.sim.PcaIndex.read(spark, dir)
+      }
+      assert(ex.getMessage.contains("corrupt"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("IvfIndex: write -> read -> search is hash-EQUAL to the in-session search (seed + kmeans)") {
     val e = Tables.embeddings(spark, sf)
     def set(df: org.apache.spark.sql.DataFrame) = df.collect()
@@ -309,6 +348,23 @@ class SimilaritySpec extends SparkSpec {
       } finally rmrf(dir)
     }
 
+    // ---- PCA (basis trained on the existing slice; projection is
+    // per-vector deterministic given the basis)
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("pca_append_").toString
+      try {
+        graft.sim.PcaIndex.write(existing, dir)
+        graft.sim.PcaIndex.append(spark, batch, dir)
+        val (d, _, basis, codes) = graft.sim.PcaIndex.read(spark, dir)
+        assert(codes.get.count() === e.count(), "existing + appended must cover the corpus")
+        val got = set(graft.sim.PcaIndex.search(spark, dir, e))
+        val oneShot = Similarity.pcaProject(Similarity.unitCorpus(e, d), basis, basis.length)
+        val ref = set(Similarity.pcaSearchWith(e, oneShot, 10, 10, 4, d))
+        assert(got === ref, "pca append drifted from one-shot projection")
+        assert(got.nonEmpty)
+      } finally rmrf(dir)
+    }
+
     // ---- IVF (seed centroids from the existing slice)
     locally {
       val dir = java.nio.file.Files.createTempDirectory("ivf_append_").toString
@@ -333,7 +389,9 @@ class SimilaritySpec extends SparkSpec {
       ("sq8", d => graft.sim.Sq8Index.write(empty, d),
         d => graft.sim.Sq8Index.append(spark, batch, d)),
       ("ivf", d => graft.sim.IvfIndex.write(empty, d),
-        d => graft.sim.IvfIndex.append(spark, batch, d)))) {
+        d => graft.sim.IvfIndex.append(spark, batch, d)),
+      ("pca", d => graft.sim.PcaIndex.write(empty, d),
+        d => graft.sim.PcaIndex.append(spark, batch, d)))) {
       val dir = java.nio.file.Files.createTempDirectory(s"${fam}_append_empty_").toString
       try {
         wr(dir)
@@ -354,7 +412,9 @@ class SimilaritySpec extends SparkSpec {
       ("sq8", d => graft.sim.Sq8Index.write(existing, d),
         d => graft.sim.Sq8Index.append(spark, sliced, d)),
       ("ivf", d => graft.sim.IvfIndex.write(existing, d),
-        d => graft.sim.IvfIndex.append(spark, sliced, d)))) {
+        d => graft.sim.IvfIndex.append(spark, sliced, d)),
+      ("pca", d => graft.sim.PcaIndex.write(existing, d),
+        d => graft.sim.PcaIndex.append(spark, sliced, d)))) {
       val dir = java.nio.file.Files.createTempDirectory(s"${fam}_append_dim_").toString
       try {
         wr(dir)
@@ -577,7 +637,7 @@ class SimilaritySpec extends SparkSpec {
       .toMap
     val sweep = Seq(1L, 2L, 4L, 8L)
     assert(rows.keySet ===
-      (for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq", "sq8"); p <- sweep) yield (m, p)).toSet)
+      (for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq", "sq8", "pca"); p <- sweep) yield (m, p)).toSet)
     rows.foreach { case ((m, p), (nTruth, nHit, recall)) =>
       assert(nTruth > 0 && nHit >= 0 && nHit <= nTruth, s"$m@$p counts")
       assert(recall >= 0.0 && recall <= 1.0, s"$m@$p recall $recall")
@@ -585,7 +645,7 @@ class SimilaritySpec extends SparkSpec {
     }
     // nested probe sets => recall monotone non-decreasing in n_probe —
     // the tradeoff the artifact exists to drive
-    for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq", "sq8"); Seq(a, b) <- sweep.sliding(2))
+    for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq", "sq8", "pca"); Seq(a, b) <- sweep.sliding(2))
       assert(rows((m, b))._3 >= rows((m, a))._3,
         s"$m recall not monotone: p=$a ${rows((m, a))._3} > p=$b ${rows((m, b))._3}")
     // multi-probe LSH at the top sweep point finds a usable share of
@@ -610,17 +670,75 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(("sq8", 4L))._2 === (truth & sq84).size.toLong)
     // uint8 quantization is gentle — the audit must show the high floor
     assert(rows(("sq8", 4L))._3 >= 0.8, s"sq8 recall ${rows(("sq8", 4L))._3}")
+    // pca at refine level r audits exactly the standalone pcaAnn(refine=r)
+    val pca4 = set(Similarity.pcaAnn(e, refine = 4))
+    assert(rows(("pca", 4L))._2 === (truth & pca4).size.toLong)
     // the r9 cost column: candidates scored per operating point —
     // monotone in the probe level (nested candidate sets), never
     // below the hits it produced
     val cands = Similarity.annEval(e).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(5)))).toMap
-    for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq", "sq8")) {
+    for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq", "sq8", "pca")) {
       for (Seq(a, b) <- sweep.sliding(2))
         assert(cands((m, b))._2 >= cands((m, a))._2, s"$m n_cands not monotone")
       sweep.foreach(p => assert(cands((m, p))._2 >= cands((m, p))._1,
         s"$m@$p cands ${cands((m, p))._2} < hits ${cands((m, p))._1}"))
     }
+  }
+
+  test("PCA model: orthonormal deterministic basis; spectrum is the unit trace") {
+    val e = Tables.embeddings(spark, sf)
+    // direct pcaModel calls, NOT through the memo — two independent
+    // trainings must agree EXACTLY (the pqCodebooks determinism bar)
+    val (ev1, v1) = Similarity.pcaModel(e, 64)
+    val (ev2, v2) = Similarity.pcaModel(e, 64)
+    assert(ev1.toSeq === ev2.toSeq)
+    assert(v1.length === 64 && v1.zip(v2).forall { case (a, b) => a.toSeq === b.toSeq })
+    // eigenvalues sorted desc, non-negative; trace of the unit
+    // second-moment matrix is exactly the mean squared norm = 1
+    assert(ev1.sliding(2).forall(p => p(0) >= p(1)))
+    assert(ev1.forall(_ >= -1e-12))
+    assert(math.abs(ev1.sum - 1.0) < 1e-9, s"trace ${ev1.sum}")
+    // orthonormal: VᵀV = I within numerical tolerance
+    for (i <- 0 until 64; j <- i until 64) {
+      val d = v1(i).zip(v1(j)).map { case (a, b) => a * b }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - expect) < 1e-9, s"V[$i]·V[$j] = $d")
+    }
+    // the spectrum artifact is exactly the model's eigenvalues in
+    // order, 6-dp rounded, with cum_var closing at 1
+    val spec = Similarity.pcaSpectrum(e).collect()
+    assert(spec.length === 64)
+    assert(math.abs(spec.last.getDouble(3) - 1.0) < 1e-3, "cum_var must end at 1")
+    spec.zipWithIndex.foreach { case (r, j) =>
+      assert(r.getLong(0) === j.toLong)
+      assert(math.abs(r.getDouble(1) - math.rint(ev1(j) * 1e6) / 1e6) < 1e-9)
+    }
+  }
+
+  test("PCA ANN: usable recall, exact re-scored cosines, recall monotone in m") {
+    val e = Tables.embeddings(spark, sf)
+    val pca = Similarity.pcaAnn(e).cache()
+    val recall = pairSet(pca).intersect(pairSet(brute)).size.toDouble / pairSet(brute).size
+    // the synthetic corpus has a near-FLAT spectrum (the spectrum
+    // artifact shows it: cum_var(16) ≈ 0.43) — the honest calibration
+    // for m=16/64 under refine 4; on real embeddings with spectrum
+    // decay the same operating point is far tighter
+    assert(recall >= 0.5, s"PCA recall@10 $recall below floor")
+    val exact = brute.collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val overlaps = pca.collect().flatMap { r =>
+      exact.get((r.getLong(0), r.getLong(2))).map(_ -> r.getDouble(3))
+    }
+    assert(overlaps.nonEmpty)
+    overlaps.foreach { case (b, p) => assert(b === p, "re-scored cosine drifted from exact") }
+    val counts = pca.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(counts.length === 10 && counts.forall(_ === 10L))
+    assert(pca.filter(col("query_id") === col("vec_id")).count() === 0)
+    // more kept directions ⇒ better approximate ranking (deterministic
+    // values, not a statistical gate)
+    def rec(m: Int) =
+      pairSet(Similarity.pcaAnn(e, m = m)).intersect(pairSet(brute)).size.toDouble
+    assert(rec(32) >= rec(8), "recall should not degrade with more components")
   }
 
   test("labelCentroids equals the posexplode formulation; counts partition the table") {
