@@ -408,6 +408,9 @@ object SparkEntry {
     // instead of a contiguous ingestion run (round-10 addition)
     "q_pack_shuffled" ->
       ((s, dir) => Corpus.packSequencesShuffled(Tables.documents(s, dir))),
+    // the padding bill of batch-by-length serving — the layout
+    // decision packing competes with (round-10 addition)
+    "q_length_buckets" -> ((s, dir) => Corpus.lengthBuckets(Tables.documents(s, dir))),
     // per-language top-k bigram vocabulary (two-phase exact top-k)
     "q_ngram_vocab" -> ((s, dir) => Corpus.ngramVocab(Tables.documents(s, dir))),
     // exact heavy hitters over the open token domain, two-pass:
@@ -698,6 +701,7 @@ object SparkEntry {
     "q_pack_sequences" -> Corpus.sqlPackSequences(),
     "q_pack_bpe" -> Corpus.sqlPackSequencesBpe(),
     "q_pack_shuffled" -> Corpus.sqlPackSequencesShuffled(),
+    "q_length_buckets" -> Corpus.sqlLengthBuckets(),
     "q_ngram_vocab" -> Corpus.sqlNgramVocab(),
     "q_heavy_hitters" -> Corpus.sqlHeavyHitters(),
     // the JSONL round-trip must be value-exact vs the parquet source,

@@ -779,6 +779,60 @@ object Corpus {
        |  start_off % $seqLen AS seq_offset
        |FROM pc""".stripMargin
 
+  /** q124: the PADDING BILL of batch-by-length serving — the layout
+    * decision packing competes with: SFT and inference batch documents
+    * of similar length and pad to the bucket cap instead of
+    * concatenating across boundaries (loss masking / per-example
+    * attention make chunk packing awkward there), and every bucket
+    * pays (cap − n_tokens) wasted positions per doc. This artifact is
+    * the table that decision reads: per power-of-two bucket the doc
+    * count, real tokens, padded tokens and waste fraction.
+    *
+    * The bucket cap is INTEGER-exact in both engines: cap = n rounded
+    * up to a power of two via the BINARY-STRING length (length(bin(n))
+    * = floor(log2 n)+1 — a float ceil(log2 n) can land exact powers of
+    * two differently per libm). One scan + a ≤64-row groupBy (caps are
+    * powers of two of a long); empty docs hold no batch slot and are
+    * excluded. waste_frac = padded/capacity is one IEEE division of
+    * two exact longs + 6-dp rounding ⇒ hash-exact.
+    */
+  def lengthBuckets(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(size(col("toks")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("fl", expr("shiftleft(1L, length(bin(n_tokens)) - 1)"))
+      .withColumn("bucket_cap",
+        when(col("n_tokens") === col("fl"), col("n_tokens")).otherwise(col("fl") * 2))
+      .groupBy(col("bucket_cap"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .select(col("bucket_cap"), col("n_docs"), col("total_tokens"),
+        (col("bucket_cap") * col("n_docs") - col("total_tokens")).as("padded_tokens"),
+        Det.r((col("bucket_cap") * col("n_docs") - col("total_tokens")).cast("double") /
+          (col("bucket_cap") * col("n_docs")).cast("double"), 6).as("waste_frac"))
+
+  /** DuckDB twin of [[lengthBuckets]]: identical binary-string cap. */
+  def sqlLengthBuckets(): String = {
+    val toks = Text.sqlTokens("text")
+    s"""WITH lb AS (
+       |  SELECT CAST(len($toks) AS BIGINT) AS n_tokens FROM documents
+       |  WHERE len($toks) >= 1
+       |), lc AS (
+       |  SELECT n_tokens,
+       |    CASE WHEN n_tokens = (CAST(1 AS BIGINT) << (length(bin(n_tokens)) - 1))
+       |         THEN n_tokens
+       |         ELSE (CAST(1 AS BIGINT) << length(bin(n_tokens))) END AS bucket_cap
+       |  FROM lb
+       |)
+       |SELECT bucket_cap,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(bucket_cap * count(*) - sum(n_tokens) AS BIGINT) AS padded_tokens,
+       |  floor(CAST(bucket_cap * count(*) - sum(n_tokens) AS DOUBLE)
+       |    / CAST(bucket_cap * count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS waste_frac
+       |FROM lc GROUP BY 1""".stripMargin
+  }
+
   /** DuckDB twin of [[packSequencesShuffled]]: the plain single-window
     * cumsum over the (md5 key, doc_id) order — validating both the
     * two-level decomposition AND the hex-prefix block coarsening.

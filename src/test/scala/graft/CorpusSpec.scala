@@ -229,6 +229,36 @@ class CorpusSpec extends SparkSpec {
       "shuffled layout should diverge from ingestion order somewhere")
   }
 
+  test("lengthBuckets: integer pow2 caps, exact-boundary docs, waste accounting") {
+    // counts 1,2,3,4,5,8,9 → caps 1,2,4,4,8,8,16 (exact powers stay in
+    // their own cap — the float-log2 hazard the binary-string length
+    // formulation exists to dodge)
+    val docs = Seq(
+      (0L, "a"), (1L, "a b"), (2L, "a b c"), (3L, "a b c d"),
+      (4L, "a b c d e"), (5L, "a b c d e f g h"), (6L, "a b c d e f g h i"),
+      (7L, "")) // empty doc: no batch slot, excluded
+      .toDF("doc_id", "text")
+    val got = Corpus.lengthBuckets(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 4L, 8L, 16L))
+    assert(got(1L) === ((1L, 1L, 0L, 0.0)))
+    assert(got(2L) === ((1L, 2L, 0L, 0.0)))
+    assert(got(4L) === ((2L, 7L, 1L, 0.125)))       // 3+4 tokens in 2×4 slots
+    assert(got(8L) === ((2L, 13L, 3L, 0.1875)))     // 5+8 tokens in 2×8 slots
+    assert(got(16L) === ((1L, 9L, 7L, 0.4375)))     // 9 tokens in one 16 slot
+    // real corpus: buckets partition the non-empty docs, waste ∈ [0, 0.5)
+    val real = Corpus.lengthBuckets(Tables.documents(spark, sf)).collect()
+    val nDocs = Tables.documents(spark, sf)
+      .filter(size(graft.text.Text.tokens(col("text"))) >= 1).count()
+    assert(real.map(_.getLong(1)).sum === nDocs)
+    real.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 0.5,
+        s"cap ${r.getLong(0)}: pow2 buckets can never waste half a slot")
+      assert(java.lang.Long.bitCount(r.getLong(0)) === 1, "caps must be powers of two")
+    }
+  }
+
   test("ngramVocab: hand-built corpus pins ranks and the bucket pre-prune is lossless") {
     val docs = Seq(
       (0L, "x y x y x z", "en"), (1L, "x y q r", "en"), (2L, "s t s t", "de"))
