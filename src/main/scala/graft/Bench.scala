@@ -55,7 +55,8 @@ object Bench {
         // the per-JVM scratch exports behind the ingestion gates —
         // harness setup, not query cost (q_csv_clean must time the CSV
         // scan, not the CSV write that creates its input)
-        graft.sources.Sources.prewarm(spark, sfDir)
+        graft.sources.Sources.prewarm(spark, sfDir) ++
+        graft.text.LangModel.prewarm(Tables.documents(spark, sfDir))
     catch { case e: Throwable =>
       System.err.println(s"[bench] prewarm failed (queries will pay builds inline): ${e.getMessage}")
     }

@@ -157,10 +157,19 @@ object SparkEntry {
     // shuffle + vocabulary rollup + broadcast corpus total; per-token
     // integer micro-nats keep the per-doc sum order-free (round-5
     // addition)
-    "q_surprisal" -> ((s, dir) => text.LangModel.surprisal(Tables.documents(s, dir))),
+    "q_surprisal" -> ((s, dir) => text.LangModel.surprisalCached(Tables.documents(s, dir))),
+    // CCNet perplexity-band filter: head/middle/tail terciles of the
+    // memoized surprisal seam, exact two-level percentile cuts
+    // (round-10 addition)
+    "q_ppl_filter" -> ((s, dir) => text.LangModel.pplFilter(Tables.documents(s, dir))),
     // interpolated bigram-LM surprisal — the next perplexity-filter
     // rung: word ORDER, not just word rarity (round-6 addition)
     "q_surprisal_bigram" -> ((s, dir) => text.LangModel.surprisalBigram(Tables.documents(s, dir))),
+    // interpolated trigram-LM surprisal — the last self-estimated rung
+    // before an external KenLM; all orders over the trigram event
+    // space, one data-sized shuffle (round-10 addition)
+    "q_surprisal_trigram" ->
+      ((s, dir) => text.LangModel.surprisalTrigram(Tables.documents(s, dir))),
     // --- D. Deduplication -------------------------------------------
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     // exact duplicated-SPAN detection (Lee et al. exact-substring
@@ -641,7 +650,9 @@ object SparkEntry {
     "q_langid_eval" -> Text.sqlLangIdEval,
     "q_tfidf" -> text.Search.sqlTfidfTop(),
     "q_surprisal" -> text.LangModel.sqlSurprisal(),
+    "q_ppl_filter" -> text.LangModel.sqlPplFilter(),
     "q_surprisal_bigram" -> text.LangModel.sqlSurprisalBigram(),
+    "q_surprisal_trigram" -> text.LangModel.sqlSurprisalTrigram(),
     "q_bm25_search" -> text.Search.sqlBm25Search(),
     "q_fingerprint" -> Text.sqlFingerprint,
     "q_bpe_tokenize" -> text.Bpe.sqlBpeTokenize(),

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Det
@@ -51,6 +51,129 @@ object LangModel {
       .select(col("doc_id"), col("n_tokens"),
         Det.r(col("micro").cast("double") / lit(1000000.0) / col("n_tokens").cast("double"), 6)
           .as("avg_nats"))
+  }
+
+  /** Memoized, materialized [[surprisal]] — the seam shared by
+    * q_surprisal and the [[pplFilter]] band cut (the pairsCached
+    * discipline: one tokenize+explode scan and one (doc, token)
+    * shuffle per corpus per session).
+    */
+  private val surprisalMemo = graft.Memo[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
+
+  def surprisalCached(documents: DataFrame): DataFrame =
+    surprisalMemo.getOrElseUpdate(documents.sparkSession,
+      documents.queryExecution.analyzed.canonicalized)(
+      surprisal(documents).localCheckpoint())
+
+  /** Bench prewarm: the surprisal seam, itemized like the dedup/sim
+    * builds so q_surprisal and q_ppl_filter time pure query cost.
+    */
+  def prewarm(documents: DataFrame): Seq[(String, Double)] = {
+    val t0 = System.nanoTime()
+    surprisalCached(documents)
+    Seq("text_surprisal" -> ((System.nanoTime() - t0) / 1e9))
+  }
+
+  /** q126: the CCNet perplexity-BAND filter — the consumer of the
+    * surprisal family: CCNet splits a corpus into head/middle/tail
+    * TERCILES of LM perplexity and keeps the head+middle (low
+    * perplexity = fluent, well-edited text; the tail is rare-token
+    * soup). Per scored doc: (doc_id, avg_nats, band, keep) with band
+    * the tercile of its unigram surprisal and keep = band ≠ tail —
+    * band in the artifact (not just the verdict) because mixture
+    * design samples DIFFERENT rates per band, not only a hard cut.
+    *
+    * Scale shape: the per-doc scores are the memoized [[surprisalCached]]
+    * seam (zero extra corpus scans alongside q_surprisal); the tercile
+    * cuts are EXACT percentile_disc over the integer micro-nat domain
+    * via the priceQuantiles two-level cumulative (distinct micro
+    * values bucket by `micro DIV bucketMicros`; bounded constKey
+    * window over bucket totals + bucket-partitioned within-bucket
+    * windows + broadcast offsets — no window sees the score table in
+    * one task); the cuts broadcast back onto the doc table as a
+    * scan-side CASE. Integer micro-nats recover exactly from the 6-dp
+    * avg_nats in both engines, and the rank convention (smallest value
+    * whose cumulative count reaches ceil(p·n)) matches the oracle's
+    * row_number selection ⇒ hash-exact.
+    */
+  def pplFilter(documents: DataFrame, bucketMicros: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = surprisalCached(documents)
+    val m = s.select(col("doc_id"), col("avg_nats"),
+      floor(col("avg_nats") * lit(1000000.0) + lit(0.5)).cast("long").as("micro"))
+    val vals = m.groupBy(col("micro")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", expr(s"micro DIV $bucketMicros"))
+      .localCheckpoint()
+    val wB = Window.partitionBy(Det.constKey(col("bucket")))
+      .orderBy(col("bucket").asc).rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(Det.constKey(col("bucket")))
+    val offsets = vals
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("btot"))
+      .withColumn("offset", coalesce(sum(col("btot")).over(wB), lit(0L)))
+      .withColumn("n", sum(col("btot")).over(wAll))
+      .select(col("bucket"), col("offset"), col("n"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("micro").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", col("offset") + sum(col("cnt")).over(wIn))
+    def cut(p: Double): Column =
+      min(when(col("cum") >= ceil(lit(p) * col("n")).cast("long"), col("micro")))
+    val cuts = cum.agg(cut(1.0 / 3.0).as("t1"), cut(2.0 / 3.0).as("t2"))
+    Det.attachScalar(m, cuts)
+      .select(col("doc_id"), col("avg_nats"),
+        when(col("micro") <= col("t1"), lit("head"))
+          .when(col("micro") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("band"),
+        when(col("micro") <= col("t2"), lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
+
+  /** DuckDB twin of [[pplFilter]]: the shared surprisal formulation
+    * feeding plain row_number rank-selection cuts.
+    */
+  def sqlPplFilter(): String = {
+    val toks = Text.sqlTokens("text")
+    s"""WITH ptok AS (
+       |  SELECT doc_id, unnest($toks) AS token FROM documents
+       |), ptf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM ptok GROUP BY 1, 2
+       |), pv AS (
+       |  SELECT token, sum(tf) AS cnt FROM ptf GROUP BY 1
+       |), pn AS (
+       |  SELECT sum(cnt) AS n_total FROM pv
+       |), ps AS (
+       |  SELECT ptf.doc_id, ptf.tf,
+       |    CAST(floor(CAST(ptf.tf AS DOUBLE) *
+       |      ln(CAST(pn.n_total AS DOUBLE) / CAST(pv.cnt AS DOUBLE)) *
+       |      1000000.0 + 0.5) AS BIGINT) AS micro_nats
+       |  FROM ptf JOIN pv USING (token), pn
+       |), pd AS (
+       |  SELECT doc_id,
+       |    floor(CAST(sum(micro_nats) AS DOUBLE) / 1000000.0 / CAST(sum(tf) AS DOUBLE)
+       |          * 1000000.0 + 0.5) / 1000000.0 AS avg_nats
+       |  FROM ps GROUP BY 1
+       |), pm AS (
+       |  SELECT doc_id, avg_nats,
+       |    CAST(floor(avg_nats * 1000000.0 + 0.5) AS BIGINT) AS micro
+       |  FROM pd
+       |), pr AS (
+       |  SELECT micro, row_number() OVER (ORDER BY micro) AS rk,
+       |         count(*) OVER () AS n
+       |  FROM pm
+       |), pc AS (
+       |  SELECT
+       |    max(CASE WHEN rk = CAST(ceil(${1.0 / 3.0} * n) AS BIGINT) THEN micro END) AS t1,
+       |    max(CASE WHEN rk = CAST(ceil(${2.0 / 3.0} * n) AS BIGINT) THEN micro END) AS t2
+       |  FROM pr
+       |)
+       |SELECT pm.doc_id, pm.avg_nats,
+       |  CASE WHEN pm.micro <= pc.t1 THEN 'head'
+       |       WHEN pm.micro <= pc.t2 THEN 'middle'
+       |       ELSE 'tail' END AS band,
+       |  CASE WHEN pm.micro <= pc.t2 THEN CAST(1 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS keep
+       |FROM pm, pc""".stripMargin
   }
 
   /** Bigram-LM surprisal with unigram interpolation — the next rung of
@@ -105,6 +228,114 @@ object LangModel {
       .select(col("doc_id"), col("n_bigrams"),
         Det.r(col("micro").cast("double") / lit(1000000.0) / col("n_bigrams").cast("double"), 6)
           .as("avg_nats"))
+  }
+
+  /** q125: interpolated TRIGRAM-LM surprisal — the last self-estimated
+    * rung before an external KenLM (CCNet's 5-gram): score(doc) = mean
+    * −ln P(w3|w1,w2) over trigram positions with
+    *
+    *   P(w3|w1,w2) = λ1·c123/c12 + λ2·c23/c2 + λ3·c3/N,  λ3 = 1−λ1−λ2
+    *
+    * where ALL orders are estimated over the TRIGRAM EVENT SPACE (c12
+    * = count of (w1,w2) as a trigram CONTEXT, c23/c2 the suffix-pair
+    * conditional, c3/N the final-token marginal — every interpolation
+    * term is a proper conditional/marginal of one distribution, and
+    * every table derives from the ONE checkpointed (doc,w1,w2,w3)
+    * rollup: a single data-sized keyed shuffle, the [[surprisalBigram]]
+    * scale discipline, with three vocabulary-sized rollups behind it).
+    * Docs with <3 tokens carry no trigrams and are excluded.
+    *
+    * Determinism: integer counts, literal λs (λ3's shortest-repr
+    * round-trips the 1−λ1−λ2 double exactly into the oracle), the
+    * identical IEEE interpolation sequence in both engines, and each
+    * per-(doc, trigram) surprisal fixed to integer MICRO-NATS before
+    * the order-free per-doc long sum ⇒ hash-exact.
+    */
+  def surprisalTrigram(
+      documents: DataFrame, l1: Double = 0.5, l2: Double = 0.3): DataFrame = {
+    require(l1 > 0 && l2 > 0 && l1 + l2 < 1, s"lambdas must be positive and sum below 1")
+    val l3 = 1.0 - l1 - l2
+    val tf3 = documents.withColumn("toks", Text.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> named_struct('w1', element_at(toks, i), 'w2', element_at(toks, i + 1), " +
+          "'w3', element_at(toks, i + 2)))")).as("tg"))
+      .select(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"), col("tg.w3").as("w3"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val tri = tf3.groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("tf")).as("c123"))
+      .localCheckpoint()
+    val ctx12 = tri.groupBy(col("w1"), col("w2")).agg(sum(col("c123")).as("c12"))
+    val suf23 = tri.groupBy(col("w2"), col("w3")).agg(sum(col("c123")).as("c23"))
+      .localCheckpoint()
+    val mid2 = suf23.groupBy(col("w2")).agg(sum(col("c23")).as("c2"))
+    val u3 = tri.groupBy(col("w3")).agg(sum(col("c123")).as("c3"))
+    val total = u3.agg(sum(col("c3")).as("n_total"))
+    val p3 = Det.attachScalar(u3, total)
+      .select(col("w3"), (col("c3").cast("double") / col("n_total").cast("double")).as("p3"))
+    val p = lit(l1) * (col("c123").cast("double") / col("c12").cast("double")) +
+      lit(l2) * (col("c23").cast("double") / col("c2").cast("double")) +
+      lit(l3) * col("p3")
+    tf3.join(tri, Seq("w1", "w2", "w3")).join(ctx12, Seq("w1", "w2"))
+      .join(suf23, Seq("w2", "w3")).join(mid2, "w2").join(p3, "w3")
+      .withColumn("micro_nats",
+        floor(col("tf").cast("double") * -log(p) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_trigrams"), sum(col("micro_nats")).as("micro"))
+      .select(col("doc_id"), col("n_trigrams"),
+        Det.r(col("micro").cast("double") / lit(1000000.0) / col("n_trigrams").cast("double"), 6)
+          .as("avg_nats"))
+  }
+
+  /** DuckDB twin of [[surprisalTrigram]] — identical trigram event
+    * space, interpolation sequence and micro-nat fixed point.
+    */
+  def sqlSurprisalTrigram(l1: Double = 0.5, l2: Double = 0.3): String = {
+    val toks = Text.sqlTokens("text")
+    val l3 = 1.0 - l1 - l2
+    s"""WITH t3 AS (
+       |  SELECT doc_id, $toks AS toks FROM documents
+       |), tg0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+       |    i -> {'w1': toks[i], 'w2': toks[i + 1], 'w3': toks[i + 2]})) AS s
+       |  FROM t3 WHERE len(toks) >= 3
+       |), tf3 AS (
+       |  SELECT doc_id, s.w1 AS w1, s.w2 AS w2, s.w3 AS w3, count(*) AS tf
+       |  FROM tg0 GROUP BY 1, 2, 3, 4
+       |), tri AS (
+       |  SELECT w1, w2, w3, sum(tf) AS c123 FROM tf3 GROUP BY 1, 2, 3
+       |), ctx12 AS (
+       |  SELECT w1, w2, sum(c123) AS c12 FROM tri GROUP BY 1, 2
+       |), suf23 AS (
+       |  SELECT w2, w3, sum(c123) AS c23 FROM tri GROUP BY 1, 2
+       |), mid2 AS (
+       |  SELECT w2, sum(c23) AS c2 FROM suf23 GROUP BY 1
+       |), u3 AS (
+       |  SELECT w3, sum(c123) AS c3 FROM tri GROUP BY 1
+       |), n AS (
+       |  SELECT sum(c3) AS n_total FROM u3
+       |), p3 AS (
+       |  SELECT u3.w3, CAST(u3.c3 AS DOUBLE) / CAST(n.n_total AS DOUBLE) AS p3 FROM u3, n
+       |), s AS (
+       |  SELECT tf3.doc_id, tf3.tf,
+       |    CAST(floor(CAST(tf3.tf AS DOUBLE) *
+       |      -ln($l1 * (CAST(tri.c123 AS DOUBLE) / CAST(ctx12.c12 AS DOUBLE))
+       |          + $l2 * (CAST(suf23.c23 AS DOUBLE) / CAST(mid2.c2 AS DOUBLE))
+       |          + $l3 * p3.p3)
+       |      * 1000000.0 + 0.5) AS BIGINT) AS micro_nats
+       |  FROM tf3
+       |  JOIN tri USING (w1, w2, w3)
+       |  JOIN ctx12 USING (w1, w2)
+       |  JOIN suf23 USING (w2, w3)
+       |  JOIN mid2 USING (w2)
+       |  JOIN p3 ON tf3.w3 = p3.w3
+       |)
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+       |  floor(CAST(sum(micro_nats) AS DOUBLE) / 1000000.0 / CAST(sum(tf) AS DOUBLE)
+       |        * 1000000.0 + 0.5) / 1000000.0 AS avg_nats
+       |FROM s GROUP BY 1""".stripMargin
   }
 
   def sqlSurprisalBigram(lambda: Double = 0.75): String = {

@@ -84,6 +84,91 @@ class LangModelSpec extends SparkSpec {
     assert(mean(patterned) < mean(broken), "repeated bigram pattern must score lower")
   }
 
+  test("surprisalTrigram equals a driver-side reimplementation on a fixed-seed random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val texts = (0L until 30L).map { id =>
+      // include sub-trigram docs (0/1/2 tokens) to pin the exclusion rule
+      val n = rnd.nextInt(12)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = texts.toDF("doc_id", "text")
+    val (l1, l2) = (0.5, 0.3)
+    val l3 = 1.0 - l1 - l2
+    val toks = texts.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toVector }.toMap
+    // all orders over the TRIGRAM event space (the operator's contract)
+    val allTris = toks.values.flatMap(ts =>
+      ts.indices.dropRight(2).map(i => (ts(i), ts(i + 1), ts(i + 2)))).toSeq
+    val tri = allTris.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctx12 = allTris.groupBy(t => (t._1, t._2)).view.mapValues(_.size.toLong).toMap
+    val suf23 = allTris.groupBy(t => (t._2, t._3)).view.mapValues(_.size.toLong).toMap
+    val mid2 = allTris.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val u3 = allTris.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val nTotal = allTris.size.toLong
+    val expect = toks.collect { case (id, ts) if ts.size >= 3 =>
+      val tf = ts.indices.dropRight(2).map(i => (ts(i), ts(i + 1), ts(i + 2)))
+        .groupBy(identity).view.mapValues(_.size.toLong)
+      val micro = tf.map { case (tg @ (w1, w2, w3), f) =>
+        val p = l1 * (tri(tg).toDouble / ctx12((w1, w2))) +
+          l2 * (suf23((w2, w3)).toDouble / mid2(w2)) +
+          l3 * (u3(w3).toDouble / nTotal)
+        math.floor(f * -math.log(p) * 1e6 + 0.5).toLong
+      }.sum
+      val n = ts.size - 2L
+      id -> ((n, math.floor(micro / 1e6 / n * 1e6 + 0.5) / 1e6))
+    }
+    val got = LangModel.surprisalTrigram(docs, l1, l2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === expect)
+    assert(got.nonEmpty && got.keySet === toks.filter(_._2.size >= 3).keySet)
+  }
+
+  test("surprisalTrigram on real docs: positive scores, counts, trigram order sensitivity") {
+    val docs = Tables.documents(spark, sf)
+    val s = LangModel.surprisalTrigram(docs)
+    assert(s.filter(col("avg_nats") < 0).count() === 0)
+    val ts = Text.tokenStats(docs).select(col("doc_id"), col("n_tokens").as("n_ws"))
+    val joined = s.join(ts, "doc_id")
+    assert(joined.filter(col("n_trigrams") =!= col("n_ws") - 2).count() === 0)
+    assert(s.count() === ts.filter(col("n_ws") >= 3).count())
+    // the trigram rung separates patterns the BIGRAM model cannot: both
+    // corpora below share the same bigram profile ("x y" / "y x" mix),
+    // but only one repeats a fixed three-token cycle
+    import spark.implicits._
+    val cyclic = (0L until 20L).map(i => (i, "x1 y2 z3 " * 8)).toDF("doc_id", "text")
+    val broken = (0L until 20L).map { i =>
+      (i, (if (i % 2 == 0) "x1 y2 x1 z3 y2 z3 " else "y2 z3 x1 y2 z3 x1 ") * 4)
+    }.toDF("doc_id", "text")
+    def mean(df: org.apache.spark.sql.DataFrame) =
+      LangModel.surprisalTrigram(df).agg(avg(col("avg_nats"))).head().getDouble(0)
+    assert(mean(cyclic) < mean(broken), "repeated trigram cycle must score lower")
+  }
+
+  test("pplFilter: bands equal a driver-side tercile computation over the surprisal scores") {
+    val docs = Tables.documents(spark, sf)
+    val micros = LangModel.surprisal(docs).collect()
+      .map(r => r.getLong(0) -> math.floor(r.getDouble(2) * 1e6 + 0.5).toLong).toMap
+    val sorted = micros.values.toSeq.sorted
+    val n = sorted.size
+    def cut(p: Double) = sorted(math.ceil(p * n).toInt - 1)
+    val (t1, t2) = (cut(1.0 / 3.0), cut(2.0 / 3.0))
+    val expect = micros.view.mapValues(m =>
+      if (m <= t1) "head" else if (m <= t2) "middle" else "tail").toMap
+    val got = LangModel.pplFilter(docs).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(got.length === n && n > 0)
+    got.foreach { case (id, band, keep) =>
+      assert(band === expect(id), s"doc $id band")
+      assert(keep === (if (band == "tail") 0L else 1L), s"doc $id keep")
+    }
+    // all three bands are populated on the real corpus, and the filter
+    // keeps roughly two thirds (exact up to micro-nat ties)
+    val byBand = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(Set("head", "middle", "tail").subsetOf(byBand.keySet), byBand.toString)
+    assert(byBand("head") >= n / 3 && byBand("head") + byBand("middle") >= 2 * n / 3)
+  }
+
   test("surprisal on real docs: positive scores, token counts agree with tokenStats") {
     val docs = Tables.documents(spark, sf)
     val s = LangModel.surprisal(docs)
