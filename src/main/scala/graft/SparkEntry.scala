@@ -182,6 +182,10 @@ object SparkEntry {
     "q_dup_span_scrub" -> ((s, dir) => Dedup.dupSpanScrub(Tables.documents(s, dir))),
     "q_dup_span_report" -> ((s, dir) => Dedup.dupSpanReport(Tables.documents(s, dir))),
     "q_dedup_ngram" -> ((s, dir) => Dedup.pairsCached(Tables.documents(s, dir))),
+    // asymmetric containment pairs — the short-doc-inside-long-doc
+    // modality symmetric Jaccard is blind to (round-10 addition)
+    "q_dedup_containment" ->
+      ((s, dir) => Dedup.containmentPairs(Tables.documents(s, dir))),
     // survivor selection: connected components of the pair graph,
     // keep = min doc_id per component (round-3 addition)
     "q_dedup_clusters" -> ((s, dir) => Dedup.clustersQuery(Tables.documents(s, dir))),
@@ -668,6 +672,7 @@ object SparkEntry {
     "q_dup_span_scrub" -> Dedup.sqlDupSpanScrub(),
     "q_dup_span_report" -> Dedup.sqlDupSpanReport(),
     "q_dedup_ngram" -> Dedup.sqlNgramPairs(),
+    "q_dedup_containment" -> Dedup.sqlContainmentPairs(),
     "q_dedup_incremental" -> Dedup.sqlIncrementalDedup(),
     "q_dedup_batch" -> Dedup.sqlBatchDedup(),
     "q_ingest_decision" -> Dedup.sqlIngestDecision(),

@@ -216,6 +216,86 @@ object Dedup {
       (documents.queryExecution.analyzed.canonicalized, tau))(
       ngramPairs(documents, tau).localCheckpoint())
 
+  // ------------------------------------------------------------------
+  // q127: asymmetric CONTAINMENT pairs — the near-dup modality
+  // symmetric Jaccard is blind to.
+  // ------------------------------------------------------------------
+  /** Directional n-gram containment pairs: C(A→B) = |A∩B| / |A| ≥ τ —
+    * a SHORT document living inside a LONG one (quotes, aggregator
+    * pages, boilerplate-plus-article rewraps). Symmetric Jaccard
+    * misses exactly this case: A ⊂ B with |B| = 10·|A| has jac ≤ 0.1
+    * at full containment. Emits (doc_a, doc_b, containment) with doc_a
+    * the CONTAINED side; both directions can appear (exact twins
+    * contain each other).
+    *
+    * Candidate generation is the ONE-SIDED prefix filter (the
+    * [[screenAgainst]] bound): C(A→B) ≥ τ forces |A∩B| ≥ ⌈τ·|A|⌉ =: α,
+    * so under any fixed total order a common shingle sits in A's first
+    * |A|−α+1 positions — the probe side indexes only prefixes, while
+    * the B side needs its FULL inverted index (containment puts no
+    * bound on where the shared shingles sit in B; that asymmetry is
+    * the operator). The fixed order is df-ascending (rarest first,
+    * the [[ngramPairs]] SSJoin order), so prefixes hold each
+    * document's rarest shingles and the join volume is Σ_h df_h ×
+    * prefix_h — a stop shingle's full posting list is probed only by
+    * documents with almost nothing rarer, the same blowup cap as the
+    * symmetric join. Candidates verified exactly (merge-walk
+    * intersection over the memoized [[setsCached]] seam ⇒ precision
+    * 1); a necessary size pre-filter (|B| ≥ α − handled implicitly by
+    * the intersection) is skipped because the full-index side carries
+    * no size column — verification is the existing duplicates-sized
+    * pass. Shingle-hash collisions argument as [[hashedShingleSets]]:
+    * sizes (and therefore C) agree across engines.
+    */
+  def containmentPairs(documents: DataFrame, tau: Double = 0.8): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    val sets = setsCached(documents)
+    val inv = sets
+      .filter(size(col("sh")) >= 1)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("h"))
+    val dfreq = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h").asc)
+    // prefix bound |A| − ⌈τ·|A|⌉ + 1 with the same epsilon-lowered
+    // ceil as ngramPairs (over-ceiling would shorten the prefix below
+    // the losslessness bound; under-ceiling only adds verification)
+    val prefix = inv
+      .join(dfreq.hint("shuffle_hash"), Seq("h"))
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") <=
+        col("n_sh") - ceil(lit(tau) * col("n_sh") - lit(1e-9)).cast("int") + 1)
+      .select(col("doc_id").as("doc_a"), col("h"))
+    val full = inv.select(col("doc_id").as("doc_b"), col("h"))
+    val cands = prefix.join(full.hint("shuffle_hash"), Seq("h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter",
+        graft.functions.GraftFunctions.sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double"))
+      .withColumn("cont", col("inter") / size(col("sh_a")).cast("double"))
+      .filter(col("cont") >= tau)
+      .select(col("doc_a"), col("doc_b"), Det.r(col("cont"), 6).as("containment"))
+  }
+
+  /** DuckDB twin of [[containmentPairs]]: the brute directional cross
+    * comparison (the incremental-screen oracle shape) — the gate
+    * cross-checks the prefix-filtered plan against an algorithm with
+    * no blocking at all.
+    */
+  def sqlContainmentPairs(tau: Double = 0.8): String =
+    s"""WITH cps AS (
+       |  SELECT doc_id, ${sqlHashedShingleSet("text")} AS sh FROM documents
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / CAST(len(a.sh) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS containment
+       |FROM cps a JOIN cps b ON a.doc_id <> b.doc_id
+       |WHERE len(a.sh) >= 1
+       |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / CAST(len(a.sh) AS DOUBLE) >= $tau""".stripMargin
+
   /** Shared CTE body + pair select for the ngram oracle, so the
     * cluster oracle can splice the identical pair derivation into its
     * own recursive query.

@@ -108,6 +108,49 @@ class DedupSpec extends SparkSpec {
     assert(got.head.getDouble(2) === 0.55)
   }
 
+  /** Driver-side brute directional containment truth. */
+  private def bruteContainmentPairs(
+      df: org.apache.spark.sql.DataFrame, tau: Double): Map[(Long, Long), Double] = {
+    val sets = Dedup.hashedShingleSets(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    (for {
+      (a, sa) <- sets.toSeq if sa.nonEmpty
+      (b, sb) <- sets.toSeq if a != b
+      cont = (sa & sb).size.toDouble / sa.size
+      if cont >= tau
+    } yield (a, b) -> math.floor(cont * 1e6 + 0.5) / 1e6).toMap
+  }
+
+  test("containmentPairs: a short doc inside a long one is found where Jaccard is blind") {
+    val short = (1 to 6).map(i => s"q$i").mkString(" ")              // 4 shingles
+    val long = short + " " + (1 to 12).map(i => s"r$i").mkString(" ") // 16 shingles, A's ⊂ B's
+    val df = docs(1L -> short, 2L -> long, 3L -> "entirely unrelated text body here")
+    val got = Dedup.containmentPairs(df, tau = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // A fully contained in B; the reverse direction is 4/16 = 0.25
+    assert(got === Map((1L, 2L) -> 1.0))
+    // ...and the symmetric Jaccard query misses the pair entirely at
+    // its default tau (jac = 4/16 = 0.25) — the operator's reason to exist
+    assert(bruteJaccardPairs(df, 0.5) === Set.empty)
+    // exact twins contain each other: both directions emitted
+    val twins = docs(1L -> "one two three four five six", 2L -> "one two three four five six")
+    val both = Dedup.containmentPairs(twins, tau = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(both === Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("containmentPairs equals the brute directional truth on real data, cartesian-free") {
+    val corpus = Tables.documents(spark, sf).limit(200)
+    val tau = 0.75
+    val truth = bruteContainmentPairs(corpus, tau)
+    assert(truth.nonEmpty, "test corpus must contain at least one qualifying directional pair")
+    val got = Dedup.containmentPairs(corpus, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got === truth)
+    val plan = planOf(Dedup.containmentPairs(corpus, tau))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("clusters: hand-built components resolve to min-id labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L), (11L, 12L), (10L, 12L))
       .toDF("doc_a", "doc_b")
