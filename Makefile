@@ -103,14 +103,16 @@ plot_importance:
 	$(SBT) "runMain graft.cli.PlotFeatureImportance --coef_csv $(MODEL_OUT)/coefficients.csv \
 		--out $(FI_PNG) --top $(TOP)"
 
+FAMILY ?= pq
+
 pq_index:
-	$(SBT) "runMain graft.cli.PqIndexTool --mode build --data $(RAW_DIR) --index_dir $(PQ_DIR)"
+	$(SBT) "runMain graft.cli.PqIndexTool --mode build --family $(FAMILY) --data $(RAW_DIR) --index_dir $(PQ_DIR)"
 
 pq_search:
-	$(SBT) "runMain graft.cli.PqIndexTool --mode search --data $(RAW_DIR) --index_dir $(PQ_DIR)"
+	$(SBT) "runMain graft.cli.PqIndexTool --mode search --family $(FAMILY) --data $(RAW_DIR) --index_dir $(PQ_DIR)"
 
 pq_append:
-	$(SBT) "runMain graft.cli.PqIndexTool --mode append --data $(RAW_DIR) --index_dir $(PQ_DIR)"
+	$(SBT) "runMain graft.cli.PqIndexTool --mode append --family $(FAMILY) --data $(RAW_DIR) --index_dir $(PQ_DIR)"
 
 bpe_train:
 	$(SBT) "runMain graft.cli.BpeModelTool --mode train --data $(RAW_DIR) --model $(BPE_MODEL)"

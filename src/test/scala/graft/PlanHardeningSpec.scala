@@ -156,6 +156,10 @@ class PlanHardeningSpec extends SparkSpec {
     assert(Similarity.pcaAnn(emptyEmb).count() === 0)
     assert(Similarity.pcaSpectrum(emptyEmb).count() === 0)
     assert(graft.text.Corpus.packSequencesShuffled(emptyDocs).count() === 0)
+    assert(graft.text.Corpus.lengthBuckets(emptyDocs).count() === 0)
+    assert(graft.text.LangModel.surprisalTrigram(emptyDocs).count() === 0)
+    assert(graft.text.LangModel.pplFilter(emptyDocs).count() === 0)
+    assert(Dedup.containmentPairs(emptyDocs).count() === 0)
   }
 
   test("temporal and outlier operators behave on an empty event stream") {
