@@ -270,6 +270,10 @@ object SparkEntry {
     // approximate => rows-only gate + recall floors in SimilaritySpec
     // (round-6 addition)
     "q_ann_eval" -> ((s, dir) => Similarity.annEval(Tables.embeddings(s, dir))),
+    // IVF cell-balance audit: the probe-cost axis the recall sweep
+    // can't see — share spread IS serve-time cost variance
+    // (round-10 addition)
+    "q_ivf_cell_profile" -> ((s, dir) => Similarity.ivfCellProfile(Tables.embeddings(s, dir))),
     // per-label embedding centroids: 64 codegen avg columns over one
     // shuffle, unpivot on the tiny aggregate (round-5 addition)
     "q_label_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables.embeddings(s, dir))),

@@ -1465,6 +1465,55 @@ object Similarity {
     pcaLvl.fold(withSq8)(l => withSq8.unionAll(methodRows("pca", l)))
   }
 
+  /** q128: IVF cell-BALANCE audit — the probe-COST axis [[annEval]]'s
+    * recall sweep cannot see: per (index, cell) the member count,
+    * corpus share, and mean member-to-centroid cosine (cohesion). A
+    * hot cell is the IVF scale hazard — every query probing it scans
+    * its whole posting list, so serve-time cost variance IS the share
+    * spread — and low cohesion says the cell boundary cuts through
+    * true neighborhoods (the recall hazard). Reads BOTH indexes the
+    * standalone searches serve (seed + kmeans) through the same
+    * memoized assignments, so the audit adds zero index builds.
+    *
+    * Scale shape: the assignment is the memoized scan-side projection;
+    * the per-row cosine to the OWN centroid is one broadcast equi-join
+    * with the bounded centroid table + a VecDot; each cosine fixes to
+    * an integer MICRO-COSINE before the per-cell sum (the
+    * embedOutliers discipline — order-free longs), and the rollup is
+    * ≤2·nCells rows. Model-dependent (kmeans) ⇒ rows-only;
+    * share-partition, bounds, per-index row counts and a driver-side
+    * seed-index recomputation pinned in SimilaritySpec.
+    */
+  def ivfCellProfile(
+      embeddings: DataFrame, nCells: Int = 16, kmIters: Int = 5): DataFrame = {
+    val e = prepared(embeddings)
+    // zero-norm vectors have no cosine to any centroid (the unitCorpus
+    // discipline) — excluded from both the shares and the cohesion
+    val ev = e.filter(col("nrm") > 0)
+    val n = ev.count()
+    def profile(cents: DataFrame, tag: String, name: String): DataFrame = {
+      val assigned = assignCellsCached(embeddings, cents, tag)
+      assigned
+        .join(ev.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+        .join(broadcast(cents), Seq("cell"))
+        .withColumn("micro_cos",
+          floor(dot(col("v"), col("cv")) / (col("nrm") * col("cn")) * lit(1000000.0) +
+            lit(0.5)).cast("long"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("micro_cos")).as("mc"))
+        .select(lit(name).as("index"), col("cell"), col("n_vecs"),
+          Det.r(col("n_vecs").cast("double") / lit(n.toDouble), 6).as("share"),
+          Det.r(col("mc").cast("double") / lit(1000000.0) / col("n_vecs").cast("double"), 6)
+            .as("mean_cos"))
+    }
+    val seedCents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    val kmCents = kmeansCached(embeddings, nCells, kmIters)
+      .select(col("cell"), col("cv"), lit(1.0).as("cn"))
+    profile(seedCents, s"seed:$nCells", "seed")
+      .unionAll(profile(kmCents, s"kmeans:$nCells:$kmIters", "kmeans"))
+  }
+
   /** Per-label embedding centroids — the bridge between the vector
     * table and everything that consumes cluster/class prototypes (IVF
     * seeding, drift monitoring per slice, class-mean classifiers).

@@ -76,7 +76,7 @@ class PlanHardeningSpec extends SparkSpec {
       "q_ann_ivf", "q_ann_ivf_kmeans", "q_ann_pq", "q_ann_ivfpq", "q_ann_sq8",
       "q_ann_eval", "q_dedup_embedding_lsh", "q_embed_incremental_lsh",
       "q_corpus_stats_approx", "q_media_features", "q_distinct_approx",
-      "q_dedup_bloom", "q_ann_pca", "q_embed_pca"))
+      "q_dedup_bloom", "q_ann_pca", "q_embed_pca", "q_ivf_cell_profile"))
   }
 
   private lazy val emptyDocs = spark.createDataFrame(
@@ -160,6 +160,7 @@ class PlanHardeningSpec extends SparkSpec {
     assert(graft.text.LangModel.surprisalTrigram(emptyDocs).count() === 0)
     assert(graft.text.LangModel.pplFilter(emptyDocs).count() === 0)
     assert(Dedup.containmentPairs(emptyDocs).count() === 0)
+    assert(Similarity.ivfCellProfile(emptyEmb).count() === 0)
   }
 
   test("temporal and outlier operators behave on an empty event stream") {

@@ -741,6 +741,38 @@ class SimilaritySpec extends SparkSpec {
     assert(rec(32) >= rec(8), "recall should not degrade with more components")
   }
 
+  test("ivfCellProfile: shares partition the corpus, cohesion bounded, seed index recomputable") {
+    val e = Tables.embeddings(spark, sf)
+    val rows = Similarity.ivfCellProfile(e).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val byIndex = rows.groupBy(_._1._1)
+    assert(byIndex.keySet === Set("seed", "kmeans"))
+    val n = e.count()
+    byIndex.foreach { case (idx, cells) =>
+      assert(cells.size <= 16, s"$idx emits at most nCells rows")
+      assert(cells.values.map(_._1).sum === n, s"$idx cells must partition the corpus")
+      assert(math.abs(cells.values.map(_._2).sum - 1.0) < 1e-3, s"$idx shares must sum to 1")
+      cells.foreach { case ((_, cell), (nv, share, mc)) =>
+        assert(nv > 0 && share > 0 && mc >= -1.0 - 1e-9 && mc <= 1.0 + 1e-9,
+          s"$idx cell $cell bounds")
+      }
+    }
+    // driver recomputation of the seed index: every vector's cell is
+    // its max-cosine seed centroid (ties to the smaller cell)
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val seeds = vecs.filter(_._1 < 16).toMap
+    val expectCounts = vecs
+      .map { case (_, v) => seeds.toSeq.map { case (c, sv) => (-cos(v, sv), c) }.min._2 }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val gotCounts = rows.collect { case (("seed", c), (nv, _, _)) => c -> nv }
+    assert(gotCounts === expectCounts)
+  }
+
   test("labelCentroids equals the posexplode formulation; counts partition the table") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sf)
