@@ -185,7 +185,15 @@ object SparkEntry {
     // asymmetric containment pairs — the short-doc-inside-long-doc
     // modality symmetric Jaccard is blind to (round-10 addition)
     "q_dedup_containment" ->
-      ((s, dir) => Dedup.containmentPairs(Tables.documents(s, dir))),
+      ((s, dir) => Dedup.containmentCached(Tables.documents(s, dir))),
+    // the ACTION for containment: drop docs contained in a bigger (or
+    // lower-id twin) document (round-10 addition)
+    "q_contained_drop" ->
+      ((s, dir) => Dedup.containedDrop(Tables.documents(s, dir))),
+    // cross-modality agreement: does semantic dedup add anything over
+    // lexical on this corpus? (round-10 addition)
+    "q_dedup_modality_agreement" ->
+      ((s, dir) => Dedup.modalityAgreement(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     // survivor selection: connected components of the pair graph,
     // keep = min doc_id per component (round-3 addition)
     "q_dedup_clusters" -> ((s, dir) => Dedup.clustersQuery(Tables.documents(s, dir))),
@@ -408,6 +416,10 @@ object SparkEntry {
     // addition)
     "q_dup_spans_incremental" ->
       ((s, dir) => Dedup.incrementalSpans(Tables.documents(s, dir))),
+    // the ACTION for the span screen: scrub a landed batch doc's
+    // store-duplicated spans before appending (round-10 addition)
+    "q_ingest_span_scrub" ->
+      ((s, dir) => Dedup.ingestSpanScrub(Tables.documents(s, dir))),
     // SPAN-level (surgical) decontamination: cut exactly the
     // eval-overlapping k-token windows out of each training doc —
     // benchmark text never survives, the document does; eval window
@@ -677,6 +689,8 @@ object SparkEntry {
     "q_dup_span_report" -> Dedup.sqlDupSpanReport(),
     "q_dedup_ngram" -> Dedup.sqlNgramPairs(),
     "q_dedup_containment" -> Dedup.sqlContainmentPairs(),
+    "q_dedup_modality_agreement" -> Dedup.sqlModalityAgreement(),
+    "q_contained_drop" -> Dedup.sqlContainedDrop(),
     "q_dedup_incremental" -> Dedup.sqlIncrementalDedup(),
     "q_dedup_batch" -> Dedup.sqlBatchDedup(),
     "q_ingest_decision" -> Dedup.sqlIngestDecision(),
@@ -718,6 +732,7 @@ object SparkEntry {
     "q_decontaminate_frac" -> Dedup.sqlDecontaminateFrac(),
     "q_decontaminate_spans" -> Dedup.sqlDecontaminateSpans(),
     "q_dup_spans_incremental" -> Dedup.sqlIncrementalSpans(),
+    "q_ingest_span_scrub" -> Dedup.sqlIngestSpanScrub(),
     "q_pack_sequences" -> Corpus.sqlPackSequences(),
     "q_pack_bpe" -> Corpus.sqlPackSequencesBpe(),
     "q_pack_shuffled" -> Corpus.sqlPackSequencesShuffled(),

@@ -279,6 +279,71 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), Det.r(col("cont"), 6).as("containment"))
   }
 
+  /** Memoized, materialized [[containmentPairs]] — shared by the pair
+    * query and the [[containedDrop]] verdict (the pairsCached
+    * discipline).
+    */
+  private val containMemo =
+    graft.Memo[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Double), DataFrame]()
+
+  def containmentCached(documents: DataFrame, tau: Double = 0.8): DataFrame =
+    containMemo.getOrElseUpdate(documents.sparkSession,
+      (documents.queryExecution.analyzed.canonicalized, tau))(
+      containmentPairs(documents, tau).localCheckpoint())
+
+  /** q131: the ACTION for [[containmentPairs]] — a per-document keep
+    * verdict: DROP a document iff it is contained (C ≥ τ) in a
+    * BIGGER document (more distinct shingles; equal sizes — the
+    * mutual-containment twin case — tie to the LOWER doc_id, the
+    * first-wins convention). The rule is deliberately PAIRWISE, not
+    * transitive-closed: at the high τ this screen runs at, containment
+    * chains a ⊑ b ⊑ c keep their maximal container c, and a's content
+    * survives through the chain head — the SemDeDup argument; a
+    * cluster pass ([[clusters]]) is the tool when τ is low enough for
+    * that to matter. Output (doc_id, n_containers, keep) over every
+    * document, so the artifact shows WHY a doc was dropped.
+    *
+    * PURE COMPOSITION off the memoized [[containmentCached]] graph +
+    * the setsCached size projection: the verdict adds one
+    * duplicates-sized join + a corpus-sized left join — zero new
+    * corpus scans alongside the pair query.
+    */
+  def containedDrop(documents: DataFrame, tau: Double = 0.8): DataFrame = {
+    val sizes = setsCached(documents).select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val droppers = containmentCached(documents, tau)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .filter(col("nb") > col("na") || (col("nb") === col("na") && col("doc_b") < col("doc_a")))
+      .groupBy(col("doc_a")).agg(count(lit(1)).as("nc"))
+    documents.select(col("doc_id"))
+      .join(droppers.withColumnRenamed("doc_a", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nc"), lit(0L)).as("n_containers"),
+        when(col("nc").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
+
+  /** DuckDB twin of [[containedDrop]]: the brute containment cross
+    * with the same bigger-or-lower-id dropper predicate.
+    */
+  def sqlContainedDrop(tau: Double = 0.8): String =
+    s"""WITH cds AS (
+       |  SELECT doc_id, ${sqlHashedShingleSet("text")} AS sh FROM documents
+       |), cdd AS (
+       |  SELECT a.doc_id AS doc_a, count(*) AS nc
+       |  FROM cds a JOIN cds b ON a.doc_id <> b.doc_id
+       |  WHERE len(a.sh) >= 1
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / CAST(len(a.sh) AS DOUBLE) >= $tau
+       |    AND (len(b.sh) > len(a.sh)
+       |         OR (len(b.sh) = len(a.sh) AND b.doc_id < a.doc_id))
+       |  GROUP BY 1
+       |)
+       |SELECT cds.doc_id,
+       |  CAST(COALESCE(cdd.nc, 0) AS BIGINT) AS n_containers,
+       |  CASE WHEN cdd.nc IS NULL THEN CAST(1 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS keep
+       |FROM cds LEFT JOIN cdd ON cds.doc_id = cdd.doc_a""".stripMargin
+
   /** DuckDB twin of [[containmentPairs]]: the brute directional cross
     * comparison (the incremental-screen oracle shape) — the gate
     * cross-checks the prefix-filtered plan against an algorithm with
@@ -1186,6 +1251,76 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // q130: cross-MODALITY dedup agreement — does semantic dedup add
+  // anything over lexical on THIS corpus?
+  // ------------------------------------------------------------------
+  /** One-row agreement audit between the lexical (n-gram Jaccard ≥
+    * tauText) and semantic (embedding cosine ≥ tauCos) near-dup pair
+    * graphs: (n_text_pairs, n_embed_pairs, n_both, pair_jaccard). The
+    * artifact behind the "do we need SemDeDup here" decision: high
+    * overlap says the embedding pass mostly re-finds lexical dups
+    * (run the cheap one), low overlap with a large embed-only count
+    * says paraphrase-level duplication that shingles cannot see.
+    * vec_id keys the documents row (the [[embedDedupBest]] contract),
+    * so the two graphs share one id space.
+    *
+    * PURE COMPOSITION off the two memoized pair seams ([[pairsCached]]
+    * / [[embeddingPairsCached]] — alongside the dedup family this adds
+    * ZERO corpus scans): both graphs are duplicates-sized, the
+    * intersection is one equi-join on the ordered pair key (both emit
+    * a<b), and the three counts combine via [[Det.attachScalar]]
+    * broadcast joins. pair_jaccard divides two exact longs once, 6 dp.
+    */
+  def modalityAgreement(
+      documents: DataFrame, embeddings: DataFrame,
+      tauText: Double = 0.5, tauCos: Double = 0.35): DataFrame = {
+    val t = pairsCached(documents, tauText).select(col("doc_a"), col("doc_b"))
+    val e = embeddingPairsCached(embeddings, tauCos)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val both = t.join(e, Seq("doc_a", "doc_b"), "left_semi")
+    val counts = Det.attachScalar(
+      Det.attachScalar(t.agg(count(lit(1)).as("n_text_pairs")),
+        e.agg(count(lit(1)).as("n_embed_pairs"))),
+      both.agg(count(lit(1)).as("n_both")))
+    counts.select(col("n_text_pairs"), col("n_embed_pairs"), col("n_both"),
+      when(col("n_text_pairs") + col("n_embed_pairs") - col("n_both") > 0,
+        Det.r(col("n_both").cast("double") /
+          (col("n_text_pairs") + col("n_embed_pairs") - col("n_both")).cast("double"), 6))
+        .otherwise(lit(0.0)).as("pair_jaccard"))
+  }
+
+  /** DuckDB twin of [[modalityAgreement]]: the two pair oracles
+    * composed as CTEs, intersected on the ordered pair key.
+    */
+  def sqlModalityAgreement(tauText: Double = 0.5, tauCos: Double = 0.35): String = {
+    val (ngramCtes, ngramSelect) = sqlNgramCtes(tauText)
+    val dot = "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))"
+    val cos = s"($dot) / (a.nrm * b.nrm)"
+    s"""WITH $ngramCtes, ma_t AS (
+       |  SELECT doc_a, doc_b FROM ($ngramSelect)
+       |), ma_e0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), ma_en AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM ma_e0
+       |), ma_e AS (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM ma_en a JOIN ma_en b ON a.vec_id < b.vec_id
+       |  WHERE ($cos) >= $tauCos
+       |), ma_b AS (
+       |  SELECT count(*) AS n_both FROM ma_t JOIN ma_e USING (doc_a, doc_b)
+       |)
+       |SELECT CAST((SELECT count(*) FROM ma_t) AS BIGINT) AS n_text_pairs,
+       |  CAST((SELECT count(*) FROM ma_e) AS BIGINT) AS n_embed_pairs,
+       |  CAST(ma_b.n_both AS BIGINT) AS n_both,
+       |  CASE WHEN (SELECT count(*) FROM ma_t) + (SELECT count(*) FROM ma_e) - ma_b.n_both > 0
+       |       THEN floor(CAST(ma_b.n_both AS DOUBLE)
+       |         / CAST((SELECT count(*) FROM ma_t) + (SELECT count(*) FROM ma_e) - ma_b.n_both AS DOUBLE)
+       |         * 1000000.0 + 0.5) / 1000000.0
+       |       ELSE 0.0 END AS pair_jaccard
+       |FROM ma_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // q89: exact duplicated-SPAN detection (the Lee et al. 2022
   // "Deduplicating Training Data Makes Language Models Better" exact-
   // substring modality — the gap between exact-doc dedup (#22) and
@@ -1262,6 +1397,7 @@ object Dedup {
     timed("dedup_minhash_sigs") { sigsCached(documents); () }
     timed("dedup_simhash_table") { simhashCached(documents); () }
     timed("dedup_ngram_pairs") { pairsCached(documents); () }
+    timed("dedup_containment_pairs") { containmentCached(documents); () }
     timed("dedup_span_windows") { winsCached(documents); () }
     timed("dedup_embedding_pairs") { embeddingPairsCached(embeddings); () }
     out.toSeq
@@ -1580,6 +1716,87 @@ object Dedup {
       .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
         Det.r(col("n_dup_windows").cast("double") / col("n_windows").cast("double"), 6)
           .as("dup_fraction"))
+  }
+
+  /** q129: the ACTION for [[incrementalSpans]] — scrub each LANDED
+    * batch document's store-duplicated spans before it is appended:
+    * every k-token window of a batch doc whose identical sequence
+    * already exists in the store is cut, and only the novel text
+    * survives (NO owner rule — the store's copy survives by already
+    * being stored; the [[decontaminateSpans]] policy pointed at the
+    * store instead of an eval slice). Output is the scrub shape
+    * (doc_id, n_tokens, n_cut, clean_md5) over every batch doc.
+    *
+    * Scale shape — the [[incrementalSpans]] contract with the
+    * broadcast direction it forces: [[decontaminateSpans]] broadcasts
+    * the EVAL hashes because benchmarks are MBs; here the STORE is
+    * the 100 TB side, so the batch's distinct window hashes broadcast
+    * INTO the store's one memoized window scan, and the ≤batch-windows
+    * matched set broadcasts back onto the batch side to build the cut
+    * lists — the store is scanned once, never shuffled by hash, and
+    * both screen (#118) and scrub read the same [[winsCached]] seam.
+    */
+  def ingestSpanScrub(
+      documents: DataFrame, batchMod: Long = 10, k: Int = 10): DataFrame = {
+    require(batchMod >= 2, "batchMod must split the corpus into batch and existing")
+    val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
+    val wins = winsCached(documents, k)
+    val batchWins = wins.filter(isBatch)
+    val batchH = batchWins.select(col("h")).distinct()
+    val matched = wins.filter(!isBatch)
+      .join(broadcast(batchH), Seq("h"))
+      .select(col("h")).distinct()
+    val cutLists = batchWins
+      .join(broadcast(matched), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("ps"))
+      .select(col("doc_id"),
+        expr(s"array_distinct(flatten(transform(ps, p -> sequence(p, p + ${k - 1}))))").as("cut0"))
+    documents.filter(isBatch)
+      .join(cutLists, Seq("doc_id"), "left")
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("cut", coalesce(col("cut0"), expr("array()")))
+      .withColumn("kept",
+        expr("filter(transform(toks, (t, i) -> if(array_contains(cut, i + 1), null, t)), x -> x IS NOT NULL)"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("cut")).cast("long").as("n_cut"),
+        md5(concat_ws(" ", col("kept")).cast("binary")).as("clean_md5"))
+  }
+
+  /** DuckDB twin of [[ingestSpanScrub]]: the [[sqlDecontaminateSpans]]
+    * pipeline with the batch/store roles.
+    */
+  def sqlIngestSpanScrub(batchMod: Long = 10, k: Int = 10): String = {
+    val toks = graft.text.Text.sqlTokens("text")
+    s"""WITH iss_t AS (
+       |  SELECT doc_id, $toks AS toks FROM documents
+       |), iss_w0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${k - 1} + 1),
+       |    i -> {'pos': i, 'h': hash(array_to_string(toks[i:i + ${k - 1}], ' '))})) AS s
+       |  FROM iss_t WHERE len(toks) >= $k
+       |), iss_w AS (
+       |  SELECT doc_id, s.pos AS pos, s.h AS h FROM iss_w0
+       |), iss_sh AS (
+       |  SELECT DISTINCT h FROM iss_w WHERE doc_id % $batchMod <> 0
+       |), iss_cl AS (
+       |  SELECT iss_w.doc_id,
+       |    list_distinct(flatten(list_transform(list(DISTINCT iss_w.pos), p -> range(p, p + $k)))) AS cut0
+       |  FROM iss_w JOIN iss_sh USING (h)
+       |  WHERE iss_w.doc_id % $batchMod = 0
+       |  GROUP BY 1
+       |), iss_x AS (
+       |  SELECT iss_t.doc_id, iss_t.toks, COALESCE(iss_cl.cut0, []) AS cut
+       |  FROM iss_t LEFT JOIN iss_cl USING (doc_id)
+       |  WHERE iss_t.doc_id % $batchMod = 0
+       |)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(cut) AS BIGINT) AS n_cut,
+       |  md5(COALESCE(array_to_string(
+       |    list_filter(list_transform(range(1, len(toks) + 1),
+       |      i -> CASE WHEN list_contains(cut, i) THEN NULL ELSE toks[i] END),
+       |      x -> x IS NOT NULL), ' '), '')) AS clean_md5
+       |FROM iss_x""".stripMargin
   }
 
   /** DuckDB twin of [[incrementalSpans]]: plain batch-window ∈

@@ -787,6 +787,89 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ingestSpanScrub: store-duplicated spans cut, novel text survives, no owner rule") {
+    import spark.implicits._
+    // batchMod=10 ⇒ ids 10,20,30 are the batch; k=3
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),   // store
+      (10L, "x alpha beta gamma y"),    // batch: tokens 2..4 are stored
+      (20L, "p q r s"),                 // batch: clean — md5 unchanged
+      (30L, "u v w z1 z2"),             // batch: duplicates ONLY doc 40 (batch-internal)
+      (40L, "u v w z1 z2"))             // batch: ditto — store screen must not cut
+      .toDF("doc_id", "text")
+    val got = Dedup.ingestSpanScrub(docs, batchMod = 10, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet === Set(10L, 20L, 30L, 40L), "every batch doc is emitted")
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 10: window (alpha beta gamma) is stored → tokens 2,3,4 cut
+    assert(got(10L) === ((5L, 3L, md5("x y"))))
+    // clean batch docs rebuild to their own tokenization unchanged
+    assert(got(20L) === ((4L, 0L, md5("p q r s"))))
+    // batch-internal duplication is NOT the store screen's to cut
+    assert(got(30L)._2 === 0L && got(40L)._2 === 0L)
+    // a fully-stored batch doc scrubs to the empty string
+    val full = Seq((1L, "a1 a2 a3 a4"), (10L, "a1 a2 a3 a4")).toDF("doc_id", "text")
+    val fg = Dedup.ingestSpanScrub(full, batchMod = 10, k = 3).collect()
+    assert(fg.length === 1 && fg.head.getLong(2) === 4L && fg.head.getString(3) === md5(""))
+    // scale contract: broadcast-only hash joins, store never shuffled by h
+    val plan = planOf(Dedup.ingestSpanScrub(Tables.documents(spark, sf)))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("containedDrop: bigger container wins, twins keep the lower id, chains drop every non-head") {
+    val a = (1 to 6).map(i => s"q$i").mkString(" ")          // 4 shingles
+    val b = a + " " + (1 to 3).map(i => s"r$i").mkString(" ") // a ⊑ b
+    val c = b + " " + (1 to 3).map(i => s"s$i").mkString(" ") // b ⊑ c
+    val df = docs(1L -> a, 2L -> b, 3L -> c, 7L -> "twin one two three four", 8L -> "twin one two three four")
+    val got = Dedup.containedDrop(df, tau = 0.8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 7L, 8L))
+    assert(got(3L) === ((0L, 1L)), "the chain head survives")
+    assert(got(2L)._2 === 0L, "the middle of the chain is contained in its head")
+    assert(got(1L)._2 === 0L && got(1L)._1 >= 1L, "the smallest doc is dropped")
+    assert(got(7L) === ((0L, 1L)), "twin: lower id survives")
+    assert(got(8L) === ((1L, 0L)), "twin: higher id drops")
+    // every dropped doc's content is (approximately) covered by a kept
+    // doc — here exactly: c contains b and a; 7 contains 8
+    // driver brute equivalence on real data
+    val corpus = Tables.documents(spark, sf).limit(200)
+    val sets = Dedup.hashedShingleSets(corpus).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val tau = 0.75
+    val expect = sets.map { case (id, sa) =>
+      val nc = sets.count { case (oid, sb) =>
+        oid != id && sa.nonEmpty &&
+          (sa & sb).size.toDouble / sa.size >= tau &&
+          (sb.size > sa.size || (sb.size == sa.size && oid < id))
+      }
+      id -> ((nc.toLong, if (nc == 0) 1L else 0L))
+    }
+    val real = Dedup.containedDrop(corpus, tau).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(real === expect)
+  }
+
+  test("modalityAgreement: counts tie out against the two pair operators it composes") {
+    val docsDf = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val r = Dedup.modalityAgreement(docsDf, emb).collect()
+    assert(r.length === 1)
+    val row = r.head
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val t = pairs(Dedup.ngramPairs(docsDf).select("doc_a", "doc_b"))
+    val e = pairs(Dedup.embeddingPairs(emb).select("vec_a", "vec_b"))
+    assert(row.getLong(0) === t.size.toLong)
+    assert(row.getLong(1) === e.size.toLong)
+    assert(row.getLong(2) === (t & e).size.toLong)
+    val union = (t | e).size
+    val expJac = if (union > 0) math.floor((t & e).size.toDouble / union * 1e6 + 0.5) / 1e6 else 0.0
+    assert(row.getDouble(3) === expJac)
+    assert(t.nonEmpty && e.nonEmpty, "both modalities must find pairs on the test corpus")
+  }
+
   test("dedupReport: one-row dashboard agrees with the operators it summarizes") {
     val docsDf = Tables.documents(spark, sf)
     val r = Dedup.dedupReport(docsDf).collect()

@@ -160,7 +160,13 @@ class PlanHardeningSpec extends SparkSpec {
     assert(graft.text.LangModel.surprisalTrigram(emptyDocs).count() === 0)
     assert(graft.text.LangModel.pplFilter(emptyDocs).count() === 0)
     assert(Dedup.containmentPairs(emptyDocs).count() === 0)
+    assert(Dedup.containedDrop(emptyDocs).count() === 0)
     assert(Similarity.ivfCellProfile(emptyEmb).count() === 0)
+    assert(Dedup.ingestSpanScrub(emptyDocs).count() === 0)
+    // one row of zeros on an empty corpus (the dedupReport convention)
+    val emptyMa = Dedup.modalityAgreement(emptyDocs, emptyEmb).collect()
+    assert(emptyMa.length === 1 && emptyMa.head.getLong(0) === 0L
+      && emptyMa.head.getLong(1) === 0L && emptyMa.head.getLong(2) === 0L)
   }
 
   test("temporal and outlier operators behave on an empty event stream") {
