@@ -429,6 +429,13 @@ object PqIndexTool {
           k = a.getOrElse("k", "10").toInt,
           nProbe = a.getOrElse("nprobe", "4").toInt,
           refine = a.getOrElse("refine", "4").toInt))
+      case ("search", "ivfsq8") =>
+        // likewise: --index_dir = the IVF index, --sq8_dir = the SQ8 index
+        show(graft.sim.IvfSq8Index.search(spark, indexDir, Args.required(a, "sq8_dir"), emb,
+          nQueries = a.getOrElse("nqueries", "10").toInt,
+          k = a.getOrElse("k", "10").toInt,
+          nProbe = a.getOrElse("nprobe", "4").toInt,
+          refine = a.getOrElse("refine", "4").toInt))
       case (mode, fam) =>
         throw new IllegalArgumentException(s"unknown --mode '$mode' / --family '$fam'")
     }

@@ -1276,6 +1276,86 @@ object Similarity {
     rankTopK(pairs, e, nQueries, k)
   }
 
+  /** q132: IVF-SQ8 — the composition completing the pruning ×
+    * compression matrix ([[ivfPqAnn]] : PQ nibbles :: this : SQ8
+    * uint8): IVF cell pruning decides WHICH corpus fraction gets
+    * scored, the SQ8 weighted code sum decides HOW CHEAPLY each
+    * survivor is scored (ranking-equivalent to the reconstructed dot,
+    * the [[sq8Ann]] argument), top refine·k re-scored exactly. Pure
+    * composition of the memoized seams — the cell assignment IS
+    * q_ann_ivf's index, the bounds+codes ARE q_ann_sq8's, so the
+    * query builds nothing new per session; like IVF-PQ the plan is
+    * strictly equi-join (cell / vec_id / query_id off broadcast
+    * query-sized tables, scan-side probe ranking) — ZERO nested-loop
+    * joins, asserted in SimilaritySpec; vs pure SQ8 the code scan
+    * touches only probed cells' codes. Rows-only like its parents;
+    * recall-gated vs the memoized brute truth.
+    */
+  def ivfSq8Ann(
+      embeddings: DataFrame,
+      nQueries: Int = 10,
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      refine: Int = 4,
+      dim: Int = -1): DataFrame = {
+    require(nProbe > 0 && refine >= 1)
+    val session = embeddings.sparkSession
+    import session.implicits._
+    val empty = Seq.empty[(Long, Int, Long, Double)]
+      .toDF("query_id", "rank", "vec_id", "cosine")
+    val d = if (dim > 0) dim else detectDim(embeddings)
+    if (d <= 0) return empty
+    val bounds = sq8BoundsCached(embeddings, d)
+    if (bounds.isEmpty) return empty
+    val e = prepared(embeddings)
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = assignCellsCached(embeddings, cents, s"seed:$nCells")
+    val codes = sq8CodesCached(embeddings, d)
+    ivfSq8SearchWith(embeddings, bounds, codes, cents, assigned, nQueries, k, nProbe, refine, d)
+  }
+
+  /** The IVF-SQ8 SEARCH phase against PROVIDED artifacts (SQ8 bounds +
+    * codes, IVF centroids + cell assignment) — factored so the
+    * composed persisted indexes ([[IvfSq8Index]]) drive the identical
+    * pipeline.
+    */
+  private[graft] def ivfSq8SearchWith(
+      embeddings: DataFrame,
+      bounds: Array[(Double, Double)],
+      codes: DataFrame,
+      cents: DataFrame,
+      assigned: DataFrame,
+      nQueries: Int, k: Int, nProbe: Int, refine: Int, d: Int): DataFrame = {
+    val session = embeddings.sparkSession
+    import session.implicits._
+    val empty = Seq.empty[(Long, Int, Long, Double)]
+      .toDF("query_id", "rank", "vec_id", "cosine")
+    val e = prepared(embeddings)
+    val cl = collectCells(cents)
+    if (cl.isEmpty) return empty
+    // scan-side probe ranking — identical to ivfPqSearchWith
+    val qProbes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(slice(reverse(array_sort(array(cellArms(cl).toIndexedSeq: _*))), 1, nProbe)).as("a"))
+      .select(col("query_id"), col("a.cell").as("cell"))
+    val steps = bounds.map { case (lo, hi) => if (hi > lo) (hi - lo) / 255.0 else 0.0 }
+    val warr = array((0 until d).map(i => col("u")(i) * lit(steps(i))): _*)
+    val qs = unitCorpus(embeddings, d).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), warr.as("w"))
+    val scored = assigned.join(broadcast(qProbes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .withColumn("approx",
+        aggregate(zip_with(col("qc"), col("w"), (c, x) => c.cast("double") * x),
+          lit(0.0), (acc, x) => acc + x))
+      .select(col("query_id"), col("vec_id"), col("approx"))
+    val pairs = pqTopM(scored, refine * k).select(col("query_id"), col("vec_id"))
+    rankTopK(pairs, e, nQueries, k)
+  }
+
   /** ANN quality audit — recall@k of each approximate index against
     * the exact brute top-k on the same queries, SWEPT across probe
     * operating points (the q_langid_eval pattern: the evaluation that

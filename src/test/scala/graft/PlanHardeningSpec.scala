@@ -76,7 +76,8 @@ class PlanHardeningSpec extends SparkSpec {
       "q_ann_ivf", "q_ann_ivf_kmeans", "q_ann_pq", "q_ann_ivfpq", "q_ann_sq8",
       "q_ann_eval", "q_dedup_embedding_lsh", "q_embed_incremental_lsh",
       "q_corpus_stats_approx", "q_media_features", "q_distinct_approx",
-      "q_dedup_bloom", "q_ann_pca", "q_embed_pca", "q_ivf_cell_profile"))
+      "q_dedup_bloom", "q_ann_pca", "q_embed_pca", "q_ivf_cell_profile",
+      "q_ann_ivf_sq8"))
   }
 
   private lazy val emptyDocs = spark.createDataFrame(
@@ -130,6 +131,7 @@ class PlanHardeningSpec extends SparkSpec {
     assert(Similarity.kmeansCentroids(emptyEmb).count() === 0)
     assert(Similarity.pqAnn(emptyEmb).count() === 0)
     assert(Similarity.ivfPqAnn(emptyEmb).count() === 0)
+    assert(Similarity.ivfSq8Ann(emptyEmb).count() === 0)
     // round-8 operators: the audit emits its full (method, level) grid
     // with n_pairs=0 on an empty corpus; BPE emits no rows
     assert(graft.text.Bpe.bpeTokenize(emptyDocs).count() === 0)

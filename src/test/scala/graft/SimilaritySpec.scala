@@ -119,6 +119,46 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("IVF-SQ8: acceptable recall, exact re-score, equi-join-only plan; read-back parents hash-equal") {
+    val e = Tables.embeddings(spark, sf)
+    val isq = Similarity.ivfSq8Ann(e).cache()
+    val recall = pairSet(isq).intersect(pairSet(brute)).size.toDouble / pairSet(brute).size
+    // cell pruning caps recall like IVF-PQ's (same 4-probe coarse
+    // quantizer); the uint8 scoring inside the probed cells loses
+    // almost nothing, so the floor matches ivfPq's
+    assert(recall >= 0.4, s"IVF-SQ8 recall@10 $recall below floor")
+    val exact = brute.collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    isq.collect().foreach { r =>
+      exact.get((r.getLong(0), r.getLong(2)))
+        .foreach(c => assert(c === r.getDouble(3), "re-scored cosine drifted"))
+    }
+    val counts = isq.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(counts.length === 10 && counts.forall(n => n > 0 && n <= 10))
+    assert(isq.filter(col("query_id") === col("vec_id")).count() === 0)
+    val plan = planOf(Similarity.ivfSq8Ann(e))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the composition serves from its two persisted parents with no
+    // third layout (the IvfPqIndex discipline)
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivfsq8_ivf_").toString
+    val sq8Dir = java.nio.file.Files.createTempDirectory("ivfsq8_sq8_").toString
+    try {
+      graft.sim.IvfIndex.write(e, ivfDir)
+      graft.sim.Sq8Index.write(e, sq8Dir)
+      def set(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val fromDisk = set(graft.sim.IvfSq8Index.search(spark, ivfDir, sq8Dir, e))
+      assert(fromDisk === set(isq), "composed read-back search drifted from ivfSq8Ann")
+      assert(fromDisk.nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(ivfDir)); rm(new java.io.File(sq8Dir))
+    }
+  }
+
   test("PQ ANN training is deterministic: two independent UNCACHED trainings agree exactly") {
     // pqCodebooks directly, NOT through pqAnn — the memo would make a
     // second pqAnn build a cache hit and the comparison vacuous
