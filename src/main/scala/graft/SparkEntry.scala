@@ -281,6 +281,11 @@ object SparkEntry {
     // approximate => rows-only gate + recall floors in SimilaritySpec
     // (round-6 addition)
     "q_ann_eval" -> ((s, dir) => Similarity.annEval(Tables.embeddings(s, dir))),
+    // the LEARNED language identifier — the fasttext-lid upgrade of
+    // the q_lang_id heuristic, held-out accuracy in the artifact
+    // (round-10 addition)
+    "q_langid_classifier" ->
+      ((s, dir) => graft.ml.LangIdClassifier.trainScore(Tables.documents(s, dir))),
     // IVF cell-balance audit: the probe-cost axis the recall sweep
     // can't see — share spread IS serve-time cost variance
     // (round-10 addition)

@@ -1,0 +1,80 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.HashingTF
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.Text
+
+/** q133: the LEARNED language identifier — the fasttext-lid-shaped
+  * counterpart of the marker-list heuristic (q_lang_id): a
+  * multinomial linear model over hashed token evidence (fasttext-lid
+  * is exactly this shape), trained on the declared `lang` ground
+  * truth with a held-out `doc_id % holdMod == 0` slice, so the
+  * OUT-OF-SAMPLE accuracy is measurable from the artifact itself.
+  *
+  * What the held-out flag then SHOWS on this corpus is the honest
+  * point (the q_ann_ivf_kmeans trained-vs-seed pattern): the
+  * synthetic languages share one token vocabulary and differ only by
+  * sparse markers, so there is nothing lexical to LEARN — the
+  * heuristic's held-out accuracy (~0.36) equals the majority-class
+  * prior, a well-regularized learned model converges to roughly the
+  * same prior (~0.34 at the defaults), and an under-regularized one
+  * OVERFITS (train ≈ 0.49, held ≈ 0.23 at regParam 1e-4 — worse than
+  * the prior). LangIdClassifierSpec pins exactly that: the regularized
+  * default lands within a hair of the prior, the overfit gap is
+  * visible train-vs-held, and nothing beats the prior because nothing
+  * can. On a REAL multilingual corpus (disjoint vocabularies) the
+  * identical machinery is fasttext-lid and the held-out column is the
+  * audit that proves it.
+  *
+  * Scale shape (the [[QualityFilter]] discipline): HashingTF over the
+  * scan-side tokens — hashing-trick fixed width, no vocabulary
+  * collect, no fit pass; the label index is a bounded ≤|langs| sorted
+  * driver artifact (the Lloyd-collect discipline), applied scan-side
+  * as a literal CASE; one localCheckpoint'd feature frame feeds train
+  * and score; multinomial LR trains via treeAggregate, scoring is one
+  * scan-side transform. Model-dependent (L-BFGS float order) ⇒
+  * rows-only. Output: (doc_id, lang, pred_lang, correct, held).
+  */
+object LangIdClassifier {
+
+  def trainScore(
+      documents: DataFrame,
+      numFeatures: Int = 1024,
+      maxIter: Int = 40,
+      regParam: Double = 0.1,
+      holdMod: Long = 5): DataFrame = {
+    require(holdMod >= 2, "holdMod must leave both a train and a held-out slice")
+    val session = documents.sparkSession
+    import session.implicits._
+    val langs = documents.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (langs.isEmpty)
+      return Seq.empty[(Long, String, String, Long, Long)]
+        .toDF("doc_id", "lang", "pred_lang", "correct", "held")
+    val labelCol = langs.zipWithIndex.foldLeft(lit(-1.0): org.apache.spark.sql.Column) {
+      case (acc, (l, i)) => when(col("lang") === l, lit(i.toDouble)).otherwise(acc)
+    }
+    val base = graft.Spread(documents)
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"), col("lang"), col("toks"),
+        labelCol.as("label"),
+        (pmod(col("doc_id"), lit(holdMod)) === 0).as("held"))
+    val feats = new HashingTF()
+      .setInputCol("toks").setOutputCol("features").setNumFeatures(numFeatures)
+      .transform(base)
+      .localCheckpoint()
+    val model = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setFeaturesCol("features").setLabelCol("label")
+      .fit(feats.filter(!col("held")))
+    val predLang = element_at(typedLit(langs.toSeq), col("prediction").cast("int") + 1)
+    model.transform(feats).select(
+      col("doc_id"), col("lang"),
+      predLang.as("pred_lang"),
+      when(col("lang") === predLang, lit(1L)).otherwise(lit(0L)).as("correct"),
+      col("held").cast("long").as("held"))
+  }
+}

@@ -19,7 +19,8 @@ class PlanHardeningSpec extends SparkSpec {
   // broadcast side.
   private val mlQueries = Set(
     "q_train_coefficients", "q_predict_batch", "q_threshold_sweep",
-    "q_eval_confusion", "q_eval_auc", "q_calibration", "q_quality_classifier")
+    "q_eval_confusion", "q_eval_auc", "q_calibration", "q_quality_classifier",
+    "q_langid_classifier")
   // q_ann_eval composes the brute truth (broadcast-queries NLJ) and
   // ivfAnn (broadcast-centroid NLJ), so it inherits their documented
   // nested loops
