@@ -448,6 +448,10 @@ object SparkEntry {
     // the padding bill of batch-by-length serving — the layout
     // decision packing competes with (round-10 addition)
     "q_length_buckets" -> ((s, dir) => Corpus.lengthBuckets(Tables.documents(s, dir))),
+    // the full curation funnel with per-stage verdicts — quality,
+    // perplexity band, dedup survivorship, containment (round-10
+    // addition)
+    "q_curation_verdicts" -> ((s, dir) => Corpus.curationVerdicts(Tables.documents(s, dir))),
     // per-language top-k bigram vocabulary (two-phase exact top-k)
     "q_ngram_vocab" -> ((s, dir) => Corpus.ngramVocab(Tables.documents(s, dir))),
     // exact heavy hitters over the open token domain, two-pass:
@@ -745,6 +749,7 @@ object SparkEntry {
     "q_pack_bpe" -> Corpus.sqlPackSequencesBpe(),
     "q_pack_shuffled" -> Corpus.sqlPackSequencesShuffled(),
     "q_length_buckets" -> Corpus.sqlLengthBuckets(),
+    "q_curation_verdicts" -> Corpus.sqlCurationVerdicts(),
     "q_ngram_vocab" -> Corpus.sqlNgramVocab(),
     "q_heavy_hitters" -> Corpus.sqlHeavyHitters(),
     // the JSONL round-trip must be value-exact vs the parquet source,

@@ -620,6 +620,95 @@ object Corpus {
       .join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** q134: the full curation FUNNEL with per-stage verdicts — the
+    * q_ingest_decision pattern applied to whole-corpus curation: one
+    * row per document with every screen's verdict and the conjunction
+    * (doc_id, keep_quality, keep_ppl, keep_dedup, keep_containment,
+    * keep), so the artifact shows WHY each document was dropped and a
+    * mixture designer can relax one gate without re-running the rest.
+    * The four stages are the library's own operators: heuristic
+    * quality (#19) at qualityTau, the CCNet perplexity band (#126 —
+    * tail drops; a document with no tokens has no LM score and FAILS
+    * CLOSED), near-dup cluster survivorship (#38 — min-id keeps), and
+    * containment (#131 — contained-in-bigger drops).
+    *
+    * Scale shape: PURE COMPOSITION off the memoized seams (surprisal
+    * scores, ngram pair graph, containment graph) — alongside the
+    * standalone queries this adds one quality scan plus
+    * duplicates-sized joins; all verdict joins key on doc_id. The
+    * DuckDB twin composes the four stage oracles (recursive cluster
+    * CTEs + the ppl chain + the containment cross + the quality
+    * expression) ⇒ hash-exact.
+    */
+  def curationVerdicts(
+      documents: DataFrame, qualityTau: Double = 0.6): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.text.LangModel
+    val q = Text.qualityColumns(col("toks"), col("text"))
+    val base = documents
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"),
+        when(q.score >= lit(qualityTau), lit(1L)).otherwise(lit(0L)).as("keep_quality"))
+    val ppl = LangModel.pplFilter(documents).select(col("doc_id"), col("keep").as("kp"))
+    val losers = Dedup.clustersQuery(documents)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id")).withColumn("lose", lit(1L))
+    val cont = Dedup.containedDrop(documents).select(col("doc_id"), col("keep").as("kc"))
+    base
+      .join(ppl, Seq("doc_id"), "left")
+      .join(losers, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("keep_quality"),
+        coalesce(col("kp"), lit(0L)).as("keep_ppl"),
+        when(col("lose").isNull, lit(1L)).otherwise(lit(0L)).as("keep_dedup"),
+        coalesce(col("kc"), lit(1L)).as("keep_containment"))
+      .withColumn("keep",
+        when(col("keep_quality") === 1L && col("keep_ppl") === 1L &&
+          col("keep_dedup") === 1L && col("keep_containment") === 1L, lit(1L))
+          .otherwise(lit(0L)))
+  }
+
+  /** DuckDB twin of [[curationVerdicts]]: the four stage oracles
+    * composed — the containment cross reuses the cluster chain's `s`
+    * shingle-set CTE.
+    */
+  def sqlCurationVerdicts(qualityTau: Double = 0.6): String =
+    s"""WITH RECURSIVE ${graft.dedup.Dedup.sqlClusterCtes()},
+       |${graft.text.LangModel.sqlPplCtes()}, cv_q AS (
+       |  SELECT doc_id,
+       |    CASE WHEN quality_score >= $qualityTau THEN CAST(1 AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS keep_quality
+       |  FROM (${Text.sqlQuality})
+       |), cv_ppl AS (
+       |  SELECT pm.doc_id,
+       |    CASE WHEN pm.micro <= pc.t2 THEN CAST(1 AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS kp
+       |  FROM pm, pc
+       |), cv_lose AS (
+       |  SELECT doc_id FROM labels WHERE cluster_id <> doc_id
+       |), cv_drop AS (
+       |  SELECT DISTINCT a.doc_id
+       |  FROM s a JOIN s b ON a.doc_id <> b.doc_id
+       |  WHERE len(a.sh) >= 1
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / CAST(len(a.sh) AS DOUBLE) >= 0.8
+       |    AND (len(b.sh) > len(a.sh)
+       |         OR (len(b.sh) = len(a.sh) AND b.doc_id < a.doc_id))
+       |)
+       |SELECT cv_q.doc_id, cv_q.keep_quality,
+       |  CAST(COALESCE(cv_ppl.kp, 0) AS BIGINT) AS keep_ppl,
+       |  CASE WHEN cv_lose.doc_id IS NULL THEN CAST(1 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS keep_dedup,
+       |  CASE WHEN cv_drop.doc_id IS NULL THEN CAST(1 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS keep_containment,
+       |  CASE WHEN cv_q.keep_quality = 1 AND COALESCE(cv_ppl.kp, 0) = 1
+       |        AND cv_lose.doc_id IS NULL AND cv_drop.doc_id IS NULL
+       |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+       |FROM cv_q
+       |LEFT JOIN cv_ppl ON cv_q.doc_id = cv_ppl.doc_id
+       |LEFT JOIN cv_lose ON cv_q.doc_id = cv_lose.doc_id
+       |LEFT JOIN cv_drop ON cv_q.doc_id = cv_drop.doc_id""".stripMargin
+
   /** Sequence packing — the concat-and-chunk layout LLM training
     * actually uses: documents are concatenated in deterministic
     * doc_id order and chunked into fixed `seqLen`-token training

@@ -132,9 +132,23 @@ object LangModel {
   /** DuckDB twin of [[pplFilter]]: the shared surprisal formulation
     * feeding plain row_number rank-selection cuts.
     */
-  def sqlPplFilter(): String = {
+  def sqlPplFilter(): String =
+    s"""WITH ${sqlPplCtes()}
+       |SELECT pm.doc_id, pm.avg_nats,
+       |  CASE WHEN pm.micro <= pc.t1 THEN 'head'
+       |       WHEN pm.micro <= pc.t2 THEN 'middle'
+       |       ELSE 'tail' END AS band,
+       |  CASE WHEN pm.micro <= pc.t2 THEN CAST(1 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS keep
+       |FROM pm, pc""".stripMargin
+
+  /** The [[sqlPplFilter]] CTE chain through `pm` (per-doc micro-nat
+    * scores) and `pc` (the tercile cuts) — exposed so composed
+    * oracles (curation verdicts) reuse the identical derivation.
+    */
+  def sqlPplCtes(): String = {
     val toks = Text.sqlTokens("text")
-    s"""WITH ptok AS (
+    s"""ptok AS (
        |  SELECT doc_id, unnest($toks) AS token FROM documents
        |), ptf AS (
        |  SELECT doc_id, token, count(*) AS tf FROM ptok GROUP BY 1, 2
@@ -166,14 +180,7 @@ object LangModel {
        |    max(CASE WHEN rk = CAST(ceil(${1.0 / 3.0} * n) AS BIGINT) THEN micro END) AS t1,
        |    max(CASE WHEN rk = CAST(ceil(${2.0 / 3.0} * n) AS BIGINT) THEN micro END) AS t2
        |  FROM pr
-       |)
-       |SELECT pm.doc_id, pm.avg_nats,
-       |  CASE WHEN pm.micro <= pc.t1 THEN 'head'
-       |       WHEN pm.micro <= pc.t2 THEN 'middle'
-       |       ELSE 'tail' END AS band,
-       |  CASE WHEN pm.micro <= pc.t2 THEN CAST(1 AS BIGINT)
-       |       ELSE CAST(0 AS BIGINT) END AS keep
-       |FROM pm, pc""".stripMargin
+       |)""".stripMargin
   }
 
   /** Bigram-LM surprisal with unigram interpolation — the next rung of

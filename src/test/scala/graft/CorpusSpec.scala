@@ -229,6 +229,38 @@ class CorpusSpec extends SparkSpec {
       "shuffled layout should diverge from ingestion order somewhere")
   }
 
+  test("curationVerdicts: every flag ties out against its standalone operator; keep is the conjunction") {
+    val docs = Tables.documents(spark, sf)
+    val got = Corpus.curationVerdicts(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.size === docs.count())
+    // stage tie-outs
+    val q = graft.text.Text.quality(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("quality_score"))).toMap
+    val ppl = graft.text.LangModel.pplFilter(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val losers = graft.dedup.Dedup.clustersQuery(docs).collect()
+      .filter(r => r.getLong(1) != r.getLong(0)).map(_.getLong(0)).toSet
+    val cont = graft.dedup.Dedup.containedDrop(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, (kq, kp, kd, kc, keep)) =>
+      assert(kq === (if (q(id) >= 0.6) 1L else 0L), s"doc $id quality")
+      assert(kp === ppl.getOrElse(id, 0L), s"doc $id ppl")
+      assert(kd === (if (losers(id)) 0L else 1L), s"doc $id dedup")
+      assert(kc === cont(id), s"doc $id containment")
+      assert(keep === (if (kq == 1 && kp == 1 && kd == 1 && kc == 1) 1L else 0L))
+    }
+    // the funnel is real: something survives, something drops, and at
+    // least two distinct stages reject documents on the test corpus
+    val kept = got.values.count(_._5 == 1L)
+    assert(kept > 0 && kept < got.size)
+    val rejectingStages = Seq(
+      got.values.exists(_._1 == 0L), got.values.exists(_._2 == 0L),
+      got.values.exists(_._3 == 0L), got.values.exists(_._4 == 0L)).count(identity)
+    assert(rejectingStages >= 2, "the funnel should exercise multiple gates")
+  }
+
   test("lengthBuckets: integer pow2 caps, exact-boundary docs, waste accounting") {
     // counts 1,2,3,4,5,8,9 → caps 1,2,4,4,8,8,16 (exact powers stay in
     // their own cap — the float-log2 hazard the binary-string length
