@@ -1252,6 +1252,21 @@ object Similarity {
     import session.implicits._
     val empty = Seq.empty[(Long, Int, Long, Double)]
       .toDF("query_id", "rank", "vec_id", "cosine")
+    val scored = ivfPqScored(embeddings, books, codes, cents, assigned, nQueries, nProbe, d)
+    if (scored.isEmpty) return empty
+    val pairs = pqTopM(scored.get, refine * k).select(col("query_id"), col("vec_id"))
+    rankTopK(pairs, prepared(embeddings), nQueries, k)
+  }
+
+  /** The cell-pruned ADC candidate scoring shared by [[ivfPqSearchWith]]
+    * and the [[annEval]] audit (which must audit THE pipeline the
+    * standalone query serves); None when the centroid table is empty.
+    */
+  private def ivfPqScored(
+      embeddings: DataFrame,
+      books: Map[Int, Array[(Int, Array[Double], Double)]],
+      codes: DataFrame, cents: DataFrame, assigned: DataFrame,
+      nQueries: Int, nProbe: Int, d: Int): Option[DataFrame] = {
     val e = prepared(embeddings)
     // probe ranking scan-side (the assignCells move): the bounded
     // centroid table embeds as literal (ccos, -cell, cell) structs
@@ -1260,20 +1275,18 @@ object Similarity {
     // crossJoin, so not even the probe subtree nested-loops. Tie
     // order (ccos desc, cell asc) matches ivfSearch's window exactly.
     val cl = collectCells(cents)
-    if (cl.isEmpty) return empty
+    if (cl.isEmpty) return None
     val qProbes = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         explode(slice(reverse(array_sort(array(cellArms(cl).toIndexedSeq: _*))), 1, nProbe)).as("a"))
       .select(col("query_id"), col("a.cell").as("cell"))
     val qs = pqQueryTabs(unitCorpus(embeddings, d), books, books.size, d, nQueries)
-    val scored = assigned.join(broadcast(qProbes), Seq("cell"))
+    Some(assigned.join(broadcast(qProbes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(codes, Seq("vec_id"))
       .join(broadcast(qs), Seq("query_id"))
       .withColumn("approx", adcApprox)
-      .select(col("query_id"), col("vec_id"), col("approx"))
-    val pairs = pqTopM(scored, refine * k).select(col("query_id"), col("vec_id"))
-    rankTopK(pairs, e, nQueries, k)
+      .select(col("query_id"), col("vec_id"), col("approx")))
   }
 
   /** q132: IVF-SQ8 — the composition completing the pruning ×
@@ -1332,10 +1345,25 @@ object Similarity {
     import session.implicits._
     val empty = Seq.empty[(Long, Int, Long, Double)]
       .toDF("query_id", "rank", "vec_id", "cosine")
+    val scored = ivfSq8Scored(embeddings, bounds, codes, cents, assigned, nQueries, nProbe, d)
+    if (scored.isEmpty) return empty
+    val pairs = pqTopM(scored.get, refine * k).select(col("query_id"), col("vec_id"))
+    rankTopK(pairs, prepared(embeddings), nQueries, k)
+  }
+
+  /** The cell-pruned SQ8 candidate scoring shared by
+    * [[ivfSq8SearchWith]] and the [[annEval]] audit; None when the
+    * centroid table is empty.
+    */
+  private def ivfSq8Scored(
+      embeddings: DataFrame,
+      bounds: Array[(Double, Double)],
+      codes: DataFrame, cents: DataFrame, assigned: DataFrame,
+      nQueries: Int, nProbe: Int, d: Int): Option[DataFrame] = {
     val e = prepared(embeddings)
     val cl = collectCells(cents)
-    if (cl.isEmpty) return empty
-    // scan-side probe ranking — identical to ivfPqSearchWith
+    if (cl.isEmpty) return None
+    // scan-side probe ranking — identical to ivfPqScored
     val qProbes = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         explode(slice(reverse(array_sort(array(cellArms(cl).toIndexedSeq: _*))), 1, nProbe)).as("a"))
@@ -1344,16 +1372,14 @@ object Similarity {
     val warr = array((0 until d).map(i => col("u")(i) * lit(steps(i))): _*)
     val qs = unitCorpus(embeddings, d).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), warr.as("w"))
-    val scored = assigned.join(broadcast(qProbes), Seq("cell"))
+    Some(assigned.join(broadcast(qProbes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(codes, Seq("vec_id"))
       .join(broadcast(qs), Seq("query_id"))
       .withColumn("approx",
         aggregate(zip_with(col("qc"), col("w"), (c, x) => c.cast("double") * x),
           lit(0.0), (acc, x) => acc + x))
-      .select(col("query_id"), col("vec_id"), col("approx"))
-    val pairs = pqTopM(scored, refine * k).select(col("query_id"), col("vec_id"))
-    rankTopK(pairs, e, nQueries, k)
+      .select(col("query_id"), col("vec_id"), col("approx")))
   }
 
   /** ANN quality audit — recall@k of each approximate index against
@@ -1537,12 +1563,45 @@ object Similarity {
               ceil(col("rk").cast("double") / lit(k)).cast("long").as("lvl"))))
       }
 
+    // the two COMPOSITIONS, audited like their flat parents: refine
+    // levels nest (lvl = ceil(cell-pruned code-scan rank / k)) at the
+    // standalone queries' fixed nProbe = 4 coarse quantizer, reading
+    // the SAME memoized parents the standalone compositions serve
+    // (ivfpq@refine r equals ivfPqAnn(refine = r), pinned).
+    val compProbe = 4
+    val assignedSeed = assignCellsCached(embeddings, seedCents, s"seed:$nCells")
+    def compLevels(scored: Option[DataFrame]): Option[DataFrame] =
+      scored.map(s => scoredLevels(
+        pqTopM(s, maxP * k)
+          .select(col("query_id"), col("vec_id"),
+            ceil(col("rk").cast("double") / lit(k)).cast("long").as("lvl"))))
+    val ivfPqLvl: Option[DataFrame] =
+      if (dPq <= 0 || dPq % PqSub != 0) None
+      else {
+        val books = pqCodebooksCached(embeddings, PqSub, PqCodes, PqIters, PqTrainN, dPq)
+        if (books.isEmpty) None
+        else compLevels(ivfPqScored(embeddings, books,
+          pqCodesCached(embeddings, books, PqSub, PqCodes, PqIters, PqTrainN, dPq),
+          seedCents, assignedSeed, nQueries, compProbe, dPq))
+      }
+    val ivfSq8Lvl: Option[DataFrame] =
+      if (dPq <= 0) None
+      else {
+        val bounds = sq8BoundsCached(embeddings, dPq)
+        if (bounds.isEmpty) None
+        else compLevels(ivfSq8Scored(embeddings, bounds,
+          sq8CodesCached(embeddings, dPq),
+          seedCents, assignedSeed, nQueries, compProbe, dPq))
+      }
+
     val base = methodRows("lsh", lshLvl)
       .unionAll(methodRows("ivf", ivfLvl))
       .unionAll(methodRows("ivf_kmeans", kmLvl))
     val withPq = pqLvl.fold(base)(l => base.unionAll(methodRows("pq", l)))
     val withSq8 = sq8Lvl.fold(withPq)(l => withPq.unionAll(methodRows("sq8", l)))
-    pcaLvl.fold(withSq8)(l => withSq8.unionAll(methodRows("pca", l)))
+    val withPca = pcaLvl.fold(withSq8)(l => withSq8.unionAll(methodRows("pca", l)))
+    val withIvfPq = ivfPqLvl.fold(withPca)(l => withPca.unionAll(methodRows("ivfpq", l)))
+    ivfSq8Lvl.fold(withIvfPq)(l => withIvfPq.unionAll(methodRows("ivfsq8", l)))
   }
 
   /** q128: IVF cell-BALANCE audit — the probe-COST axis [[annEval]]'s

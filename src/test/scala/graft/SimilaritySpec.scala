@@ -677,7 +677,8 @@ class SimilaritySpec extends SparkSpec {
       .toMap
     val sweep = Seq(1L, 2L, 4L, 8L)
     assert(rows.keySet ===
-      (for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq", "sq8", "pca"); p <- sweep) yield (m, p)).toSet)
+      (for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq", "sq8", "pca", "ivfpq", "ivfsq8");
+        p <- sweep) yield (m, p)).toSet)
     rows.foreach { case ((m, p), (nTruth, nHit, recall)) =>
       assert(nTruth > 0 && nHit >= 0 && nHit <= nTruth, s"$m@$p counts")
       assert(recall >= 0.0 && recall <= 1.0, s"$m@$p recall $recall")
@@ -685,7 +686,8 @@ class SimilaritySpec extends SparkSpec {
     }
     // nested probe sets => recall monotone non-decreasing in n_probe —
     // the tradeoff the artifact exists to drive
-    for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq", "sq8", "pca"); Seq(a, b) <- sweep.sliding(2))
+    for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq", "sq8", "pca", "ivfpq", "ivfsq8");
+      Seq(a, b) <- sweep.sliding(2))
       assert(rows((m, b))._3 >= rows((m, a))._3,
         s"$m recall not monotone: p=$a ${rows((m, a))._3} > p=$b ${rows((m, b))._3}")
     // multi-probe LSH at the top sweep point finds a usable share of
@@ -713,12 +715,18 @@ class SimilaritySpec extends SparkSpec {
     // pca at refine level r audits exactly the standalone pcaAnn(refine=r)
     val pca4 = set(Similarity.pcaAnn(e, refine = 4))
     assert(rows(("pca", 4L))._2 === (truth & pca4).size.toLong)
+    // ...and the two compositions audit exactly their standalone
+    // serving pipelines at the same (nProbe=4, refine) operating point
+    val ivfpq4 = set(Similarity.ivfPqAnn(e, refine = 4))
+    assert(rows(("ivfpq", 4L))._2 === (truth & ivfpq4).size.toLong)
+    val ivfsq84 = set(Similarity.ivfSq8Ann(e, refine = 4))
+    assert(rows(("ivfsq8", 4L))._2 === (truth & ivfsq84).size.toLong)
     // the r9 cost column: candidates scored per operating point —
     // monotone in the probe level (nested candidate sets), never
     // below the hits it produced
     val cands = Similarity.annEval(e).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(5)))).toMap
-    for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq", "sq8", "pca")) {
+    for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq", "sq8", "pca", "ivfpq", "ivfsq8")) {
       for (Seq(a, b) <- sweep.sliding(2))
         assert(cands((m, b))._2 >= cands((m, a))._2, s"$m n_cands not monotone")
       sweep.foreach(p => assert(cands((m, p))._2 >= cands((m, p))._1,
