@@ -148,4 +148,36 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(n === expected, s"pairs $n != C(8,2)*$distinctTexts + 64*$base")
     info(f"8x corpus minhash: $n pairs (base $base) in $secs%.1f s")
   }
+
+  test("8x corpus: containment scales by the exact combinatorial identity; funnel flags replicate (slow)") {
+    assume(sys.env.contains("GRAFT_SLOW_TESTS"), "set GRAFT_SLOW_TESTS=1 to run")
+    val baseDf = Tables.documents(spark, sf)
+    val basePairs = Dedup.containmentPairs(baseDf).count()
+    val big = replicated(8)
+    val t0 = System.nanoTime()
+    val n = Dedup.containmentPairs(big).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val distinctTexts = baseDf.select("text").distinct().count()
+    // DIRECTIONAL pairs: every text's 8 identical copies mutually
+    // contain (8*7 ordered pairs each), and every base directional
+    // pair appears in all 8x8 copy combinations. Equality proves the
+    // one-sided prefix probe stays exact AND linear under 8x data.
+    assert(n === distinctTexts * 56 + 64 * basePairs,
+      s"containment pairs $n != 56*$distinctTexts + 64*$basePairs")
+    info(f"8x corpus containment: $n pairs (base $basePairs) in $secs%.1f s")
+    // the curation funnel's corpus-INVARIANT flags replicate exactly:
+    // quality is per-text, and the perplexity terciles of an 8x-copied
+    // score multiset are the base terciles — so each copy of a doc
+    // carries identical keep_quality/keep_ppl (the dedup/containment
+    // flags legitimately change: copies are cross-copy exact dups)
+    val baseFlags = graft.text.Corpus.curationVerdicts(baseDf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val bigFlags = graft.text.Corpus.curationVerdicts(big).collect()
+    assert(bigFlags.length === baseFlags.size * 8)
+    bigFlags.foreach { r =>
+      val baseId = r.getLong(0) % 1000000000L
+      assert((r.getLong(1), r.getLong(2)) === baseFlags(baseId),
+        s"doc ${r.getLong(0)}: quality/ppl flags must replicate")
+    }
+  }
 }
