@@ -14,6 +14,8 @@ CUTOFF         ?= 2000-06-30
 LOOKAHEAD      ?= 180
 PQ_DIR         ?= data/pq_index
 BPE_MODEL      ?= data/bpe/merges.txt
+TEXT_MODEL_DIR ?= data/text_model
+TEXT_FAMILY    ?= quality
 
 CV             ?= false           # true = reference 3-fold 3x3 CV grid
 CV_PARALLELISM ?= 4
@@ -119,6 +121,12 @@ bpe_train:
 
 bpe_tokenize:
 	$(SBT) "runMain graft.cli.BpeModelTool --mode tokenize --data $(RAW_DIR) --model $(BPE_MODEL)"
+
+text_train:
+	$(SBT) "runMain graft.cli.TextModelTool --mode train --family $(TEXT_FAMILY) --data $(RAW_DIR) --model_dir $(TEXT_MODEL_DIR)"
+
+text_score:
+	$(SBT) "runMain graft.cli.TextModelTool --mode score --family $(TEXT_FAMILY) --data $(RAW_DIR) --model_dir $(TEXT_MODEL_DIR)"
 
 verify:
 	$(SBT) "runMain graft.Verify $(RAW_DIR) /tmp/graft_verify"

@@ -354,6 +354,38 @@ object BpeModelTool {
   }
 }
 
+/** `graft.cli.TextModelTool --mode train|score --family quality|langid
+  * --data <sfDir> --model_dir <dir>` — the train-once/score-forever
+  * lifecycle for the two learned text filters (MLlib model dir;
+  * langid adds a langs.json label-index sidecar). Score-with-read-back
+  * is proven row-identical to the in-session train→score in the
+  * respective specs.
+  */
+object TextModelTool {
+  def main(argv: Array[String]): Unit = CliSession.withSession { spark =>
+    val a = Args.parse(argv)
+    val data = Args.required(a, "data")
+    val modelDir = Args.required(a, "model_dir")
+    val docs = graft.Tables.documents(spark, data)
+    def show(df: org.apache.spark.sql.DataFrame): Unit =
+      df.orderBy(col("doc_id")).show(20, truncate = false)
+    (a.getOrElse("mode", "train"), a.getOrElse("family", "quality")) match {
+      case ("train", "quality") =>
+        graft.ml.QualityFilter.write(docs, modelDir)
+        println(s"[QUALITY] model written to $modelDir")
+      case ("train", "langid") =>
+        graft.ml.LangIdClassifier.write(docs, modelDir)
+        println(s"[LANGID] model written to $modelDir")
+      case ("score", "quality") =>
+        show(graft.ml.QualityFilter.scoreFrom(spark, modelDir, docs))
+      case ("score", "langid") =>
+        show(graft.ml.LangIdClassifier.scoreFrom(spark, modelDir, docs))
+      case (m, f) =>
+        throw new IllegalArgumentException(s"unknown --mode '$m' / --family '$f'")
+    }
+  }
+}
+
 /** `graft.cli.PqIndexTool --mode build --data <sfDir> --index_dir <dir>
   * [--family pq|ivf|ivf_kmeans|sq8|pca]` trains+persists an ANN index
   * (PQ: codebooks.json + codes parquet; IVF: centroids.json +

@@ -40,20 +40,10 @@ import graft.text.Text
   */
 object LangIdClassifier {
 
-  def trainScore(
-      documents: DataFrame,
-      numFeatures: Int = 1024,
-      maxIter: Int = 40,
-      regParam: Double = 0.1,
-      holdMod: Long = 5): DataFrame = {
-    require(holdMod >= 2, "holdMod must leave both a train and a held-out slice")
-    val session = documents.sparkSession
-    import session.implicits._
-    val langs = documents.select(col("lang")).distinct()
-      .collect().map(_.getString(0)).sorted
-    if (langs.isEmpty)
-      return Seq.empty[(Long, String, String, Long, Long)]
-        .toDF("doc_id", "lang", "pred_lang", "correct", "held")
+  /** The labeled hashed-feature frame train and score share. */
+  private def featFrame(
+      documents: DataFrame, langs: Array[String],
+      numFeatures: Int, holdMod: Long): DataFrame = {
     val labelCol = langs.zipWithIndex.foldLeft(lit(-1.0): org.apache.spark.sql.Column) {
       case (acc, (l, i)) => when(col("lang") === l, lit(i.toDouble)).otherwise(acc)
     }
@@ -62,19 +52,95 @@ object LangIdClassifier {
       .select(col("doc_id"), col("lang"), col("toks"),
         labelCol.as("label"),
         (pmod(col("doc_id"), lit(holdMod)) === 0).as("held"))
-    val feats = new HashingTF()
+    new HashingTF()
       .setInputCol("toks").setOutputCol("features").setNumFeatures(numFeatures)
       .transform(base)
       .localCheckpoint()
-    val model = new LogisticRegression()
-      .setMaxIter(maxIter).setRegParam(regParam)
-      .setFeaturesCol("features").setLabelCol("label")
-      .fit(feats.filter(!col("held")))
+  }
+
+  private def scoreFeats(
+      model: org.apache.spark.ml.classification.LogisticRegressionModel,
+      feats: DataFrame, langs: Array[String]): DataFrame = {
     val predLang = element_at(typedLit(langs.toSeq), col("prediction").cast("int") + 1)
     model.transform(feats).select(
       col("doc_id"), col("lang"),
       predLang.as("pred_lang"),
       when(col("lang") === predLang, lit(1L)).otherwise(lit(0L)).as("correct"),
       col("held").cast("long").as("held"))
+  }
+
+  /** The bounded sorted label index (the Lloyd-collect discipline). */
+  private def labelIndex(documents: DataFrame): Array[String] =
+    documents.select(col("lang")).distinct().collect().map(_.getString(0)).sorted
+
+  private def emptyResult(documents: DataFrame): DataFrame = {
+    val session = documents.sparkSession
+    import session.implicits._
+    Seq.empty[(Long, String, String, Long, Long)]
+      .toDF("doc_id", "lang", "pred_lang", "correct", "held")
+  }
+
+  def trainScore(
+      documents: DataFrame,
+      numFeatures: Int = 1024,
+      maxIter: Int = 40,
+      regParam: Double = 0.1,
+      holdMod: Long = 5): DataFrame = {
+    require(holdMod >= 2, "holdMod must leave both a train and a held-out slice")
+    val langs = labelIndex(documents)
+    if (langs.isEmpty) return emptyResult(documents)
+    val feats = featFrame(documents, langs, numFeatures, holdMod)
+    val model = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setFeaturesCol("features").setLabelCol("label")
+      .fit(feats.filter(!col("held")))
+    scoreFeats(model, feats, langs)
+  }
+
+  /** Train and PERSIST the identifier: MLlib's native model writer
+    * plus a `langs.json` sidecar for the label index — the model's
+    * class order is meaningless without it (the PcaIndex JSON-model
+    * discipline: the bounded artifact the data-sized one is read
+    * through).
+    */
+  def write(
+      documents: DataFrame, dir: String,
+      numFeatures: Int = 1024, maxIter: Int = 40,
+      regParam: Double = 0.1, holdMod: Long = 5): Unit = {
+    val langs = labelIndex(documents)
+    require(langs.nonEmpty, "cannot train a language identifier on an empty corpus")
+    val feats = featFrame(documents, langs, numFeatures, holdMod)
+    new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setFeaturesCol("features").setLabelCol("label")
+      .fit(feats.filter(!col("held")))
+      .write.overwrite().save(s"$dir/model")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("langs")
+    langs.foreach { l => arr.add(l); () }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "langs.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Score with a READ-BACK identifier — row-identical to the
+    * in-session [[trainScore]] for the same corpus and params, proven
+    * in LangIdClassifierSpec; a missing/corrupt model or sidecar
+    * fails loudly.
+    */
+  def scoreFrom(
+      spark: org.apache.spark.sql.SparkSession, dir: String, documents: DataFrame,
+      numFeatures: Int = 1024, holdMod: Long = 5): DataFrame = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "langs.json")))
+      .get("langs")
+    require(node != null && node.size() > 0,
+      s"corrupt langid model at $dir: langs.json carries no label index")
+    val langs = Array.tabulate(node.size())(i => node.get(i).asText())
+    scoreFeats(
+      org.apache.spark.ml.classification.LogisticRegressionModel.load(s"$dir/model"),
+      featFrame(documents, langs, numFeatures, holdMod), langs)
   }
 }

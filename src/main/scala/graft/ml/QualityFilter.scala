@@ -39,26 +39,24 @@ import graft.text.Text
   */
 object QualityFilter {
 
-  def trainScore(
-      documents: DataFrame,
-      numFeatures: Int = 1024,
-      labelTau: Double = 0.64,
-      maxIter: Int = 40,
-      regParam: Double = 1e-3): DataFrame = {
+  /** The labeled hashed-feature frame train and score share. */
+  private def featFrame(
+      documents: DataFrame, numFeatures: Int, labelTau: Double): DataFrame = {
     val q = Text.qualityColumns(col("toks"), col("text"))
     val base = graft.Spread(documents)
       .withColumn("toks", Text.tokens(col("text")))
       .withColumn("label",
         when(q.score >= lit(labelTau), lit(1.0)).otherwise(lit(0.0)))
       .select(col("doc_id"), col("toks"), col("label"))
-    val feats = new HashingTF()
+    new HashingTF()
       .setInputCol("toks").setOutputCol("features").setNumFeatures(numFeatures)
       .transform(base)
       .localCheckpoint()
-    val model = new LogisticRegression()
-      .setMaxIter(maxIter).setRegParam(regParam)
-      .setFeaturesCol("features").setLabelCol("label")
-      .fit(feats)
+  }
+
+  private def scoreFeats(
+      model: org.apache.spark.ml.classification.LogisticRegressionModel,
+      feats: DataFrame): DataFrame = {
     val p1 = vector_to_array(col("probability")).getItem(1)
     model.transform(feats).select(
       col("doc_id"),
@@ -66,4 +64,51 @@ object QualityFilter {
       Det.r(p1, 6).as("q_prob"),
       when(p1 >= 0.5, lit(1L)).otherwise(lit(0L)).as("pred"))
   }
+
+  def trainScore(
+      documents: DataFrame,
+      numFeatures: Int = 1024,
+      labelTau: Double = 0.64,
+      maxIter: Int = 40,
+      regParam: Double = 1e-3): DataFrame = {
+    val feats = featFrame(documents, numFeatures, labelTau)
+    val model = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setFeaturesCol("features").setLabelCol("label")
+      .fit(feats)
+    scoreFeats(model, feats)
+  }
+
+  /** Train and PERSIST the filter (MLlib's native writer — the
+    * train-once/score-forever lifecycle every other trained artifact
+    * here already has: merges.txt, the four index families). The
+    * hashing-trick featurizer has no state, so the model directory IS
+    * the whole filter; `numFeatures`/`labelTau` ride along in the
+    * scoring call and must match the training's (the HashingTF width
+    * is checked at transform time by the model's coefficient size).
+    */
+  def write(
+      documents: DataFrame, dir: String,
+      numFeatures: Int = 1024, labelTau: Double = 0.64,
+      maxIter: Int = 40, regParam: Double = 1e-3): Unit = {
+    val feats = featFrame(documents, numFeatures, labelTau)
+    new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setFeaturesCol("features").setLabelCol("label")
+      .fit(feats)
+      .write.overwrite().save(dir)
+  }
+
+  /** Score with a READ-BACK model — row-identical to the in-session
+    * [[trainScore]] for the same corpus and params (the model is the
+    * only trained state; scoring is one scan-side transform), proven
+    * in QualityFilterSpec. A corrupt/missing model dir fails loudly
+    * through MLlib's loader.
+    */
+  def scoreFrom(
+      spark: org.apache.spark.sql.SparkSession, dir: String, documents: DataFrame,
+      numFeatures: Int = 1024, labelTau: Double = 0.64): DataFrame =
+    scoreFeats(
+      org.apache.spark.ml.classification.LogisticRegressionModel.load(dir),
+      featFrame(documents, numFeatures, labelTau))
 }

@@ -53,4 +53,32 @@ class LangIdClassifierSpec extends SparkSpec {
       s"on this corpus the heuristic ($heuristicAcc) sits at the prior ($prior) — " +
         "if this ever fails, the corpus gained real lexical signal and the gates should tighten")
   }
+
+  test("write -> scoreFrom is row-identical to the in-session trainScore; corrupt sidecar fails") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("lic_model_").toString
+    try {
+      LangIdClassifier.write(docs, dir)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val fromDisk = rows(LangIdClassifier.scoreFrom(spark, dir, docs))
+      val inSession = rows(LangIdClassifier.trainScore(docs))
+      assert(fromDisk === inSession)
+      assert(fromDisk.nonEmpty)
+      // a label-index sidecar with no langs is a corrupt model
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "langs.json"),
+        "{\"langs\": []}".getBytes("UTF-8"))
+      val ex = intercept[IllegalArgumentException] {
+        LangIdClassifier.scoreFrom(spark, dir, docs)
+      }
+      assert(ex.getMessage.contains("corrupt"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }

@@ -32,6 +32,26 @@ class QualityFilterSpec extends SparkSpec {
     assert(auc >= 0.75, s"learned quality filter AUC $auc below the separation floor")
   }
 
+  test("write -> scoreFrom is row-identical to the in-session trainScore") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("qf_model_").toString
+    try {
+      QualityFilter.write(docs, dir)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      val fromDisk = rows(QualityFilter.scoreFrom(spark, dir, docs))
+      val inSession = rows(QualityFilter.trainScore(docs))
+      assert(fromDisk === inSession)
+      assert(fromDisk.nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("capacity and supervision knobs behave: more features never hurt badly, labels follow tau") {
     val docs = Tables.documents(spark, sf)
     // a stricter label threshold can only shrink the positive class
