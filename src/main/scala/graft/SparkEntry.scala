@@ -162,6 +162,11 @@ object SparkEntry {
     // memoized surprisal seam, exact two-level percentile cuts
     // (round-10 addition)
     "q_ppl_filter" -> ((s, dir) => text.LangModel.pplFilter(Tables.documents(s, dir))),
+    // the perplexity screen's crawl-ingest form: batch docs scored
+    // under the STORE's smoothed LM against the STORE's shipped cuts
+    // (round-10 addition)
+    "q_ppl_incremental" ->
+      ((s, dir) => text.LangModel.pplIncremental(Tables.documents(s, dir))),
     // interpolated bigram-LM surprisal — the next perplexity-filter
     // rung: word ORDER, not just word rarity (round-6 addition)
     "q_surprisal_bigram" -> ((s, dir) => text.LangModel.surprisalBigram(Tables.documents(s, dir))),
@@ -683,6 +688,7 @@ object SparkEntry {
     "q_tfidf" -> text.Search.sqlTfidfTop(),
     "q_surprisal" -> text.LangModel.sqlSurprisal(),
     "q_ppl_filter" -> text.LangModel.sqlPplFilter(),
+    "q_ppl_incremental" -> text.LangModel.sqlPplIncremental(),
     "q_surprisal_bigram" -> text.LangModel.sqlSurprisalBigram(),
     "q_surprisal_trigram" -> text.LangModel.sqlSurprisalTrigram(),
     "q_bm25_search" -> text.Search.sqlBm25Search(),

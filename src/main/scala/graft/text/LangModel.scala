@@ -98,10 +98,25 @@ object LangModel {
     * row_number selection ⇒ hash-exact.
     */
   def pplFilter(documents: DataFrame, bucketMicros: Long = 100000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val s = surprisalCached(documents)
     val m = s.select(col("doc_id"), col("avg_nats"),
       floor(col("avg_nats") * lit(1000000.0) + lit(0.5)).cast("long").as("micro"))
+    Det.attachScalar(m, microTerciles(m, bucketMicros))
+      .select(col("doc_id"), col("avg_nats"),
+        when(col("micro") <= col("t1"), lit("head"))
+          .when(col("micro") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("band"),
+        when(col("micro") <= col("t2"), lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
+
+  /** EXACT tercile cuts (t1, t2) over a (…, micro) frame via the
+    * priceQuantiles two-level cumulative — one 1-row result, no
+    * window over the score table in one task. Shared by [[pplFilter]]
+    * and [[pplIncremental]] (where the cuts are the STORE's shipped
+    * operating point).
+    */
+  private def microTerciles(m: DataFrame, bucketMicros: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val vals = m.groupBy(col("micro")).agg(count(lit(1)).as("cnt"))
       .withColumn("bucket", expr(s"micro DIV $bucketMicros"))
       .localCheckpoint()
@@ -120,13 +135,7 @@ object LangModel {
       .withColumn("cum", col("offset") + sum(col("cnt")).over(wIn))
     def cut(p: Double): Column =
       min(when(col("cum") >= ceil(lit(p) * col("n")).cast("long"), col("micro")))
-    val cuts = cum.agg(cut(1.0 / 3.0).as("t1"), cut(2.0 / 3.0).as("t2"))
-    Det.attachScalar(m, cuts)
-      .select(col("doc_id"), col("avg_nats"),
-        when(col("micro") <= col("t1"), lit("head"))
-          .when(col("micro") <= col("t2"), lit("middle"))
-          .otherwise(lit("tail")).as("band"),
-        when(col("micro") <= col("t2"), lit(1L)).otherwise(lit(0L)).as("keep"))
+    cum.agg(cut(1.0 / 3.0).as("t1"), cut(2.0 / 3.0).as("t2"))
   }
 
   /** DuckDB twin of [[pplFilter]]: the shared surprisal formulation
@@ -181,6 +190,113 @@ object LangModel {
        |    max(CASE WHEN rk = CAST(ceil(${2.0 / 3.0} * n) AS BIGINT) THEN micro END) AS t2
        |  FROM pr
        |)""".stripMargin
+  }
+
+  /** q135: the INCREMENTAL perplexity screen — the [[pplFilter]]
+    * contract in its crawl-ingest form, closing the last screen
+    * without one (exact #107 / span #118 / embedding #108 /
+    * self-screen #109 all have incremental forms; the LM screen was
+    * corpus-self-estimated only): a LANDED batch doc is scored under
+    * the STORE-estimated unigram LM and kept against the STORE's own
+    * tercile operating point — the store ships its model (vocabulary
+    * counts + cuts), the batch never re-estimates anything, exactly
+    * how a production perplexity filter runs (CCNet scores crawl
+    * slices under a FIXED pretrained LM).
+    *
+    * The store LM is add-one (Laplace) smoothed — the batch contains
+    * tokens the store has never seen, where the self-estimated
+    * [[surprisal]]'s raw relative frequency would be −ln 0:
+    * p(w) = (c(w)+1)/(N+V+1) with c = store count (0 for OOV), N =
+    * store tokens, V = store vocabulary (the +1 funds the OOV mass).
+    * The cuts are terciles of the STORE's own docs scored under the
+    * same smoothed LM, so keep = "would have landed in the store's
+    * head/middle" — the shipped operating point, not a batch-relative
+    * one. Per batch doc: (doc_id, n_tokens, avg_nats, keep).
+    *
+    * Scale shape: one (doc, token) keyed shuffle over each slice (the
+    * store's feeds both its vocabulary rollup and its cut scoring —
+    * checkpointed), the vocabulary joins token-keyed (never broadcast
+    * — a 100 TB store's vocabulary is not a literal), N/V/cuts ride
+    * [[Det.attachScalar]] broadcast joins, and the tercile derivation
+    * is the bounded [[microTerciles]] two-level. Identical IEEE
+    * smoothing sequence + micro-nat fixed point in both engines ⇒
+    * hash-exact.
+    */
+  def pplIncremental(
+      documents: DataFrame, batchMod: Long = 10,
+      bucketMicros: Long = 100000L): DataFrame = {
+    require(batchMod >= 2, "batchMod must split the corpus into batch and existing")
+    val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
+    def tfOf(slice: DataFrame): DataFrame = slice
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val storeTf = tfOf(documents.filter(!isBatch)).localCheckpoint()
+    val sv = storeTf.groupBy(col("token")).agg(sum(col("tf")).as("c")).localCheckpoint()
+    val totals = sv.agg(sum(col("c")).as("n_store"), count(lit(1)).as("v_store"))
+    def scoreOf(tfFrame: DataFrame): DataFrame =
+      Det.attachScalar(tfFrame.join(sv, Seq("token"), "left"), totals)
+        .withColumn("p",
+          (coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) /
+            (col("n_store") + col("v_store") + lit(1L)).cast("double"))
+        .withColumn("micro_nats",
+          floor(col("tf").cast("double") * -log(col("p")) * lit(1000000.0) + lit(0.5))
+            .cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"), sum(col("micro_nats")).as("micro_sum"))
+        .select(col("doc_id"), col("n_tokens"),
+          Det.r(col("micro_sum").cast("double") / lit(1000000.0) /
+            col("n_tokens").cast("double"), 6).as("avg_nats"))
+        .withColumn("micro",
+          floor(col("avg_nats") * lit(1000000.0) + lit(0.5)).cast("long"))
+    val cuts = microTerciles(scoreOf(storeTf).select(col("micro")), bucketMicros)
+    Det.attachScalar(scoreOf(tfOf(documents.filter(isBatch))), cuts)
+      .select(col("doc_id"), col("n_tokens"), col("avg_nats"),
+        when(col("micro") <= col("t2"), lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
+
+  /** DuckDB twin of [[pplIncremental]]: identical smoothed-LM scoring
+    * for both slices, rank-selection store cut.
+    */
+  def sqlPplIncremental(batchMod: Long = 10): String = {
+    val toks = Text.sqlTokens("text")
+    s"""WITH pi_tok AS (
+       |  SELECT doc_id, unnest($toks) AS token FROM documents
+       |), pi_tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM pi_tok GROUP BY 1, 2
+       |), pi_sv AS (
+       |  SELECT token, sum(tf) AS c FROM pi_tf
+       |  WHERE doc_id % $batchMod <> 0 GROUP BY 1
+       |), pi_n AS (
+       |  SELECT sum(c) AS n_store, count(*) AS v_store FROM pi_sv
+       |), pi_sc AS (
+       |  SELECT pi_tf.doc_id,
+       |    CAST(sum(pi_tf.tf) AS BIGINT) AS n_tokens,
+       |    floor(CAST(sum(CAST(floor(CAST(pi_tf.tf AS DOUBLE) *
+       |        -ln((CAST(COALESCE(pi_sv.c, 0) AS DOUBLE) + 1.0)
+       |            / CAST(pi_n.n_store + pi_n.v_store + 1 AS DOUBLE))
+       |        * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+       |      / CAST(sum(pi_tf.tf) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS avg_nats
+       |  FROM pi_tf LEFT JOIN pi_sv USING (token), pi_n
+       |  GROUP BY 1
+       |), pi_m AS (
+       |  SELECT doc_id, n_tokens, avg_nats,
+       |    CAST(floor(avg_nats * 1000000.0 + 0.5) AS BIGINT) AS micro
+       |  FROM pi_sc
+       |), pi_r AS (
+       |  SELECT micro, row_number() OVER (ORDER BY micro) AS rk,
+       |         count(*) OVER () AS n
+       |  FROM pi_m WHERE doc_id % $batchMod <> 0
+       |), pi_c AS (
+       |  SELECT max(CASE WHEN rk = CAST(ceil(${2.0 / 3.0} * n) AS BIGINT)
+       |             THEN micro END) AS t2
+       |  FROM pi_r
+       |)
+       |SELECT pi_m.doc_id, pi_m.n_tokens, pi_m.avg_nats,
+       |  CASE WHEN pi_m.micro <= pi_c.t2 THEN CAST(1 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS keep
+       |FROM pi_m, pi_c WHERE pi_m.doc_id % $batchMod = 0""".stripMargin
   }
 
   /** Bigram-LM surprisal with unigram interpolation — the next rung of

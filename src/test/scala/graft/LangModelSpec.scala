@@ -169,6 +169,47 @@ class LangModelSpec extends SparkSpec {
     assert(byBand("head") >= n / 3 && byBand("head") + byBand("middle") >= 2 * n / 3)
   }
 
+  test("pplIncremental: batch scored under the store's smoothed LM, kept at the store's cut") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val got = LangModel.pplIncremental(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // exactly the batch slice with >=1 token
+    val batchIds = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("n", size(graft.text.Text.tokens(col("text"))))
+      .filter(col("n") >= 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.keySet === batchIds && got.nonEmpty)
+    // driver-side recomputation: store counts, add-one smoothing,
+    // micro-nat fixed point, store tercile cut
+    val toks = docs.collect().map(r =>
+      r.getLong(0) -> r.getString(r.fieldIndex("text")).split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    val store = toks.filter(_._1 % 10 != 0)
+    val sv = store.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = sv.values.sum
+    val v = sv.size.toLong
+    def score(ts: Seq[String]): (Long, Double, Long) = {
+      val micro = ts.groupBy(identity).map { case (w, ws) =>
+        val p = (sv.getOrElse(w, 0L).toDouble + 1.0) / (n + v + 1L).toDouble
+        math.floor(ws.size * -math.log(p) * 1e6 + 0.5).toLong
+      }.sum
+      val avg = math.floor(micro / 1e6 / ts.size * 1e6 + 0.5) / 1e6
+      (ts.size.toLong, avg, math.floor(avg * 1e6 + 0.5).toLong)
+    }
+    val storeMicros = store.values.filter(_.nonEmpty).map(score(_)._3).toSeq.sorted
+    val t2 = storeMicros(math.ceil(2.0 / 3.0 * storeMicros.size).toInt - 1)
+    toks.filter { case (id, ts) => id % 10 == 0 && ts.nonEmpty }.foreach { case (id, ts) =>
+      val (nt, avg, micro) = score(ts)
+      val (gn, ga, gk) = got(id)
+      assert(gn === nt && ga === avg, s"doc $id score")
+      assert(gk === (if (micro <= t2) 1L else 0L), s"doc $id keep")
+    }
+    // OOV is finite: a batch doc made of store-unseen tokens scores
+    // the OOV ceiling, not infinity
+    val tiny = Seq((1L, "aa bb aa cc"), (3L, "bb cc dd"), (10L, "zz yy xx")).toDF("doc_id", "text")
+    val oov = LangModel.pplIncremental(tiny).collect()
+    assert(oov.length === 1 && oov.head.getDouble(2) > 0 && !oov.head.getDouble(2).isInfinite)
+  }
+
   test("surprisal on real docs: positive scores, token counts agree with tokenStats") {
     val docs = Tables.documents(spark, sf)
     val s = LangModel.surprisal(docs)

@@ -165,6 +165,7 @@ class PlanHardeningSpec extends SparkSpec {
     assert(Dedup.containmentPairs(emptyDocs).count() === 0)
     assert(Dedup.containedDrop(emptyDocs).count() === 0)
     assert(graft.text.Corpus.curationVerdicts(emptyDocs).count() === 0)
+    assert(graft.text.LangModel.pplIncremental(emptyDocs).count() === 0)
     assert(Similarity.ivfCellProfile(emptyEmb).count() === 0)
     assert(Dedup.ingestSpanScrub(emptyDocs).count() === 0)
     // one row of zeros on an empty corpus (the dedupReport convention)
