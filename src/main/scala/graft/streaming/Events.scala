@@ -276,6 +276,25 @@ object Events {
         sink(graft.dedup.Dedup.screenAgainst(mb.toDF(), existingDocs, tau), id)
       }
 
+  /** The perplexity screen's streaming form — each micro-batch scored
+    * under the STATIC store's smoothed LM against the store's shipped
+    * tercile cut via [[graft.text.LangModel.pplScreenAgainst]]; the
+    * store-side model (vocabulary + totals + cut) is a memoized seam,
+    * so micro-batch N pays zero store-side work after the first.
+    * Per-doc results depend only on (doc, store), so the micro-batched
+    * union equals the one-shot batch screen (pinned in StreamingSpec).
+    */
+  def pplScreenStream(
+      stream: DataFrame,
+      storeDocs: DataFrame)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(graft.text.LangModel.pplScreenAgainst(mb.toDF(), storeDocs), id)
+      }
+
   /** The FULL streaming ingest — the [[incrementalScreenStream]]
     * contract with the store GROWING as batches land: each micro-batch
     * is (1) self-screened first-wins

@@ -227,34 +227,84 @@ object LangModel {
       bucketMicros: Long = 100000L): DataFrame = {
     require(batchMod >= 2, "batchMod must split the corpus into batch and existing")
     val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
-    def tfOf(slice: DataFrame): DataFrame = slice
-      .withColumn("toks", Text.tokens(col("text")))
-      .select(col("doc_id"), explode(col("toks")).as("token"))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val storeTf = tfOf(documents.filter(!isBatch)).localCheckpoint()
-    val sv = storeTf.groupBy(col("token")).agg(sum(col("tf")).as("c")).localCheckpoint()
-    val totals = sv.agg(sum(col("c")).as("n_store"), count(lit(1)).as("v_store"))
-    def scoreOf(tfFrame: DataFrame): DataFrame =
-      Det.attachScalar(tfFrame.join(sv, Seq("token"), "left"), totals)
-        .withColumn("p",
-          (coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) /
-            (col("n_store") + col("v_store") + lit(1L)).cast("double"))
-        .withColumn("micro_nats",
-          floor(col("tf").cast("double") * -log(col("p")) * lit(1000000.0) + lit(0.5))
-            .cast("long"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("tf")).as("n_tokens"), sum(col("micro_nats")).as("micro_sum"))
-        .select(col("doc_id"), col("n_tokens"),
-          Det.r(col("micro_sum").cast("double") / lit(1000000.0) /
-            col("n_tokens").cast("double"), 6).as("avg_nats"))
-        .withColumn("micro",
-          floor(col("avg_nats") * lit(1000000.0) + lit(0.5)).cast("long"))
-    val cuts = microTerciles(scoreOf(storeTf).select(col("micro")), bucketMicros)
-    Det.attachScalar(scoreOf(tfOf(documents.filter(isBatch))), cuts)
-      .select(col("doc_id"), col("n_tokens"), col("avg_nats"),
-        when(col("micro") <= col("t2"), lit(1L)).otherwise(lit(0L)).as("keep"))
+    pplScreenAgainst(documents.filter(isBatch), documents.filter(!isBatch), bucketMicros)
   }
+
+  /** The screen CORE without the mod-split convention (the
+    * [[graft.dedup.Dedup.screenAgainst]] shape): score an arbitrary
+    * landed batch under an arbitrary store's smoothed LM and shipped
+    * cut. The store-side model (vocabulary, totals, t2) is a memoized
+    * seam, so a streaming caller
+    * ([[graft.streaming.Events.pplScreenStream]]) pays the store's two
+    * passes once and per-micro-batch cost ∝ batch. A store with no
+    * tokens cannot score anything and yields an empty result (the
+    * empty-corpus convention).
+    */
+  def pplScreenAgainst(
+      newDocs: DataFrame, storeDocs: DataFrame,
+      bucketMicros: Long = 100000L): DataFrame = {
+    val session = newDocs.sparkSession
+    import session.implicits._
+    val (sv, n, v, t2) = storeLm(storeDocs, bucketMicros)
+    if (v == 0L)
+      return Seq.empty[(Long, Long, Double, Long)]
+        .toDF("doc_id", "n_tokens", "avg_nats", "keep")
+    lmScore(lmTf(newDocs), sv, n, v)
+      .select(col("doc_id"), col("n_tokens"), col("avg_nats"),
+        when(col("micro") <= lit(t2), lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
+
+  private def lmTf(slice: DataFrame): DataFrame = slice
+    .withColumn("toks", Text.tokens(col("text")))
+    .select(col("doc_id"), explode(col("toks")).as("token"))
+    .groupBy(col("doc_id"), col("token"))
+    .agg(count(lit(1)).as("tf"))
+
+  /** Per-doc micro-nat scores under the (sv, n, v) smoothed store LM.
+    * n+v+1 embeds as a literal double — identical to the computed
+    * CAST the oracle runs for any realistic store (< 2^53 tokens).
+    */
+  private def lmScore(tfFrame: DataFrame, sv: DataFrame, n: Long, v: Long): DataFrame =
+    tfFrame.join(sv, Seq("token"), "left")
+      .withColumn("p",
+        (coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) /
+          lit((n + v + 1L).toDouble))
+      .withColumn("micro_nats",
+        floor(col("tf").cast("double") * -log(col("p")) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("micro_nats")).as("micro_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        Det.r(col("micro_sum").cast("double") / lit(1000000.0) /
+          col("n_tokens").cast("double"), 6).as("avg_nats"))
+      .withColumn("micro",
+        floor(col("avg_nats") * lit(1000000.0) + lit(0.5)).cast("long"))
+
+  /** The memoized store-side LM model: smoothed vocabulary
+    * (checkpointed), totals and the t2 cut — bounded driver scalars
+    * beyond the vocabulary table. Keyed on the canonicalized store
+    * plan (the setsCached discipline).
+    */
+  private val storeLmMemo = graft.Memo[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long),
+    (DataFrame, Long, Long, Long)]()
+
+  private def storeLm(
+      storeDocs: DataFrame, bucketMicros: Long): (DataFrame, Long, Long, Long) =
+    storeLmMemo.getOrElseUpdate(storeDocs.sparkSession,
+      (storeDocs.queryExecution.analyzed.canonicalized, bucketMicros)) {
+      val storeTf = lmTf(storeDocs).localCheckpoint()
+      val sv = storeTf.groupBy(col("token")).agg(sum(col("tf")).as("c")).localCheckpoint()
+      val row = sv.agg(sum(col("c")), count(lit(1))).head()
+      if (row.isNullAt(0)) (sv, 0L, 0L, 0L)
+      else {
+        val n = row.getLong(0)
+        val v = row.getLong(1)
+        val t2 = microTerciles(lmScore(storeTf, sv, n, v).select(col("micro")), bucketMicros)
+          .head().getLong(1)
+        (sv, n, v, t2)
+      }
+    }
 
   /** DuckDB twin of [[pplIncremental]]: identical smoothed-LM scoring
     * for both slices, rank-selection store cut.

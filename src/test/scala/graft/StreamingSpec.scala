@@ -150,6 +150,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming perplexity screen over micro-batches equals the batch pplIncremental") {
+    import org.apache.spark.sql.SaveMode
+    val docs = Tables.documents(spark, sf)
+    val batchSlice = docs.filter(col("doc_id") % 10 === 0)
+    val existing = docs.filter(col("doc_id") % 10 =!= 0)
+    val tmp = Files.createTempDirectory("graft-ppl-screen").toString
+    batchSlice.repartition(5).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    val got = new scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    var batches = 0
+    val q = Events.pplScreenStream(stream, existing) { (screened, _) =>
+      got.synchronized {
+        got ++= screened.collect().map(_.toSeq)
+        batches += 1
+      }
+      ()
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 2, s"test must exercise several micro-batches, got $batches")
+    val batch = graft.text.LangModel.pplIncremental(docs).collect().map(_.toSeq).toSet
+    assert(got.toSet === batch,
+      "micro-batched perplexity screen union must equal the one-shot batch screen")
+    assert(got.size === got.toSet.size && got.nonEmpty)
+  }
+
   test("streaming ingest with a GROWING store: one micro-batch reduces to ingestDecision; multi-batch matches the greedy sequential simulation") {
     import org.apache.spark.sql.SaveMode
     val docs = Tables.documents(spark, sf)
