@@ -72,7 +72,14 @@ object LangModel {
   def prewarm(documents: DataFrame): Seq[(String, Double)] = {
     val t0 = System.nanoTime()
     surprisalCached(documents)
-    Seq("text_surprisal" -> ((System.nanoTime() - t0) / 1e9))
+    val t1 = System.nanoTime()
+    // the incremental screen's store-side LM at the driver-gated
+    // defaults — the filter expression must match pplIncremental's
+    // exactly (same canonicalized plan = same memo key)
+    storeLm(documents.filter(!(pmod(col("doc_id"), lit(10L)) === 0)), 100000L)
+    val t2 = System.nanoTime()
+    Seq("text_surprisal" -> ((t1 - t0) / 1e9),
+      "text_store_lm" -> ((t2 - t1) / 1e9))
   }
 
   /** q126: the CCNet perplexity-BAND filter — the consumer of the
