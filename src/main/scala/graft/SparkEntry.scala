@@ -279,6 +279,9 @@ object SparkEntry {
     // IVF-SQ8: cell pruning x uint8 code scoring — completes the
     // pruning x compression matrix (round-10 addition)
     "q_ann_ivf_sq8" -> ((s, dir) => Similarity.ivfSq8Ann(Tables.embeddings(s, dir))),
+    // OPQ-style rotated PQ: decorrelate axes via the PCA basis before
+    // the subspace split (round-10 addition)
+    "q_ann_opq" -> ((s, dir) => Similarity.opqAnn(Tables.embeddings(s, dir))),
     // the variance-spectrum artifact that decides m (round-10 addition)
     "q_embed_pca" -> ((s, dir) => Similarity.pcaSpectrum(Tables.embeddings(s, dir))),
     // recall@k audit of the approximate indexes vs the exact brute

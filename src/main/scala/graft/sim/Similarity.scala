@@ -998,6 +998,68 @@ object Similarity {
       nQueries, k)
   }
 
+  /** q136: OPQ-style ROTATED PQ — the faiss OPQ idea with the PCA
+    * basis as the rotation (OPQ proper alternates rotation and
+    * codebook training; the PCA rotation is its standard one-shot
+    * initialization and already delivers the mechanism): product
+    * quantization carves the vector into nSub INDEPENDENT subspaces,
+    * so correlated/unevenly-loaded dimensions waste codebook capacity
+    * — rotating into the PCA eigenbasis decorrelates the axes before
+    * the split. Because the basis is ORTHONORMAL, rotation preserves
+    * norms and pairwise dot products exactly: the rotated corpus's
+    * brute ranking IS the original's (vec_ids unchanged), the
+    * exact-refine cosines emitted are the original cosines, and the
+    * whole operator is a pure composition — the FULL d×d basis from
+    * [[pcaModelCached]] applied as one scan-side projection (d VecDot
+    * folds, the pcaProject machinery), feeding the unchanged
+    * [[pqAnn]] train/encode/ADC/refine pipeline on the rotated frame.
+    *
+    * On THIS corpus the honest expectation (the q_ann_ivf_kmeans /
+    * langid pattern): near-isotropic synthetic vectors have little
+    * correlation to remove, so rotated-PQ recall ≈ plain-PQ recall —
+    * the gate pins "no collapse" and SimilaritySpec pins the
+    * rotation-invariance identities (emitted cosines bit-equal to
+    * exact; on real correlated embeddings the same operator is where
+    * OPQ's gains come from). Model-dependent ⇒ rows-only.
+    */
+  def opqAnn(
+      embeddings: DataFrame,
+      nQueries: Int = 10,
+      k: Int = 10,
+      refine: Int = 4,
+      dim: Int = -1): DataFrame = {
+    val session = embeddings.sparkSession
+    import session.implicits._
+    val empty = Seq.empty[(Long, Int, Long, Double)]
+      .toDF("query_id", "rank", "vec_id", "cosine")
+    val d = if (dim > 0) dim else detectDim(embeddings)
+    if (d <= 0) return empty
+    require(d % PqSub == 0, s"dim $d must divide into nSub=$PqSub subspaces")
+    val rotated = rotatedCached(embeddings, d)
+    val books = pqCodebooksCached(rotated, PqSub, PqCodes, PqIters, PqTrainN, d)
+    if (books.isEmpty) return empty
+    val codes = pqCodesCached(rotated, books, PqSub, PqCodes, PqIters, PqTrainN, d)
+    pqSearchWith(rotated, books, codes, nQueries, k, PqSub, refine, d)
+  }
+
+  /** The PCA-rotated corpus (vec_id, embedding = R·u as doubles) —
+    * memoized+materialized so OPQ's training, encoding and search all
+    * read one rotation pass. Rotation preserves unit norms, so the
+    * frame is consumable by every (vec_id, embedding) operator.
+    */
+  private val rotatedMemo = graft.Memo[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), DataFrame]()
+
+  private def rotatedCached(embeddings: DataFrame, d: Int): DataFrame =
+    rotatedMemo.getOrElseUpdate(embeddings.sparkSession,
+      (embeddings.queryExecution.analyzed.canonicalized, d))({
+      val (_, basis) = pcaModelCached(embeddings, d)
+      require(basis.nonEmpty, "cannot rotate an empty corpus")
+      pcaProject(unitCorpus(embeddings, d), basis, d)
+        .select(col("vec_id"), col("p").as("embedding"))
+        .localCheckpoint()
+    })
+
   /** Exact top-m ADC candidates per query, two-phase (see [[pqAnn]]);
     * emits (query_id, vec_id, rk) with rk the global ADC rank ≤ m.
     */

@@ -46,9 +46,11 @@ class PlanHardeningSpec extends SparkSpec {
         // equi-join-only
         // q_ann_pca's projected-dot pass is the same flat linear scan
         // over m-double rows
+        // q_ann_opq is q_ann_pq's ADC scan over the rotated frame —
+        // the same flat-code-scan exemption
         assert(!plan.contains("BroadcastNestedLoopJoin")
             || name == "q_ann_ivf" || name == "q_ann_ivf_kmeans" || name == "q_ann_pq"
-            || name == "q_ann_sq8" || name == "q_ann_pca",
+            || name == "q_ann_sq8" || name == "q_ann_pca" || name == "q_ann_opq",
           s"$name has an unexpected BroadcastNestedLoopJoin")
       }
     }
@@ -78,7 +80,7 @@ class PlanHardeningSpec extends SparkSpec {
       "q_ann_eval", "q_dedup_embedding_lsh", "q_embed_incremental_lsh",
       "q_corpus_stats_approx", "q_media_features", "q_distinct_approx",
       "q_dedup_bloom", "q_ann_pca", "q_embed_pca", "q_ivf_cell_profile",
-      "q_ann_ivf_sq8"))
+      "q_ann_ivf_sq8", "q_ann_opq"))
   }
 
   private lazy val emptyDocs = spark.createDataFrame(

@@ -159,6 +159,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("OPQ (rotated PQ): rotation preserves the geometry exactly; recall holds on isotropic data") {
+    val e = Tables.embeddings(spark, sf)
+    val opq = Similarity.opqAnn(e).cache()
+    // rotation invariance is EXACT: any emitted pair the brute ranking
+    // also contains must carry the identical original-space cosine —
+    // the refine pass runs in rotated space, but an orthonormal basis
+    // preserves dots and norms bit-for-bit at the ranking level and
+    // to double rounding at the value level (gated at equality on the
+    // 6-dp artifact)
+    val exact = brute.collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val overlaps = opq.collect().flatMap { r =>
+      exact.get((r.getLong(0), r.getLong(2))).map(_ -> r.getDouble(3))
+    }
+    assert(overlaps.nonEmpty)
+    overlaps.foreach { case (b, p) =>
+      assert(math.abs(b - p) <= 1e-6, s"rotated-space cosine drifted: $b vs $p")
+    }
+    // the honest isotropic-corpus expectation: rotated-PQ recall does
+    // not collapse relative to plain PQ (there is little correlation
+    // to remove here; on real embeddings this gap is where OPQ wins)
+    val recall = pairSet(opq).intersect(pairSet(brute)).size.toDouble / pairSet(brute).size
+    val pqRecall = pairSet(Similarity.pqAnn(e)).intersect(pairSet(brute)).size.toDouble /
+      pairSet(brute).size
+    assert(recall >= pqRecall - 0.2, s"OPQ recall $recall collapsed vs PQ $pqRecall")
+    assert(recall >= 0.3, s"OPQ recall $recall below floor")
+    val counts = opq.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(counts.length === 10 && counts.forall(_ === 10L))
+    assert(opq.filter(col("query_id") === col("vec_id")).count() === 0)
+  }
+
   test("PQ ANN training is deterministic: two independent UNCACHED trainings agree exactly") {
     // pqCodebooks directly, NOT through pqAnn — the memo would make a
     // second pqAnn build a cache hit and the comparison vacuous
