@@ -306,6 +306,20 @@ object Similarity {
         if (pcaModelCached(embeddings, d)._1.nonEmpty) { pcaCodesCached(embeddings, d); () }
       }
     }
+    if (d > 0 && d % PqSub == 0) {
+      timed("sim_opq_rotation") {
+        if (pcaModelCached(embeddings, d)._1.nonEmpty) { rotatedCached(embeddings, d); () }
+      }
+      timed("sim_opq_codes") {
+        if (pcaModelCached(embeddings, d)._1.nonEmpty) {
+          val rotated = rotatedCached(embeddings, d)
+          val books = pqCodebooksCached(rotated, PqSub, PqCodes, PqIters, PqTrainN, d)
+          if (books.nonEmpty) {
+            pqCodesCached(rotated, books, PqSub, PqCodes, PqIters, PqTrainN, d); ()
+          }
+        }
+      }
+    }
     out.toSeq
   }
 
