@@ -1670,6 +1670,31 @@ object Similarity {
           seedCents, assignedSeed, nQueries, compProbe, dPq))
       }
 
+    // OPQ: the rotated frame's ADC ranking, refine levels nesting like
+    // PQ's — audits the SAME memoized rotation+codebooks q_ann_opq
+    // searches (opq@refine r equals opqAnn(refine=r), pinned). The
+    // scored pairs join back to the ORIGINAL e/qs in scoredLevels for
+    // the exact cosine — identical values by rotation invariance.
+    val opqLvl: Option[DataFrame] =
+      if (dPq <= 0 || dPq % PqSub != 0) None
+      else {
+        val (evs, _) = pcaModelCached(embeddings, dPq)
+        if (evs.isEmpty) None
+        else {
+          val rotated = rotatedCached(embeddings, dPq)
+          val books = pqCodebooksCached(rotated, PqSub, PqCodes, PqIters, PqTrainN, dPq)
+          if (books.isEmpty) None
+          else {
+            val codes = pqCodesCached(rotated, books, PqSub, PqCodes, PqIters, PqTrainN, dPq)
+            val opqQs = pqQueryTabs(unitCorpus(rotated, dPq), books, PqSub, dPq, nQueries)
+            Some(scoredLevels(
+              pqTopM(pqAdcScore(codes, opqQs), maxP * k)
+                .select(col("query_id"), col("vec_id"),
+                  ceil(col("rk").cast("double") / lit(k)).cast("long").as("lvl"))))
+          }
+        }
+      }
+
     val base = methodRows("lsh", lshLvl)
       .unionAll(methodRows("ivf", ivfLvl))
       .unionAll(methodRows("ivf_kmeans", kmLvl))
@@ -1677,7 +1702,8 @@ object Similarity {
     val withSq8 = sq8Lvl.fold(withPq)(l => withPq.unionAll(methodRows("sq8", l)))
     val withPca = pcaLvl.fold(withSq8)(l => withSq8.unionAll(methodRows("pca", l)))
     val withIvfPq = ivfPqLvl.fold(withPca)(l => withPca.unionAll(methodRows("ivfpq", l)))
-    ivfSq8Lvl.fold(withIvfPq)(l => withIvfPq.unionAll(methodRows("ivfsq8", l)))
+    val withIvfSq8 = ivfSq8Lvl.fold(withIvfPq)(l => withIvfPq.unionAll(methodRows("ivfsq8", l)))
+    opqLvl.fold(withIvfSq8)(l => withIvfSq8.unionAll(methodRows("opq", l)))
   }
 
   /** q128: IVF cell-BALANCE audit — the probe-COST axis [[annEval]]'s

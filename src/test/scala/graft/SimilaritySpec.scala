@@ -707,7 +707,7 @@ class SimilaritySpec extends SparkSpec {
       .toMap
     val sweep = Seq(1L, 2L, 4L, 8L)
     assert(rows.keySet ===
-      (for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq", "sq8", "pca", "ivfpq", "ivfsq8");
+      (for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq", "sq8", "pca", "ivfpq", "ivfsq8", "opq");
         p <- sweep) yield (m, p)).toSet)
     rows.foreach { case ((m, p), (nTruth, nHit, recall)) =>
       assert(nTruth > 0 && nHit >= 0 && nHit <= nTruth, s"$m@$p counts")
@@ -716,7 +716,7 @@ class SimilaritySpec extends SparkSpec {
     }
     // nested probe sets => recall monotone non-decreasing in n_probe —
     // the tradeoff the artifact exists to drive
-    for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq", "sq8", "pca", "ivfpq", "ivfsq8");
+    for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq", "sq8", "pca", "ivfpq", "ivfsq8", "opq");
       Seq(a, b) <- sweep.sliding(2))
       assert(rows((m, b))._3 >= rows((m, a))._3,
         s"$m recall not monotone: p=$a ${rows((m, a))._3} > p=$b ${rows((m, b))._3}")
@@ -751,12 +751,14 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(("ivfpq", 4L))._2 === (truth & ivfpq4).size.toLong)
     val ivfsq84 = set(Similarity.ivfSq8Ann(e, refine = 4))
     assert(rows(("ivfsq8", 4L))._2 === (truth & ivfsq84).size.toLong)
+    val opq4 = set(Similarity.opqAnn(e, refine = 4))
+    assert(rows(("opq", 4L))._2 === (truth & opq4).size.toLong)
     // the r9 cost column: candidates scored per operating point —
     // monotone in the probe level (nested candidate sets), never
     // below the hits it produced
     val cands = Similarity.annEval(e).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(5)))).toMap
-    for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq", "sq8", "pca", "ivfpq", "ivfsq8")) {
+    for (m <- Seq("lsh", "ivf", "ivf_kmeans", "pq", "sq8", "pca", "ivfpq", "ivfsq8", "opq")) {
       for (Seq(a, b) <- sweep.sliding(2))
         assert(cands((m, b))._2 >= cands((m, a))._2, s"$m n_cands not monotone")
       sweep.foreach(p => assert(cands((m, p))._2 >= cands((m, p))._1,
