@@ -98,4 +98,104 @@ object BloomIndex {
       when(graft.functions.GraftFunctions.bloomMightContain(lit(filter), col(kc)),
         lit(1L)).otherwise(lit(0L)).as("bloom_hit"))
   }
+
+  // ------------------------------------------------------------------
+  // Sharded layout — the 100 TB form the single-filter limit points
+  // at: a store beyond ~1.7e9 keys at 10 bits/key cannot live in one
+  // JVM byte array (or one driver literal), so the filter SHARDS by
+  // key residue — nShards independent filters, each bounded, built in
+  // the SAME one map-side aggregate pass (groupBy(shard) instead of a
+  // global agg) and persisted as a (shard, filter) parquet. The probe
+  // becomes a shard-keyed EQUI-JOIN: each task carries only its
+  // shard's filter bytes, so neither the driver nor any executor ever
+  // holds the whole filter — the routing a production membership
+  // service runs.
+  // ------------------------------------------------------------------
+
+  /** Build the sharded filter over `keys` (1-column LONG frame) —
+    * uniform per-shard geometry sized from the mean shard load (keys
+    * are hash values, so residue shards are balanced by construction).
+    */
+  def writeSharded(
+      keys: DataFrame, dir: String, nShards: Int = 64,
+      bitsPerKey: Int = 10, numHashes: Int = 7): Unit = {
+    require(nShards >= 1 && bitsPerKey >= 1 && numHashes >= 1)
+    val n = keys.count()
+    val perShard = (n + nShards - 1) / math.max(nShards, 1)
+    val rawBits = math.max(64L, bitsPerKey.toLong * perShard)
+    require(rawBits <= Int.MaxValue - 8,
+      s"bloom shard of $rawBits bits exceeds the single-filter limit; raise nShards")
+    val bits = (((rawBits + 7) / 8) * 8).toInt
+    val kc = keys.columns.head
+    keys
+      .groupBy(pmod(col(kc), lit(nShards.toLong)).as("shard"))
+      .agg(graft.functions.GraftFunctions.bloomBuild(col(kc), bits, numHashes).as("filter"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/shards")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, "meta.json"),
+      s"""{"n_keys": $n, "n_shards": $nShards, "bits": $bits, "num_hashes": $numHashes}"""
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Probe `keys` against the sharded filter: (key, bloom_hit). Keys
+    * route to their shard's filter through one equi-join — a key whose
+    * shard has no filter row (an empty store residue) is definitively
+    * absent. Per-key verdicts are IDENTICAL in distribution to a
+    * single filter at the same per-key geometry; members never miss
+    * (pinned in DedupSpec alongside the FP ceiling).
+    */
+  def probeSharded(spark: SparkSession, keys: DataFrame, dir: String): DataFrame = {
+    val meta = new String(Files.readAllBytes(Paths.get(dir, "meta.json")),
+      StandardCharsets.UTF_8)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(meta)
+    val nShards = node.get("n_shards").asInt()
+    require(nShards >= 1, s"corrupt sharded Bloom index at $dir: n_shards $nShards")
+    val filters = spark.read.parquet(s"$dir/shards")
+    val kc = keys.columns.head
+    keys
+      .withColumn("shard", pmod(col(kc), lit(nShards.toLong)))
+      .join(filters, Seq("shard"), "left")
+      .select(col(kc),
+        when(col("filter").isNotNull &&
+          graft.functions.GraftFunctions.bloomMightContain(col("filter"), col(kc)),
+          lit(1L)).otherwise(lit(0L)).as("bloom_hit"))
+  }
+
+  /** OR a batch of new keys into the sharded filter — per-shard
+    * no-retrain append at the persisted geometry. Shards are bounded
+    * by design, so the per-shard OR streams through the driver one
+    * shard at a time (at true scale the same merge runs as a
+    * shard-keyed join; OR is the aggregate's merge either way, so the
+    * result equals a one-shot build over the union — pinned).
+    */
+  def appendSharded(spark: SparkSession, batchKeys: DataFrame, dir: String): Unit = {
+    val meta = new String(Files.readAllBytes(Paths.get(dir, "meta.json")),
+      StandardCharsets.UTF_8)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(meta)
+    val nShards = node.get("n_shards").asInt()
+    val bits = node.get("bits").asInt()
+    val numHashes = node.get("num_hashes").asInt()
+    val kc = batchKeys.columns.head
+    val add = batchKeys
+      .groupBy(pmod(col(kc), lit(nShards.toLong)).as("shard"))
+      .agg(graft.functions.GraftFunctions.bloomBuild(col(kc), bits, numHashes).as("filter"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val existing = spark.read.parquet(s"$dir/shards")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val merged = (existing.keySet ++ add.keySet).toSeq.sorted.map { s =>
+      (existing.get(s), add.get(s)) match {
+        case (Some(a), Some(b)) =>
+          val m = a.clone()
+          var i = 4
+          while (i < m.length) { m(i) = (m(i) | b(i)).toByte; i += 1 }
+          s -> m
+        case (Some(a), None) => s -> a
+        case (None, Some(b)) => s -> b
+        case _ => sys.error("unreachable")
+      }
+    }
+    import spark.implicits._
+    merged.toDF("shard", "filter")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/shards")
+  }
 }

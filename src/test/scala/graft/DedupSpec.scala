@@ -761,6 +761,56 @@ class DedupSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("BloomIndex sharded: members never miss, routes by residue, append equals one-shot union") {
+    import spark.implicits._
+    def rmrf(dir: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+    val store = (1L to 400L).map(i => Tuple1(i * 0x9e3779b97f4a7c15L)).toDF("v")
+    val batch = (401L to 450L).map(i => Tuple1(i * 0x9e3779b97f4a7c15L)).toDF("v")
+    val absent = (1000L to 1400L).map(i => Tuple1(i * 0x6a09e667f3bcc909L)).toDF("v")
+    val dir = java.nio.file.Files.createTempDirectory("bloom_shard_").toString
+    try {
+      graft.dedup.BloomIndex.writeSharded(store, dir, nShards = 8)
+      // zero false negatives across every shard
+      val hits = graft.dedup.BloomIndex.probeSharded(spark, store, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hits.size === 400 && hits.values.forall(_ == 1L), "a stored key missed its shard")
+      // false positives stay under the geometry's ceiling (~0.8% at
+      // 10 bits / 7 hashes; generous slack for 400 draws)
+      val fp = graft.dedup.BloomIndex.probeSharded(spark, absent, dir)
+        .collect().count(_.getLong(1) == 1L)
+      assert(fp <= 20, s"$fp/400 sharded false positives is far over the geometry's rate")
+      // per-shard append equals the one-shot union build, byte for byte
+      graft.dedup.BloomIndex.appendSharded(spark, batch, dir)
+      val appended = spark.read.parquet(s"$dir/shards").collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+      // byte-for-byte: at the store's FIXED geometry (bits read from
+      // meta.json), appending is identical to one aggregate over the
+      // union — OR is the aggregate's merge
+      val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "meta.json")))
+      val bits = meta.get("bits").asInt()
+      import graft.functions.GraftFunctions.bloomBuild
+      val one = store.union(batch)
+        .groupBy(pmod(col("v"), lit(8L)).as("shard"))
+        .agg(bloomBuild(col("v"), bits, 7).as("filter"))
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+      assert(appended === one, "sharded append drifted from the one-shot union build")
+      val unionHits = graft.dedup.BloomIndex.probeSharded(spark, store.union(batch), dir)
+        .collect()
+      assert(unionHits.forall(_.getLong(1) == 1L), "sharded append lost a key")
+      // a key routing to a shard the store never populated is
+      // definitively absent (left join, not an error)
+      val far = Seq(Tuple1(8L * 1234567L + 3L)).toDF("v")
+      assert(graft.dedup.BloomIndex.probeSharded(spark, far, dir).collect().length === 1)
+    } finally rmrf(dir)
+  }
+
   test("incrementalSpans: batch windows flag iff verbatim in the STORE; batch-internal repeats don't count") {
     import spark.implicits._
     // batchMod=10 ⇒ ids 10,20,30,40 are the batch; k=3
