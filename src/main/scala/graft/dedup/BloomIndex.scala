@@ -85,6 +85,17 @@ object BloomIndex {
     var i = 4
     while (i < merged.length) { merged(i) = (merged(i) | add(i)).toByte; i += 1 }
     Files.write(Paths.get(dir, "filter.bin"), merged)
+    // Keep n_keys honest across appends (insertion count, the standard
+    // Bloom accounting), preserving the written geometry fields.
+    val metaPath = Paths.get(dir, "meta.json")
+    if (Files.exists(metaPath)) {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(Files.readAllBytes(metaPath), StandardCharsets.UTF_8))
+      val nKeys = node.get("n_keys").asLong() + batchKeys.count()
+      Files.write(metaPath,
+        s"""{"n_keys": $nKeys, "bits": $bits, "num_hashes": $numHashes}"""
+          .getBytes(StandardCharsets.UTF_8))
+    }
   }
 
   /** Probe `keys` (1-column LONG frame) against the persisted filter:
@@ -151,13 +162,18 @@ object BloomIndex {
     val nShards = node.get("n_shards").asInt()
     require(nShards >= 1, s"corrupt sharded Bloom index at $dir: n_shards $nShards")
     val filters = spark.read.parquet(s"$dir/shards")
+      .select(col("shard").as("__bloom_shard"), col("filter").as("__bloom_filter"))
     val kc = keys.columns.head
+    // The key routes through internal column names so a caller whose key
+    // column is itself named "shard" or "filter" cannot be silently
+    // shadowed into probing the wrong value.
     keys
-      .withColumn("shard", pmod(col(kc), lit(nShards.toLong)))
-      .join(filters, Seq("shard"), "left")
-      .select(col(kc),
-        when(col("filter").isNotNull &&
-          graft.functions.GraftFunctions.bloomMightContain(col("filter"), col(kc)),
+      .select(col(kc).as("__bloom_key"))
+      .withColumn("__bloom_shard", pmod(col("__bloom_key"), lit(nShards.toLong)))
+      .join(filters, Seq("__bloom_shard"), "left")
+      .select(col("__bloom_key").as(kc),
+        when(col("__bloom_filter").isNotNull &&
+          graft.functions.GraftFunctions.bloomMightContain(col("__bloom_filter"), col("__bloom_key")),
           lit(1L)).otherwise(lit(0L)).as("bloom_hit"))
   }
 
@@ -175,7 +191,9 @@ object BloomIndex {
     val nShards = node.get("n_shards").asInt()
     val bits = node.get("bits").asInt()
     val numHashes = node.get("num_hashes").asInt()
+    val nKeys = node.get("n_keys").asLong()
     val kc = batchKeys.columns.head
+    val nBatch = batchKeys.count()
     val add = batchKeys
       .groupBy(pmod(col(kc), lit(nShards.toLong)).as("shard"))
       .agg(graft.functions.GraftFunctions.bloomBuild(col(kc), bits, numHashes).as("filter"))
@@ -185,6 +203,10 @@ object BloomIndex {
     val merged = (existing.keySet ++ add.keySet).toSeq.sorted.map { s =>
       (existing.get(s), add.get(s)) match {
         case (Some(a), Some(b)) =>
+          require(a.length == b.length,
+            s"corrupt sharded Bloom index at $dir: shard $s filter lengths " +
+              s"${a.length} != ${b.length} (shards written at a different geometry " +
+              "than meta.json records)")
           val m = a.clone()
           var i = 4
           while (i < m.length) { m(i) = (m(i) | b(i)).toByte; i += 1 }
@@ -195,7 +217,29 @@ object BloomIndex {
       }
     }
     import spark.implicits._
+    // Write the merged shards BESIDE the live copy, then swap, so a
+    // crash mid-write never destroys the only copy of the index: the
+    // live dir is replaced only after the replacement is fully written.
+    val tmp = s"$dir/shards_tmp"
     merged.toDF("shard", "filter")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/shards")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    deleteRecursively(Paths.get(dir, "shards"))
+    Files.move(Paths.get(tmp), Paths.get(dir, "shards"))
+    // n_keys counts insertions (an upper bound on distinct stored keys,
+    // like any Bloom accounting) — refreshed so sizing math stays honest
+    // after appends.
+    Files.write(Paths.get(dir, "meta.json"),
+      s"""{"n_keys": ${nKeys + nBatch}, "n_shards": $nShards, "bits": $bits, "num_hashes": $numHashes}"""
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      try {
+        stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.delete(f))
+      } finally stream.close()
+    }
   }
 }

@@ -1049,6 +1049,10 @@ object Similarity {
     val d = if (dim > 0) dim else detectDim(embeddings)
     if (d <= 0) return empty
     require(d % PqSub == 0, s"dim $d must divide into nSub=$PqSub subspaces")
+    // Empty unit corpus (e.g. all zero-norm vectors) → empty result,
+    // the family's empty-corpus convention, matching pcaAnn — not the
+    // rotatedCached require.
+    if (pcaModelCached(embeddings, d)._1.isEmpty) return empty
     val rotated = rotatedCached(embeddings, d)
     val books = pqCodebooksCached(rotated, PqSub, PqCodes, PqIters, PqTrainN, d)
     if (books.isEmpty) return empty

@@ -189,6 +189,16 @@ class SimilaritySpec extends SparkSpec {
     assert(opq.filter(col("query_id") === col("vec_id")).count() === 0)
   }
 
+  test("opqAnn on an all-zero-norm corpus returns the empty frame (family convention), not a throw") {
+    import spark.implicits._
+    val zeros = Seq(
+      (1L, Array.fill(16)(0f)), (2L, Array.fill(16)(0f)), (3L, Array.fill(16)(0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.opqAnn(zeros, dim = 16)
+    assert(out.count() === 0L, "non-empty result from a corpus with no valid unit vectors")
+    assert(out.columns.toSeq === Seq("query_id", "rank", "vec_id", "cosine"))
+  }
+
   test("PQ ANN training is deterministic: two independent UNCACHED trainings agree exactly") {
     // pqCodebooks directly, NOT through pqAnn — the memo would make a
     // second pqAnn build a cache hit and the comparison vacuous
