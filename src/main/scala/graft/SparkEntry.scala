@@ -216,6 +216,12 @@ object SparkEntry {
     // never existing×existing; oracle is the brute cross comparison
     // (round-9 addition)
     "q_dedup_incremental" -> ((s, dir) => Dedup.incrementalDedup(Tables.documents(s, dir))),
+    // the DISK-SERVED form of the store screen: the store's shingle
+    // index is persisted (ShingleIndex sets+postings parquet, the
+    // BloomIndex discipline) and the batch probes the read-back
+    // layout; verdicts are store-content-determined, so it shares
+    // q_dedup_incremental's oracle verbatim (round-11 addition)
+    "q_dedup_incremental_disk" -> ((s, dir) => Dedup.incrementalDedupDisk(Tables.documents(s, dir))),
     // the batch's OTHER screen: a crawl batch self-duplicates, so
     // after the store screen the batch is screened against itself —
     // first-wins (earlier doc_id kept), same prefix-probe machinery
@@ -335,6 +341,13 @@ object SparkEntry {
     // batched mapPartitions codec seam; imperative => rows-only gate +
     // MultimodalSpec reimplementation equality (round-3 addition)
     "q_media_features" -> ((s, dir) => Multimodal.mediaFeatures(Tables.documents(s, dir))),
+    // REAL container-header decode: planted spec-valid PNG/JPEG/GIF
+    // bytes parsed inside the typed batch seam (IHDR + CRC verify /
+    // SOF0 marker walk / LE logical screen), malformed payloads →
+    // quarantine rows; oracle recomputes from planting arithmetic
+    // alone, so the hash gate proves the parser reads actual bytes
+    // (round-11 addition)
+    "q_media_decode" -> ((s, dir) => graft.mm.MediaCodec.mediaDecode(Tables.documents(s, dir))),
     // --- G. Streaming (batch-equivalent form; the readStream path is
     // exercised in ScalaTest with a memory sink) ---------------------
     "q_stream_hourly" -> ((s, dir) => Events.hourlyAgg(Tables.events(s, dir))),
@@ -713,6 +726,7 @@ object SparkEntry {
     "q_dedup_modality_agreement" -> Dedup.sqlModalityAgreement(),
     "q_contained_drop" -> Dedup.sqlContainedDrop(),
     "q_dedup_incremental" -> Dedup.sqlIncrementalDedup(),
+    "q_dedup_incremental_disk" -> Dedup.sqlIncrementalDedup(),
     "q_dedup_batch" -> Dedup.sqlBatchDedup(),
     "q_ingest_decision" -> Dedup.sqlIngestDecision(),
     "q_embed_incremental" -> Dedup.sqlEmbedIncremental(),
@@ -729,6 +743,7 @@ object SparkEntry {
     "q_media_meta" -> Multimodal.sqlMediaMeta,
     "q_media_frames" -> Multimodal.sqlMediaFrames,
     "q_media_resize" -> Multimodal.sqlMediaResize(),
+    "q_media_decode" -> graft.mm.MediaCodec.sqlMediaDecode,
     "q_stream_hourly" -> Events.sqlHourlyAgg,
     "q_partition_prune" -> graft.sources.Partitioned.sqlDailyPruned(),
     "q_compacted_read" -> graft.sources.Compact.sqlCompactedRollup,

@@ -808,7 +808,90 @@ class DedupSpec extends SparkSpec {
       // definitively absent (left join, not an error)
       val far = Seq(Tuple1(8L * 1234567L + 3L)).toDF("v")
       assert(graft.dedup.BloomIndex.probeSharded(spark, far, dir).collect().length === 1)
+      // append refreshed meta.json's key accounting (ADVICE r10)
+      val meta2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "meta.json")))
+      assert(meta2.get("n_keys").asLong() === 450L,
+        "appendSharded left meta.json n_keys stale")
+      assert(meta2.get("bits").asInt() === bits && meta2.get("n_shards").asInt() === 8)
+      // a caller whose key column is itself named "shard" (or "filter")
+      // must get real verdicts, not probes of the routing column
+      val collide = store.union(batch).withColumnRenamed("v", "shard")
+      val collideHits = graft.dedup.BloomIndex.probeSharded(spark, collide, dir).collect()
+      assert(collideHits.length === 450 && collideHits.forall(_.getLong(1) == 1L),
+        "a key column named 'shard' was shadowed by the routing column")
+      assert(collideHits.head.schema.fieldNames.head === "shard",
+        "probeSharded should preserve the caller's key column name")
     } finally rmrf(dir)
+  }
+
+  test("ShingleIndex: write -> read -> probe hash-EQUAL to in-session screenAgainst; append equals one-shot union; loud corrupt failures") {
+    import spark.implicits._
+    def rmrf(dir: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector("red", "blue", "green", "stone", "river", "cloud", "iron", "wolf",
+      "amber", "pine", "salt", "storm", "ember", "frost", "moss", "raven")
+    def doc(): String = Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val base = (0L until 60L).map(i => (i, doc()))
+    // plant an exact twin and a near-dup across the batch/store boundary
+    val planted = base.map {
+      case (i, _) if i == 20L => (i, base.find(_._1 == 7L).get._2 + " tail")
+      case (i, _) if i == 40L => (i, base.find(_._1 == 13L).get._2)
+      case x => x
+    }
+    val store = planted.filter(_._1 % 10 != 0).toDF("doc_id", "text")
+    val batch = planted.filter(_._1 % 10 == 0).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shingle_idx_").toString
+    try {
+      graft.dedup.ShingleIndex.write(store, dir)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val disk = rows(graft.dedup.ShingleIndex.probe(spark, batch, dir))
+      val inSession = rows(Dedup.screenAgainst(batch, store))
+      assert(disk === inSession, "disk-served screen drifted from the in-session screen")
+      assert(disk.exists { case (id, e, _, _) => id == 40L && e == 1L },
+        "planted exact twin not flagged through the persisted index")
+      assert(disk.exists { case (id, _, n, _) => id == 20L && n >= 1L },
+        "planted near-dup not flagged through the persisted index")
+      // append: landed docs join the store; probe equals a ONE-SHOT
+      // build over the union
+      val landed = Seq((100L, planted.find(_._1 == 3L).get._2),
+        (101L, "totally novel landed content never seen before")).toDF("doc_id", "text")
+      graft.dedup.ShingleIndex.append(landed, dir)
+      val oneShot = java.nio.file.Files.createTempDirectory("shingle_one_").toString
+      try {
+        graft.dedup.ShingleIndex.write(store.union(landed), oneShot)
+        val probeA = rows(graft.dedup.ShingleIndex.probe(spark, batch, dir))
+        val probeO = rows(graft.dedup.ShingleIndex.probe(spark, batch, oneShot))
+        assert(probeA === probeO, "append drifted from the one-shot union build")
+      } finally rmrf(oneShot)
+      // meta accounting refreshed by the append
+      val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "meta.json")))
+      assert(meta.get("n_docs").asLong() === 54L + 2L, "append left meta.json n_docs stale")
+      // the mod-split query form serves the identical verdicts as q107
+      val viaQuery = rows(Dedup.incrementalDedupDisk(planted.toDF("doc_id", "text")))
+      val viaMem = rows(Dedup.incrementalDedup(planted.toDF("doc_id", "text")))
+      assert(viaQuery === viaMem, "incrementalDedupDisk drifted from incrementalDedup")
+    } finally rmrf(dir)
+    // loud failures: missing layout, then a half-deleted one
+    val bad = java.nio.file.Files.createTempDirectory("shingle_bad_").toString
+    try {
+      intercept[IllegalArgumentException] {
+        graft.dedup.ShingleIndex.probe(spark, batch, bad)
+      }
+      graft.dedup.ShingleIndex.write(store, bad)
+      rmrf(s"$bad/postings")
+      intercept[IllegalArgumentException] {
+        graft.dedup.ShingleIndex.probe(spark, batch, bad)
+      }
+    } finally rmrf(bad)
   }
 
   test("incrementalSpans: batch windows flag iff verbatim in the STORE; batch-internal repeats don't count") {

@@ -87,4 +87,59 @@ class MultimodalSpec extends SparkSpec {
     assert(sig === emb.map(x =>
       String.format(java.util.Locale.US, "%.6f", Double.box(x.toDouble))).mkString(","))
   }
+
+  test("MediaCodec.parseHeader reads real PNG/JPEG/GIF bytes and round-trips the builders") {
+    import graft.mm.MediaCodec
+    assert(MediaCodec.parseHeader(MediaCodec.buildPng(640, 480)) === Right(("png", 640L, 480L)))
+    assert(MediaCodec.parseHeader(MediaCodec.buildJpeg(1, 65535)) === Right(("jpeg", 1L, 65535L)))
+    assert(MediaCodec.parseHeader(MediaCodec.buildGif(300, 7)) === Right(("gif", 300L, 7L)))
+    // PNG dims are u32 big-endian — exercise beyond u16
+    assert(MediaCodec.parseHeader(MediaCodec.buildPng(70000, 3)) === Right(("png", 70000L, 3L)))
+    // GIF is LITTLE-endian: 0x0102 stored as 02 01 — a big-endian
+    // misread would report 513 as 258
+    val gif = MediaCodec.buildGif(0x0102, 0x0304)
+    assert((gif(6) & 0xff) === 0x02 && (gif(7) & 0xff) === 0x01)
+    assert(MediaCodec.parseHeader(gif) === Right(("gif", 0x0102L, 0x0304L)))
+  }
+
+  test("MediaCodec.parseHeader quarantines malformed bytes as values, never throws") {
+    import graft.mm.MediaCodec
+    assert(MediaCodec.parseHeader(null) === Left("truncated_header"))
+    assert(MediaCodec.parseHeader(Array.emptyByteArray) === Left("truncated_header"))
+    assert(MediaCodec.parseHeader(MediaCodec.buildPng(10, 10).take(6)) === Left("truncated_header"))
+    assert(MediaCodec.parseHeader(MediaCodec.buildPng(10, 10).take(20)) === Left("truncated_header"))
+    assert(MediaCodec.parseHeader(MediaCodec.buildPng(10, 10, corruptCrc = true)) === Left("bad_crc"))
+    assert(MediaCodec.parseHeader("this is not an image at all!".getBytes("UTF-8")) ===
+      Left("unknown_container"))
+    // JPEG with the SOF segment stripped (SOI + APP0 + EOI): no frame header
+    val jpeg = MediaCodec.buildJpeg(5, 5)
+    val noSof = jpeg.take(2 + 18) ++ jpeg.takeRight(2)
+    assert(MediaCodec.parseHeader(noSof) === Left("no_sof"))
+    // random garbage after SOI must not throw
+    val garbage = Array[Byte](0xff.toByte, 0xd8.toByte) ++ Array.fill[Byte](40)(0x41)
+    assert(MediaCodec.parseHeader(garbage).isLeft)
+  }
+
+  test("q_media_decode: planted dims come back through the REAL parse; corrupt rows quarantine") {
+    import graft.mm.MediaCodec
+    val docs = Tables.documents(spark, sf)
+    val out = MediaCodec.mediaDecode(docs).cache()
+    assert(out.count() === docs.count(), "one verdict row per document")
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    rows.foreach { case (id, (container, w, h, err)) =>
+      if (id % 17 == 0) {
+        assert(container === "corrupt" && w === -1L && err === "truncated_header", s"doc $id")
+      } else if (id % 3 == 0 && id % 23 == 0) {
+        assert(container === "corrupt" && err === "bad_crc", s"doc $id")
+      } else {
+        assert(err === "", s"doc $id unexpectedly quarantined: $err")
+        assert(container === Seq("png", "jpeg", "gif")((id % 3).toInt), s"doc $id")
+        assert(w === 1L + (id * 7 + 3) % 512, s"doc $id width")
+        assert(h === 1L + (id * 13 + 5) % 512, s"doc $id height")
+      }
+    }
+    assert(rows.values.exists(_._4 == "truncated_header"), "no truncated plant in corpus")
+    assert(rows.values.exists(_._4 == "bad_crc"), "no bad-crc plant in corpus")
+  }
 }
