@@ -222,6 +222,12 @@ object SparkEntry {
     // layout; verdicts are store-content-determined, so it shares
     // q_dedup_incremental's oracle verbatim (round-11 addition)
     "q_dedup_incremental_disk" -> ((s, dir) => Dedup.incrementalDedupDisk(Tables.documents(s, dir))),
+    // the CONTAINMENT modality of the store screen: a landed doc
+    // fully inside a stored doc passes Jaccard at |B|>>|A| — this
+    // screen catches it via the one-sided prefix probe of the store's
+    // full inverted index; wired into q_ingest_decision's verdict
+    // (round-11 addition)
+    "q_contained_incremental" -> ((s, dir) => Dedup.containedIncremental(Tables.documents(s, dir))),
     // the batch's OTHER screen: a crawl batch self-duplicates, so
     // after the store screen the batch is screened against itself —
     // first-wins (earlier doc_id kept), same prefix-probe machinery
@@ -727,6 +733,7 @@ object SparkEntry {
     "q_contained_drop" -> Dedup.sqlContainedDrop(),
     "q_dedup_incremental" -> Dedup.sqlIncrementalDedup(),
     "q_dedup_incremental_disk" -> Dedup.sqlIncrementalDedup(),
+    "q_contained_incremental" -> Dedup.sqlContainedIncremental(),
     "q_dedup_batch" -> Dedup.sqlBatchDedup(),
     "q_ingest_decision" -> Dedup.sqlIngestDecision(),
     "q_embed_incremental" -> Dedup.sqlEmbedIncremental(),

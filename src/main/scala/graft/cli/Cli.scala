@@ -387,7 +387,7 @@ object TextModelTool {
 }
 
 /** `graft.cli.PqIndexTool --mode build --data <sfDir> --index_dir <dir>
-  * [--family pq|ivf|ivf_kmeans|sq8|pca]` trains+persists an ANN index
+  * [--family pq|ivf|ivf_kmeans|sq8|pca|opq]` trains+persists an ANN index
   * (PQ: codebooks.json + codes parquet; IVF: centroids.json +
   * assignment parquet; SQ8: bounds.json + codes parquet; PCA:
   * model.json + projected parquet); `--mode
@@ -422,6 +422,9 @@ object PqIndexTool {
       case ("build", "pca") =>
         graft.sim.PcaIndex.write(emb, indexDir)
         println(s"[PCA] index written to $indexDir")
+      case ("build", "opq") =>
+        graft.sim.OpqIndex.write(emb, indexDir)
+        println(s"[OPQ] index written to $indexDir")
       case ("append", fam) =>
         val batch = emb.filter(
           pmod(col("vec_id"), lit(a.getOrElse("batch_mod", "10").toLong)) === 0)
@@ -430,6 +433,7 @@ object PqIndexTool {
           case "ivf" | "ivf_kmeans" => graft.sim.IvfIndex.append(spark, batch, indexDir)
           case "sq8" => graft.sim.Sq8Index.append(spark, batch, indexDir)
           case "pca" => graft.sim.PcaIndex.append(spark, batch, indexDir)
+          case "opq" => graft.sim.OpqIndex.append(spark, batch, indexDir)
           case other => throw new IllegalArgumentException(s"unknown --family '$other'")
         }
         println(s"[${fam.toUpperCase}] batch appended to $indexDir (no retrain)")
@@ -445,6 +449,11 @@ object PqIndexTool {
           refine = a.getOrElse("refine", "4").toInt))
       case ("search", "pca") =>
         show(graft.sim.PcaIndex.search(spark, indexDir, emb,
+          nQueries = a.getOrElse("nqueries", "10").toInt,
+          k = a.getOrElse("k", "10").toInt,
+          refine = a.getOrElse("refine", "4").toInt))
+      case ("search", "opq") =>
+        show(graft.sim.OpqIndex.search(spark, indexDir, emb,
           nQueries = a.getOrElse("nqueries", "10").toInt,
           k = a.getOrElse("k", "10").toInt,
           refine = a.getOrElse("refine", "4").toInt))

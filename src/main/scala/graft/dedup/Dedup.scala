@@ -324,6 +324,106 @@ object Dedup {
         when(col("nc").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
   }
 
+  // ------------------------------------------------------------------
+  // q139: the INCREMENTAL form of the containment screen — the
+  // modality the round-10 verdict flagged as missing from the ingest
+  // verdict: a landed doc FULLY CONTAINED in a stored doc passes the
+  // near screen whenever |B| ≫ |A| (jac ≤ |A|/|B| — the #127
+  // argument), so a crawl that re-lands a quote, an aggregator
+  // fragment, or a boilerplate-wrapped excerpt of stored content
+  // sails through Jaccard at any realistic τ. The screen is the
+  // one-sided prefix probe AGAIN — C(A→B) ≥ τ forces |A∩B| ≥ ⌈τ|A|⌉,
+  // so a common shingle sits in A's first |A|−⌈τ|A|⌉+1 positions
+  // under any fixed order — probing the store's FULL inverted index
+  // (containment puts no bound on where the shared shingles sit in
+  // B; that asymmetry IS the operator). Cost ∝ batch, store scanned
+  // never crossed.
+  // ------------------------------------------------------------------
+  /** The containment-screen core over prepared set-frames with the
+    * store's inverted index SUPPLIED (the [[screenSetsWithIndex]]
+    * seam shape — [[ShingleIndex.containmentProbe]] plugs the
+    * persisted postings in): per batch doc (doc_id, n_containers,
+    * keep) where n_containers counts store docs with C(batch→store)
+    * ≥ τ and keep = 1 iff none.
+    */
+  private[dedup] def containSetsWithIndex(
+      batchSets: DataFrame, exSets: DataFrame, exIndex: DataFrame,
+      tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    val probe = batchSets
+      .filter(size(col("sh")) >= 1)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"),
+        posexplode(col("sh")).as(Seq("pos0", "h")))
+      .filter(col("pos0") + 1 <=
+        col("n_sh") - ceil(lit(tau) * col("n_sh") - lit(1e-9)).cast("int") + 1)
+      .select(col("doc_id"), col("h"))
+    val cands = probe.join(exIndex.hint("shuffle_hash"), Seq("h"))
+      .select(col("doc_id"), col("ex_id"))
+      .distinct()
+    val contained = cands
+      .join(batchSets.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+      .join(exSets.select(col("doc_id").as("ex_id"), col("sh").as("sh_b")), "ex_id")
+      .withColumn("inter",
+        graft.functions.GraftFunctions.sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double"))
+      .filter(col("inter") / size(col("sh_a")).cast("double") >= tau)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_containers"))
+    batchSets.select(col("doc_id"))
+      .join(contained, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_containers"), lit(0L)).as("n_containers"),
+        when(coalesce(col("n_containers"), lit(0L)) === 0L, lit(1L))
+          .otherwise(lit(0L)).as("keep"))
+  }
+
+  /** Screen ARBITRARY new documents for containment in an ARBITRARY
+    * existing store — the [[screenAgainst]] contract for the
+    * containment modality: per landed doc, how many store docs
+    * contain it at τ, and the keep verdict.
+    */
+  def containmentAgainst(
+      newDocs: DataFrame, existingDocs: DataFrame, tau: Double = 0.8): DataFrame = {
+    val exSets = setsCached(existingDocs)
+    containSetsWithIndex(hashedShingleSets(newDocs), exSets,
+      exSets.select(col("doc_id").as("ex_id"), explode(col("sh")).as("h")), tau)
+  }
+
+  /** q139: [[containmentAgainst]] in the mod-split batch convention
+    * (batch = doc_id % batchMod == 0, the #107 shape).
+    */
+  def containedIncremental(
+      documents: DataFrame, batchMod: Long = 10, tau: Double = 0.8): DataFrame = {
+    require(batchMod >= 2, "batchMod must split the corpus into batch and existing")
+    val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
+    val sets = setsCached(documents)
+    containSetsWithIndex(sets.filter(isBatch), sets.filter(!isBatch),
+      sets.filter(!isBatch).select(col("doc_id").as("ex_id"), explode(col("sh")).as("h")),
+      tau)
+  }
+
+  /** DuckDB twin of [[containedIncremental]]: brute directional
+    * batch × store cross comparison.
+    */
+  def sqlContainedIncremental(batchMod: Long = 10, tau: Double = 0.8): String =
+    s"""WITH cis AS (
+       |  SELECT doc_id, ${sqlHashedShingleSet("text")} AS sh FROM documents
+       |), cib AS (
+       |  SELECT doc_id, sh FROM cis WHERE doc_id % $batchMod = 0
+       |), cie AS (
+       |  SELECT doc_id, sh FROM cis WHERE doc_id % $batchMod <> 0
+       |), cic AS (
+       |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_containers
+       |  FROM cib b JOIN cie e
+       |    ON len(b.sh) >= 1
+       |   AND CAST(len(list_intersect(b.sh, e.sh)) AS DOUBLE)
+       |     / CAST(len(b.sh) AS DOUBLE) >= $tau
+       |  GROUP BY 1
+       |)
+       |SELECT cib.doc_id,
+       |  CAST(COALESCE(cic.n_containers, 0) AS BIGINT) AS n_containers,
+       |  CAST(CASE WHEN COALESCE(cic.n_containers, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM cib LEFT JOIN cic USING (doc_id)""".stripMargin
+
   /** DuckDB twin of [[containedDrop]]: the brute containment cross
     * with the same bigger-or-lower-id dropper predicate.
     */
@@ -2296,43 +2396,56 @@ object Dedup {
     * screens over ONE corpus scan.
     */
   def ingestDecision(
-      documents: DataFrame, batchMod: Long = 10, tau: Double = 0.5): DataFrame = {
+      documents: DataFrame, batchMod: Long = 10, tau: Double = 0.5,
+      tauContain: Double = 0.8): DataFrame = {
     require(batchMod >= 2, "batchMod must split the corpus into batch and existing")
     val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
     val sets = setsCached(documents)
-    decisionSets(sets.filter(isBatch), sets.filter(!isBatch), tau)
+    decisionSets(sets.filter(isBatch), sets.filter(!isBatch), tau, tauContain)
   }
 
-  /** The decision core over prepared set-frames — both screens
+  /** The decision core over prepared set-frames — all three screens
     * ([[screenSets]] against the store, [[selfScreenSets]] within the
-    * batch) plus their conjunction, the shape [[ingestDecision]] and
-    * the per-micro-batch streaming ingest
-    * ([[graft.streaming.Events.ingestStream]]) share.
+    * batch, and since round 11 [[containSetsWithIndex]] for
+    * contained-in-store — the modality the near screen is blind to at
+    * \|B\| ≫ \|A\|) plus their conjunction, the shape
+    * [[ingestDecision]] and the per-micro-batch streaming ingest
+    * ([[graft.streaming.Events.ingestStream]]) share. All three
+    * screens read the same prepared set-frames — one corpus scan.
     */
   private[graft] def decisionSets(
-      batchSets: DataFrame, exSets: DataFrame, tau: Double): DataFrame = {
+      batchSets: DataFrame, exSets: DataFrame, tau: Double,
+      tauContain: Double = 0.8): DataFrame = {
     val store = screenSets(batchSets, exSets, tau)
       .select(col("doc_id"), col("keep").as("store_keep"))
     val intra = selfScreenSets(batchSets, tau)
       .select(col("doc_id"), col("keep").as("batch_keep"))
-    store.join(intra, Seq("doc_id"))
-      .select(col("doc_id"), col("store_keep"), col("batch_keep"),
-        (col("store_keep") * col("batch_keep")).as("keep"))
+    val contain = containSetsWithIndex(batchSets, exSets,
+      exSets.select(col("doc_id").as("ex_id"), explode(col("sh")).as("h")), tauContain)
+      .select(col("doc_id"), col("keep").as("contain_keep"))
+    store.join(intra, Seq("doc_id")).join(contain, Seq("doc_id"))
+      .select(col("doc_id"), col("store_keep"), col("batch_keep"), col("contain_keep"),
+        (col("store_keep") * col("batch_keep") * col("contain_keep")).as("keep"))
   }
 
-  /** DuckDB twin of [[ingestDecision]]: the two screen twins composed
-    * as FROM-subqueries (each carries its own WITH chain).
+  /** DuckDB twin of [[ingestDecision]]: the three screen twins
+    * composed as FROM-subqueries (each carries its own WITH chain).
     */
-  def sqlIngestDecision(batchMod: Long = 10, tau: Double = 0.5): String =
+  def sqlIngestDecision(
+      batchMod: Long = 10, tau: Double = 0.5, tauContain: Double = 0.8): String =
     s"""SELECT s.doc_id,
        |  s.keep AS store_keep,
        |  i.keep AS batch_keep,
-       |  s.keep * i.keep AS keep
+       |  c.keep AS contain_keep,
+       |  s.keep * i.keep * c.keep AS keep
        |FROM (
        |${sqlIncrementalDedup(batchMod, tau)}
        |) s JOIN (
        |${sqlBatchDedup(batchMod, tau)}
-       |) i ON s.doc_id = i.doc_id""".stripMargin
+       |) i ON s.doc_id = i.doc_id
+       |JOIN (
+       |${sqlContainedIncremental(batchMod, tauContain)}
+       |) c ON s.doc_id = c.doc_id""".stripMargin
 
   /** DuckDB twin of [[batchDedup]]: brute batch × batch earlier-only
     * cross comparison.

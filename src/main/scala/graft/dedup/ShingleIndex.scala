@@ -112,6 +112,24 @@ object ShingleIndex {
       readPostings(spark, dir),
       tau)
 
+  /** Screen `newDocs` for CONTAINMENT in the persisted store — the
+    * [[Dedup.containmentAgainst]] contract (doc_id, n_containers,
+    * keep) served from the read-back layout: the batch's one-sided
+    * prefixes probe the persisted postings (containment puts no bound
+    * on where the shared shingles sit in the store doc, so the FULL
+    * inverted index is exactly what the probe needs — and exactly
+    * what `postings/` is). Hash-equal to the in-session screen
+    * (pinned in DedupSpec).
+    */
+  def containmentProbe(
+      spark: SparkSession, newDocs: DataFrame, dir: String,
+      tau: Double = 0.8): DataFrame =
+    Dedup.containSetsWithIndex(
+      Dedup.hashedShingleSets(newDocs),
+      readSets(spark, dir),
+      readPostings(spark, dir),
+      tau)
+
   /** Append a landed batch to the store index — the no-rebuild append:
     * the batch's sets+postings rows land beside the store's (an
     * immutable store only ever grows; screening semantics are

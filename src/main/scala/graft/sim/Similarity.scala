@@ -1068,7 +1068,7 @@ object Similarity {
   private val rotatedMemo = graft.Memo[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), DataFrame]()
 
-  private def rotatedCached(embeddings: DataFrame, d: Int): DataFrame =
+  private[sim] def rotatedCached(embeddings: DataFrame, d: Int): DataFrame =
     rotatedMemo.getOrElseUpdate(embeddings.sparkSession,
       (embeddings.queryExecution.analyzed.canonicalized, d))({
       val (_, basis) = pcaModelCached(embeddings, d)

@@ -503,24 +503,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("ingestDecision: the conjunction of the two screens, on the real corpus") {
+  test("ingestDecision: the conjunction of the three screens, on the real corpus") {
     val docs = Tables.documents(spark, sf)
     val store = Dedup.incrementalDedup(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     val intra = Dedup.batchDedup(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val contain = Dedup.containedIncremental(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
     val got = Dedup.ingestDecision(docs).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(got.keySet === store.keySet && got.keySet === intra.keySet)
-    got.foreach { case (id, (sk, bk, k)) =>
+    assert(got.keySet === contain.keySet)
+    got.foreach { case (id, (sk, bk, ck, k)) =>
       assert(sk === store(id), s"doc $id store verdict")
       assert(bk === intra(id), s"doc $id batch verdict")
-      assert(k === sk * bk, s"doc $id conjunction")
+      assert(ck === contain(id), s"doc $id containment verdict")
+      assert(k === sk * bk * ck, s"doc $id conjunction")
     }
-    // both screens must actually bite somewhere for the test to mean
+    // the screens must actually bite somewhere for the test to mean
     // anything (the sf corpus plants both kinds of duplicates)
     assert(got.values.exists(_._1 == 0L), "store screen never fired")
-    assert(got.values.exists(v => v._3 == 0L), "no doc was dropped at all")
+    assert(got.values.exists(v => v._4 == 0L), "no doc was dropped at all")
   }
 
   test("embedIncremental: brute cross-slice agreement and the broadcast-batch plan shape") {
@@ -892,6 +896,71 @@ class DedupSpec extends SparkSpec {
         graft.dedup.ShingleIndex.probe(spark, batch, bad)
       }
     } finally rmrf(bad)
+  }
+
+  test("containedIncremental: planted contained-in-store doc caught; near screen blind to it; disk probe hash-equal; brute agreement") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+      "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi")
+    def words(n: Int): Seq[String] = Seq.fill(n)(vocab(rnd.nextInt(vocab.length)))
+    // store doc 1: a LONG doc; batch doc 10: a SHORT verbatim slice of
+    // it (plus the other corpus filler) — the |B| >> |A| case the near
+    // screen is blind to at tau=0.5
+    val long = words(120).mkString(" ")
+    val slice = long.split(" ").slice(30, 42).mkString(" ")
+    val base = (0L until 40L).map {
+      case 1L => (1L, long)
+      case 10L => (10L, slice)
+      case i => (i, words(8 + rnd.nextInt(8)).mkString(" "))
+    }
+    val docs = base.toDF("doc_id", "text")
+    val got = Dedup.containedIncremental(docs, batchMod = 10, tau = 0.8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === base.map(_._1).filter(_ % 10 == 0).toSet)
+    assert(got(10L)._1 >= 1L && got(10L)._2 === 0L,
+      "planted contained-in-store doc not caught by the containment screen")
+    // the NEAR screen at its default tau must NOT flag it (that
+    // blindness is the reason this screen exists)
+    val near = Dedup.incrementalDedup(docs, batchMod = 10, tau = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(near(10L) === 0L, "near screen unexpectedly caught the contained doc — plant too similar")
+    // and the full ingest verdict drops it via contain_keep alone
+    val verdict = Dedup.ingestDecision(docs, batchMod = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(verdict(10L) === ((1L, 1L, 0L, 0L)),
+      "ingest verdict must drop the contained doc through contain_keep")
+    // brute directional agreement over every batch doc
+    val sets = Dedup.hashedShingleSets(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val (batch, existing) = base.map(_._1).partition(_ % 10 == 0)
+    batch.foreach { b =>
+      val n = existing.count { e =>
+        sets(b).nonEmpty && (sets(b) & sets(e)).size.toDouble / sets(b).size >= 0.8
+      }
+      assert(got(b)._1 === n.toLong, s"doc $b container count")
+      assert(got(b)._2 === (if (n == 0) 1L else 0L), s"doc $b keep")
+    }
+    // disk-served probe over the persisted index is hash-equal
+    def rmrf(dir: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("contain_idx_").toString
+    try {
+      val storeDf = docs.filter(col("doc_id") % 10 =!= 0)
+      val batchDf = docs.filter(col("doc_id") % 10 === 0)
+      graft.dedup.ShingleIndex.write(storeDf, dir)
+      val disk = graft.dedup.ShingleIndex.containmentProbe(spark, batchDf, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val mem = Dedup.containmentAgainst(batchDf, storeDf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(disk === mem, "disk-served containment probe drifted from in-session")
+      assert(disk === got.map { case (id, (n, k)) => (id, n, k) }.toSet)
+    } finally rmrf(dir)
   }
 
   test("incrementalSpans: batch windows flag iff verbatim in the STORE; batch-internal repeats don't count") {

@@ -189,6 +189,70 @@ class SimilaritySpec extends SparkSpec {
     assert(opq.filter(col("query_id") === col("vec_id")).count() === 0)
   }
 
+  test("OpqIndex: write -> read -> search hash-EQUAL to in-session opqAnn; append rotates by the PERSISTED basis; dim guard loud") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    def set(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    def rmrf(dir: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("opq_index_").toString
+    try {
+      graft.sim.OpqIndex.write(e, dir)
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "rotation.json")))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "codebooks.json")))
+      val (d, basisOpt) = graft.sim.OpqIndex.readRotation(dir)
+      assert(d === 64 && basisOpt.isDefined)
+      assert(basisOpt.get.length === 64 && basisOpt.get.forall(_.length === 64),
+        "persisted rotation must be the full d x d basis")
+      val fromDisk = set(graft.sim.OpqIndex.search(spark, dir, e))
+      val inSession = set(Similarity.opqAnn(e))
+      assert(fromDisk === inSession, "read-back OPQ search drifted from the in-session opqAnn")
+      assert(fromDisk.nonEmpty)
+    } finally rmrf(dir)
+
+    // append: the model (rotation + rotated-space codebooks) trains on
+    // the EXISTING slice; the batch must be rotated by the PERSISTED
+    // basis and encoded with the persisted books — search over
+    // write+append equals a one-shot encoding under the same model
+    val existing = e.filter(col("vec_id") % 10 =!= 0)
+    val batch = e.filter(col("vec_id") % 10 === 0)
+    val dir2 = java.nio.file.Files.createTempDirectory("opq_append_").toString
+    try {
+      graft.sim.OpqIndex.write(existing, dir2)
+      graft.sim.OpqIndex.append(spark, batch, dir2)
+      val (_, _, codes) = graft.sim.PqIndex.read(spark, dir2)
+      assert(codes.get.count() === e.count(), "existing + appended must cover the corpus")
+      val got = set(graft.sim.OpqIndex.search(spark, dir2, e))
+      val (d2, basis2) = graft.sim.OpqIndex.readRotation(dir2)
+      val rotatedFull = Similarity.pcaProject(Similarity.unitCorpus(e, d2), basis2.get, d2)
+        .select(col("vec_id"), col("p").as("embedding"))
+      val (_, books, _) = graft.sim.PqIndex.read(spark, dir2)
+      val oneShotCodes = Similarity.pqEncode(
+        Similarity.unitCorpus(rotatedFull, d2), books, books.size, d2)
+      val oneShot = set(Similarity.pqSearchWith(
+        rotatedFull, books, oneShotCodes, 10, 10, books.size, 4, d2))
+      assert(got === oneShot, "appended codes landed in a different space than the stored ones")
+      assert(got.nonEmpty)
+      // a dimensionality-mismatched batch fails loudly, not silently
+      val bad = Seq((9999L, Array.fill(16)(0.5f))).toDF("vec_id", "embedding")
+      intercept[IllegalArgumentException] { graft.sim.OpqIndex.append(spark, bad, dir2) }
+    } finally rmrf(dir2)
+
+    // empty corpus: write succeeds, search returns the empty frame
+    val dir3 = java.nio.file.Files.createTempDirectory("opq_empty_").toString
+    try {
+      val zeros = Seq((1L, Array.fill(16)(0f))).toDF("vec_id", "embedding")
+      graft.sim.OpqIndex.write(zeros, dir3, dim = 16)
+      assert(graft.sim.OpqIndex.search(spark, dir3, zeros).count() === 0L)
+    } finally rmrf(dir3)
+  }
+
   test("opqAnn on an all-zero-norm corpus returns the empty frame (family convention), not a throw") {
     import spark.implicits._
     val zeros = Seq(

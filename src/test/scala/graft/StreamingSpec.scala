@@ -243,8 +243,14 @@ class StreamingSpec extends SparkSpec {
           val storeKeep = if (store.exists(twin(me, _))) 0L else 1L
           val batchKeep =
             if (ids.takeWhile(_ < d).exists(e => twin(me, sets(e)))) 0L else 1L
-          expect += Seq(d, storeKeep, batchKeep, storeKeep * batchKeep)
-          if (storeKeep * batchKeep == 1L) keptNow += me
+          // round 11: the containment screen joins the verdict —
+          // contained (C >= 0.8) in any store-as-of-this-batch doc
+          def containedIn(b: (Set[Long], String)): Boolean =
+            me._1.nonEmpty && (me._1 & b._1).size.toDouble / me._1.size >= 0.8
+          val containKeep = if (store.exists(containedIn)) 0L else 1L
+          val keep = storeKeep * batchKeep * containKeep
+          expect += Seq(d, storeKeep, batchKeep, containKeep, keep)
+          if (keep == 1L) keptNow += me
         }
         store ++= keptNow
       }
