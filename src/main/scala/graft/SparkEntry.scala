@@ -167,6 +167,12 @@ object SparkEntry {
     // (round-10 addition)
     "q_ppl_incremental" ->
       ((s, dir) => text.LangModel.pplIncremental(Tables.documents(s, dir))),
+    // the DISK-SERVED form: the store LM is the persisted LmIndex
+    // artifact (the shipped-KenLM lifecycle, orders 1-3); order-1
+    // scoring is the identical smoothing arithmetic so it shares
+    // q_ppl_incremental's oracle verbatim (round-11 addition)
+    "q_ppl_incremental_disk" ->
+      ((s, dir) => text.LangModel.pplIncrementalDisk(Tables.documents(s, dir))),
     // interpolated bigram-LM surprisal — the next perplexity-filter
     // rung: word ORDER, not just word rarity (round-6 addition)
     "q_surprisal_bigram" -> ((s, dir) => text.LangModel.surprisalBigram(Tables.documents(s, dir))),
@@ -711,6 +717,7 @@ object SparkEntry {
     "q_surprisal" -> text.LangModel.sqlSurprisal(),
     "q_ppl_filter" -> text.LangModel.sqlPplFilter(),
     "q_ppl_incremental" -> text.LangModel.sqlPplIncremental(),
+    "q_ppl_incremental_disk" -> text.LangModel.sqlPplIncremental(),
     "q_surprisal_bigram" -> text.LangModel.sqlSurprisalBigram(),
     "q_surprisal_trigram" -> text.LangModel.sqlSurprisalTrigram(),
     "q_bm25_search" -> text.Search.sqlBm25Search(),

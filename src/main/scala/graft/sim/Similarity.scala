@@ -1507,13 +1507,25 @@ object Similarity {
     // nested), scored exactly ONCE and checkpointed — the sweep then
     // costs one filter + one nQueries-key window per operating point,
     // not a fresh index search.
-    def scoredLevels(pairsLvl: DataFrame): DataFrame =
-      pairsLvl
+    //
+    // The checkpoint is EAGER, so the elapsed time around it IS the
+    // method's candidate-derivation + exact-scoring wall cost — the
+    // per-method cost axis the bench's top-5 line kept needing manual
+    // contention adjudication for. Recorded per method and emitted as
+    // wall_ms on every sweep row (the derivation is shared across
+    // sweep points by design, so the cost is per-METHOD).
+    val methodWallMs = scala.collection.mutable.Map[String, Long]()
+    def scoredLevels(method: String, pairsLvl: DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val out = pairsLvl
         .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
         .join(broadcast(qs), "query_id")
         .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
         .select(col("query_id"), col("vec_id"), col("lvl"), col("cos"))
         .localCheckpoint()
+      methodWallMs(method) = (System.nanoTime() - t0) / 1000000L
+      out
+    }
 
     // LSH: lvl = 1 + the smallest probe index (0 = exact bucket,
     // i = flip of bit i-1) that collides in ANY table
@@ -1525,7 +1537,7 @@ object Similarity {
       .select(col("query_id"), col("t"), posexplode(expr(
         s"transform(sequence(-1, ${np - 2}), j -> if(j < 0, qbkt, qbkt ^ shiftleft(1L, j)))"))
         .as(Seq("pidx", "bkt")))
-    val lshLvl = scoredLevels(
+    val lshLvl = scoredLevels("lsh",
       corpus.join(broadcast(probeSet), Seq("t", "bkt"))
         .filter(col("vec_id") =!= col("query_id"))
         .groupBy(col("query_id"), col("vec_id"))
@@ -1536,7 +1548,7 @@ object Similarity {
     // The cell assignment comes from the SAME memoized index build the
     // standalone q_ann_ivf / q_ann_ivf_kmeans queries search, so the
     // audit adds zero extra index-build passes.
-    def ivfLevels(cents: DataFrame, tag: String): DataFrame = {
+    def ivfLevels(method: String, cents: DataFrame, tag: String): DataFrame = {
       val w = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cell").asc)
       val qRanks = e.filter(col("vec_id") < nQueries).crossJoin(broadcast(cents))
         .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
@@ -1544,7 +1556,7 @@ object Similarity {
         .withColumn("lvl", row_number().over(w).cast("long"))
         .filter(col("lvl") <= maxP)
         .select(col("query_id"), col("cell"), col("lvl"))
-      scoredLevels(
+      scoredLevels(method,
         assignCellsCached(embeddings, cents, tag).join(broadcast(qRanks), Seq("cell"))
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id"), col("lvl")))
@@ -1554,8 +1566,8 @@ object Similarity {
     val kmIters = 5 // q_ann_ivf_kmeans' default: audit THAT index, not a variant
     val kmCents = kmeansCached(embeddings, nCells, kmIters)
       .select(col("cell"), col("cv"), lit(1.0).as("cn")) // unit centroids
-    val ivfLvl = ivfLevels(seedCents, s"seed:$nCells")
-    val kmLvl = ivfLevels(kmCents, s"kmeans:$nCells:$kmIters")
+    val ivfLvl = ivfLevels("ivf", seedCents, s"seed:$nCells")
+    val kmLvl = ivfLevels("ivf_kmeans", kmCents, s"kmeans:$nCells:$kmIters")
 
     // PQ: lvl = ceil(ADC rank / k) — the top refine·k candidate sets
     // nest in the refine factor exactly as probe sets do, so one ADC
@@ -1572,7 +1584,7 @@ object Similarity {
         else {
           val codes = pqCodesCached(embeddings, books, PqSub, PqCodes, PqIters, PqTrainN, dPq)
           val pqQs = pqQueryTabs(unitCorpus(embeddings, dPq), books, PqSub, dPq, nQueries)
-          Some(scoredLevels(
+          Some(scoredLevels("pq",
             pqTopM(pqAdcScore(codes, pqQs), maxP * k)
               .select(col("query_id"), col("vec_id"),
                 ceil(col("rk").cast("double") / lit(k)).cast("long").as("lvl"))))
@@ -1612,7 +1624,8 @@ object Similarity {
         col("n_truth"), col(s"h$p").as("n_hit"),
         Det.r(col(s"h$p").cast("double") / greatest(col("n_truth"), lit(1L)).cast("double"), 6)
           .as("recall"),
-        coalesce(col(s"c$p"), lit(0L)).as("n_cands")))
+        coalesce(col(s"c$p"), lit(0L)).as("n_cands"),
+        lit(methodWallMs.getOrElse(name, 0L)).as("wall_ms")))
       Det.attachScalar(agg, cands)
         .select(explode(array(rows: _*)).as("r")).select(col("r.*"))
     }
@@ -1623,7 +1636,7 @@ object Similarity {
     val sq8Lvl: Option[DataFrame] =
       if (dPq <= 0) None
       else sq8Scored(embeddings, dPq, nQueries).map(scored =>
-        scoredLevels(
+        scoredLevels("sq8",
           pqTopM(scored, maxP * k)
             .select(col("query_id"), col("vec_id"),
               ceil(col("rk").cast("double") / lit(k)).cast("long").as("lvl"))))
@@ -1637,7 +1650,7 @@ object Similarity {
       else {
         val (evs, _) = pcaModelCached(embeddings, dPq)
         if (evs.isEmpty) None
-        else Some(scoredLevels(
+        else Some(scoredLevels("pca",
           pqTopM(pcaScoredWith(pcaCodesCached(embeddings, dPq), nQueries), maxP * k)
             .select(col("query_id"), col("vec_id"),
               ceil(col("rk").cast("double") / lit(k)).cast("long").as("lvl"))))
@@ -1650,8 +1663,8 @@ object Similarity {
     // (ivfpq@refine r equals ivfPqAnn(refine = r), pinned).
     val compProbe = 4
     val assignedSeed = assignCellsCached(embeddings, seedCents, s"seed:$nCells")
-    def compLevels(scored: Option[DataFrame]): Option[DataFrame] =
-      scored.map(s => scoredLevels(
+    def compLevels(method: String, scored: Option[DataFrame]): Option[DataFrame] =
+      scored.map(s => scoredLevels(method,
         pqTopM(s, maxP * k)
           .select(col("query_id"), col("vec_id"),
             ceil(col("rk").cast("double") / lit(k)).cast("long").as("lvl"))))
@@ -1660,7 +1673,7 @@ object Similarity {
       else {
         val books = pqCodebooksCached(embeddings, PqSub, PqCodes, PqIters, PqTrainN, dPq)
         if (books.isEmpty) None
-        else compLevels(ivfPqScored(embeddings, books,
+        else compLevels("ivfpq", ivfPqScored(embeddings, books,
           pqCodesCached(embeddings, books, PqSub, PqCodes, PqIters, PqTrainN, dPq),
           seedCents, assignedSeed, nQueries, compProbe, dPq))
       }
@@ -1669,7 +1682,7 @@ object Similarity {
       else {
         val bounds = sq8BoundsCached(embeddings, dPq)
         if (bounds.isEmpty) None
-        else compLevels(ivfSq8Scored(embeddings, bounds,
+        else compLevels("ivfsq8", ivfSq8Scored(embeddings, bounds,
           sq8CodesCached(embeddings, dPq),
           seedCents, assignedSeed, nQueries, compProbe, dPq))
       }
@@ -1691,7 +1704,7 @@ object Similarity {
           else {
             val codes = pqCodesCached(rotated, books, PqSub, PqCodes, PqIters, PqTrainN, dPq)
             val opqQs = pqQueryTabs(unitCorpus(rotated, dPq), books, PqSub, dPq, nQueries)
-            Some(scoredLevels(
+            Some(scoredLevels("opq",
               pqTopM(pqAdcScore(codes, opqQs), maxP * k)
                 .select(col("query_id"), col("vec_id"),
                   ceil(col("rk").cast("double") / lit(k)).cast("long").as("lvl"))))

@@ -295,6 +295,48 @@ object Events {
         sink(graft.text.LangModel.pplScreenAgainst(mb.toDF(), storeDocs), id)
       }
 
+  /** The BLOOM membership screen's streaming form — the fourth
+    * incremental modality's `Events.*Stream` twin (exact/near,
+    * embedding and perplexity have had theirs since round 10): each
+    * micro-batch's content-hash keys probe the PERSISTED
+    * [[graft.dedup.BloomIndex]] — the compact summary a 100 TB store
+    * actually ships to its ingest workers — and, with `appendKeys`,
+    * the batch's keys are OR-appended to the filter after its verdict
+    * (the growing-store crawl shape; the verdict for batch N must
+    * read the filter as of batch N, so the append follows the sink).
+    *
+    * Pinned in StreamingSpec: with a static filter the micro-batched
+    * union is row-equal to the one-shot probe (verdicts depend only
+    * on (key, filter)); with appends the final filter bytes are
+    * byte-EQUAL to a one-shot build over store ∪ all batch keys at
+    * the persisted geometry — OR is associative and commutative, so
+    * the micro-batch split cannot change a single bit.
+    *
+    * Key derivation matches [[graft.dedup.Dedup.bloomScreen]]:
+    * xxhash64 of the md5 content hash, derived once per micro-batch
+    * (localCheckpoint) so probe and append read the same frame.
+    */
+  def bloomScreenStream(
+      stream: DataFrame,
+      indexDir: String,
+      appendKeys: Boolean = false)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val keys = mb.toDF()
+          .select(col("doc_id"),
+            xxhash64(md5(col("text").cast("binary"))).as("k"))
+          .localCheckpoint()
+        val filter = graft.dedup.BloomIndex.read(indexDir)
+        val verdict = keys.select(col("doc_id"),
+          when(graft.functions.GraftFunctions.bloomMightContain(lit(filter), col("k")),
+            lit(1L)).otherwise(lit(0L)).as("bloom_hit"))
+        sink(verdict, id)
+        if (appendKeys) graft.dedup.BloomIndex.append(keys.select("k"), indexDir)
+      }
+
   /** The FULL streaming ingest — the [[incrementalScreenStream]]
     * contract with the store GROWING as batches land: each micro-batch
     * is (1) self-screened first-wins

@@ -78,8 +78,11 @@ object LangModel {
     // exactly (same canonicalized plan = same memo key)
     storeLm(documents.filter(!(pmod(col("doc_id"), lit(10L)) === 0)), 100000L)
     val t2 = System.nanoTime()
+    lmIndexDirCached(documents.filter(!(pmod(col("doc_id"), lit(10L)) === 0)), 100000L)
+    val t3 = System.nanoTime()
     Seq("text_surprisal" -> ((t1 - t0) / 1e9),
-      "text_store_lm" -> ((t2 - t1) / 1e9))
+      "text_store_lm" -> ((t2 - t1) / 1e9),
+      "text_lm_index" -> ((t3 - t2) / 1e9))
   }
 
   /** q126: the CCNet perplexity-BAND filter — the consumer of the
@@ -122,7 +125,7 @@ object LangModel {
     * and [[pplIncremental]] (where the cuts are the STORE's shipped
     * operating point).
     */
-  private def microTerciles(m: DataFrame, bucketMicros: Long): DataFrame = {
+  private[text] def microTerciles(m: DataFrame, bucketMicros: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vals = m.groupBy(col("micro")).agg(count(lit(1)).as("cnt"))
       .withColumn("bucket", expr(s"micro DIV $bucketMicros"))
@@ -261,7 +264,7 @@ object LangModel {
         when(col("micro") <= lit(t2), lit(1L)).otherwise(lit(0L)).as("keep"))
   }
 
-  private def lmTf(slice: DataFrame): DataFrame = slice
+  private[text] def lmTf(slice: DataFrame): DataFrame = slice
     .withColumn("toks", Text.tokens(col("text")))
     .select(col("doc_id"), explode(col("toks")).as("token"))
     .groupBy(col("doc_id"), col("token"))
@@ -271,7 +274,7 @@ object LangModel {
     * n+v+1 embeds as a literal double — identical to the computed
     * CAST the oracle runs for any realistic store (< 2^53 tokens).
     */
-  private def lmScore(tfFrame: DataFrame, sv: DataFrame, n: Long, v: Long): DataFrame =
+  private[text] def lmScore(tfFrame: DataFrame, sv: DataFrame, n: Long, v: Long): DataFrame =
     tfFrame.join(sv, Seq("token"), "left")
       .withColumn("p",
         (coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) /
@@ -312,6 +315,45 @@ object LangModel {
         (sv, n, v, t2)
       }
     }
+
+  // ------------------------------------------------------------------
+  // q140: the DISK-SERVED form of q135 — the production lifecycle:
+  // the store's LM is a PERSISTED artifact ([[LmIndex]] — the CCNet
+  // shipped-KenLM shape, generalized to orders 1–3) and the landed
+  // batch scores under the read-back model + operating point.
+  // Order-1 scoring is the identical smoothing arithmetic, so the
+  // disk path shares q135's DuckDB oracle verbatim: full hash-exact
+  // gate.
+  // ------------------------------------------------------------------
+  /** Session-scoped registry of store LM artifact dirs — the
+    * [[graft.dedup.Dedup.shingleIndexDirCached]] discipline: every
+    * screen against the same store reads ONE persisted model (first
+    * touch builds it, itemized in the bench build line).
+    */
+  private val lmIndexMemo = graft.Memo[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long), String]()
+
+  private[graft] def lmIndexDirCached(
+      storeDocs: DataFrame, bucketMicros: Long): String =
+    lmIndexMemo.getOrElseUpdate(storeDocs.sparkSession,
+      (storeDocs.queryExecution.analyzed.canonicalized, bucketMicros))({
+      val dir = java.nio.file.Files.createTempDirectory("graft_lm_idx_").toString
+      LmIndex.write(storeDocs, dir, order = 1, bucketMicros = bucketMicros)
+      dir
+    })
+
+  /** [[pplIncremental]] served from the PERSISTED store LM — identical
+    * contract and oracle; the model is the read-back [[LmIndex]]
+    * artifact instead of the in-session seam.
+    */
+  def pplIncrementalDisk(
+      documents: DataFrame, batchMod: Long = 10,
+      bucketMicros: Long = 100000L): DataFrame = {
+    require(batchMod >= 2, "batchMod must split the corpus into batch and existing")
+    val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
+    val dir = lmIndexDirCached(documents.filter(!isBatch), bucketMicros)
+    LmIndex.score(documents.sparkSession, documents.filter(isBatch), dir)
+  }
 
   /** DuckDB twin of [[pplIncremental]]: identical smoothed-LM scoring
     * for both slices, rank-selection store cut.

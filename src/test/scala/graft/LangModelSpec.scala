@@ -210,6 +210,104 @@ class LangModelSpec extends SparkSpec {
     assert(oov.length === 1 && oov.head.getDouble(2) > 0 && !oov.head.getDouble(2).isInfinite)
   }
 
+  test("LmIndex order 1: write -> read -> score hash-EQUAL to the in-session screen; disk query equals memory query") {
+    import spark.implicits._
+    def rmrf(dir: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+    val docs = Tables.documents(spark, sf)
+    val store = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    def set(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("lm_idx_").toString
+    try {
+      graft.text.LmIndex.write(store, dir, order = 1)
+      val (order, n, v, t2, _, _, _) = graft.text.LmIndex.readMeta(dir)
+      assert(order === 1 && n > 0 && v > 0 && t2 > 0)
+      val disk = set(graft.text.LmIndex.score(spark, batch, dir))
+      val mem = set(LangModel.pplScreenAgainst(batch, store))
+      assert(disk === mem, "disk-served order-1 LM score drifted from the in-session screen")
+      assert(disk.nonEmpty)
+    } finally rmrf(dir)
+    // the mod-split disk query serves identical verdicts to q135
+    assert(set(LangModel.pplIncrementalDisk(docs)) === set(LangModel.pplIncremental(docs)),
+      "pplIncrementalDisk drifted from pplIncremental")
+    // loud corrupt-layout failure
+    val bad = java.nio.file.Files.createTempDirectory("lm_bad_").toString
+    try {
+      intercept[IllegalArgumentException] { graft.text.LmIndex.score(spark, batch, bad) }
+    } finally rmrf(bad)
+  }
+
+  test("LmIndex orders 2/3: hand-pinned interpolation + backoff; OOV contexts back off into the smoothed base, never NaN") {
+    import spark.implicits._
+    def rmrf(dir: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+    // tiny deterministic store: "a b a b c" + "a b c" — known counts
+    val store = Seq((1L, "a b a b c"), (3L, "a b c")).toDF("doc_id", "text")
+    // store unigram base: a:3 b:3 c:2, N=8 V=3 -> p1(w)=(c+1)/12
+    def p1(c: Long): Double = (c + 1.0) / 12.0
+    val lambda = 0.75
+    val dir2 = java.nio.file.Files.createTempDirectory("lm_bi_").toString
+    try {
+      graft.text.LmIndex.write(store, dir2, order = 2, lambda = lambda)
+      // bigram counts over the store: (a,b):3 (b,a):1 (b,c):2; c1 = unigram(a)=3, (b)=3
+      // batch doc "a b x": events (a,b) seen, (b,x) OOV w2 + unseen bigram
+      val batch = Seq((10L, "a b x")).toDF("doc_id", "text")
+      val got = graft.text.LmIndex.score(spark, batch, dir2).collect()
+      assert(got.length === 1)
+      val pAB = lambda * (3.0 / 3.0) + (1 - lambda) * p1(3) // seen bigram
+      val pBX = lambda * (0.0 / 3.0) + (1 - lambda) * p1(0) // unseen bigram, OOV w2
+      val micro = math.floor(1 * -math.log(pAB) * 1e6 + 0.5).toLong +
+        math.floor(1 * -math.log(pBX) * 1e6 + 0.5).toLong
+      val avg = math.floor(micro / 1e6 / 2.0 * 1e6 + 0.5) / 1e6
+      assert(got.head.getLong(1) === 2L, "two bigram events")
+      assert(got.head.getDouble(2) === avg, "hand-computed interpolated bigram score")
+      assert(!got.head.getDouble(2).isInfinite && !got.head.getDouble(2).isNaN)
+      // a batch doc whose w1 context is fully OOV: p = (1-lambda)*p1(w2) only
+      val oov = Seq((20L, "z a")).toDF("doc_id", "text")
+      val g2 = graft.text.LmIndex.score(spark, oov, dir2).collect()
+      val pZA = (1 - lambda) * p1(3) // c1(z)=0 -> bigram term backs off to 0
+      val exp2 = math.floor(math.floor(1 * -math.log(pZA) * 1e6 + 0.5).toLong / 1e6 / 1.0 * 1e6 + 0.5) / 1e6
+      assert(g2.head.getDouble(2) === exp2, "OOV context must back off to the base term alone")
+    } finally rmrf(dir2)
+
+    val dir3 = java.nio.file.Files.createTempDirectory("lm_tri_").toString
+    try {
+      val (l1, l2) = (0.5, 0.3)
+      graft.text.LmIndex.write(store, dir3, order = 3, l1 = l1, l2 = l2)
+      // trigram events in store: doc1: (a,b,a) (b,a,b) (a,b,c); doc3: (a,b,c)
+      // tri: (a,b,a):1 (b,a,b):1 (a,b,c):2; ctx12 (a,b):3 (b,a):1;
+      // suf23 (b,a):1 (a,b):1 (b,c):2; mid2 b:3 a:1  (wait: mid2 from suf23 by w2: a->? )
+      val batch = Seq((10L, "a b c")).toDF("doc_id", "text")
+      val got = graft.text.LmIndex.score(spark, batch, dir3).collect()
+      // event (a,b,c): c123=2, c12(a,b)=3, c23(b,c)=2, c2(b)= suf23 with w2=b -> (b,a):1+(b,c):2 = 3
+      val p = l1 * (2.0 / 3.0) + l2 * (2.0 / 3.0) + (1 - l1 - l2) * p1(2)
+      val exp = math.floor(math.floor(1 * -math.log(p) * 1e6 + 0.5).toLong / 1e6 / 1.0 * 1e6 + 0.5) / 1e6
+      assert(got.length === 1 && got.head.getLong(1) === 1L)
+      assert(got.head.getDouble(2) === exp, "hand-computed interpolated trigram score")
+      // fully-OOV trigram: only the l3 base term survives
+      val oov = Seq((20L, "x y z")).toDF("doc_id", "text")
+      val g3 = graft.text.LmIndex.score(spark, oov, dir3).collect()
+      val pOov = (1 - l1 - l2) * p1(0)
+      val expO = math.floor(math.floor(1 * -math.log(pOov) * 1e6 + 0.5).toLong / 1e6 / 1.0 * 1e6 + 0.5) / 1e6
+      assert(g3.head.getDouble(2) === expO, "fully-OOV trigram must score the l3 base alone")
+      // write -> read -> score is deterministic: two reads agree exactly
+      val again = graft.text.LmIndex.score(spark, batch, dir3).collect()
+      assert(again.head.getDouble(2) === got.head.getDouble(2))
+    } finally rmrf(dir3)
+  }
+
   test("surprisal on real docs: positive scores, token counts agree with tokenStats") {
     val docs = Tables.documents(spark, sf)
     val s = LangModel.surprisal(docs)

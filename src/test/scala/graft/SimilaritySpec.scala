@@ -776,7 +776,16 @@ class SimilaritySpec extends SparkSpec {
 
   test("annEval: probe sweep is monotone, floors hold, and agrees with a driver-side recomputation") {
     val e = Tables.embeddings(spark, sf)
-    val rows = Similarity.annEval(e).collect()
+    val raw = Similarity.annEval(e).collect()
+    // the per-method cost axis (round 11): every row carries its
+    // method's candidate-derivation wall cost, identical across the
+    // method's sweep rows (the derivation is shared by design)
+    raw.groupBy(_.getString(0)).foreach { case (m, rs) =>
+      val ws = rs.map(_.getLong(rs.head.fieldIndex("wall_ms"))).distinct
+      assert(ws.length === 1, s"$m wall_ms must be shared across sweep rows")
+      assert(ws.head >= 0L, s"$m wall_ms")
+    }
+    val rows = raw
       .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
       .toMap
     val sweep = Seq(1L, 2L, 4L, 8L)

@@ -290,6 +290,94 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming Bloom screen: static-filter union equals one-shot probe; appended filter bytes equal the one-shot union build") {
+    import org.apache.spark.sql.SaveMode
+    def rmrf(dir: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+    val docs = Tables.documents(spark, sf)
+    val storeKeys = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(xxhash64(md5(col("text").cast("binary"))).as("k"))
+    val batchSlice = docs.filter(col("doc_id") % 10 === 0)
+    val tmp = Files.createTempDirectory("graft-bloom-stream").toString
+    batchSlice.repartition(4).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+
+    // ---- static filter: the micro-batched union must equal the
+    // one-shot probe (verdicts depend only on (key, filter))
+    val dir = Files.createTempDirectory("bloom_stream_idx").toString
+    try {
+      graft.dedup.BloomIndex.write(storeKeys, dir)
+      val got = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var batches = 0
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val q = Events.bloomScreenStream(stream, dir) { (verdict, _) =>
+        got.synchronized {
+          got ++= verdict.collect().map(r => (r.getLong(0), r.getLong(1))); batches += 1
+        }
+        ()
+      }.start()
+      try q.processAllAvailable() finally q.stop()
+      assert(batches >= 2, s"must exercise several micro-batches, got $batches")
+      val filter = graft.dedup.BloomIndex.read(dir)
+      val oneShot = batchSlice
+        .select(col("doc_id"), xxhash64(md5(col("text").cast("binary"))).as("k"))
+        .select(col("doc_id"),
+          when(graft.functions.GraftFunctions.bloomMightContain(lit(filter), col("k")),
+            lit(1L)).otherwise(lit(0L)).as("bloom_hit"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.toSet === oneShot, "micro-batched Bloom union drifted from the one-shot probe")
+      assert(got.nonEmpty)
+      // a batch doc whose text verbatim-exists in the store can never miss
+      val storeTexts = docs.filter(col("doc_id") % 10 =!= 0)
+        .select("text").collect().map(_.getString(0)).toSet
+      val mustHit = batchSlice.collect()
+        .filter(r => storeTexts(r.getString(r.fieldIndex("text"))))
+        .map(_.getLong(0)).toSet
+      val hits = got.toMap
+      mustHit.foreach(id => assert(hits(id) === 1L, s"stored twin $id missed the filter"))
+    } finally rmrf(dir)
+
+    // ---- growing filter: per-micro-batch appends; the final bytes
+    // must equal a one-shot union build at the persisted geometry (OR
+    // is associative + commutative — the split cannot change a bit)
+    val dir2 = Files.createTempDirectory("bloom_stream_grow").toString
+    try {
+      graft.dedup.BloomIndex.write(storeKeys, dir2)
+      val before = graft.dedup.BloomIndex.read(dir2)
+      val numHashes = ((before(0) & 0xff) << 24) | ((before(1) & 0xff) << 16) |
+        ((before(2) & 0xff) << 8) | (before(3) & 0xff)
+      val bits = (before.length - 4) * 8
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      var batches = 0
+      val q = Events.bloomScreenStream(stream, dir2, appendKeys = true) { (verdict, _) =>
+        verdict.collect(); batches += 1; ()
+      }.start()
+      try q.processAllAvailable() finally q.stop()
+      assert(batches >= 2)
+      val grown = graft.dedup.BloomIndex.read(dir2)
+      val oneShotBytes = storeKeys
+        .union(batchSlice.select(xxhash64(md5(col("text").cast("binary"))).as("k")))
+        .agg(graft.functions.GraftFunctions.bloomBuild(col("k"), bits, numHashes).as("f"))
+        .head().getAs[Array[Byte]](0)
+      assert(grown.toSeq === oneShotBytes.toSeq,
+        "streamed appends drifted from the one-shot union build")
+      // and every batch key now hits its own grown filter
+      val allHit = batchSlice
+        .select(xxhash64(md5(col("text").cast("binary"))).as("k"))
+        .select(when(graft.functions.GraftFunctions.bloomMightContain(lit(grown), col("k")),
+          lit(1L)).otherwise(lit(0L)).as("h"))
+        .collect().forall(_.getLong(0) == 1L)
+      assert(allHit, "an appended key missed the grown filter")
+    } finally rmrf(dir2)
+  }
+
   test("streaming dedup keeps first arrival per content hash across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.SaveMode
