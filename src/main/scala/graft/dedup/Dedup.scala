@@ -357,7 +357,7 @@ object Dedup {
       .filter(col("pos0") + 1 <=
         col("n_sh") - ceil(lit(tau) * col("n_sh") - lit(1e-9)).cast("int") + 1)
       .select(col("doc_id"), col("h"))
-    val cands = probe.join(exIndex.hint("shuffle_hash"), Seq("h"))
+    val cands = probe.join(exIndex, Seq("h"))
       .select(col("doc_id"), col("ex_id"))
       .distinct()
     val contained = cands
@@ -385,7 +385,8 @@ object Dedup {
       newDocs: DataFrame, existingDocs: DataFrame, tau: Double = 0.8): DataFrame = {
     val exSets = setsCached(existingDocs)
     containSetsWithIndex(hashedShingleSets(newDocs), exSets,
-      exSets.select(col("doc_id").as("ex_id"), explode(col("sh")).as("h")), tau)
+      exSets.select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
+        .hint("shuffle_hash"), tau)
   }
 
   /** q139: [[containmentAgainst]] in the mod-split batch convention
@@ -397,7 +398,8 @@ object Dedup {
     val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
     val sets = setsCached(documents)
     containSetsWithIndex(sets.filter(isBatch), sets.filter(!isBatch),
-      sets.filter(!isBatch).select(col("doc_id").as("ex_id"), explode(col("sh")).as("h")),
+      sets.filter(!isBatch).select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
+        .hint("shuffle_hash"),
       tau)
   }
 
@@ -2176,14 +2178,18 @@ object Dedup {
     */
   private def screenSets(batchSets: DataFrame, exSets: DataFrame, tau: Double): DataFrame =
     screenSetsWithIndex(batchSets, exSets,
-      exSets.select(col("doc_id").as("ex_id"), explode(col("sh")).as("h")), tau)
+      exSets.select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
+        .hint("shuffle_hash"), tau)
 
   /** [[screenSets]] with the store's inverted index SUPPLIED rather
     * than derived — the seam [[ShingleIndex.probe]] plugs a persisted
     * postings table into: `exIndex` must be (ex_id, h) covering
     * exactly `exSets`'s exploded shingles (the in-session derivation
     * IS that, so the two paths are provably hash-equal — pinned in
-    * DedupSpec).
+    * DedupSpec). The caller owns the index side's join strategy: the
+    * in-session/parquet paths hint shuffle_hash, the BUCKETED
+    * persisted layout arrives pre-partitioned so its scan IS the
+    * required distribution (no hint, no store-side Exchange).
     */
   private[dedup] def screenSetsWithIndex(
       batchSets: DataFrame, exSets: DataFrame, exIndex: DataFrame,
@@ -2202,7 +2208,7 @@ object Dedup {
       .filter(col("pos0") + 1 <=
         col("n_sh") - ceil(lit(tau) * col("n_sh") - lit(1e-9)).cast("int") + 1)
       .select(col("doc_id"), col("h"))
-    val cands = probe.join(exIndex.hint("shuffle_hash"), Seq("h"))
+    val cands = probe.join(exIndex, Seq("h"))
       .select(col("doc_id"), col("ex_id"))
       .distinct()
     val near = withJaccard(
@@ -2421,7 +2427,8 @@ object Dedup {
     val intra = selfScreenSets(batchSets, tau)
       .select(col("doc_id"), col("keep").as("batch_keep"))
     val contain = containSetsWithIndex(batchSets, exSets,
-      exSets.select(col("doc_id").as("ex_id"), explode(col("sh")).as("h")), tauContain)
+      exSets.select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
+        .hint("shuffle_hash"), tauContain)
       .select(col("doc_id"), col("keep").as("contain_keep"))
     store.join(intra, Seq("doc_id")).join(contain, Seq("doc_id"))
       .select(col("doc_id"), col("store_keep"), col("batch_keep"), col("contain_keep"),

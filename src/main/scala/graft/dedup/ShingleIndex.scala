@@ -65,6 +65,65 @@ object ShingleIndex {
         .getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Build the index with BUCKETED postings — the 100 TB probe
+    * layout: the plain-parquet probe join must shuffle the store's
+    * postings by `h` on EVERY ingest (or broadcast the batch, which a
+    * large crawl drop forbids), and at 100 TB the postings table is
+    * the dataset — re-shuffling it per batch is the cost the
+    * write-once layout exists to kill. Bucketing postings by `h` at
+    * write time (the [[graft.sources.Bucketing]] discipline: catalog
+    * table, repartition-to-buckets so each bucket is one sorted file)
+    * moves that shuffle to write time, ONCE: the bucketed scan IS the
+    * required hash distribution, so every subsequent probe shuffles
+    * only the batch-sized side (asserted in DedupSpec — the bucketed
+    * probe plan carries strictly fewer Exchanges, with the postings
+    * scan feeding the join directly).
+    *
+    * Sets stay plain parquet (they join by doc_id/ex_id, candidate-
+    * sized traffic). The table name derives from `dir`, recorded in
+    * meta.json so [[probe]]/[[containmentProbe]] route automatically.
+    */
+  def writeBucketed(documents: DataFrame, dir: String, numBuckets: Int = 8): Unit = {
+    require(numBuckets >= 1)
+    write(documents, dir)
+    val spark = documents.sparkSession
+    val tbl = "shingle_postings_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase(java.util.Locale.ROOT) +
+      s"_b$numBuckets"
+    resetTable(spark, tbl)
+    spark.read.parquet(s"$dir/postings")
+      .repartition(numBuckets, col("h"))
+      .write.format("parquet")
+      .bucketBy(numBuckets, "h")
+      .sortBy("h")
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(tbl)
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new String(Files.readAllBytes(Paths.get(dir, "meta.json")), StandardCharsets.UTF_8))
+    val n = meta.get("n_docs").asLong()
+    Files.write(Paths.get(dir, "meta.json"),
+      (s"""{"n_docs": $n, "shingle_k": $SHINGLE_K, "token_hash": "xxhash64", """ +
+        s""""content_hash": "md5", "postings_table": "$tbl", "n_buckets": $numBuckets}""")
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Drop a managed table and its stale warehouse dir (the
+    * [[graft.sources.Bucketing]] crash-recovery discipline: after a
+    * dead JVM the catalog is empty while the dir survives, and a
+    * fresh CREATE fails on the stale location).
+    */
+  private def resetTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+      .stripPrefix("file:")
+    val d = new java.io.File(s"$wh/${table.toLowerCase(java.util.Locale.ROOT)}")
+    if (d.exists()) rm(d)
+  }
+
   /** The persisted sets frame (doc_id, sh, ch); loud on a missing or
     * schema-drifted layout.
     */
@@ -109,8 +168,30 @@ object ShingleIndex {
     Dedup.screenSetsWithIndex(
       Dedup.hashedShingleSets(newDocs),
       readSets(spark, dir),
-      readPostings(spark, dir),
+      probeIndex(spark, dir),
       tau)
+
+  /** The postings side of a probe, in whichever layout the index was
+    * written: the BUCKETED catalog table when meta records one (its
+    * scan IS the h-hash distribution — no store-side Exchange, no
+    * hint) or the plain parquet with the shuffle_hash strategy the
+    * in-session screen uses.
+    */
+  private def probeIndex(spark: SparkSession, dir: String): DataFrame =
+    bucketedTable(dir) match {
+      case Some(tbl) => spark.table(tbl)
+      case None => readPostings(spark, dir).hint("shuffle_hash")
+    }
+
+  private def bucketedTable(dir: String): Option[String] = {
+    val p = Paths.get(dir, "meta.json")
+    if (!Files.exists(p)) None
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      Option(node.get("postings_table")).map(_.asText())
+    }
+  }
 
   /** Screen `newDocs` for CONTAINMENT in the persisted store — the
     * [[Dedup.containmentAgainst]] contract (doc_id, n_containers,
@@ -127,7 +208,7 @@ object ShingleIndex {
     Dedup.containSetsWithIndex(
       Dedup.hashedShingleSets(newDocs),
       readSets(spark, dir),
-      readPostings(spark, dir),
+      probeIndex(spark, dir),
       tau)
 
   /** Append a landed batch to the store index — the no-rebuild append:
@@ -145,12 +226,28 @@ object ShingleIndex {
     val spark = batchDocs.sparkSession
     val batchSets = Dedup.hashedShingleSets(batchDocs).localCheckpoint()
     batchSets.write.mode(SaveMode.Append).parquet(s"$dir/sets")
-    batchSets
+    val batchPostings = batchSets
       .select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
-      .write.mode(SaveMode.Append).parquet(s"$dir/postings")
+    batchPostings.write.mode(SaveMode.Append).parquet(s"$dir/postings")
+    // a bucketed layout appends THROUGH the bucket spec (new per-bucket
+    // files; the join stays Exchange-free on the store side — the
+    // per-bucket single-file sort guarantee relaxes to a re-Sort)
+    (Option(meta.get("postings_table")), Option(meta.get("n_buckets"))) match {
+      case (Some(t), Some(b)) =>
+        batchPostings.repartition(b.asInt(), col("h"))
+          .write.format("parquet")
+          .bucketBy(b.asInt(), "h").sortBy("h")
+          .mode(SaveMode.Append).saveAsTable(t.asText())
+      case _ => ()
+    }
     val nBatch = batchSets.count()
+    val bucketFields = (Option(meta.get("postings_table")), Option(meta.get("n_buckets"))) match {
+      case (Some(t), Some(b)) => s""", "postings_table": "${t.asText()}", "n_buckets": ${b.asInt()}"""
+      case _ => ""
+    }
     Files.write(Paths.get(dir, "meta.json"),
-      s"""{"n_docs": ${nDocs + nBatch}, "shingle_k": $SHINGLE_K, "token_hash": "xxhash64", "content_hash": "md5"}"""
+      (s"""{"n_docs": ${nDocs + nBatch}, "shingle_k": $SHINGLE_K, "token_hash": "xxhash64", """ +
+        s""""content_hash": "md5"$bucketFields}""")
         .getBytes(StandardCharsets.UTF_8))
   }
 }

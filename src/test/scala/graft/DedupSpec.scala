@@ -898,6 +898,72 @@ class DedupSpec extends SparkSpec {
     } finally rmrf(bad)
   }
 
+  test("ShingleIndex bucketed postings: probe hash-equal to the plain layout; store side joins without its own Exchange") {
+    import spark.implicits._
+    def rmrf(dir: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+    def withConf[A](key: String, value: String)(body: => A): A = {
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, value)
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val docs = Tables.documents(spark, sf)
+    val store = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val plain = java.nio.file.Files.createTempDirectory("shingle_plain_").toString
+    val bucketed = java.nio.file.Files.createTempDirectory("shingle_bktd_").toString
+    try {
+      graft.dedup.ShingleIndex.write(store, plain)
+      graft.dedup.ShingleIndex.writeBucketed(store, bucketed, numBuckets = 4)
+      // layout changes the PLAN, never the answer
+      val viaPlain = rows(graft.dedup.ShingleIndex.probe(spark, batch, plain))
+      val viaBucketed = rows(graft.dedup.ShingleIndex.probe(spark, batch, bucketed))
+      assert(viaBucketed === viaPlain, "bucketed probe drifted from the plain layout")
+      assert(viaBucketed === rows(Dedup.screenAgainst(batch, store)))
+      assert(viaBucketed.nonEmpty)
+      // with broadcast off (the large-crawl-drop shape the layout
+      // serves), the parquet path shuffles BOTH probe-join sides; the
+      // bucketed scan IS the h-distribution, so the bucketed plan
+      // carries strictly fewer Exchanges
+      withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+        def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+          "Exchange".r.findAllIn(planOf(df)).length
+        val ep = exchanges(graft.dedup.ShingleIndex.probe(spark, batch, plain))
+        val eb = exchanges(graft.dedup.ShingleIndex.probe(spark, batch, bucketed))
+        assert(eb < ep, s"bucketed layout did not remove the store-side shuffle: $eb vs $ep")
+      }
+      // containment probe routes through the same bucketed layout
+      assert(
+        graft.dedup.ShingleIndex.containmentProbe(spark, batch, bucketed).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ===
+          graft.dedup.ShingleIndex.containmentProbe(spark, batch, plain).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+      // append maintains the bucketed layout: landed docs visible to
+      // the next probe, equal to a one-shot bucketed build
+      val landed = Seq((9001L, "a brand new landed document about nothing")).toDF("doc_id", "text")
+      graft.dedup.ShingleIndex.append(landed, bucketed)
+      val oneShot = java.nio.file.Files.createTempDirectory("shingle_bk_one_").toString
+      try {
+        graft.dedup.ShingleIndex.writeBucketed(
+          store.select("doc_id", "text").union(landed), oneShot, numBuckets = 4)
+        assert(rows(graft.dedup.ShingleIndex.probe(spark, batch, bucketed)) ===
+          rows(graft.dedup.ShingleIndex.probe(spark, batch, oneShot)),
+          "bucketed append drifted from the one-shot bucketed build")
+      } finally rmrf(oneShot)
+    } finally { rmrf(plain); rmrf(bucketed) }
+  }
+
   test("containedIncremental: planted contained-in-store doc caught; near screen blind to it; disk probe hash-equal; brute agreement") {
     import spark.implicits._
     val rnd = new scala.util.Random(4242)
