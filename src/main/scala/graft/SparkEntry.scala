@@ -234,6 +234,10 @@ object SparkEntry {
     // full inverted index; wired into q_ingest_decision's verdict
     // (round-11 addition)
     "q_contained_incremental" -> ((s, dir) => Dedup.containedIncremental(Tables.documents(s, dir))),
+    // the composed ingest verdict in its disk-served form: both
+    // store-facing screens read the persisted ShingleIndex; same
+    // oracle as q_ingest_decision (round-11 addition)
+    "q_ingest_decision_disk" -> ((s, dir) => Dedup.ingestDecisionDisk(Tables.documents(s, dir))),
     // the batch's OTHER screen: a crawl batch self-duplicates, so
     // after the store screen the batch is screened against itself —
     // first-wins (earlier doc_id kept), same prefix-probe machinery
@@ -360,6 +364,10 @@ object SparkEntry {
     // alone, so the hash gate proves the parser reads actual bytes
     // (round-11 addition)
     "q_media_decode" -> ((s, dir) => graft.mm.MediaCodec.mediaDecode(Tables.documents(s, dir))),
+    // REAL pixel decode: zlib-inflated IDAT + all-five-filter
+    // unfiltering, per-channel sums recomputed by the oracle from
+    // planting arithmetic alone (round-11 addition)
+    "q_media_pixels" -> ((s, dir) => graft.mm.MediaCodec.mediaPixels(Tables.documents(s, dir))),
     // --- G. Streaming (batch-equivalent form; the readStream path is
     // exercised in ScalaTest with a memory sink) ---------------------
     "q_stream_hourly" -> ((s, dir) => Events.hourlyAgg(Tables.events(s, dir))),
@@ -741,6 +749,7 @@ object SparkEntry {
     "q_dedup_incremental" -> Dedup.sqlIncrementalDedup(),
     "q_dedup_incremental_disk" -> Dedup.sqlIncrementalDedup(),
     "q_contained_incremental" -> Dedup.sqlContainedIncremental(),
+    "q_ingest_decision_disk" -> Dedup.sqlIngestDecision(),
     "q_dedup_batch" -> Dedup.sqlBatchDedup(),
     "q_ingest_decision" -> Dedup.sqlIngestDecision(),
     "q_embed_incremental" -> Dedup.sqlEmbedIncremental(),
@@ -758,6 +767,7 @@ object SparkEntry {
     "q_media_frames" -> Multimodal.sqlMediaFrames,
     "q_media_resize" -> Multimodal.sqlMediaResize(),
     "q_media_decode" -> graft.mm.MediaCodec.sqlMediaDecode,
+    "q_media_pixels" -> graft.mm.MediaCodec.sqlMediaPixels,
     "q_stream_hourly" -> Events.sqlHourlyAgg,
     "q_partition_prune" -> graft.sources.Partitioned.sqlDailyPruned(),
     "q_compacted_read" -> graft.sources.Compact.sqlCompactedRollup,

@@ -482,3 +482,76 @@ object PqIndexTool {
     }
   }
 }
+
+/** `graft.cli.ShingleIndexTool --mode build|probe|contain|decide|append
+  * --data <sfDir> --index_dir <dir> [--batch_mod 10] [--tau 0.5]
+  * [--tau_contain 0.8] [--buckets N]` — the persisted near-dup store
+  * index lifecycle (q_dedup_incremental_disk / q_ingest_decision_disk
+  * as shell commands): `build` writes the store slice's ShingleIndex
+  * (bucketed postings with `--buckets`), the screen modes probe the
+  * batch slice against the read-back layout, `append` grows the index
+  * by the batch (the crawl loop's write half). Disk-vs-memory
+  * hash-equality is pinned in DedupSpec; this is the ops wrapper.
+  */
+object ShingleIndexTool {
+  def main(argv: Array[String]): Unit = CliSession.withSession { spark =>
+    val a = Args.parse(argv)
+    val data = Args.required(a, "data")
+    val indexDir = Args.required(a, "index_dir")
+    val batchMod = a.getOrElse("batch_mod", "10").toLong
+    val tau = a.getOrElse("tau", "0.5").toDouble
+    val tauContain = a.getOrElse("tau_contain", "0.8").toDouble
+    val docs = graft.Tables.documents(spark, data)
+    val store = docs.filter(pmod(col("doc_id"), lit(batchMod)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(batchMod)) === 0)
+    def show(df: org.apache.spark.sql.DataFrame): Unit =
+      df.orderBy(col("doc_id")).show(20, truncate = false)
+    a.getOrElse("mode", "build") match {
+      case "build" =>
+        a.get("buckets") match {
+          case Some(b) => graft.dedup.ShingleIndex.writeBucketed(store, indexDir, b.toInt)
+          case None => graft.dedup.ShingleIndex.write(store, indexDir)
+        }
+        println(s"[SHINGLE] index written to $indexDir")
+      case "probe" => show(graft.dedup.ShingleIndex.probe(spark, batch, indexDir, tau))
+      case "contain" =>
+        show(graft.dedup.ShingleIndex.containmentProbe(spark, batch, indexDir, tauContain))
+      case "decide" =>
+        show(graft.dedup.Dedup.decisionFromIndex(spark, batch, indexDir, tau, tauContain))
+      case "append" =>
+        graft.dedup.ShingleIndex.append(batch, indexDir)
+        println(s"[SHINGLE] batch appended to $indexDir")
+      case m => throw new IllegalArgumentException(s"unknown --mode '$m'")
+    }
+  }
+}
+
+/** `graft.cli.LmIndexTool --mode train|score --data <sfDir>
+  * --model_dir <dir> [--order 1|2|3] [--batch_mod 10]` — the
+  * persisted order-n LM lifecycle (q_ppl_incremental_disk as shell
+  * commands): `train` fits the store slice's n-gram model + shipped
+  * tercile cut, `score` screens the batch slice under the read-back
+  * artifact. Disk-vs-memory hash-equality (order 1) and the
+  * interpolation/backoff arithmetic are pinned in LangModelSpec.
+  */
+object LmIndexTool {
+  def main(argv: Array[String]): Unit = CliSession.withSession { spark =>
+    val a = Args.parse(argv)
+    val data = Args.required(a, "data")
+    val modelDir = Args.required(a, "model_dir")
+    val order = a.getOrElse("order", "1").toInt
+    val batchMod = a.getOrElse("batch_mod", "10").toLong
+    val docs = graft.Tables.documents(spark, data)
+    val store = docs.filter(pmod(col("doc_id"), lit(batchMod)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(batchMod)) === 0)
+    a.getOrElse("mode", "train") match {
+      case "train" =>
+        graft.text.LmIndex.write(store, modelDir, order)
+        println(s"[LM] order-$order model written to $modelDir")
+      case "score" =>
+        graft.text.LmIndex.score(spark, batch, modelDir)
+          .orderBy(col("doc_id")).show(20, truncate = false)
+      case m => throw new IllegalArgumentException(s"unknown --mode '$m'")
+    }
+  }
+}

@@ -2286,6 +2286,47 @@ object Dedup {
     ShingleIndex.probe(documents.sparkSession, documents.filter(isBatch), dir, tau)
   }
 
+  /** The FULL ingest decision served from the persisted store index —
+    * [[decisionSets]]'s three screens with both store-facing halves
+    * ([[ShingleIndex.probe]] + [[ShingleIndex.containmentProbe]])
+    * reading the on-disk layout; the batch self-screen is batch-only
+    * by contract and derives in-session. Verdicts are store-content-
+    * determined, so the composition shares [[sqlIngestDecision]]'s
+    * oracle verbatim — and this is the screen core the DISK-BACKED
+    * streaming ingest ([[graft.streaming.Events.ingestStreamPersisted]])
+    * runs per micro-batch before appending its keepers to the same
+    * index.
+    */
+  def decisionFromIndex(
+      spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame, dir: String,
+      tau: Double = 0.5, tauContain: Double = 0.8): DataFrame = {
+    // ONE batch-seam derivation feeds all three screens (the
+    // decisionSets discipline, here with the store side on disk)
+    val batchSets = hashedShingleSets(newDocs).localCheckpoint()
+    val store = ShingleIndex.probeSets(spark, batchSets, dir, tau)
+      .select(col("doc_id"), col("keep").as("store_keep"))
+    val intra = selfScreenSets(batchSets, tau)
+      .select(col("doc_id"), col("keep").as("batch_keep"))
+    val contain = ShingleIndex.containSets(spark, batchSets, dir, tauContain)
+      .select(col("doc_id"), col("keep").as("contain_keep"))
+    store.join(intra, Seq("doc_id")).join(contain, Seq("doc_id"))
+      .select(col("doc_id"), col("store_keep"), col("batch_keep"), col("contain_keep"),
+        (col("store_keep") * col("batch_keep") * col("contain_keep")).as("keep"))
+  }
+
+  /** q141: [[ingestDecision]] in its disk-served form (the #137/#140
+    * lifecycle applied to the composed verdict) — same contract, same
+    * oracle.
+    */
+  def ingestDecisionDisk(
+      documents: DataFrame, batchMod: Long = 10, tau: Double = 0.5,
+      tauContain: Double = 0.8): DataFrame = {
+    require(batchMod >= 2, "batchMod must split the corpus into batch and existing")
+    val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
+    val dir = shingleIndexDirCached(documents.filter(!isBatch))
+    decisionFromIndex(documents.sparkSession, documents.filter(isBatch), dir, tau, tauContain)
+  }
+
   /** DuckDB twin of [[incrementalDedup]]: brute batch × existing cross
     * comparison (exactly the shape the Spark side must avoid at scale
     * — which is the point of the cross-check).

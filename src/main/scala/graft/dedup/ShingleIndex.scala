@@ -98,14 +98,25 @@ object ShingleIndex {
       .sortBy("h")
       .mode(SaveMode.Overwrite)
       .saveAsTable(tbl)
+    // the catalog entry is session-scoped (in-memory catalog) while
+    // the bucketed FILES survive the JVM — record the absolute
+    // location so a later session can re-register the table over them
+    // (the CLI build-today-probe-tomorrow lifecycle)
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").stripPrefix("file:"),
+      tbl.toLowerCase(java.util.Locale.ROOT)).getAbsolutePath
     val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
       new String(Files.readAllBytes(Paths.get(dir, "meta.json")), StandardCharsets.UTF_8))
     val n = meta.get("n_docs").asLong()
     Files.write(Paths.get(dir, "meta.json"),
       (s"""{"n_docs": $n, "shingle_k": $SHINGLE_K, "token_hash": "xxhash64", """ +
-        s""""content_hash": "md5", "postings_table": "$tbl", "n_buckets": $numBuckets}""")
+        s""""content_hash": "md5", "postings_table": "$tbl", "n_buckets": $numBuckets, """ +
+        s""""postings_location": ${jsonStr(loc)}}""")
         .getBytes(StandardCharsets.UTF_8))
   }
+
+  private def jsonStr(s: String): String =
+    new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
 
   /** Drop a managed table and its stale warehouse dir (the
     * [[graft.sources.Bucketing]] crash-recovery discipline: after a
@@ -165,8 +176,16 @@ object ShingleIndex {
   def probe(
       spark: SparkSession, newDocs: DataFrame, dir: String,
       tau: Double = 0.5): DataFrame =
+    probeSets(spark, Dedup.hashedShingleSets(newDocs), dir, tau)
+
+  /** [[probe]] over a PREPARED batch set-frame — the seam a caller
+    * screening the same batch several ways ([[Dedup.decisionFromIndex]])
+    * uses to derive the batch's shingle seam once.
+    */
+  private[dedup] def probeSets(
+      spark: SparkSession, batchSets: DataFrame, dir: String, tau: Double): DataFrame =
     Dedup.screenSetsWithIndex(
-      Dedup.hashedShingleSets(newDocs),
+      batchSets,
       readSets(spark, dir),
       probeIndex(spark, dir),
       tau)
@@ -179,17 +198,36 @@ object ShingleIndex {
     */
   private def probeIndex(spark: SparkSession, dir: String): DataFrame =
     bucketedTable(dir) match {
-      case Some(tbl) => spark.table(tbl)
+      case Some((tbl, nBuckets, loc)) =>
+        if (!spark.catalog.tableExists(tbl)) {
+          // a fresh JVM: the in-memory catalog lost the entry but the
+          // bucketed files survive — re-register an external table
+          // with the identical bucket spec over the recorded location
+          // (falls back to the plain parquet path if the files are
+          // gone)
+          if (loc.exists(l => new java.io.File(l).exists())) {
+            spark.sql(
+              s"CREATE TABLE $tbl (ex_id BIGINT, h BIGINT) USING parquet " +
+                s"CLUSTERED BY (h) SORTED BY (h) INTO $nBuckets BUCKETS " +
+                s"LOCATION '${loc.get}'")
+          } else {
+            return readPostings(spark, dir).hint("shuffle_hash")
+          }
+        }
+        spark.table(tbl)
       case None => readPostings(spark, dir).hint("shuffle_hash")
     }
 
-  private def bucketedTable(dir: String): Option[String] = {
+  private def bucketedTable(dir: String): Option[(String, Int, Option[String])] = {
     val p = Paths.get(dir, "meta.json")
     if (!Files.exists(p)) None
     else {
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
         new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-      Option(node.get("postings_table")).map(_.asText())
+      Option(node.get("postings_table")).map { t =>
+        (t.asText(), node.get("n_buckets").asInt(),
+          Option(node.get("postings_location")).map(_.asText()))
+      }
     }
   }
 
@@ -205,8 +243,15 @@ object ShingleIndex {
   def containmentProbe(
       spark: SparkSession, newDocs: DataFrame, dir: String,
       tau: Double = 0.8): DataFrame =
+    containSets(spark, Dedup.hashedShingleSets(newDocs), dir, tau)
+
+  /** [[containmentProbe]] over a prepared batch set-frame (see
+    * [[probeSets]]).
+    */
+  private[dedup] def containSets(
+      spark: SparkSession, batchSets: DataFrame, dir: String, tau: Double): DataFrame =
     Dedup.containSetsWithIndex(
-      Dedup.hashedShingleSets(newDocs),
+      batchSets,
       readSets(spark, dir),
       probeIndex(spark, dir),
       tau)
@@ -234,6 +279,11 @@ object ShingleIndex {
     // per-bucket single-file sort guarantee relaxes to a re-Sort)
     (Option(meta.get("postings_table")), Option(meta.get("n_buckets"))) match {
       case (Some(t), Some(b)) =>
+        // re-register the table first if this JVM's catalog lost it
+        // (probeIndex's recovery path) — a bare saveAsTable(Append)
+        // from a fresh JVM would otherwise try to CREATE a managed
+        // table over the existing location and fail
+        probeIndex(spark, dir)
         batchPostings.repartition(b.asInt(), col("h"))
           .write.format("parquet")
           .bucketBy(b.asInt(), "h").sortBy("h")

@@ -89,6 +89,148 @@ object MediaCodec {
     "GIF89a".getBytes("US-ASCII") ++ le16(width) ++ le16(height) ++
       Array[Byte](0, 0, 0, 0x3b)
 
+  // ------------------------------------------------------------ pixel codec
+
+  /** Spec-valid PNG WITH PIXEL DATA: 8-bit RGB rows, one IDAT chunk
+    * (zlib-deflated), each row carrying the PNG filter `filterOf(y)`
+    * (0=None 1=Sub 2=Up 3=Average 4=Paeth) — exercising every filter
+    * type the decoder must reverse, not just the one the encoder
+    * likes.
+    */
+  def buildPngPixels(
+      width: Int, height: Int,
+      pixel: (Int, Int) => (Int, Int, Int),
+      filterOf: Int => Int = _ => 0): Array[Byte] = {
+    require(width >= 1 && height >= 1)
+    val stride = width * 3
+    val raw = Array.ofDim[Byte](height * stride) // unfiltered RGB
+    for (y <- 0 until height; x <- 0 until width) {
+      val (r, g, b) = pixel(x, y)
+      val o = y * stride + x * 3
+      raw(o) = r.toByte; raw(o + 1) = g.toByte; raw(o + 2) = b.toByte
+    }
+    val filtered = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until height) {
+      val f = filterOf(y) % 5
+      filtered.write(f)
+      var i = 0
+      while (i < stride) {
+        val cur = raw(y * stride + i) & 0xff
+        val left = if (i >= 3) raw(y * stride + i - 3) & 0xff else 0
+        val up = if (y >= 1) raw((y - 1) * stride + i) & 0xff else 0
+        val upLeft = if (y >= 1 && i >= 3) raw((y - 1) * stride + i - 3) & 0xff else 0
+        val enc = f match {
+          case 0 => cur
+          case 1 => (cur - left) & 0xff
+          case 2 => (cur - up) & 0xff
+          case 3 => (cur - (left + up) / 2) & 0xff
+          case _ => (cur - paeth(left, up, upLeft)) & 0xff
+        }
+        filtered.write(enc)
+        i += 1
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered.toByteArray)
+    deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val idatData = out.toByteArray
+    val idatType = "IDAT".getBytes("US-ASCII")
+    val idatCrc = new CRC32
+    idatCrc.update(idatType); idatCrc.update(idatData)
+    val header = buildPng(width.toLong, height.toLong)
+    // splice IDAT before IEND: header = sig(8) + IHDR(25) + IEND(12)
+    val beforeIend = header.length - 12
+    header.take(beforeIend) ++
+      be32(idatData.length.toLong) ++ idatType ++ idatData ++ be32(idatCrc.getValue) ++
+      header.drop(beforeIend)
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** REAL PNG pixel decode: IHDR parse (via [[parseHeader]]'s
+    * validations), IDAT concat + zlib inflate, per-row UNFILTER of
+    * all five PNG filter types, emitting raw 8-bit RGB. Total — every
+    * malformation is a Left, never a throw: wrong color layout,
+    * truncated/corrupt IDAT streams, bad filter bytes, short pixel
+    * data.
+    */
+  def decodePixels(bytes: Array[Byte]): Either[String, (Int, Int, Array[Byte])] =
+    parseHeader(bytes) match {
+      case Left(e) => Left(e)
+      case Right(("png", w, h)) =>
+        if (bytes(24) != 8 || bytes(25) != 2) Left("unsupported_color_layout")
+        else if (w < 1 || h < 1 || w > (1 << 20) || h > (1 << 20)) Left("bad_dimensions")
+        else decodeIdat(bytes, w.toInt, h.toInt)
+      case Right(_) => Left("not_a_png")
+    }
+
+  private def decodeIdat(bytes: Array[Byte], w: Int, h: Int): Either[String, (Int, Int, Array[Byte])] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def beU32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    // walk chunks, concatenating IDAT payloads
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 33 // after signature + IHDR
+    while (i + 8 <= bytes.length) {
+      val len = beU32(i)
+      if (len > Int.MaxValue - 12 || i + 12 + len > bytes.length) return Left("truncated_chunk")
+      val ctype = new String(bytes, i + 4, 4, "US-ASCII")
+      if (ctype == "IDAT") idat.write(bytes, i + 8, len.toInt)
+      if (ctype == "IEND") i = bytes.length
+      else i += 12 + len.toInt
+    }
+    val compressed = idat.toByteArray
+    if (compressed.isEmpty) return Left("missing_idat")
+    val stride = w * 3
+    val expected = h * (stride + 1)
+    val inflated = new Array[Byte](expected)
+    try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(compressed)
+      var off = 0
+      while (off < expected && !inf.finished()) {
+        val n = inf.inflate(inflated, off, expected - off)
+        if (n == 0 && inf.needsInput()) return Left("truncated_idat")
+        off += n
+      }
+      inf.end()
+      if (off < expected) return Left("truncated_idat")
+    } catch {
+      case _: java.util.zip.DataFormatException => return Left("corrupt_idat")
+    }
+    // unfilter
+    val raw = Array.ofDim[Byte](h * stride)
+    for (y <- 0 until h) {
+      val f = inflated(y * (stride + 1)) & 0xff
+      if (f > 4) return Left("bad_filter_type")
+      var i2 = 0
+      while (i2 < stride) {
+        val enc = inflated(y * (stride + 1) + 1 + i2) & 0xff
+        val left = if (i2 >= 3) raw(y * stride + i2 - 3) & 0xff else 0
+        val up = if (y >= 1) raw((y - 1) * stride + i2) & 0xff else 0
+        val upLeft = if (y >= 1 && i2 >= 3) raw((y - 1) * stride + i2 - 3) & 0xff else 0
+        val cur = f match {
+          case 0 => enc
+          case 1 => (enc + left) & 0xff
+          case 2 => (enc + up) & 0xff
+          case 3 => (enc + (left + up) / 2) & 0xff
+          case _ => (enc + paeth(left, up, upLeft)) & 0xff
+        }
+        raw(y * stride + i2) = cur.toByte
+        i2 += 1
+      }
+    }
+    Right((w, h, raw))
+  }
+
   // ---------------------------------------------------------------- parser
 
   /** Parse a container header: Right((container, width, height)) or
@@ -203,6 +345,88 @@ object MediaCodec {
       }
     }.toDF()
   }
+
+  /** Planted-pixel arithmetic — shared by the builder (what goes INTO
+    * the IDAT) and the oracle (what the REAL decode must recover).
+    */
+  private[mm] def pixelDims(docId: Long): (Int, Int) =
+    ((8L + math.floorMod(docId, 9L)).toInt, (8L + math.floorMod(docId, 7L)).toInt)
+
+  private[mm] def pixelAt(docId: Long, x: Int, y: Int): (Int, Int, Int) = (
+    math.floorMod(x * 7L + y * 13L + docId, 256L).toInt,
+    math.floorMod(x * 3L + y * 5L + 2L * docId, 256L).toInt,
+    math.floorMod(x + y + 3L * docId, 256L).toInt)
+
+  private final case class DecodedPixels(
+      doc_id: Long, width: Long, height: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, err: String)
+
+  /** q142: REAL pixel decode — the #44 feature-extractor stub replaced
+    * by an actual image codec for the one container a pure JVM can
+    * fully decode: each doc becomes an 8-bit RGB PNG whose pixels
+    * derive from doc_id arithmetic, rows cycling through ALL FIVE PNG
+    * filter types; the decoder inflates the IDAT and reverses the
+    * filters, and the emitted per-channel pixel SUMS are integers the
+    * DuckDB oracle recomputes from the planting arithmetic alone —
+    * hash-exact proof the zlib+unfilter path recovered every byte (a
+    * wrong Paeth branch or off-by-one stride fails the hash). Every
+    * 19th doc ships WITHOUT its IDAT (the mid-transfer shape) and
+    * must quarantine as missing_idat, not throw.
+    */
+  def mediaPixels(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select("doc_id").as[Long].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { id =>
+          val (w, h) = pixelDims(id)
+          val payload =
+            if (math.floorMod(id, 19L) == 0L) buildPng(w.toLong, h.toLong) // no IDAT
+            else buildPngPixels(w, h, (x, y) => pixelAt(id, x, y), y => (id + y).toInt)
+          decodePixels(payload) match {
+            case Right((dw, dh, raw)) =>
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var i = 0
+              while (i < raw.length) {
+                sr += raw(i) & 0xff; sg += raw(i + 1) & 0xff; sb += raw(i + 2) & 0xff
+                i += 3
+              }
+              DecodedPixels(id, dw.toLong, dh.toLong, sr, sg, sb, "")
+            case Left(err) => DecodedPixels(id, -1L, -1L, -1L, -1L, -1L, err)
+          }
+        }
+      }
+    }.toDF()
+  }
+
+  /** DuckDB twin of [[mediaPixels]]: the planting arithmetic summed
+    * over the pixel grid — zero byte decoding, which is the point.
+    */
+  def sqlMediaPixels: String =
+    """WITH mpg AS (
+      |  SELECT doc_id,
+      |    8 + doc_id % 9 AS w,
+      |    8 + doc_id % 7 AS h
+      |  FROM documents
+      |), mpx AS (
+      |  SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM mpg
+      |), mpc AS (
+      |  SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM mpx
+      |), mps AS (
+      |  SELECT doc_id, w, h,
+      |    sum((x * 7 + y * 13 + doc_id) % 256) AS sr,
+      |    sum((x * 3 + y * 5 + 2 * doc_id) % 256) AS sg,
+      |    sum((x + y + 3 * doc_id) % 256) AS sb
+      |  FROM mpc GROUP BY 1, 2, 3
+      |)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN doc_id % 19 = 0 THEN -1 ELSE w END AS BIGINT) AS width,
+      |  CAST(CASE WHEN doc_id % 19 = 0 THEN -1 ELSE h END AS BIGINT) AS height,
+      |  CAST(CASE WHEN doc_id % 19 = 0 THEN -1 ELSE sr END AS BIGINT) AS sum_r,
+      |  CAST(CASE WHEN doc_id % 19 = 0 THEN -1 ELSE sg END AS BIGINT) AS sum_g,
+      |  CAST(CASE WHEN doc_id % 19 = 0 THEN -1 ELSE sb END AS BIGINT) AS sum_b,
+      |  CASE WHEN doc_id % 19 = 0 THEN 'missing_idat' ELSE '' END AS err
+      |FROM mps""".stripMargin
 
   /** DuckDB twin of [[mediaDecode]]: pure planting arithmetic — no
     * byte parsing, which is the point of the cross-check.

@@ -295,6 +295,49 @@ object Events {
         sink(graft.text.LangModel.pplScreenAgainst(mb.toDF(), storeDocs), id)
       }
 
+  /** The DISK-BACKED streaming ingest — [[ingestStream]]'s semantics
+    * with the store living where a production store actually lives:
+    * the persisted [[graft.dedup.ShingleIndex]]. Each micro-batch is
+    * screened by [[graft.dedup.Dedup.decisionFromIndex]] (store
+    * twin + first-wins self-screen + contained-in-store, all against
+    * the ON-DISK index as of this batch), its verdicts go to `sink`,
+    * and the KEPT docs are [[graft.dedup.ShingleIndex.append]]ed to
+    * the index — so the store the next micro-batch screens against
+    * has grown BY THE KEEPERS, on disk, exactly the crawl-ingest
+    * loop: screen from the index, append to the index, repeat.
+    *
+    * Pinned in StreamingSpec: verdicts match [[ingestStream]]'s
+    * greedy sequential semantics (same simulation), and after the
+    * stream drains the persisted index holds exactly store ∪ kept
+    * docs — row-equal to a one-shot [[graft.dedup.ShingleIndex.write]]
+    * over that union.
+    *
+    * The decision for batch N must read the index as of batch N, so
+    * each verdict frame is materialized (collect-to-sink or
+    * localCheckpoint in the sink) BEFORE the append; the localCheckpoint
+    * here enforces it independently of what the sink does.
+    */
+  def ingestStreamPersisted(
+      stream: DataFrame,
+      indexDir: String,
+      tau: Double = 0.5,
+      tauContain: Double = 0.8)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = mb.sparkSession
+        val batch = mb.toDF().localCheckpoint()
+        val decision = graft.dedup.Dedup
+          .decisionFromIndex(spark, batch, indexDir, tau, tauContain)
+          .localCheckpoint()
+        val keepers = batch
+          .join(decision.filter(col("keep") === 1L).select("doc_id"), "doc_id")
+        graft.dedup.ShingleIndex.append(keepers, indexDir)
+        sink(decision, id)
+      }
+
   /** The BLOOM membership screen's streaming form — the fourth
     * incremental modality's `Events.*Stream` twin (exact/near,
     * embedding and perplexity have had theirs since round 10): each

@@ -120,6 +120,82 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.parseHeader(garbage).isLeft)
   }
 
+  test("PNG pixel codec: round-trips all five filters; unfilter verified against hand-built literal bytes; malformed IDAT quarantines") {
+    import graft.mm.MediaCodec
+    // round-trip: every filter type, non-square dims
+    val px = (x: Int, y: Int) => ((x * 11 + y) % 256, (y * 7 + 1) % 256, (x + 3 * y) % 256)
+    for (f <- 0 to 4) {
+      val bytes = MediaCodec.buildPngPixels(5, 3, px, _ => f)
+      val Right((w, h, raw)) = MediaCodec.decodePixels(bytes)
+      assert(w === 5 && h === 3)
+      for (y <- 0 until 3; x <- 0 until 5) {
+        val (r, g, b) = px(x, y)
+        val o = y * 15 + x * 3
+        assert((raw(o) & 0xff, raw(o + 1) & 0xff, raw(o + 2) & 0xff) === ((r, g, b)),
+          s"filter $f pixel ($x,$y)")
+      }
+    }
+    // mixed filters per row (the planted-query shape)
+    val mixed = MediaCodec.buildPngPixels(4, 5, px, y => y)
+    assert(MediaCodec.decodePixels(mixed).isRight)
+    // HAND-BUILT literal stream: 2x1 RGB row under filter 1 (Sub) —
+    // raw pixels (10,20,30),(13,24,35) encode as 10,20,30 then deltas
+    // 3,4,5. A symmetric encoder/decoder bug cannot pass this: the
+    // filtered bytes are written literally, only the decoder runs.
+    locally {
+      val filtered = Array[Byte](1, 10, 20, 30, 3, 4, 5)
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(filtered); deflater.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+      val idatData = out.toByteArray
+      val idatType = "IDAT".getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(idatType); crc.update(idatData)
+      def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      val header = MediaCodec.buildPng(2, 1)
+      val spliced = header.take(header.length - 12) ++
+        be32(idatData.length.toLong) ++ idatType ++ idatData ++ be32(crc.getValue) ++
+        header.takeRight(12)
+      val Right((_, _, raw)) = MediaCodec.decodePixels(spliced)
+      assert(raw.map(_ & 0xff).toSeq === Seq(10, 20, 30, 13, 24, 35),
+        "Sub unfilter must add the left pixel's byte")
+    }
+    // malformed: no IDAT at all, truncated IDAT, garbage
+    assert(MediaCodec.decodePixels(MediaCodec.buildPng(4, 4)) === Left("missing_idat"))
+    val full = MediaCodec.buildPngPixels(6, 6, px, _ => 0)
+    assert(MediaCodec.decodePixels(full.take(full.length - 20)).isLeft)
+    assert(MediaCodec.decodePixels("gibberish not an image".getBytes("UTF-8")).isLeft)
+  }
+
+  test("q_media_pixels: planted per-channel sums recovered through the REAL zlib+unfilter decode") {
+    import graft.mm.MediaCodec
+    val docs = Tables.documents(spark, sf)
+    val out = MediaCodec.mediaPixels(docs).cache()
+    assert(out.count() === docs.count())
+    val rows = out.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6)))).toMap
+    rows.foreach { case (id, (w, h, sr, sg, sb, err)) =>
+      if (id % 19 == 0) {
+        assert(err === "missing_idat" && w === -1L, s"doc $id must quarantine")
+      } else {
+        assert(err === "", s"doc $id unexpectedly quarantined: $err")
+        val (ew, eh) = (8 + id % 9, 8 + id % 7)
+        assert(w === ew && h === eh, s"doc $id dims")
+        var (xr, xg, xb) = (0L, 0L, 0L)
+        for (x <- 0 until ew.toInt; y <- 0 until eh.toInt) {
+          xr += (x * 7 + y * 13 + id) % 256
+          xg += (x * 3 + y * 5 + 2 * id) % 256
+          xb += (x + y + 3 * id) % 256
+        }
+        assert((sr, sg, sb) === ((xr, xg, xb)), s"doc $id channel sums")
+      }
+    }
+    assert(rows.values.exists(_._6 == "missing_idat"), "no quarantine plant in corpus")
+  }
+
   test("q_media_decode: planted dims come back through the REAL parse; corrupt rows quarantine") {
     import graft.mm.MediaCodec
     val docs = Tables.documents(spark, sf)

@@ -290,6 +290,90 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("disk-backed streaming ingest: verdicts match the greedy simulation; the persisted index ends as store ∪ keepers") {
+    import org.apache.spark.sql.SaveMode
+    def rmrf(dir: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+    val docs = Tables.documents(spark, sf)
+    val batchSlice = docs.filter(col("doc_id") % 10 === 0)
+    val existing = docs.filter(col("doc_id") % 10 =!= 0)
+    val tau = 0.5
+    val tmp = Files.createTempDirectory("graft-ingest-disk").toString
+    batchSlice.repartition(5).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val idx = Files.createTempDirectory("graft-ingest-idx").toString
+    try {
+      graft.dedup.ShingleIndex.write(existing, idx)
+      val delivered = new scala.collection.mutable.ArrayBuffer[(Long, Array[Seq[Any]])]()
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val q = Events.ingestStreamPersisted(stream, idx, tau) { (decision, id) =>
+        delivered.synchronized { delivered += ((id, decision.collect().map(_.toSeq))) }
+        ()
+      }.start()
+      try q.processAllAvailable() finally q.stop()
+      assert(delivered.size >= 2, s"must exercise several micro-batches, got ${delivered.size}")
+
+      // greedy driver-side twin over the exact batches delivered —
+      // the ingestStream simulation with the containment screen
+      val sets = graft.dedup.Dedup.hashedShingleSets(docs).collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Long](1).toSet, r.getString(2)))).toMap
+      def twin(a: (Set[Long], String), b: (Set[Long], String)): Boolean = {
+        val exact = a._2 == b._2
+        val near = a._1.nonEmpty && b._1.nonEmpty && {
+          val i = (a._1 & b._1).size
+          i.toDouble / (a._1.size + b._1.size - i) >= tau
+        }
+        exact || near
+      }
+      val store = scala.collection.mutable.ArrayBuffer.empty[(Set[Long], String)]
+      existing.select("doc_id").collect().foreach(r => store += sets(r.getLong(0)))
+      val expect = scala.collection.mutable.Set.empty[Seq[Any]]
+      val keptIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for ((_, rows) <- delivered.sortBy(_._1)) {
+        val ids = rows.map(_.head.asInstanceOf[Long]).sorted
+        val keptNow = scala.collection.mutable.ArrayBuffer.empty[(Long, (Set[Long], String))]
+        for (d <- ids) {
+          val me = sets(d)
+          val storeKeep = if (store.exists(twin(me, _))) 0L else 1L
+          val batchKeep =
+            if (ids.takeWhile(_ < d).exists(e => twin(me, sets(e)))) 0L else 1L
+          def containedIn(b: (Set[Long], String)): Boolean =
+            me._1.nonEmpty && (me._1 & b._1).size.toDouble / me._1.size >= 0.8
+          val containKeep = if (store.exists(containedIn)) 0L else 1L
+          val keep = storeKeep * batchKeep * containKeep
+          expect += Seq(d, storeKeep, batchKeep, containKeep, keep)
+          if (keep == 1L) keptNow += ((d, me))
+        }
+        store ++= keptNow.map(_._2)
+        keptIds ++= keptNow.map(_._1)
+      }
+      val got = delivered.flatMap(_._2).toSet
+      assert(got === expect.toSet, "disk-backed ingest verdicts drifted from the greedy simulation")
+      // the persisted index now holds exactly store ∪ keepers —
+      // row-equal to a one-shot build over that union
+      def setRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getString(2))).toSet
+      val endSets = setRows(graft.dedup.ShingleIndex.readSets(spark, idx))
+      val oneShot = Files.createTempDirectory("graft-ingest-one-idx").toString
+      try {
+        val keptDf = docs.filter(col("doc_id").isin(keptIds.toSeq: _*))
+        graft.dedup.ShingleIndex.write(existing.unionByName(keptDf), oneShot)
+        assert(endSets === setRows(graft.dedup.ShingleIndex.readSets(spark, oneShot)),
+          "persisted index after the stream is not store ∪ keepers")
+      } finally rmrf(oneShot)
+      // meta doc accounting followed the appends
+      val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(idx, "meta.json")))
+      assert(meta.get("n_docs").asLong() === existing.count() + keptIds.size)
+    } finally { rmrf(idx); rmrf(tmp) }
+  }
+
   test("streaming Bloom screen: static-filter union equals one-shot probe; appended filter bytes equal the one-shot union build") {
     import org.apache.spark.sql.SaveMode
     def rmrf(dir: String): Unit = {
