@@ -368,6 +368,16 @@ object SparkEntry {
     // unfiltering, per-channel sums recomputed by the oracle from
     // planting arithmetic alone (round-11 addition)
     "q_media_pixels" -> ((s, dir) => graft.mm.MediaCodec.mediaPixels(Tables.documents(s, dir))),
+    // REAL audio decode: planted spec-valid RIFF/WAVE PCM-16 bytes —
+    // word-aligned chunk walk past an odd-sized JUNK chunk, LE fmt
+    // parse, full s16 sample decode into integer sum/peak the oracle
+    // recomputes from planting arithmetic alone (round-11 addition)
+    "q_media_wav" -> ((s, dir) => graft.mm.MediaCodec.mediaWav(Tables.documents(s, dir))),
+    // REAL animated-GIF frame walk: block-stream parse (GCT by packed
+    // size, generic extension skip, GCE delay capture, sub-block
+    // chains, trailer) over planted multi-frame files (round-11
+    // addition)
+    "q_media_gif_frames" -> ((s, dir) => graft.mm.MediaCodec.mediaGifFrames(Tables.documents(s, dir))),
     // --- G. Streaming (batch-equivalent form; the readStream path is
     // exercised in ScalaTest with a memory sink) ---------------------
     "q_stream_hourly" -> ((s, dir) => Events.hourlyAgg(Tables.events(s, dir))),
@@ -768,6 +778,8 @@ object SparkEntry {
     "q_media_resize" -> Multimodal.sqlMediaResize(),
     "q_media_decode" -> graft.mm.MediaCodec.sqlMediaDecode,
     "q_media_pixels" -> graft.mm.MediaCodec.sqlMediaPixels,
+    "q_media_wav" -> graft.mm.MediaCodec.sqlMediaWav,
+    "q_media_gif_frames" -> graft.mm.MediaCodec.sqlMediaGifFrames,
     "q_stream_hourly" -> Events.sqlHourlyAgg,
     "q_partition_prune" -> graft.sources.Partitioned.sqlDailyPruned(),
     "q_compacted_read" -> graft.sources.Compact.sqlCompactedRollup,

@@ -428,6 +428,416 @@ object MediaCodec {
       |  CASE WHEN doc_id % 19 = 0 THEN 'missing_idat' ELSE '' END AS err
       |FROM mps""".stripMargin
 
+  // ------------------------------------------------------------- WAV codec
+
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Spec-valid RIFF/WAVE file, 16-bit PCM, interleaved LE samples.
+    * Every file carries a 7-byte (ODD-length) `JUNK` chunk BEFORE
+    * `fmt ` so a parser that assumes fmt at offset 12 — or forgets
+    * RIFF's word-alignment pad byte after odd-sized chunks — reads
+    * garbage and fails the hash gate. `fmtCode` other than 1 plants a
+    * non-PCM encoding; `includeData=false` plants the mid-transfer
+    * shape (header landed, samples didn't).
+    */
+  def buildWav(
+      channels: Int, sampleRateHz: Long, nFrames: Int,
+      sample: (Int, Int) => Int,
+      fmtCode: Int = 1, includeData: Boolean = true): Array[Byte] = {
+    require(channels >= 1 && sampleRateHz >= 1 && nFrames >= 0)
+    val blockAlign = channels * 2L
+    val junk = "JUNK".getBytes("US-ASCII") ++ le32(7) ++
+      Array.fill(7)(0xaa.toByte) ++ Array[Byte](0) // odd size ⇒ pad byte
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(fmtCode.toLong) ++ le16(channels.toLong) ++ le32(sampleRateHz) ++
+      le32(sampleRateHz * blockAlign) ++ le16(blockAlign) ++ le16(16L)
+    val data =
+      if (!includeData) Array.empty[Byte]
+      else {
+        val payload = Array.ofDim[Byte](nFrames * channels * 2)
+        var f = 0
+        while (f < nFrames) {
+          var c = 0
+          while (c < channels) {
+            val s = sample(f, c)
+            val o = (f * channels + c) * 2
+            payload(o) = (s & 0xff).toByte
+            payload(o + 1) = ((s >> 8) & 0xff).toByte
+            c += 1
+          }
+          f += 1
+        }
+        "data".getBytes("US-ASCII") ++ le32(payload.length.toLong) ++ payload
+      }
+    val body = "WAVE".getBytes("US-ASCII") ++ junk ++ fmt ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+  }
+
+  final case class WavInfo(
+      channels: Long, sampleRateHz: Long, nFrames: Long,
+      durationMs: Long, sumAbs: Long, peakAbs: Long)
+
+  /** REAL RIFF/WAVE decode: magic + form-type check, word-aligned
+    * chunk walk (RIFF pads odd-sized chunks — the planted JUNK chunk
+    * exists to catch a parser that doesn't), `fmt ` field parse
+    * (LITTLE-endian throughout — the opposite convention from
+    * PNG/JPEG), PCM-16 gate, then a full s16 sample decode with
+    * integer sum-of-abs / peak-abs. Total: every malformation is a
+    * Left, never a throw.
+    */
+  def parseWav(bytes: Array[Byte]): Either[String, WavInfo] = {
+    if (bytes == null || bytes.length < 12) return Left("truncated_header")
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def leU16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def leU32(i: Int): Long =
+      (u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def leS16(i: Int): Int = (leU16(i) << 16) >> 16 // sign-extend
+    if (new String(bytes, 0, 4, "US-ASCII") != "RIFF") return Left("not_riff")
+    if (new String(bytes, 8, 4, "US-ASCII") != "WAVE") return Left("not_wave")
+
+    var fmtAt = -1
+    var dataAt = -1
+    var dataLen = 0L
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val ctype = new String(bytes, i, 4, "US-ASCII") // chunk id, then LE u32 size
+      val size = leU32(i + 4)
+      if (i + 8 + size > bytes.length) return Left("truncated_chunk")
+      if (ctype == "fmt ") fmtAt = i + 8
+      if (ctype == "data") { dataAt = i + 8; dataLen = size }
+      i += 8 + size.toInt + (size.toInt & 1) // RIFF word alignment
+    }
+    if (fmtAt < 0) return Left("missing_fmt")
+    if (fmtAt + 16 > bytes.length) return Left("truncated_chunk")
+    val audioFormat = leU16(fmtAt)
+    val channels = leU16(fmtAt + 2)
+    val rate = leU32(fmtAt + 4)
+    val bits = leU16(fmtAt + 14)
+    if (audioFormat != 1 || bits != 16) return Left("unsupported_encoding")
+    if (channels < 1 || rate < 1) return Left("bad_fmt")
+    if (dataAt < 0) return Left("missing_data")
+    val blockAlign = channels * 2
+    if (dataLen % blockAlign != 0) return Left("ragged_data")
+    val nFrames = dataLen / blockAlign
+    var (sumAbs, peakAbs) = (0L, 0L)
+    var o = dataAt
+    val end = dataAt + dataLen.toInt
+    while (o < end) {
+      val a = math.abs(leS16(o).toLong)
+      sumAbs += a
+      if (a > peakAbs) peakAbs = a
+      o += 2
+    }
+    Right(WavInfo(channels.toLong, rate, nFrames,
+      nFrames * 1000L / rate, sumAbs, peakAbs))
+  }
+
+  /** Planted-audio arithmetic — shared by the builder and the oracle.
+    * Samples span the full signed-16-bit range so a sign-extension or
+    * endianness bug in the decoder shifts the sums.
+    */
+  private[mm] def wavChannels(docId: Long): Int = (1L + math.floorMod(docId, 2L)).toInt
+  private[mm] def wavRate(docId: Long): Long = 8000L + 1000L * math.floorMod(docId, 4L)
+  private[mm] def wavFrames(docId: Long): Int = (40L + math.floorMod(docId, 61L)).toInt
+  private[mm] def wavSample(docId: Long, frame: Int, ch: Int): Int =
+    (math.floorMod(docId * 31L + frame * 17L + ch * 1009L, 65536L) - 32768L).toInt
+
+  private final case class DecodedWav(
+      doc_id: Long, channels: Long, sample_rate_hz: Long, n_frames: Long,
+      duration_ms: Long, sum_abs: Long, peak_abs: Long, err: String)
+
+  /** q143: REAL audio decode — the audio modality joins #138/#142's
+    * real-bytes discipline: each doc becomes a spec-valid RIFF/WAVE
+    * PCM-16 file whose channel count, sample rate, frame count, and
+    * every SAMPLE VALUE derive from doc_id arithmetic; the decoder
+    * walks the word-aligned chunk stream (past a planted odd-sized
+    * JUNK chunk), parses the little-endian fmt fields, and decodes
+    * the full interleaved s16 stream into integer sum-abs / peak-abs
+    * the DuckDB oracle recomputes from the planting arithmetic alone
+    * — a misread endianness, a missed pad byte, a sign-extension slip,
+    * or a skipped channel fails the hash. Corruption plants: every
+    * 13th doc truncated to 9 bytes (truncated_header), every 29th a
+    * non-PCM fmt code (unsupported_encoding), every 31st ships
+    * headers but no data chunk (missing_data) — all quarantine rows,
+    * never throws. Runs in the same typed mapPartitions batch seam as
+    * the rest of the family (batch-amortized codec, no shuffle).
+    */
+  def mediaWav(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select("doc_id").as[Long].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { id =>
+          val full = buildWav(
+            wavChannels(id), wavRate(id), wavFrames(id),
+            (f, c) => wavSample(id, f, c),
+            fmtCode = if (math.floorMod(id, 29L) == 0L) 3 else 1,
+            includeData = math.floorMod(id, 31L) != 0L)
+          val payload = if (math.floorMod(id, 13L) == 0L) full.take(9) else full
+          parseWav(payload) match {
+            case Right(w) => DecodedWav(id, w.channels, w.sampleRateHz,
+              w.nFrames, w.durationMs, w.sumAbs, w.peakAbs, "")
+            case Left(err) => DecodedWav(id, -1L, -1L, -1L, -1L, -1L, -1L, err)
+          }
+        }
+      }
+    }.toDF()
+  }
+
+  /** DuckDB twin of [[mediaWav]]: the planting arithmetic summed over
+    * the (frame, channel) grid — zero byte decoding, which is the
+    * point. Corruption precedence mirrors the builder: truncation is
+    * checked before the fmt code, the fmt code before the missing
+    * data chunk.
+    */
+  def sqlMediaWav: String =
+    """WITH wg AS (
+      |  SELECT doc_id,
+      |    1 + doc_id % 2 AS ch,
+      |    8000 + 1000 * (doc_id % 4) AS rate,
+      |    40 + doc_id % 61 AS nf
+      |  FROM documents
+      |), wf AS (
+      |  SELECT doc_id, ch, rate, nf, unnest(range(0, nf)) AS f FROM wg
+      |), wc AS (
+      |  SELECT doc_id, ch, rate, nf, f, unnest(range(0, ch)) AS c FROM wf
+      |), ws AS (
+      |  SELECT doc_id, ch, rate, nf,
+      |    sum(abs((doc_id * 31 + f * 17 + c * 1009) % 65536 - 32768)) AS sum_abs,
+      |    max(abs((doc_id * 31 + f * 17 + c * 1009) % 65536 - 32768)) AS peak_abs
+      |  FROM wc GROUP BY 1, 2, 3, 4
+      |), wv AS (
+      |  SELECT *, (doc_id % 13 = 0 OR doc_id % 29 = 0 OR doc_id % 31 = 0) AS bad
+      |  FROM ws
+      |)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN bad THEN -1 ELSE ch END AS BIGINT) AS channels,
+      |  CAST(CASE WHEN bad THEN -1 ELSE rate END AS BIGINT) AS sample_rate_hz,
+      |  CAST(CASE WHEN bad THEN -1 ELSE nf END AS BIGINT) AS n_frames,
+      |  CAST(CASE WHEN bad THEN -1 ELSE nf * 1000 // rate END AS BIGINT) AS duration_ms,
+      |  CAST(CASE WHEN bad THEN -1 ELSE sum_abs END AS BIGINT) AS sum_abs,
+      |  CAST(CASE WHEN bad THEN -1 ELSE peak_abs END AS BIGINT) AS peak_abs,
+      |  CASE WHEN doc_id % 13 = 0 THEN 'truncated_header'
+      |       WHEN doc_id % 29 = 0 THEN 'unsupported_encoding'
+      |       WHEN doc_id % 31 = 0 THEN 'missing_data'
+      |       ELSE '' END AS err
+      |FROM wv""".stripMargin
+
+  // ----------------------------------------------------- GIF frame walk
+
+  /** Spec-valid ANIMATED GIF89a: logical screen descriptor with a
+    * 2-entry global color table, a comment extension (so the walker
+    * must skip a generic extension, not just GCEs), then per frame a
+    * Graphic Control Extension (LE u16 delay in centiseconds) + image
+    * descriptor (LE u16 frame dims) + LZW-min-code byte + one planted
+    * data sub-block, and the 0x3B trailer. The sub-block DATA is
+    * opaque (the walker skips by length — the same realness level as
+    * #138's JPEG skeleton: container structure real, entropy payload
+    * absent).
+    */
+  def buildGifAnim(
+      screenW: Long, screenH: Long, frames: Int,
+      delayCs: Int => Long, frameW: Int => Long, frameH: Int => Long,
+      subLen: Int => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(le16(screenW)); out.write(le16(screenH))
+    out.write(0x80) // GCT present, size bits 0 ⇒ 2 entries (6 bytes)
+    out.write(0); out.write(0)
+    out.write(Array[Byte](0, 0, 0, -1, -1, -1)) // the 2-entry GCT
+    // a comment extension: generic sub-block skipping is exercised
+    out.write(0x21); out.write(0xfe); out.write(3)
+    out.write("gft".getBytes("US-ASCII")); out.write(0)
+    for (f <- 0 until frames) {
+      out.write(0x21); out.write(0xf9); out.write(4) // GCE
+      out.write(0) // packed
+      out.write(le16(delayCs(f)))
+      out.write(0); out.write(0) // transparent idx + block terminator
+      out.write(0x2c) // image descriptor
+      out.write(le16(0L)); out.write(le16(0L))
+      out.write(le16(frameW(f))); out.write(le16(frameH(f)))
+      out.write(0) // no local color table
+      out.write(2) // LZW min code size
+      val l = math.max(1, math.min(255, subLen(f)))
+      out.write(l)
+      out.write(Array.fill(l)(0x55.toByte))
+      out.write(0) // sub-block terminator
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  final case class GifFrames(
+      screenW: Long, screenH: Long, nFrames: Long,
+      totalDelayCs: Long, maxFrameW: Long, maxFrameH: Long)
+
+  /** REAL GIF89a block walk: magic + logical-screen parse (global
+    * color table skipped by its PACKED-FIELD size, not assumed),
+    * then the block stream — extensions (GCE delays captured,
+    * anything else skipped sub-block by sub-block), image descriptors
+    * (local color table honored, LZW data skipped by sub-block
+    * length), trailer required. Total — truncated streams, bogus
+    * block introducers, and malformed GCEs all return Left.
+    */
+  def parseGifFrames(bytes: Array[Byte]): Either[String, GifFrames] = {
+    if (bytes == null || bytes.length < 13) return Left("truncated_header")
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def leU16v(i: Int): Long = ((u8(i + 1) << 8) | u8(i)).toLong
+    if (!new String(bytes, 0, 6, "US-ASCII").matches("GIF8[79]a"))
+      return Left("unknown_container")
+    val (sw, sh) = (leU16v(6), leU16v(8))
+    val packed = u8(10)
+    var i = 13 + (if ((packed & 0x80) != 0) 3 << ((packed & 7) + 1) else 0)
+
+    /** Skip a sub-block chain starting at `j`; -1 = truncated. */
+    def skipSubBlocks(j0: Int): Int = {
+      var j = j0
+      while (true) {
+        if (j >= bytes.length) return -1
+        val l = u8(j)
+        if (l == 0) return j + 1
+        if (j + 1 + l > bytes.length) return -1
+        j += 1 + l
+      }
+      -1
+    }
+
+    var nFrames = 0L
+    var totalDelay = 0L
+    var maxW = 0L
+    var maxH = 0L
+    var pendingDelay = 0L
+    while (true) {
+      if (i >= bytes.length) return Left("missing_trailer")
+      u8(i) match {
+        case 0x3b =>
+          return Right(GifFrames(sw, sh, nFrames, totalDelay, maxW, maxH))
+        case 0x21 =>
+          if (i + 2 >= bytes.length) return Left("truncated_block")
+          val label = u8(i + 1)
+          if (label == 0xf9) {
+            // GCE: one 4-byte sub-block (packed, LE u16 delay, trans idx)
+            if (u8(i + 2) != 4 || i + 7 >= bytes.length) return Left("bad_gce")
+            pendingDelay = leU16v(i + 4)
+          }
+          val next = skipSubBlocks(i + 2)
+          if (next < 0) return Left("truncated_block")
+          i = next
+        case 0x2c =>
+          if (i + 10 > bytes.length) return Left("truncated_block")
+          val (fw, fh) = (leU16v(i + 5), leU16v(i + 7))
+          val ipacked = u8(i + 9)
+          val lct = if ((ipacked & 0x80) != 0) 3 << ((ipacked & 7) + 1) else 0
+          var j = i + 10 + lct
+          if (j >= bytes.length) return Left("truncated_block")
+          j += 1 // LZW minimum code size byte
+          val next = skipSubBlocks(j)
+          if (next < 0) return Left("truncated_block")
+          nFrames += 1
+          totalDelay += pendingDelay
+          pendingDelay = 0L
+          if (fw > maxW) maxW = fw
+          if (fh > maxH) maxH = fh
+          i = next
+        case _ => return Left("bad_block_intro")
+      }
+    }
+    Left("missing_trailer") // unreachable
+  }
+
+  /** Planted-animation arithmetic — shared by the builder and the
+    * oracle. Delays are centiseconds (the GIF unit).
+    */
+  private[mm] def gifNFrames(docId: Long): Int = (1L + math.floorMod(docId, 7L)).toInt
+  private[mm] def gifDelayCs(docId: Long, f: Int): Long =
+    2L + math.floorMod(docId * 5L + f * 3L, 30L)
+  private[mm] def gifFrameW(docId: Long, f: Int): Long =
+    1L + math.floorMod(docId * 3L + f, 64L)
+  private[mm] def gifFrameH(docId: Long, f: Int): Long =
+    1L + math.floorMod(docId * 11L + f * 5L, 48L)
+
+  private final case class DecodedGif(
+      doc_id: Long, screen_w: Long, screen_h: Long, n_frames: Long,
+      total_delay_cs: Long, max_frame_w: Long, max_frame_h: Long, err: String)
+
+  /** q144: REAL animated-GIF frame enumeration — the "video"
+    * modality's frame walk made real at the container level: each doc
+    * becomes a spec-valid multi-frame GIF89a whose frame count,
+    * per-frame delays, and per-frame dims derive from doc_id
+    * arithmetic; the decoder walks the actual block stream (global
+    * color table by packed-field size, generic extension skipping,
+    * GCE delay capture, per-frame sub-block chains, trailer) and the
+    * DuckDB oracle recomputes every output from the planting
+    * arithmetic alone — a mis-sized color table, a skipped extension
+    * label, or a sub-block length slip fails the hash. Corruption
+    * plants: every 13th doc truncated 2 bytes short (the walker dies
+    * inside the last frame's sub-block chain ⇒ truncated_block),
+    * every 23rd doc's trailer overwritten with a bogus block
+    * introducer (bad_block_intro). Same typed batch seam as the rest
+    * of the family.
+    */
+  def mediaGifFrames(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select("doc_id").as[Long].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { id =>
+          val full = buildGifAnim(
+            plantedWidth(id), plantedHeight(id), gifNFrames(id),
+            f => gifDelayCs(id, f), f => gifFrameW(id, f), f => gifFrameH(id, f),
+            f => (1L + math.floorMod(id + f, 200L)).toInt)
+          val payload =
+            if (math.floorMod(id, 13L) == 0L) full.take(full.length - 2)
+            else if (math.floorMod(id, 23L) == 0L) {
+              val b = full.clone(); b(b.length - 1) = 0x7f.toByte; b
+            } else full
+          parseGifFrames(payload) match {
+            case Right(g) => DecodedGif(id, g.screenW, g.screenH, g.nFrames,
+              g.totalDelayCs, g.maxFrameW, g.maxFrameH, "")
+            case Left(err) => DecodedGif(id, -1L, -1L, -1L, -1L, -1L, -1L, err)
+          }
+        }
+      }
+    }.toDF()
+  }
+
+  /** DuckDB twin of [[mediaGifFrames]]: planting arithmetic over the
+    * frame range — no byte walking. Truncation precedence mirrors the
+    * builder (%13 truncates before %23 can corrupt the trailer).
+    */
+  def sqlMediaGifFrames: String =
+    """WITH gg AS (
+      |  SELECT doc_id,
+      |    1 + (doc_id * 7 + 3) % 512 AS sw,
+      |    1 + (doc_id * 13 + 5) % 512 AS sh,
+      |    1 + doc_id % 7 AS nf
+      |  FROM documents
+      |), gf AS (
+      |  SELECT doc_id, sw, sh, nf, unnest(range(0, nf)) AS f FROM gg
+      |), gs AS (
+      |  SELECT doc_id, sw, sh, nf,
+      |    sum(2 + (doc_id * 5 + f * 3) % 30) AS total_delay,
+      |    max(1 + (doc_id * 3 + f) % 64) AS max_w,
+      |    max(1 + (doc_id * 11 + f * 5) % 48) AS max_h
+      |  FROM gf GROUP BY 1, 2, 3, 4
+      |), gv AS (
+      |  SELECT *, (doc_id % 13 = 0 OR doc_id % 23 = 0) AS bad FROM gs
+      |)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN bad THEN -1 ELSE sw END AS BIGINT) AS screen_w,
+      |  CAST(CASE WHEN bad THEN -1 ELSE sh END AS BIGINT) AS screen_h,
+      |  CAST(CASE WHEN bad THEN -1 ELSE nf END AS BIGINT) AS n_frames,
+      |  CAST(CASE WHEN bad THEN -1 ELSE total_delay END AS BIGINT) AS total_delay_cs,
+      |  CAST(CASE WHEN bad THEN -1 ELSE max_w END AS BIGINT) AS max_frame_w,
+      |  CAST(CASE WHEN bad THEN -1 ELSE max_h END AS BIGINT) AS max_frame_h,
+      |  CASE WHEN doc_id % 13 = 0 THEN 'truncated_block'
+      |       WHEN doc_id % 23 = 0 THEN 'bad_block_intro'
+      |       ELSE '' END AS err
+      |FROM gv""".stripMargin
+
   /** DuckDB twin of [[mediaDecode]]: pure planting arithmetic — no
     * byte parsing, which is the point of the cross-check.
     */

@@ -218,4 +218,143 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.values.exists(_._4 == "truncated_header"), "no truncated plant in corpus")
     assert(rows.values.exists(_._4 == "bad_crc"), "no bad-crc plant in corpus")
   }
+
+  test("parseWav: hand-built literal stream — sign extension, pad byte, LE fields") {
+    import graft.mm.MediaCodec
+    // one channel, 4 Hz, two frames: -32768 and -1 — the two values a
+    // sign-extension or endianness slip mangles first. Only the
+    // decoder runs against these bytes (the symmetric-bug defense).
+    val wav = MediaCodec.buildWav(1, 4L, 2, {
+      case (0, _) => -32768
+      case _ => -1
+    })
+    val info = MediaCodec.parseWav(wav).fold(e => fail(s"parse failed: $e"), identity)
+    assert(info.channels === 1L)
+    assert(info.sampleRateHz === 4L)
+    assert(info.nFrames === 2L)
+    assert(info.durationMs === 500L) // 2 frames / 4 Hz
+    assert(info.sumAbs === 32768L + 1L)
+    assert(info.peakAbs === 32768L)
+    // the builder's JUNK chunk is odd-sized: byte 12.. is "JUNK", size 7 —
+    // the successful parse above PROVES the pad byte was honored (without
+    // it the walk lands mid-chunk and fmt is never found)
+    assert(new String(wav, 12, 4, "US-ASCII") === "JUNK")
+    assert((wav(16) & 0xff) === 7)
+  }
+
+  test("parseWav: total on malformed bytes — every corruption quarantines as a value") {
+    import graft.mm.MediaCodec
+    val good = MediaCodec.buildWav(2, 8000L, 3, (f, c) => f * 2 + c)
+    assert(MediaCodec.parseWav(good.take(9)) === Left("truncated_header"))
+    assert(MediaCodec.parseWav("RIFX1234WAVE".getBytes) === Left("not_riff"))
+    assert(MediaCodec.parseWav("RIFF1234WAVX".getBytes) === Left("not_wave"))
+    // chop the final sample byte: the data chunk's size field now
+    // overruns the payload — the walk must fail loudly, not read junk
+    assert(MediaCodec.parseWav(good.take(good.length - 1)) === Left("truncated_chunk"))
+    assert(MediaCodec.parseWav(
+      MediaCodec.buildWav(1, 8000L, 2, (_, _) => 0, fmtCode = 3)) ===
+      Left("unsupported_encoding"))
+    assert(MediaCodec.parseWav(
+      MediaCodec.buildWav(1, 8000L, 2, (_, _) => 0, includeData = false)) ===
+      Left("missing_data"))
+    // garbage never throws
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { n =>
+      val bytes = Array.fill(n)(rnd.nextInt().toByte)
+      MediaCodec.parseWav(bytes) // must return a value, any value
+    }
+  }
+
+  test("q_media_wav: planted samples come back through the REAL decode") {
+    import graft.mm.MediaCodec
+    val docs = Tables.documents(spark, sf)
+    val out = MediaCodec.mediaWav(docs).cache()
+    assert(out.count() === docs.count(), "one row per document")
+    val rows = out.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getString(7)))).toMap
+    rows.foreach { case (id, (ch, rate, nf, dur, sumAbs, peak, err)) =>
+      if (id % 13 == 0) assert(err === "truncated_header" && ch === -1L, s"doc $id")
+      else if (id % 29 == 0) assert(err === "unsupported_encoding", s"doc $id")
+      else if (id % 31 == 0) assert(err === "missing_data", s"doc $id")
+      else {
+        assert(err === "", s"doc $id unexpectedly quarantined: $err")
+        val (ech, erate, enf) = (1 + id % 2, 8000 + 1000 * (id % 4), 40 + id % 61)
+        assert((ch, rate, nf) === ((ech, erate, enf)), s"doc $id header fields")
+        assert(dur === enf * 1000 / erate, s"doc $id duration")
+        var (esum, epeak) = (0L, 0L)
+        for (f <- 0 until enf.toInt; c <- 0 until ech.toInt) {
+          val a = math.abs(math.floorMod(id * 31 + f * 17 + c * 1009, 65536L) - 32768L)
+          esum += a; if (a > epeak) epeak = a
+        }
+        assert((sumAbs, peak) === ((esum, epeak)), s"doc $id sample stats")
+      }
+    }
+    assert(rows.values.exists(_._7 == "unsupported_encoding"), "no fmt plant in corpus")
+    assert(rows.values.exists(_._7 == "missing_data"), "no missing-data plant in corpus")
+  }
+
+  test("parseGifFrames: hand-built stream with a LOCAL color table and a skipped extension") {
+    import graft.mm.MediaCodec
+    // built byte-by-byte, not via buildGifAnim — only the walker runs
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(Array[Byte](5, 0)) // screen w = 5 (LE)
+    out.write(Array[Byte](3, 0)) // screen h = 3
+    out.write(0x80 | 0x01) // GCT present, size bits 1 => 4 entries, 12 bytes
+    out.write(0); out.write(0)
+    out.write(new Array[Byte](12)) // GCT
+    out.write(0x21); out.write(0xff); out.write(2) // application ext
+    out.write(Array[Byte](1, 2)); out.write(0) // 2-byte sub-block + term
+    out.write(0x21); out.write(0xf9); out.write(4) // GCE, delay 300 cs
+    out.write(0); out.write(Array[Byte](0x2c, 1)); out.write(0); out.write(0)
+    out.write(0x2c) // image descriptor
+    out.write(Array[Byte](0, 0, 0, 0)) // left, top
+    out.write(Array[Byte](7, 0, 2, 0)) // 7 x 2 (LE)
+    out.write(0x80 | 0x02) // LOCAL color table: size bits 2 => 8 entries, 24 bytes
+    out.write(new Array[Byte](24))
+    out.write(3) // LZW min code size
+    out.write(2); out.write(Array[Byte](9, 9)); out.write(0) // one sub-block
+    out.write(0x3b)
+    val g = MediaCodec.parseGifFrames(out.toByteArray)
+      .fold(e => fail(s"parse failed: $e"), identity)
+    assert(g.screenW === 5L && g.screenH === 3L)
+    assert(g.nFrames === 1L)
+    assert(g.totalDelayCs === 0x12c.toLong) // LE 0x2c, 0x01 = 300
+    assert(g.maxFrameW === 7L && g.maxFrameH === 2L)
+  }
+
+  test("q_media_gif_frames: planted animation comes back through the REAL block walk") {
+    import graft.mm.MediaCodec
+    val docs = Tables.documents(spark, sf)
+    val out = MediaCodec.mediaGifFrames(docs).cache()
+    assert(out.count() === docs.count(), "one row per document")
+    val rows = out.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getString(7)))).toMap
+    rows.foreach { case (id, (sw, sh, nf, delay, mw, mh, err)) =>
+      if (id % 13 == 0) assert(err === "truncated_block" && nf === -1L, s"doc $id")
+      else if (id % 23 == 0) assert(err === "bad_block_intro", s"doc $id")
+      else {
+        assert(err === "", s"doc $id unexpectedly quarantined: $err")
+        assert(sw === 1 + (id * 7 + 3) % 512 && sh === 1 + (id * 13 + 5) % 512, s"doc $id screen")
+        val enf = 1 + id % 7
+        assert(nf === enf, s"doc $id frame count")
+        var (edelay, emw, emh) = (0L, 0L, 0L)
+        for (f <- 0 until enf.toInt) {
+          edelay += 2 + (id * 5 + f * 3) % 30
+          emw = math.max(emw, 1 + (id * 3 + f) % 64)
+          emh = math.max(emh, 1 + (id * 11 + f * 5) % 48)
+        }
+        assert((delay, mw, mh) === ((edelay, emw, emh)), s"doc $id frame stats")
+      }
+    }
+    assert(rows.values.exists(_._7 == "truncated_block"), "no truncation plant in corpus")
+    assert(rows.values.exists(_._7 == "bad_block_intro"), "no intro plant in corpus")
+    // garbage never throws
+    val rnd = new scala.util.Random(11)
+    (0 until 200).foreach { n =>
+      MediaCodec.parseGifFrames(Array.fill(n)(rnd.nextInt().toByte))
+    }
+  }
 }
