@@ -139,6 +139,12 @@ object SparkEntry {
     // --- C. Text analysis -------------------------------------------
     "q_token_stats" -> ((s, dir) => Text.tokenStats(Tables.documents(s, dir))),
     "q_text_quality" -> ((s, dir) => Text.quality(Tables.documents(s, dir))),
+    // the NAMED Gopher rule bundle (Rae et al. 2021 A13) next to the
+    // blended score: per-rule verdicts + conjunction, integer-exact.
+    // minStopwords pinned to 1 — this synthetic corpus tops out at one
+    // distinct stop word per doc (round-11 addition)
+    "q_gopher_filter" -> ((s, dir) =>
+      Text.gopherFilter(Tables.documents(s, dir), minStopwords = 1L)),
     "q_text_repetition" -> ((s, dir) => Text.repetition(Tables.documents(s, dir))),
     "q_text_scrub" -> ((s, dir) => Text.scrub(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => Text.langId(Tables.documents(s, dir))),
@@ -727,6 +733,7 @@ object SparkEntry {
         |GROUP BY fw.cohort_week, a.week""".stripMargin,
     "q_token_stats" -> Text.sqlTokenStats,
     "q_text_quality" -> Text.sqlQuality,
+    "q_gopher_filter" -> Text.sqlGopherFilter(minStopwords = 1L),
     "q_text_repetition" -> Text.sqlRepetition,
     "q_text_scrub" -> Text.sqlScrub,
     "q_lang_id" -> Text.sqlLangId,

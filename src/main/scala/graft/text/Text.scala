@@ -128,6 +128,92 @@ object Text {
        |FROM documents""".stripMargin
   }
 
+  /** The Gopher rule-set stop words (Rae et al. 2021, Appendix A13:
+    * "contains at least two of the following English words: the, be,
+    * to, of, and, that, have, with").
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-rule bundle (Rae et al. 2021, Appendix A13) — the
+    * named per-rule FILTER next to #19's blended score: one row per
+    * document with every rule's verdict and the conjunction, so the
+    * curation artifact shows WHICH rule dropped a doc (the published
+    * pipeline discipline: rules are reported individually, tuned
+    * individually).
+    *
+    * Word-level rules (the line-level bullet/ellipsis rules live at a
+    * line seam this corpus doesn't have — documents are single-line by
+    * construction, TESTDATA.md):
+    *   1. word count in [minWords, maxWords]        (published 50..100k)
+    *   2. mean word length in [3, 10] chars         (published values)
+    *   3. symbol-to-word ratio ('#' or '...') ≤ 0.1 (published value)
+    *   4. ≥ 80% of words contain an alphabetic char (published value)
+    *   5. ≥ minStopwords DISTINCT [[gopherStopwords]] present
+    *      (published 2; the query entry pins 1 — this synthetic corpus
+    *      tops out at one distinct stop word per doc, so the published
+    *      cut would degenerate to keep=false corpus-wide)
+    *
+    * Every rule is evaluated in INTEGER arithmetic (3·n ≤ Σlen ≤ 10·n,
+    * 10·symbols ≤ n, 5·alpha ≥ 4·n) so the DuckDB twin is hash-exact
+    * with no float rounding seam. One corpus scan, all expressions
+    * codegen (split + higher-order array functions), no shuffle at
+    * all — the 100 TB shape for a per-doc filter.
+    */
+  def gopherFilter(
+      documents: DataFrame,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minStopwords: Long = 2L): DataFrame = {
+    val toks = col("toks")
+    documents.withColumn("toks", tokens(col("text"))).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      length(concat_ws("", toks)).cast("long").as("sum_word_chars"),
+      size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long").as("n_alpha_words"),
+      size(array_intersect(toks, lit(gopherStopwords.toArray))).cast("long")
+        .as("n_stop_distinct"),
+      size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0))).cast("long")
+        .as("n_symbols"))
+      .select(
+        col("*"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords).as("ok_word_count"),
+        (col("sum_word_chars") >= col("n_words") * 3L &&
+          col("sum_word_chars") <= col("n_words") * 10L).as("ok_mean_word_len"),
+        (col("n_symbols") * 10L <= col("n_words")).as("ok_symbol_ratio"),
+        (col("n_alpha_words") * 5L >= col("n_words") * 4L).as("ok_alpha_words"),
+        (col("n_stop_distinct") >= minStopwords).as("ok_stopwords"))
+      .withColumn("keep",
+        col("ok_word_count") && col("ok_mean_word_len") && col("ok_symbol_ratio") &&
+          col("ok_alpha_words") && col("ok_stopwords"))
+  }
+
+  def sqlGopherFilter(
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minStopwords: Long = 2L): String = {
+    val toks = sqlTokens("text")
+    s"""WITH gt AS (
+       |  SELECT doc_id,
+       |    CAST(len($toks) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_sum(list_transform($toks, t -> len(t))), 0) AS BIGINT) AS sum_word_chars,
+       |    CAST(len(list_filter($toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+       |    CAST(len(list_intersect($toks, ${sqlList(gopherStopwords)})) AS BIGINT) AS n_stop_distinct,
+       |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_symbols
+       |  FROM documents
+       |), gr AS (
+       |  SELECT *,
+       |    (n_words >= $minWords AND n_words <= $maxWords) AS ok_word_count,
+       |    (sum_word_chars >= n_words * 3 AND sum_word_chars <= n_words * 10) AS ok_mean_word_len,
+       |    (n_symbols * 10 <= n_words) AS ok_symbol_ratio,
+       |    (n_alpha_words * 5 >= n_words * 4) AS ok_alpha_words,
+       |    (n_stop_distinct >= $minStopwords) AS ok_stopwords
+       |  FROM gt
+       |)
+       |SELECT *,
+       |  (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+       |   AND ok_alpha_words AND ok_stopwords) AS keep
+       |FROM gr""".stripMargin
+  }
+
   /** Stopword-hit language ID: hit counts per language's marker set,
     * argmax with a fixed tie-break order. A cheap n-gram-free heuristic
     * that is exactly reproducible in SQL (real systems plug a model in

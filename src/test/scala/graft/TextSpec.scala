@@ -93,4 +93,49 @@ class TextSpec extends SparkSpec {
     val correct = m.filter(_.getLong(4) == 1L).map(_.getLong(2)).sum
     assert(correct.toDouble / corpus.count() > 0.2)
   }
+
+  test("gopherFilter: each planted doc fails exactly its one rule") {
+    // a healthy base text that passes every rule at minWords=5
+    val good = "the quick brown jumps over seven lazy dogs today"
+    val plants = docs(
+      1L -> good,                                      // passes all
+      2L -> "too short",                               // word count (< 5)
+      3L -> "aa bb cc dd ee ff gg hh the ok",          // mean len < 3
+      // '#'s INSIDE an alphabetic word: symbol ratio fails (3 > 10/10)
+      // while mean length and the alpha-word fraction stay healthy
+      4L -> (good + " a#b#c#d"),
+      5L -> "the 111 222 333 444 555 666 777 888 999", // alpha words < 80%
+      6L -> "quick brown foxes jump over seven lazy dogs")// zero stop words
+    val out = Text.gopherFilter(plants, minWords = 5L, minStopwords = 1L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9), r.getBoolean(10), r.getBoolean(11)))).toMap
+    assert(out(1L) === ((true, true, true, true, true, true)))
+    assert(out(2L) === ((false, true, true, true, false, false)), "short doc: word count (and no stopword)")
+    assert(out(3L) === ((true, false, true, true, true, false)), "mean word length")
+    assert(out(4L) === ((true, true, false, true, true, false)), "symbol ratio")
+    assert(out(5L) === ((true, true, true, false, true, false)), "alpha words")
+    assert(out(6L) === ((true, true, true, true, false, false)), "stop words")
+  }
+
+  test("gopherFilter: integer rule forms match a float recomputation on the corpus") {
+    val corpus = Tables.documents(spark, sf)
+    val out = Text.gopherFilter(corpus, minWords = 50L, minStopwords = 1L).collect()
+    assert(out.length === corpus.count())
+    out.foreach { r =>
+      val (n, sumChars, alphaW, stopD, sym) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val mean = if (n == 0) 0.0 else sumChars.toDouble / n
+      assert(r.getBoolean(6) === (n >= 50L && n <= 100000L))
+      assert(r.getBoolean(7) === (mean >= 3.0 && mean <= 10.0 || n == 0L))
+      assert(r.getBoolean(8) === (sym.toDouble / math.max(n, 1) <= 0.1 || n == 0L && sym == 0L))
+      assert(r.getBoolean(9) === (alphaW.toDouble / math.max(n, 1) >= 0.8 || n == 0L))
+      assert(r.getBoolean(10) === (stopD >= 1L))
+      assert(r.getBoolean(11) === (r.getBoolean(6) && r.getBoolean(7) &&
+        r.getBoolean(8) && r.getBoolean(9) && r.getBoolean(10)))
+    }
+    // the published 50-word floor discriminates on this corpus
+    val kept = out.count(_.getBoolean(11))
+    assert(kept > 0 && kept < out.length, s"degenerate verdict: $kept/${out.length}")
+  }
 }
