@@ -145,6 +145,15 @@ object SparkEntry {
     // distinct stop word per doc (round-11 addition)
     "q_gopher_filter" -> ((s, dir) =>
       Text.gopherFilter(Tables.documents(s, dir), minStopwords = 1L)),
+    // the NAMED C4 rule bundle (Raffel et al. 2020 §2.2) — the other
+    // canonical published filter, same per-rule verdict discipline.
+    // Terminal-punct/sentence rules computed but not enforced (this
+    // corpus ships zero sentence punctuation by construction); the
+    // blocklist seam pinned to a corpus-present stand-in so the
+    // verdict is non-degenerate (round-11 addition)
+    "q_c4_filter" -> ((s, dir) =>
+      Text.c4Filter(Tables.documents(s, dir), blocklist = Seq("slow"),
+        enforceTerminal = false, enforceSentences = false)),
     "q_text_repetition" -> ((s, dir) => Text.repetition(Tables.documents(s, dir))),
     "q_text_scrub" -> ((s, dir) => Text.scrub(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => Text.langId(Tables.documents(s, dir))),
@@ -734,6 +743,8 @@ object SparkEntry {
     "q_token_stats" -> Text.sqlTokenStats,
     "q_text_quality" -> Text.sqlQuality,
     "q_gopher_filter" -> Text.sqlGopherFilter(minStopwords = 1L),
+    "q_c4_filter" -> Text.sqlC4Filter(blocklist = Seq("slow"),
+      enforceTerminal = false, enforceSentences = false),
     "q_text_repetition" -> Text.sqlRepetition,
     "q_text_scrub" -> Text.sqlScrub,
     "q_lang_id" -> Text.sqlLangId,

@@ -214,6 +214,107 @@ object Text {
        |FROM gr""".stripMargin
   }
 
+  /** C4 quality-rule bundle (Raffel et al. 2020 §2.2; per-rule
+    * provenance documented by Dodge et al. 2021) — the OTHER canonical
+    * named filter next to [[gopherFilter]], with the same per-rule
+    * verdict discipline: one row per document, every rule's verdict
+    * plus the conjunction, so the curation artifact shows WHICH rule
+    * dropped a doc.
+    *
+    * C4's rules are line- and page-level; this corpus is single-line
+    * by construction (TESTDATA.md) so line==doc==page and every rule
+    * lands at the one seam:
+    *   1. ≥ minWords words               (published: 5 per line)
+    *   2. ends in terminal punctuation   (published: `.` `!` `?` `"`)
+    *   3. ≥ minSentences sentences       (published: 3 per page;
+    *      counted as sentence-terminal marks)
+    *   4. no curly brace                 (the code screen)
+    *   5. no "lorem ipsum"               (placeholder-text screen)
+    *   6. no "javascript" word           (cookie/JS-boilerplate screen)
+    *   7. no blocklist word              (the published list is the
+    *      LDNOOBW "bad words" list — shipped here as a parameterized
+    *      seam; the list itself is data, not code)
+    *
+    * Rules 2 and 3 read punctuation this synthetic corpus does not
+    * contain (zero `.`/`!`/`?` corpus-wide) — enforcing them would
+    * degenerate keep to false on every row, so the query entry pins
+    * `enforceTerminal = enforceSentences = false`: the verdict columns
+    * are still computed and emitted (a real corpus flips the flags
+    * back on), they just don't gate `keep` here. The remaining rules
+    * are exact string/array predicates ⇒ the DuckDB twin is hash-exact
+    * with no float seam. One corpus scan, all codegen expressions,
+    * shuffle-free — the 100 TB shape for a per-doc filter.
+    */
+  def c4Filter(
+      documents: DataFrame,
+      minWords: Long = 5L, minSentences: Long = 3L,
+      blocklist: Seq[String] = Seq.empty,
+      enforceTerminal: Boolean = true,
+      enforceSentences: Boolean = true): DataFrame = {
+    val low = col("low_toks")
+    val base = documents
+      .withColumn("low_toks", tokens(lower(col("text"))))
+      .select(
+        col("doc_id"),
+        size(col("low_toks")).cast("long").as("n_words"),
+        size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0))).cast("long")
+          .as("n_sentences"),
+        col("text").rlike("[.!?\"]$").as("ok_terminal_punct"),
+        (!col("text").contains("{")).as("ok_no_brace"),
+        (!lower(col("text")).contains("lorem ipsum")).as("ok_no_lorem"),
+        (!array_contains(low, "javascript")).as("ok_no_javascript"),
+        (if (blocklist.isEmpty) lit(true)
+         else size(array_intersect(low, lit(blocklist.toArray))) === 0)
+          .as("ok_no_badwords"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_sentences"),
+        (col("n_words") >= minWords).as("ok_min_words"),
+        col("ok_terminal_punct"),
+        (col("n_sentences") >= minSentences).as("ok_min_sentences"),
+        col("ok_no_brace"), col("ok_no_lorem"), col("ok_no_javascript"),
+        col("ok_no_badwords"))
+    base.withColumn("keep",
+      col("ok_min_words") && col("ok_no_brace") && col("ok_no_lorem") &&
+        col("ok_no_javascript") && col("ok_no_badwords") &&
+        (if (enforceTerminal) col("ok_terminal_punct") else lit(true)) &&
+        (if (enforceSentences) col("ok_min_sentences") else lit(true)))
+  }
+
+  def sqlC4Filter(
+      minWords: Long = 5L, minSentences: Long = 3L,
+      blocklist: Seq[String] = Seq.empty,
+      enforceTerminal: Boolean = true,
+      enforceSentences: Boolean = true): String = {
+    val low = sqlTokens("lower(text)")
+    val badw =
+      if (blocklist.isEmpty) "TRUE"
+      else s"len(list_intersect($low, ${sqlList(blocklist)})) = 0"
+    val term = if (enforceTerminal) " AND ok_terminal_punct" else ""
+    val sent = if (enforceSentences) " AND ok_min_sentences" else ""
+    s"""WITH ct AS (
+       |  SELECT doc_id,
+       |    CAST(len($low) AS BIGINT) AS n_words,
+       |    CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentences,
+       |    regexp_matches(text, '[.!?"]$$') AS ok_terminal_punct,
+       |    NOT contains(text, '{') AS ok_no_brace,
+       |    NOT contains(lower(text), 'lorem ipsum') AS ok_no_lorem,
+       |    NOT list_contains($low, 'javascript') AS ok_no_javascript,
+       |    $badw AS ok_no_badwords
+       |  FROM documents
+       |), cr AS (
+       |  SELECT doc_id, n_words, n_sentences,
+       |    (n_words >= $minWords) AS ok_min_words,
+       |    ok_terminal_punct,
+       |    (n_sentences >= $minSentences) AS ok_min_sentences,
+       |    ok_no_brace, ok_no_lorem, ok_no_javascript, ok_no_badwords
+       |  FROM ct
+       |)
+       |SELECT *,
+       |  (ok_min_words AND ok_no_brace AND ok_no_lorem
+       |   AND ok_no_javascript AND ok_no_badwords$term$sent) AS keep
+       |FROM cr""".stripMargin
+  }
+
   /** Stopword-hit language ID: hit counts per language's marker set,
     * argmax with a fixed tie-break order. A cheap n-gram-free heuristic
     * that is exactly reproducible in SQL (real systems plug a model in

@@ -118,6 +118,53 @@ class TextSpec extends SparkSpec {
     assert(out(6L) === ((true, true, true, true, false, false)), "stop words")
   }
 
+  test("c4Filter: each planted doc fails exactly its one rule") {
+    val good = "the quick brown fox jumps over the lazy dog today."
+    val plants = docs(
+      1L -> good,                                       // passes all
+      2L -> "too few.",                                 // < 5 words
+      3L -> (good + " and then some"),                  // no terminal punct
+      4L -> (good + " with a brace { inside."),         // curly brace
+      5L -> (good + " Lorem Ipsum dolor sit amet."),    // lorem ipsum (case-insens)
+      6L -> (good + " enable JavaScript to continue."), // javascript word
+      7L -> (good + " badword here."))                  // blocklist hit
+    val out = Text.c4Filter(plants, minWords = 5L, minSentences = 1L,
+      blocklist = Seq("badword"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = {
+      val r = out(id)
+      (r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6),
+        r.getBoolean(7), r.getBoolean(8), r.getBoolean(9), r.getBoolean(10))
+    }
+    assert(flags(1L) === ((true, true, true, true, true, true, true, true)))
+    assert(flags(2L) === ((false, true, true, true, true, true, true, false)), "min words")
+    assert(flags(3L) === ((true, false, true, true, true, true, true, false)), "terminal punct")
+    assert(flags(4L) === ((true, true, true, false, true, true, true, false)), "brace")
+    assert(flags(5L) === ((true, true, true, true, false, true, true, false)), "lorem ipsum")
+    assert(flags(6L) === ((true, true, true, true, true, false, true, false)), "javascript")
+    assert(flags(7L) === ((true, true, true, true, true, true, false, false)), "blocklist")
+    // sentence counting: marks, not segments — "a. b! c?" has 3
+    val s = Text.c4Filter(docs(8L -> "one two three four five. six! seven?"),
+      minSentences = 3L).head()
+    assert(s.getLong(2) === 3L && s.getBoolean(5))
+  }
+
+  test("c4Filter: unenforced punctuation rules don't gate keep; corpus verdict non-degenerate") {
+    val corpus = Tables.documents(spark, sf)
+    val out = Text.c4Filter(corpus, blocklist = Seq("slow"),
+      enforceTerminal = false, enforceSentences = false).collect()
+    assert(out.length === corpus.count())
+    out.foreach { r =>
+      // this corpus ships zero sentence punctuation — the computed (but
+      // unenforced) rules read false corpus-wide, and keep ignores them
+      assert(!r.getBoolean(4) && r.getLong(2) === 0L && !r.getBoolean(5))
+      assert(r.getBoolean(10) === (r.getBoolean(3) && r.getBoolean(6) &&
+        r.getBoolean(7) && r.getBoolean(8) && r.getBoolean(9)))
+    }
+    val kept = out.count(_.getBoolean(10))
+    assert(kept > 0 && kept < out.length, s"degenerate verdict: $kept/${out.length}")
+  }
+
   test("gopherFilter: integer rule forms match a float recomputation on the corpus") {
     val corpus = Tables.documents(spark, sf)
     val out = Text.gopherFilter(corpus, minWords = 50L, minStopwords = 1L).collect()
