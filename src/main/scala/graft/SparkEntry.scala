@@ -156,6 +156,13 @@ object SparkEntry {
         enforceTerminal = false, enforceSentences = false)),
     "q_text_repetition" -> ((s, dir) => Text.repetition(Tables.documents(s, dir))),
     "q_text_scrub" -> ((s, dir) => Text.scrub(Tables.documents(s, dir))),
+    // PII screen: planted-from-arithmetic emails/phones/IPv4/Luhn
+    // cards (the MediaCodec planting discipline — this corpus ships
+    // zero PII), detected and validated FOR REAL: octet bounds + a
+    // fully-unrolled Luhn mod-10; conservative redaction (every
+    // candidate scrubbed), counts report what validated (round-11
+    // addition)
+    "q_pii_scrub" -> ((s, dir) => text.Pii.piiScrub(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => Text.langId(Tables.documents(s, dir))),
     // language-ID confusion matrix vs the declared ground truth
     // (round-5 addition)
@@ -747,6 +754,7 @@ object SparkEntry {
       enforceTerminal = false, enforceSentences = false),
     "q_text_repetition" -> Text.sqlRepetition,
     "q_text_scrub" -> Text.sqlScrub,
+    "q_pii_scrub" -> text.Pii.sqlPiiScrub,
     "q_lang_id" -> Text.sqlLangId,
     "q_langid_eval" -> Text.sqlLangIdEval,
     "q_tfidf" -> text.Search.sqlTfidfTop(),
