@@ -400,6 +400,16 @@ object SparkEntry {
     // chains, trailer) over planted multi-frame files (round-11
     // addition)
     "q_media_gif_frames" -> ((s, dir) => graft.mm.MediaCodec.mediaGifFrames(Tables.documents(s, dir))),
+    // perceptual hash (dHash) from a REAL PNG pixel decode: four
+    // 16-bit hash bands per image, oracle recomputes from planting
+    // arithmetic — the image fingerprint feeding near-dup image
+    // dedup (round-11 addition)
+    "q_image_phash" -> ((s, dir) => graft.mm.MediaCodec.imagePhash(Tables.documents(s, dir))),
+    // near-dup IMAGE pairs: banded Hamming join over the dHash — the
+    // SimHash discipline on the decoded-pixel modality; brightness
+    // variants hash equal, local edits land within tau=2 bits
+    // (round-11 addition)
+    "q_image_dedup" -> ((s, dir) => graft.mm.MediaCodec.imageDedup(Tables.documents(s, dir))),
     // --- G. Streaming (batch-equivalent form; the readStream path is
     // exercised in ScalaTest with a memory sink) ---------------------
     "q_stream_hourly" -> ((s, dir) => Events.hourlyAgg(Tables.events(s, dir))),
@@ -806,6 +816,8 @@ object SparkEntry {
     "q_media_pixels" -> graft.mm.MediaCodec.sqlMediaPixels,
     "q_media_wav" -> graft.mm.MediaCodec.sqlMediaWav,
     "q_media_gif_frames" -> graft.mm.MediaCodec.sqlMediaGifFrames,
+    "q_image_phash" -> graft.mm.MediaCodec.sqlImagePhash,
+    "q_image_dedup" -> graft.mm.MediaCodec.sqlImageDedup(),
     "q_stream_hourly" -> Events.sqlHourlyAgg,
     "q_partition_prune" -> graft.sources.Partitioned.sqlDailyPruned(),
     "q_compacted_read" -> graft.sources.Compact.sqlCompactedRollup,

@@ -838,6 +838,227 @@ object MediaCodec {
       |       ELSE '' END AS err
       |FROM gv""".stripMargin
 
+  // ------------------------------------------------ perceptual hash (dHash)
+
+  /** Planted-image arithmetic for the PERCEPTUAL-HASH family — the
+    * near-dup structure the planting deliberately creates: images are
+    * keyed by GROUP `doc_id % 16` (16 distinct base pictures) with a
+    * per-doc VARIANT `(doc_id / 16) % 3`:
+    *
+    *   v0: the base picture
+    *   v1: the base +7 on every channel (a re-encode/brightness shift
+    *       — different bytes, same picture; dHash is gradient-based
+    *       so the hash is IDENTICAL by construction)
+    *   v2: one 4×4 block brightened by +64 (a local edit — flips at
+    *       most the 2 dHash bits whose comparisons touch that block)
+    *
+    * Base channels are bounded < 160 so neither perturbation can
+    * clamp (160+64+7 < 256 even stacked — they never stack, but the
+    * margin is the proof).
+    */
+  private[graft] val phashW = 36 // 9 block columns × 4 px
+  private[graft] val phashH = 32 // 8 block rows    × 4 px
+  private[graft] def phashPixelAt(docId: Long, x: Int, y: Int): (Int, Int, Int) = {
+    val g = math.floorMod(docId, 16L)
+    val v = math.floorMod(docId / 16L, 3L)
+    val add =
+      if (v == 1L) 7
+      else if (v == 2L && x / 4 == (g % 9L).toInt && y / 4 == (g % 8L).toInt) 64
+      else 0
+    (math.floorMod(x * 7L + y * 13L + g * 31L, 160L).toInt + add,
+      math.floorMod(x * 3L + y * 5L + g * 17L, 160L).toInt + add,
+      math.floorMod(x + y + g * 11L, 160L).toInt + add)
+  }
+
+  /** dHash over decoded RGB bytes: 9×8 grid of 4×4-block gray sums
+    * (gray = r+g+b — block sizes are equal so sums ARE means up to the
+    * constant, and integer sums keep both engines exact), bit k=i·8+j
+    * set iff S(j+1,i) > S(j,i), packed as FOUR 16-bit bands (the
+    * SimHash banding unit, and it sidesteps 1<<63 sign traps in both
+    * engines). Exposed for the spec's driver-side recomputation.
+    */
+  private[graft] def dhashBands(raw: Array[Byte], w: Int, h: Int): Array[Long] = {
+    val s = Array.ofDim[Long](9, 8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        s(x / 4)(y / 4) += (raw(o) & 0xff) + (raw(o + 1) & 0xff) + (raw(o + 2) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val bands = Array.fill(4)(0L)
+    var i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        if (s(j + 1)(i) > s(j)(i)) {
+          val k = i * 8 + j
+          bands(k / 16) |= 1L << (k % 16)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    bands
+  }
+
+  private final case class PhashRow(
+      doc_id: Long, width: Long, height: Long,
+      b0: Long, b1: Long, b2: Long, b3: Long, err: String)
+
+  /** q148: perceptual hash (dHash) from a REAL PNG decode — the image
+    * fingerprint feeding near-dup image dedup (the pHash/dHash family
+    * every multimodal curation pipeline runs; Krawetz's difference
+    * hash): each doc's planted PNG (rows cycling all five PNG filter
+    * types) is zlib-inflated, unfiltered, block-summed, and packed to
+    * four 16-bit hash bands. The DuckDB oracle recomputes the bands
+    * from the planting arithmetic alone — hash-exact proof the bits
+    * came from actual decoded bytes. Every 19th doc ships without its
+    * IDAT and must quarantine (the family's corruption discipline).
+    * Scale shape: typed mapPartitions batch seam, scan-side, zero
+    * shuffles — hashing is embarrassingly parallel; all join work
+    * lives in [[imageDedup]].
+    */
+  def imagePhash(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select("doc_id").as[Long].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { id =>
+          val payload =
+            if (math.floorMod(id, 19L) == 0L) buildPng(phashW.toLong, phashH.toLong)
+            else buildPngPixels(phashW, phashH,
+              (x, y) => phashPixelAt(id, x, y), y => (id + y).toInt)
+          decodePixels(payload) match {
+            case Right((dw, dh, raw)) =>
+              val b = dhashBands(raw, dw, dh)
+              PhashRow(id, dw.toLong, dh.toLong, b(0), b(1), b(2), b(3), "")
+            case Left(err) => PhashRow(id, -1L, -1L, -1L, -1L, -1L, -1L, err)
+          }
+        }
+      }
+    }.toDF()
+  }
+
+  /** The phash-bands CTE chain shared by both oracles: planting
+    * arithmetic → per-block gray sums → dHash bits → four 16-bit
+    * bands, ending in a `ph(doc_id, b0..b3)` relation over the
+    * NON-quarantined docs plus a `phq` view that mirrors the
+    * quarantine override.
+    */
+  private def sqlPhashCtes: String =
+    s"""ig AS (
+       |  SELECT doc_id, doc_id % 16 AS g, (doc_id // 16) % 3 AS v FROM documents
+       |), ipx AS (
+       |  SELECT doc_id, g, v, unnest(range(0, $phashW)) AS x FROM ig
+       |), ipxy AS (
+       |  SELECT doc_id, g, v, x, unnest(range(0, $phashH)) AS y FROM ipx
+       |), igr AS (
+       |  SELECT doc_id, x // 4 AS bx, y // 4 AS by,
+       |    ((x * 7 + y * 13 + g * 31) % 160) + ((x * 3 + y * 5 + g * 17) % 160)
+       |      + ((x + y + g * 11) % 160)
+       |      + 3 * (CASE WHEN v = 1 THEN 7
+       |                  WHEN v = 2 AND x // 4 = g % 9 AND y // 4 = g % 8 THEN 64
+       |                  ELSE 0 END) AS gray
+       |  FROM ipxy
+       |), ibs AS MATERIALIZED (
+       |  SELECT doc_id, bx, by, sum(gray) AS s FROM igr GROUP BY 1, 2, 3
+       |), ibits AS (
+       |  SELECT a.doc_id, a.by AS i, a.bx AS j,
+       |    CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+       |  FROM ibs a JOIN ibs b ON b.doc_id = a.doc_id AND b.by = a.by AND b.bx = a.bx + 1
+       |  WHERE a.bx < 8
+       |), ibands AS (
+       |  SELECT doc_id, i // 2 AS band,
+       |    CAST(sum(bit * (CAST(1 AS BIGINT) << ((i % 2) * 8 + j))) AS BIGINT) AS val
+       |  FROM ibits GROUP BY 1, 2
+       |), ph AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    max(CASE WHEN band = 0 THEN val END) AS b0,
+       |    max(CASE WHEN band = 1 THEN val END) AS b1,
+       |    max(CASE WHEN band = 2 THEN val END) AS b2,
+       |    max(CASE WHEN band = 3 THEN val END) AS b3
+       |  FROM ibands GROUP BY 1
+       |)""".stripMargin
+
+  /** DuckDB twin of [[imagePhash]]: the planting arithmetic pushed
+    * through the same block-sum/compare/pack pipeline — zero byte
+    * decoding, which is the point.
+    */
+  def sqlImagePhash: String =
+    s"""WITH $sqlPhashCtes
+       |SELECT doc_id,
+       |  CAST(CASE WHEN doc_id % 19 = 0 THEN -1 ELSE $phashW END AS BIGINT) AS width,
+       |  CAST(CASE WHEN doc_id % 19 = 0 THEN -1 ELSE $phashH END AS BIGINT) AS height,
+       |  CAST(CASE WHEN doc_id % 19 = 0 THEN -1 ELSE b0 END AS BIGINT) AS b0,
+       |  CAST(CASE WHEN doc_id % 19 = 0 THEN -1 ELSE b1 END AS BIGINT) AS b1,
+       |  CAST(CASE WHEN doc_id % 19 = 0 THEN -1 ELSE b2 END AS BIGINT) AS b2,
+       |  CAST(CASE WHEN doc_id % 19 = 0 THEN -1 ELSE b3 END AS BIGINT) AS b3,
+       |  CASE WHEN doc_id % 19 = 0 THEN 'missing_idat' ELSE '' END AS err
+       |FROM ph""".stripMargin
+
+  /** q149: near-duplicate IMAGE pairs via banded Hamming join over
+    * the dHash — the SimHash discipline applied to the decoded-pixel
+    * modality (the near-dup screen lexical dedup is blind to: two
+    * re-encodes of one picture share no bytes and no text): hashes
+    * split into their four 16-bit bands, candidates = pairs sharing
+    * ANY band value (one (band, value) equi-join shuffle — with ≤ tau
+    * = 2 flipped bits at least two bands are intact, so every true
+    * pair IS a candidate by pigeonhole), verified by the exact
+    * Hamming distance (bit_count over per-band XOR — never a 64-bit
+    * shift). Quarantined docs are excluded; pairs are emitted once
+    * (a < b, distinct before the verify so multi-band collisions
+    * don't double-count). The hash frame is localCheckpoint'd —
+    * one decode pass feeds both sides of the self-join.
+    */
+  def imageDedup(documents: DataFrame, tau: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ph = imagePhash(documents).filter(col("err") === "")
+      .select("doc_id", "b0", "b1", "b2", "b3").localCheckpoint()
+    val ub = ph.select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+      explode(array((0 to 3).map(i =>
+        struct(lit(i).as("bi"), col(s"b$i").as("bv"))): _*)).as("band"))
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("band.bi").as("bi"), col("band.bv").as("bv"))
+    val l = ub.toDF("a", "a0", "a1", "a2", "a3", "bi", "bv")
+    val r = ub.toDF("b", "c0", "c1", "c2", "c3", "bi", "bv")
+    val cands = l.join(r, Seq("bi", "bv")).filter(col("a") < col("b"))
+      .select("a", "b", "a0", "a1", "a2", "a3", "c0", "c1", "c2", "c3")
+      .distinct()
+    val hamming = (0 to 3).map(i =>
+      bit_count(col(s"a$i").bitwiseXOR(col(s"c$i")))).reduce(_ + _).cast("long")
+    cands.select(col("a"), col("b"), hamming.as("hamming"))
+      .filter(col("hamming") <= tau)
+  }
+
+  /** DuckDB twin of [[imageDedup]]: the [[sqlPhashCtes]] bands pushed
+    * through the same band-unpivot / equi-join / exact-Hamming verify.
+    */
+  def sqlImageDedup(tau: Int = 2): String =
+    s"""WITH $sqlPhashCtes, iub AS (
+       |  SELECT doc_id, b0, b1, b2, b3, 0 AS bi, b0 AS bv FROM ph WHERE doc_id % 19 <> 0
+       |  UNION ALL
+       |  SELECT doc_id, b0, b1, b2, b3, 1, b1 FROM ph WHERE doc_id % 19 <> 0
+       |  UNION ALL
+       |  SELECT doc_id, b0, b1, b2, b3, 2, b2 FROM ph WHERE doc_id % 19 <> 0
+       |  UNION ALL
+       |  SELECT doc_id, b0, b1, b2, b3, 3, b3 FROM ph WHERE doc_id % 19 <> 0
+       |), icand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       |    l.b0 AS a0, l.b1 AS a1, l.b2 AS a2, l.b3 AS a3,
+       |    r.b0 AS c0, r.b1 AS c1, r.b2 AS c2, r.b3 AS c3
+       |  FROM iub l JOIN iub r ON l.bi = r.bi AND l.bv = r.bv AND l.doc_id < r.doc_id
+       |)
+       |SELECT a, b,
+       |  CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+       |     + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS BIGINT) AS hamming
+       |FROM icand
+       |WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+       |    + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) <= $tau""".stripMargin
+
   /** DuckDB twin of [[mediaDecode]]: pure planting arithmetic — no
     * byte parsing, which is the point of the cross-check.
     */

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.mm.MediaCodec
+
+class PhashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(ids: Long*) = ids.toSeq.toDF("doc_id")
+
+  /** Expected bands straight from the planting arithmetic — no PNG
+    * encode/decode in the loop (what the REAL decode must recover).
+    */
+  private def plantedBands(id: Long): Array[Long] = {
+    val raw = Array.ofDim[Byte](MediaCodec.phashH * MediaCodec.phashW * 3)
+    for (y <- 0 until MediaCodec.phashH; x <- 0 until MediaCodec.phashW) {
+      val (r, g, b) = MediaCodec.phashPixelAt(id, x, y)
+      val o = (y * MediaCodec.phashW + x) * 3
+      raw(o) = r.toByte; raw(o + 1) = g.toByte; raw(o + 2) = b.toByte
+    }
+    MediaCodec.dhashBands(raw, MediaCodec.phashW, MediaCodec.phashH)
+  }
+
+  private def hamming(a: Array[Long], b: Array[Long]): Int =
+    a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+
+  test("imagePhash: real decode recovers the planted-arithmetic bands; quarantine fires") {
+    val ids = Seq(1L, 17L, 33L, 19L, 5L, 40L)
+    val out = MediaCodec.imagePhash(docs(ids: _*))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    ids.filter(_ % 19 != 0).foreach { id =>
+      val r = out(id)
+      assert(r.getString(7) === "")
+      assert(r.getLong(1) === 36L && r.getLong(2) === 32L)
+      val expect = plantedBands(id)
+      assert(Seq(r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)) ===
+        expect.toSeq, s"doc $id bands")
+      // bands are 16-bit values by construction
+      expect.foreach(b => assert(b >= 0L && b <= 0xffffL))
+    }
+    val q = out(19L)
+    assert(q.getString(7) === "missing_idat" && q.getLong(3) === -1L)
+  }
+
+  test("dHash invariances: brightness shift hashes EQUAL, one-block edit within 2 bits") {
+    // group g=1: id 1 (v0 base), 17 (v1 brightness), 33 (v2 block edit)
+    val base = plantedBands(1L)
+    assert(plantedBands(17L).toSeq === base.toSeq,
+      "uniform brightness adds the same constant to every block sum — gradients unchanged")
+    val edited = plantedBands(33L)
+    assert(hamming(base, edited) <= 2, "a 4x4-block edit touches at most 2 comparisons")
+    // different groups are different pictures: far apart in hash space
+    assert(hamming(plantedBands(1L), plantedBands(2L)) > 2)
+  }
+
+  test("imageDedup: planted variant pairs recovered, quarantined docs excluded, a<b once") {
+    // two full groups (g=1, g=2) across all three variants + a quarantined id
+    val out = MediaCodec.imageDedup(docs(1L, 17L, 33L, 2L, 18L, 34L, 19L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = out.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((1L, 17L)), "brightness pair")
+    assert(out.find(t => t._1 == 1L && t._2 == 17L).get._3 === 0L)
+    assert(pairs.contains((1L, 33L)) && pairs.contains((17L, 33L)), "block-edit pairs")
+    assert(pairs.contains((2L, 18L)) && pairs.contains((2L, 34L)))
+    assert(!out.exists(t => t._1 == 19L || t._2 == 19L), "quarantined never pairs")
+    assert(out.forall(t => t._1 < t._2))
+    assert(out.map(t => (t._1, t._2)).distinct.length === out.length, "pairs emitted once")
+    // cross-group: nothing within tau by planting
+    assert(!pairs.exists { case (a, b) => a % 16L != b % 16L })
+  }
+
+  test("imageDedup on the corpus: every same-group variant pair is present") {
+    val corpus = Tables.documents(spark, sf).select("doc_id")
+    val ids = corpus.as[Long].collect().filter(_ % 19 != 0)
+    val expected = ids.groupBy(_ % 16).values.flatMap { grp =>
+      for {
+        a <- grp.toSeq; b <- grp.toSeq if a < b
+        // same picture family: variants of one group with hamming <= 2
+        if hamming(plantedBands(a), plantedBands(b)) <= 2
+      } yield (a, b)
+    }.toSet
+    val got = MediaCodec.imageDedup(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(got),
+      s"missing ${(expected -- got).take(5)} of ${expected.size}")
+  }
+}
