@@ -294,6 +294,12 @@ object SparkEntry {
     // re-score => precision 1, recall-gated in DedupSpec); approximate
     // recall => rows-only driver gate
     "q_dedup_embedding_lsh" -> ((s, dir) => Dedup.embeddingPairsLsh(Tables.embeddings(s, dir))),
+    // SemDeDup (Abbas et al. 2023): k-means-cluster-scoped semantic
+    // dedup keeping the LOWEST-centroid-cosine member per duplicate
+    // group — serves from the SAME trained k-means index as
+    // q_ann_ivf_kmeans; model-dependent ⇒ rows-only, SemDedupSpec
+    // gates (round-11 addition)
+    "q_semdedup" -> ((s, dir) => Dedup.semDedup(Tables.embeddings(s, dir))),
     // SemDeDup-style composition: embedding pair graph -> connected
     // components -> highest-quality document survivor per semantic
     // cluster. Brute pair graph here (oracle-checked vs the recursive

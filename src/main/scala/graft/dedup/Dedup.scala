@@ -1355,6 +1355,76 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // q150: SemDeDup — cluster-scoped semantic dedup (Abbas et al. 2023)
+  // ------------------------------------------------------------------
+
+  /** SemDeDup (Abbas et al. 2023): the PUBLISHED recipe for semantic
+    * dedup at pretraining scale — k-means-cluster the embeddings, find
+    * duplicate groups ONLY within each cluster (the paper's answer to
+    * the all-pairs blowup: the quadratic is bounded by the cell, and
+    * nCells grows with the corpus so cell size stays bounded), then
+    * keep per duplicate group the item with the LOWEST cosine to its
+    * cluster centroid (the paper's diversity-preserving survivor rule
+    * — the opposite instinct to quality-keeps-best, which is why it's
+    * worth having both this and [[embedDedupBest]]).
+    *
+    * Composition over the session's shared seams: the k-means model is
+    * [[graft.sim.Similarity.kmeansCached]] and the cell table is
+    * [[graft.sim.Similarity.assignCellsCached]] under the SAME memo
+    * tags as q_ann_ivf_kmeans — the dedup and the ANN serve from ONE
+    * trained index per session, exactly what a production pipeline
+    * does. Duplicate groups are connected components ([[clusters]])
+    * of the within-cell tau-graph, so every group lives inside one
+    * cell by construction.
+    *
+    * Emits one row per vector: (vec_id, cell, cluster_id, n_docs,
+    * centroid_cos, keep). Model-dependent (Lloyd float order) ⇒
+    * rows-only gate; SemDedupSpec pins the survivor rule, the
+    * one-keep-per-group invariant, within-cell grouping, dropped-doc
+    * justification, and that every pair missed vs the global brute
+    * graph is cross-cell (the approximation's exact boundary).
+    */
+  def semDedup(
+      embeddings: DataFrame,
+      nCells: Int = 16,
+      iters: Int = 5,
+      tau: Double = 0.35): DataFrame = {
+    import graft.sim.Similarity
+    val cents = Similarity.kmeansCached(embeddings, nCells, iters)
+      .select(col("cell"), col("cv"), lit(1.0).as("cn"))
+    val cells = Similarity.assignCellsCached(embeddings, cents, s"kmeans:$nCells:$iters")
+    val scored = Similarity.prepared(embeddings)
+      .join(cells, "vec_id")
+      .join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell"), col("v"), col("nrm"),
+        Det.r(when(col("nrm") > 0,
+          graft.functions.GraftFunctions.vecDot(col("v"), col("cv")) /
+            (col("nrm") * col("cn"))).otherwise(lit(0.0)), 6).as("centroid_cos"))
+      .localCheckpoint()
+    val l = scored.select(col("cell"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val r = scored.select(col("cell"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = l.join(r, "cell")
+      .filter(col("vec_a") < col("vec_b") && col("na") > 0 && col("nb") > 0)
+      .filter(graft.functions.GraftFunctions.vecDot(col("va"), col("vb")) /
+        (col("na") * col("nb")) >= tau)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val labels = clusters(pairs).localCheckpoint()
+      .withColumnRenamed("doc_id", "vec_id")
+    val wN = Window.partitionBy(col("cluster_id"))
+    val wR = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("centroid_cos").asc, col("vec_id").asc)
+    scored.join(labels, Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
+      .select(col("vec_id"), col("cell"), col("cluster_id"), col("centroid_cos"))
+      .withColumn("n_docs", count(lit(1)).over(wN))
+      .withColumn("keep", row_number().over(wR) === 1)
+      .select(col("vec_id"), col("cell"), col("cluster_id"),
+        col("n_docs").cast("long").as("n_docs"), col("centroid_cos"), col("keep"))
+  }
+
+  // ------------------------------------------------------------------
   // q130: cross-MODALITY dedup agreement — does semantic dedup add
   // anything over lexical on THIS corpus?
   // ------------------------------------------------------------------
