@@ -443,6 +443,11 @@ object SparkEntry {
     // exact recount; output equals the naive groupBy, so hash-exact
     // oracle (round-6 addition)
     "q_skew_profile" -> ((s, dir) => graft.ops.Skew.skewProfileQuery(Tables.events(s, dir))),
+    // the salted skew join end-to-end: planted ~90%-hot-key fact x
+    // routing dim through saltedJoin; oracle is the PLAIN join —
+    // salting must change the shuffle layout and nothing else
+    // (round-11 addition)
+    "q_skew_join" -> ((s, dir) => graft.ops.Skew.skewJoinQuery(Tables.events(s, dir))),
     // bucketed-layout gate: orders+lineitem written co-bucketed on the
     // join key (memoized once per dir), then the fact join runs with
     // ZERO exchanges (plan-asserted in BucketingSpec) — hash-equal to
@@ -828,6 +833,7 @@ object SparkEntry {
     "q_partition_prune" -> graft.sources.Partitioned.sqlDailyPruned(),
     "q_compacted_read" -> graft.sources.Compact.sqlCompactedRollup,
     "q_skew_profile" -> graft.ops.Skew.sqlSkewProfile(),
+    "q_skew_join" -> graft.ops.Skew.sqlSkewJoin,
     "q_bucketed_join" -> graft.sources.Bucketing.sqlBucketedJoinRollup,
     "q_stream_sliding" -> Events.sqlSlidingAgg(),
     "q_session_window" -> Events.sqlSessionWindowAgg(),

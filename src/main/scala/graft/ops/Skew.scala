@@ -48,6 +48,59 @@ object Skew {
       .drop("__salt")
   }
 
+  /** The 18-key routing dim for [[skewJoinQuery]]: 'hot' weighted 10,
+    * cold_0..16 weighted 1 + i % 3 — a bounded driver literal (the
+    * broadcast-dim shape; replication only ever multiplies THIS).
+    */
+  private def routeDim(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    (("hot", 10L) +: (0 until 17).map(i => (s"cold_$i", 1L + i % 3)))
+      .toDF("route_key", "weight")
+  }
+
+  /** q151: the SALTED skew join as an end-to-end query — the planted
+    * ~90%-hot-key fact of [[skewProfileQuery]] joined to its routing
+    * dim through [[saltedJoin]], then aggregated per key. Salting is
+    * semantics-preserving for an inner equi-join (every fact row meets
+    * its dim rows in exactly the one salt replica it carries), so the
+    * DuckDB twin is the PLAIN join + aggregate — the hash gate proves
+    * the rewrite changes the SHUFFLE LAYOUT and nothing else. All
+    * aggregation is integer (exact cents × integer weight), no float
+    * seam. At 100 TB this is the operator for the key AQE cannot fix:
+    * the hot key's rows spread over `salts` tasks by construction,
+    * and the map-side partial agg keeps the re-aggregation per key
+    * tiny. SkewSpec pins salted == unsalted equality, the actual salt
+    * spread of the hot key, dim replication arithmetic, and that the
+    * join really keys on (key, __salt).
+    */
+  def skewJoinQuery(events: DataFrame, salts: Int = 8): DataFrame = {
+    val fact = events.select(
+      when(pmod(col("event_id"), lit(10)) < 9, lit("hot"))
+        .otherwise(concat(lit("cold_"), pmod(col("event_id"), lit(17))))
+        .as("route_key"),
+      graft.Det.cents(col("value")).as("cents"))
+    saltedJoin(fact, routeDim(events.sparkSession), "route_key", salts)
+      .groupBy(col("route_key"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("cents") * col("weight")).as("weighted_cents"))
+  }
+
+  def sqlSkewJoin: String =
+    s"""WITH sjf AS (
+       |  SELECT CASE WHEN event_id % 10 < 9 THEN 'hot'
+       |              ELSE 'cold_' || CAST(event_id % 17 AS VARCHAR) END AS route_key,
+       |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+       |  FROM events
+       |), sjd AS (
+       |  SELECT 'hot' AS route_key, 10 AS weight
+       |  UNION ALL
+       |  SELECT 'cold_' || CAST(i AS VARCHAR), 1 + i % 3 FROM range(0, 17) t(i)
+       |)
+       |SELECT route_key, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(cents * weight) AS BIGINT) AS weighted_cents
+       |FROM sjf JOIN sjd USING (route_key)
+       |GROUP BY 1""".stripMargin
+
   /** Join-key skew profile — the diagnostic that DECIDES between
     * nothing / AQE / [[saltedJoin]]: exact counts and shares of every
     * key holding more than 1/t of the table. Same two-pass
