@@ -448,6 +448,10 @@ object SparkEntry {
     // salting must change the shuffle layout and nothing else
     // (round-11 addition)
     "q_skew_join" -> ((s, dir) => graft.ops.Skew.skewJoinQuery(Tables.events(s, dir))),
+    // Z-order (Morton) layout audit: linear vs z-order bucket
+    // envelopes over (user_id, ts) — the multi-dimensional pruning
+    // artifact, integer-exact (round-11 addition)
+    "q_zorder" -> ((s, dir) => graft.sources.ZOrder.zorderAudit(Tables.events(s, dir))),
     // bucketed-layout gate: orders+lineitem written co-bucketed on the
     // join key (memoized once per dir), then the fact join runs with
     // ZERO exchanges (plan-asserted in BucketingSpec) — hash-equal to
@@ -834,6 +838,7 @@ object SparkEntry {
     "q_compacted_read" -> graft.sources.Compact.sqlCompactedRollup,
     "q_skew_profile" -> graft.ops.Skew.sqlSkewProfile(),
     "q_skew_join" -> graft.ops.Skew.sqlSkewJoin,
+    "q_zorder" -> graft.sources.ZOrder.sqlZorderAudit,
     "q_bucketed_join" -> graft.sources.Bucketing.sqlBucketedJoinRollup,
     "q_stream_sliding" -> Events.sqlSlidingAgg(),
     "q_session_window" -> Events.sqlSessionWindowAgg(),
