@@ -56,7 +56,8 @@ object Bench {
         // harness setup, not query cost (q_csv_clean must time the CSV
         // scan, not the CSV write that creates its input)
         graft.sources.Sources.prewarm(spark, sfDir) ++
-        graft.text.LangModel.prewarm(Tables.documents(spark, sfDir))
+        graft.text.LangModel.prewarm(Tables.documents(spark, sfDir)) ++
+        graft.mm.MediaCodec.prewarm(Tables.documents(spark, sfDir))
     catch { case e: Throwable =>
       System.err.println(s"[bench] prewarm failed (queries will pay builds inline): ${e.getMessage}")
     }

@@ -410,12 +410,16 @@ object SparkEntry {
     // 16-bit hash bands per image, oracle recomputes from planting
     // arithmetic — the image fingerprint feeding near-dup image
     // dedup (round-11 addition)
-    "q_image_phash" -> ((s, dir) => graft.mm.MediaCodec.imagePhash(Tables.documents(s, dir))),
+    "q_image_phash" -> ((s, dir) => graft.mm.MediaCodec.phashCached(Tables.documents(s, dir))),
     // near-dup IMAGE pairs: banded Hamming join over the dHash — the
     // SimHash discipline on the decoded-pixel modality; brightness
     // variants hash equal, local edits land within tau=2 bits
     // (round-11 addition)
     "q_image_dedup" -> ((s, dir) => graft.mm.MediaCodec.imageDedup(Tables.documents(s, dir))),
+    // the ACT for q_image_dedup: one keep/drop verdict per decodable
+    // image — first-wins survivor per perceptual cluster (CC over the
+    // Hamming pair graph); singletons keep (round-11 addition)
+    "q_image_drop" -> ((s, dir) => graft.mm.MediaCodec.imageDrop(Tables.documents(s, dir))),
     // --- G. Streaming (batch-equivalent form; the readStream path is
     // exercised in ScalaTest with a memory sink) ---------------------
     "q_stream_hourly" -> ((s, dir) => Events.hourlyAgg(Tables.events(s, dir))),
@@ -833,6 +837,7 @@ object SparkEntry {
     "q_media_gif_frames" -> graft.mm.MediaCodec.sqlMediaGifFrames,
     "q_image_phash" -> graft.mm.MediaCodec.sqlImagePhash,
     "q_image_dedup" -> graft.mm.MediaCodec.sqlImageDedup(),
+    "q_image_drop" -> graft.mm.MediaCodec.sqlImageDrop(),
     "q_stream_hourly" -> Events.sqlHourlyAgg,
     "q_partition_prune" -> graft.sources.Partitioned.sqlDailyPruned(),
     "q_compacted_read" -> graft.sources.Compact.sqlCompactedRollup,

@@ -1014,10 +1014,31 @@ object MediaCodec {
     * don't double-count). The hash frame is localCheckpoint'd —
     * one decode pass feeds both sides of the self-join.
     */
+  /** Memoized, materialized [[imagePhash]] — the decode pass is shared
+    * by the hash query, the pair join (both sides), and the drop
+    * verdict, so it runs once per (corpus) per session (the
+    * pairsCached discipline); itemized as `mm_image_phash` in the
+    * bench build line via [[prewarm]].
+    */
+  private val phashMemo =
+    graft.Memo[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
+
+  def phashCached(documents: DataFrame): DataFrame =
+    phashMemo.getOrElseUpdate(documents.sparkSession,
+      documents.queryExecution.analyzed.canonicalized)(
+      imagePhash(documents).localCheckpoint())
+
+  /** Bench seam itemization for the shared decode pass. */
+  def prewarm(documents: DataFrame): Seq[(String, Double)] = {
+    val t0 = System.nanoTime()
+    phashCached(documents)
+    Seq("mm_image_phash" -> ((System.nanoTime() - t0) / 1e9))
+  }
+
   def imageDedup(documents: DataFrame, tau: Int = 2): DataFrame = {
     import org.apache.spark.sql.functions._
-    val ph = imagePhash(documents).filter(col("err") === "")
-      .select("doc_id", "b0", "b1", "b2", "b3").localCheckpoint()
+    val ph = phashCached(documents).filter(col("err") === "")
+      .select("doc_id", "b0", "b1", "b2", "b3")
     val ub = ph.select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
       explode(array((0 to 3).map(i =>
         struct(lit(i).as("bi"), col(s"b$i").as("bv"))): _*)).as("band"))
@@ -1058,6 +1079,63 @@ object MediaCodec {
        |FROM icand
        |WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
        |    + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) <= $tau""".stripMargin
+
+  /** q153: the ACT for [[imageDedup]] — one verdict row per decodable
+    * image: keep = the image is its perceptual cluster's FIRST member
+    * (min doc_id — the Lee et al. first-wins rule the batch screen
+    * (#109) also uses; images carry no quality score, and the planted
+    * corpus has no resolution spread, so highest-resolution-wins would
+    * tie straight back to this). Clusters are connected components of
+    * the ≤tau Hamming pair graph ([[graft.dedup.Dedup.clusters]] —
+    * min-label propagation, so cluster_id IS the surviving doc_id);
+    * unpaired images are their own singleton cluster and always keep.
+    * Quarantined payloads are EXCLUDED (they never landed as images;
+    * the decode gate already reported them). Oracle: the phash CTE
+    * chain + recursive transitive closure, the [[graft.dedup.Dedup
+    * .sqlEmbedDedupBest]] pattern.
+    */
+  def imageDrop(documents: DataFrame, tau: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ph = phashCached(documents).filter(col("err") === "").select("doc_id")
+    val pairs = imageDedup(documents, tau)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    val labels = graft.dedup.Dedup.clusters(pairs).localCheckpoint()
+    ph.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("cluster_id") === col("doc_id"))
+  }
+
+  def sqlImageDrop(tau: Int = 2): String =
+    s"""WITH RECURSIVE $sqlPhashCtes, iub AS (
+       |  SELECT doc_id, b0, b1, b2, b3, 0 AS bi, b0 AS bv FROM ph WHERE doc_id % 19 <> 0
+       |  UNION ALL
+       |  SELECT doc_id, b0, b1, b2, b3, 1, b1 FROM ph WHERE doc_id % 19 <> 0
+       |  UNION ALL
+       |  SELECT doc_id, b0, b1, b2, b3, 2, b2 FROM ph WHERE doc_id % 19 <> 0
+       |  UNION ALL
+       |  SELECT doc_id, b0, b1, b2, b3, 3, b3 FROM ph WHERE doc_id % 19 <> 0
+       |), ipr AS MATERIALIZED (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM iub l JOIN iub r ON l.bi = r.bi AND l.bv = r.bv AND l.doc_id < r.doc_id
+       |  WHERE bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1))
+       |      + bit_count(xor(l.b2, r.b2)) + bit_count(xor(l.b3, r.b3)) <= $tau
+       |), ipg AS (
+       |  SELECT a AS src, b AS dst FROM ipr
+       |  UNION
+       |  SELECT b, a FROM ipr
+       |), ipreach(src, x) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM ipg)
+       |  UNION
+       |  SELECT w.src, ipg.dst FROM ipreach w JOIN ipg ON w.x = ipg.src
+       |), iplab AS (
+       |  SELECT src AS doc_id, min(x) AS cluster_id FROM ipreach GROUP BY 1
+       |)
+       |SELECT ph.doc_id,
+       |  CAST(coalesce(iplab.cluster_id, ph.doc_id) AS BIGINT) AS cluster_id,
+       |  (coalesce(iplab.cluster_id, ph.doc_id) = ph.doc_id) AS keep
+       |FROM ph LEFT JOIN iplab ON ph.doc_id = iplab.doc_id
+       |WHERE ph.doc_id % 19 <> 0""".stripMargin
 
   /** DuckDB twin of [[mediaDecode]]: pure planting arithmetic — no
     * byte parsing, which is the point of the cross-check.

@@ -70,6 +70,19 @@ class PhashSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a % 16L != b % 16L })
   }
 
+  test("imageDrop: first-wins survivor per perceptual cluster, singletons keep, quarantine absent") {
+    val out = MediaCodec.imageDrop(docs(1L, 17L, 33L, 2L, 19L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(!out.contains(19L), "quarantined doc must not get a verdict")
+    assert(out(1L) === ((1L, true)), "cluster min keeps")
+    assert(out(17L) === ((1L, false)) && out(33L) === ((1L, false)), "later members drop")
+    assert(out(2L) === ((2L, true)), "singleton keeps")
+    // verdict conserves: one keep per cluster
+    out.values.groupBy(_._1).foreach { case (cid, vs) =>
+      assert(vs.count(_._2) === 1, s"cluster $cid keeps")
+    }
+  }
+
   test("imageDedup on the corpus: every same-group variant pair is present") {
     val corpus = Tables.documents(spark, sf).select("doc_id")
     val ids = corpus.as[Long].collect().filter(_ % 19 != 0)
