@@ -420,6 +420,10 @@ object SparkEntry {
     // image — first-wins survivor per perceptual cluster (CC over the
     // Hamming pair graph); singletons keep (round-11 addition)
     "q_image_drop" -> ((s, dir) => graft.mm.MediaCodec.imageDrop(Tables.documents(s, dir))),
+    // the IMAGE modality's incremental-ingest screen: landed batch
+    // images kept iff no stored image within Hamming tau; one memoized
+    // decode pass feeds both sides (round-11 addition)
+    "q_image_incremental" -> ((s, dir) => graft.mm.MediaCodec.imageScreen(Tables.documents(s, dir))),
     // --- G. Streaming (batch-equivalent form; the readStream path is
     // exercised in ScalaTest with a memory sink) ---------------------
     "q_stream_hourly" -> ((s, dir) => Events.hourlyAgg(Tables.events(s, dir))),
@@ -838,6 +842,7 @@ object SparkEntry {
     "q_image_phash" -> graft.mm.MediaCodec.sqlImagePhash,
     "q_image_dedup" -> graft.mm.MediaCodec.sqlImageDedup(),
     "q_image_drop" -> graft.mm.MediaCodec.sqlImageDrop(),
+    "q_image_incremental" -> graft.mm.MediaCodec.sqlImageScreen(),
     "q_stream_hourly" -> Events.sqlHourlyAgg,
     "q_partition_prune" -> graft.sources.Partitioned.sqlDailyPruned(),
     "q_compacted_read" -> graft.sources.Compact.sqlCompactedRollup,

@@ -1035,15 +1035,24 @@ object MediaCodec {
     Seq("mm_image_phash" -> ((System.nanoTime() - t0) / 1e9))
   }
 
-  def imageDedup(documents: DataFrame, tau: Int = 2): DataFrame = {
+  /** Band unpivot of a decodable phash frame: one (doc_id, bands, bi,
+    * bv) row per 16-bit band — the join key unit shared by the
+    * self-join ([[imageDedup]]) and the batch-vs-store screen
+    * ([[imageScreenAgainst]]).
+    */
+  private def bandUnpivot(ph: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val ph = phashCached(documents).filter(col("err") === "")
-      .select("doc_id", "b0", "b1", "b2", "b3")
-    val ub = ph.select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
-      explode(array((0 to 3).map(i =>
-        struct(lit(i).as("bi"), col(s"b$i").as("bv"))): _*)).as("band"))
+    ph.filter(col("err") === "")
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        explode(array((0 to 3).map(i =>
+          struct(lit(i).as("bi"), col(s"b$i").as("bv"))): _*)).as("band"))
       .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
         col("band.bi").as("bi"), col("band.bv").as("bv"))
+  }
+
+  def imageDedup(documents: DataFrame, tau: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ub = bandUnpivot(phashCached(documents))
     val l = ub.toDF("a", "a0", "a1", "a2", "a3", "bi", "bv")
     val r = ub.toDF("b", "c0", "c1", "c2", "c3", "bi", "bv")
     val cands = l.join(r, Seq("bi", "bv")).filter(col("a") < col("b"))
@@ -1079,6 +1088,85 @@ object MediaCodec {
        |FROM icand
        |WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
        |    + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) <= $tau""".stripMargin
+
+  /** The arbitrary-split screen core (the `screenAgainst` discipline):
+    * every DECODABLE landed image probes the store's dHash bands; an
+    * undecodable payload is not an image-dup risk, so it passes this
+    * screen with decoded=false (the decode gate reports it separately).
+    */
+  def imageScreenAgainst(
+      newDocs: DataFrame, storeDocs: DataFrame, tau: Int = 2): DataFrame =
+    screenPhash(imagePhash(newDocs), phashCached(storeDocs), tau)
+
+  private def screenPhash(batchPh: DataFrame, storePh: DataFrame, tau: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val b = bandUnpivot(batchPh).toDF("bdoc", "a0", "a1", "a2", "a3", "bi", "bv")
+    val s = bandUnpivot(storePh).toDF("sdoc", "c0", "c1", "c2", "c3", "bi", "bv")
+    val hamming = (0 to 3).map(i =>
+      bit_count(col(s"a$i").bitwiseXOR(col(s"c$i")))).reduce(_ + _)
+    val hits = b.join(s, Seq("bi", "bv"))
+      .select("bdoc", "sdoc", "a0", "a1", "a2", "a3", "c0", "c1", "c2", "c3")
+      .distinct()
+      .filter(hamming <= tau)
+      .groupBy(col("bdoc"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bdoc").as("doc_id"), col("n"))
+    batchPh.select(col("doc_id"), (col("err") === "").as("decoded"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("decoded"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_store_dups"))
+      .withColumn("image_keep", col("n_store_dups") === 0L)
+  }
+
+  /** q154: the IMAGE modality's incremental-ingest screen — the fourth
+    * screen family member (exact #107 / span #118 / embedding #108 /
+    * perplexity #135 all have one; the image near-dup screen was the
+    * gap): a landed batch image is kept iff NO stored image sits
+    * within Hamming tau of its dHash. Store scanned never shuffled
+    * beyond the band equi-join; the shared decode is ONE memoized pass
+    * ([[phashCached]]) feeding both sides, the #107 `setsCached`
+    * discipline.
+    */
+  def imageScreen(documents: DataFrame, batchMod: Long = 10, tau: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(batchMod >= 2, "batchMod must split the corpus into batch and existing")
+    val ph = phashCached(documents)
+    val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
+    screenPhash(ph.filter(isBatch), ph.filter(!isBatch), tau)
+  }
+
+  def sqlImageScreen(batchMod: Long = 10, tau: Int = 2): String =
+    s"""WITH $sqlPhashCtes, isb AS (
+       |  SELECT doc_id, b0, b1, b2, b3, 0 AS bi, b0 AS bv FROM ph
+       |  WHERE doc_id % 19 <> 0 AND doc_id % $batchMod = 0
+       |  UNION ALL SELECT doc_id, b0, b1, b2, b3, 1, b1 FROM ph
+       |  WHERE doc_id % 19 <> 0 AND doc_id % $batchMod = 0
+       |  UNION ALL SELECT doc_id, b0, b1, b2, b3, 2, b2 FROM ph
+       |  WHERE doc_id % 19 <> 0 AND doc_id % $batchMod = 0
+       |  UNION ALL SELECT doc_id, b0, b1, b2, b3, 3, b3 FROM ph
+       |  WHERE doc_id % 19 <> 0 AND doc_id % $batchMod = 0
+       |), iss AS (
+       |  SELECT doc_id, b0, b1, b2, b3, 0 AS bi, b0 AS bv FROM ph
+       |  WHERE doc_id % 19 <> 0 AND doc_id % $batchMod <> 0
+       |  UNION ALL SELECT doc_id, b0, b1, b2, b3, 1, b1 FROM ph
+       |  WHERE doc_id % 19 <> 0 AND doc_id % $batchMod <> 0
+       |  UNION ALL SELECT doc_id, b0, b1, b2, b3, 2, b2 FROM ph
+       |  WHERE doc_id % 19 <> 0 AND doc_id % $batchMod <> 0
+       |  UNION ALL SELECT doc_id, b0, b1, b2, b3, 3, b3 FROM ph
+       |  WHERE doc_id % 19 <> 0 AND doc_id % $batchMod <> 0
+       |), ish AS (
+       |  SELECT DISTINCT b.doc_id AS bdoc, s.doc_id AS sdoc
+       |  FROM isb b JOIN iss s ON b.bi = s.bi AND b.bv = s.bv
+       |  WHERE bit_count(xor(b.b0, s.b0)) + bit_count(xor(b.b1, s.b1))
+       |      + bit_count(xor(b.b2, s.b2)) + bit_count(xor(b.b3, s.b3)) <= $tau
+       |), isc AS (
+       |  SELECT bdoc AS doc_id, CAST(count(*) AS BIGINT) AS n FROM ish GROUP BY 1
+       |)
+       |SELECT d.doc_id, (d.doc_id % 19 <> 0) AS decoded,
+       |  CAST(coalesce(isc.n, 0) AS BIGINT) AS n_store_dups,
+       |  (coalesce(isc.n, 0) = 0) AS image_keep
+       |FROM documents d LEFT JOIN isc ON d.doc_id = isc.doc_id
+       |WHERE d.doc_id % $batchMod = 0""".stripMargin
 
   /** q153: the ACT for [[imageDedup]] — one verdict row per decodable
     * image: keep = the image is its perceptual cluster's FIRST member

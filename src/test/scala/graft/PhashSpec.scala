@@ -83,6 +83,23 @@ class PhashSpec extends SparkSpec {
     }
   }
 
+  test("imageScreen: batch images drop on a store hash hit; undecodable batch rows pass flagged") {
+    // batch = ids % 10 == 0: 0 (quarantined: 0 % 19 == 0), 20 (g4 v1), 30 (g14 v1)
+    // store: 4 (g4 v0 — hash-equal to 20 via brightness invariance), 1, 2
+    val all = docs(0L, 20L, 30L, 4L, 1L, 2L)
+    val out = MediaCodec.imageScreen(all).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.keySet === Set(0L, 20L, 30L), "exactly the batch rows")
+    assert(out(0L) === ((false, 0L, true)), "quarantined: passes the IMAGE screen, flagged")
+    assert(out(20L)._1 && out(20L)._2 >= 1L && !out(20L)._3, "store near-dup screens out")
+    assert(out(30L) === ((true, 0L, true)), "novel picture lands")
+    // the arbitrary-split core agrees with the modulus form
+    val viaCore = MediaCodec.imageScreenAgainst(
+      all.filter(col("doc_id") % 10 === 0), all.filter(col("doc_id") % 10 =!= 0))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(viaCore === out)
+  }
+
   test("imageDedup on the corpus: every same-group variant pair is present") {
     val corpus = Tables.documents(spark, sf).select("doc_id")
     val ids = corpus.as[Long].collect().filter(_ % 19 != 0)
