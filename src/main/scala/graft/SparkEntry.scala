@@ -424,6 +424,10 @@ object SparkEntry {
     // images kept iff no stored image within Hamming tau; one memoized
     // decode pass feeds both sides (round-11 addition)
     "q_image_incremental" -> ((s, dir) => graft.mm.MediaCodec.imageScreen(Tables.documents(s, dir))),
+    // the DISK-SERVED form: store hashes probed from the persisted
+    // PhashIndex — no store decode per ingest; shares q154's oracle
+    // verbatim (round-11 addition)
+    "q_image_incremental_disk" -> ((s, dir) => graft.mm.MediaCodec.imageScreenDisk(Tables.documents(s, dir))),
     // --- G. Streaming (batch-equivalent form; the readStream path is
     // exercised in ScalaTest with a memory sink) ---------------------
     "q_stream_hourly" -> ((s, dir) => Events.hourlyAgg(Tables.events(s, dir))),
@@ -843,6 +847,7 @@ object SparkEntry {
     "q_image_dedup" -> graft.mm.MediaCodec.sqlImageDedup(),
     "q_image_drop" -> graft.mm.MediaCodec.sqlImageDrop(),
     "q_image_incremental" -> graft.mm.MediaCodec.sqlImageScreen(),
+    "q_image_incremental_disk" -> graft.mm.MediaCodec.sqlImageScreen(),
     "q_stream_hourly" -> Events.sqlHourlyAgg,
     "q_partition_prune" -> graft.sources.Partitioned.sqlDailyPruned(),
     "q_compacted_read" -> graft.sources.Compact.sqlCompactedRollup,

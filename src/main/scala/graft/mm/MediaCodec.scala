@@ -1096,9 +1096,9 @@ object MediaCodec {
     */
   def imageScreenAgainst(
       newDocs: DataFrame, storeDocs: DataFrame, tau: Int = 2): DataFrame =
-    screenPhash(imagePhash(newDocs), phashCached(storeDocs), tau)
+    screenPhashFrames(imagePhash(newDocs), phashCached(storeDocs), tau)
 
-  private def screenPhash(batchPh: DataFrame, storePh: DataFrame, tau: Int): DataFrame = {
+  private[mm] def screenPhashFrames(batchPh: DataFrame, storePh: DataFrame, tau: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     val b = bandUnpivot(batchPh).toDF("bdoc", "a0", "a1", "a2", "a3", "bi", "bv")
     val s = bandUnpivot(storePh).toDF("sdoc", "c0", "c1", "c2", "c3", "bi", "bv")
@@ -1132,7 +1132,38 @@ object MediaCodec {
     require(batchMod >= 2, "batchMod must split the corpus into batch and existing")
     val ph = phashCached(documents)
     val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
-    screenPhash(ph.filter(isBatch), ph.filter(!isBatch), tau)
+    screenPhashFrames(ph.filter(isBatch), ph.filter(!isBatch), tau)
+  }
+
+  /** Session-scoped registry of persisted phash-index dirs, keyed on
+    * the canonicalized store plan (the shingleIndexDirCached
+    * discipline): every screen against the same store probes ONE
+    * persisted index — at 100 TB the index simply exists; here the
+    * first touch builds it, itemized via [[prewarm]].
+    */
+  private val phashIdxMemo =
+    graft.Memo[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String]()
+
+  private[graft] def phashIndexDirCached(storeDocs: DataFrame): String =
+    phashIdxMemo.getOrElseUpdate(storeDocs.sparkSession,
+      storeDocs.queryExecution.analyzed.canonicalized)({
+      val dir = java.nio.file.Files.createTempDirectory("graft_phash_idx_").toString
+      PhashIndex.write(storeDocs, dir)
+      dir
+    })
+
+  /** q155: [[imageScreen]] served from the PERSISTED [[PhashIndex]] —
+    * identical contract; verdicts depend only on (batch image, store
+    * hash content), so the disk path shares q154's DuckDB oracle
+    * verbatim (the full hash-exact gate). The store side is one
+    * columnar scan of the band table — no store decode per ingest.
+    */
+  def imageScreenDisk(documents: DataFrame, batchMod: Long = 10, tau: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(batchMod >= 2, "batchMod must split the corpus into batch and existing")
+    val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
+    val dir = phashIndexDirCached(documents.filter(!isBatch))
+    PhashIndex.probe(documents.sparkSession, documents.filter(isBatch), dir, tau)
   }
 
   def sqlImageScreen(batchMod: Long = 10, tau: Int = 2): String =

@@ -100,6 +100,35 @@ class PhashSpec extends SparkSpec {
     assert(viaCore === out)
   }
 
+  test("PhashIndex: write -> read -> probe row-equal to the in-session screen; append = union build") {
+    import graft.mm.PhashIndex
+    val all = Tables.documents(spark, sf).select("doc_id")
+    val store = all.filter(col("doc_id") % 10 =!= 0)
+    val batch = all.filter(col("doc_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("phash_idx_spec_").toString
+    PhashIndex.write(store, dir)
+    val viaDisk = PhashIndex.probe(spark, batch, dir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getBoolean(3))).sortBy(_._1)
+    val inSession = MediaCodec.imageScreenAgainst(batch, store).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getBoolean(3))).sortBy(_._1)
+    assert(viaDisk.toSeq === inSession.toSeq)
+    // append the landed slice: the grown index equals a one-shot build
+    // over the union (hash rows compared as sets)
+    val landed = batch.filter(col("doc_id") % 20 === 0)
+    PhashIndex.append(spark, landed, dir)
+    val grown = PhashIndex.readHashes(spark, dir).collect()
+      .map(_.toSeq).map(_.mkString("|")).sorted
+    val oneShotDir = java.nio.file.Files.createTempDirectory("phash_idx_spec2_").toString
+    PhashIndex.write(store.union(landed), oneShotDir)
+    val oneShot = PhashIndex.readHashes(spark, oneShotDir).collect()
+      .map(_.toSeq).map(_.mkString("|")).sorted
+    assert(grown.toSeq === oneShot.toSeq)
+    // corrupt layouts fail loudly
+    intercept[IllegalArgumentException] {
+      PhashIndex.readHashes(spark, dir + "_missing")
+    }
+  }
+
   test("imageDedup on the corpus: every same-group variant pair is present") {
     val corpus = Tables.documents(spark, sf).select("doc_id")
     val ids = corpus.as[Long].collect().filter(_ % 19 != 0)
