@@ -380,6 +380,35 @@ object Events {
         if (appendKeys) graft.dedup.BloomIndex.append(keys.select("k"), indexDir)
       }
 
+  /** The IMAGE modality's streaming screen — [[bloomScreenStream]]'s
+    * shape over the persisted [[graft.mm.PhashIndex]]: each
+    * micro-batch of landed docs decodes and hashes ITS OWN images
+    * (batch-sized work) and probes the store's band table; with
+    * `appendLanded` the KEPT decodable images' hashes row-append into
+    * the index, so batch N screens against the store plus every
+    * earlier batch's keepers — the sequential crawl semantics
+    * ([[ingestStream]]'s contract on the image modality). Verdict rows
+    * are the [[graft.mm.MediaCodec.imageScreenAgainst]] contract.
+    */
+  def imageScreenStream(
+      stream: DataFrame,
+      indexDir: String,
+      appendLanded: Boolean = false)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (mb: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val batch = mb.toDF().localCheckpoint()
+        val verdict = graft.mm.PhashIndex
+          .probe(batch.sparkSession, batch, indexDir).localCheckpoint()
+        sink(verdict, id)
+        if (appendLanded)
+          graft.mm.PhashIndex.append(batch.sparkSession,
+            batch.join(verdict.filter(col("image_keep")).select("doc_id"), "doc_id"),
+            indexDir)
+      }
+
   /** The FULL streaming ingest — the [[incrementalScreenStream]]
     * contract with the store GROWING as batches land: each micro-batch
     * is (1) self-screened first-wins

@@ -582,6 +582,80 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSet === Set((1L, 2000L, 2L, 2L), (1L, 3000L, 4L, 4L)))
   }
 
+  test("image screen stream: micro-batched union equals the one-shot screen; appends grow the store sequentially") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.SaveMode
+    def rmrf(dir: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val store = docs.filter(col("doc_id") % 10 =!= 0)
+    val batchSlice = docs.filter(col("doc_id") % 10 === 0)
+    val tmp = Files.createTempDirectory("graft-img-stream").toString
+    batchSlice.repartition(4).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+
+    // static store: the micro-batched union must equal the one-shot
+    // screen (verdicts depend only on (batch image, store hashes))
+    val dir = Files.createTempDirectory("img_stream_idx").toString
+    try {
+      graft.mm.PhashIndex.write(store, dir)
+      val got = new scala.collection.mutable.ArrayBuffer[(Long, Boolean, Long, Boolean)]()
+      var batches = 0
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val q = Events.imageScreenStream(stream, dir) { (verdict, _) =>
+        got.synchronized {
+          got ++= verdict.collect().map(r =>
+            (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getBoolean(3)))
+          batches += 1
+        }
+        ()
+      }.start()
+      try q.processAllAvailable() finally q.stop()
+      assert(batches >= 2, s"must exercise several micro-batches, got $batches")
+      val oneShot = graft.mm.MediaCodec.imageScreenAgainst(batchSlice, store)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getBoolean(3)))
+      assert(got.toSet === oneShot.toSet,
+        "micro-batched image-screen union drifted from the one-shot screen")
+    } finally rmrf(dir)
+
+    // growing store: appended keepers block later twins — sequential
+    // semantics vs a driver-side greedy simulation over the SAME
+    // micro-batch order the stream actually processed
+    val dir2 = Files.createTempDirectory("img_stream_grow").toString
+    try {
+      graft.mm.PhashIndex.write(store, dir2)
+      val seen = new scala.collection.mutable.ArrayBuffer[(Long, Seq[Long], Boolean)]()
+      val batchOrder = new scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val q = Events.imageScreenStream(stream, dir2, appendLanded = true) { (verdict, _) =>
+        val rows = verdict.collect()
+        seen.synchronized {
+          batchOrder += rows.map(_.getLong(0)).toSeq.sorted
+          seen ++= rows.map(r => (r.getLong(0), Seq.empty[Long], r.getBoolean(3)))
+        }
+        ()
+      }.start()
+      try q.processAllAvailable() finally q.stop()
+      assert(batchOrder.length >= 2)
+      // the grown index equals store + exactly the kept decodable images
+      val keptIds = seen.filter(_._3).map(_._1).toSet
+      val idx = graft.mm.PhashIndex.readHashes(spark, dir2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val storeDecodable = store.collect().map(_.getLong(0)).filter(_ % 19 != 0).toSet
+      val keptDecodable = keptIds.filter(_ % 19 != 0)
+      assert(idx === storeDecodable ++ keptDecodable,
+        "grown index must hold the store plus exactly the kept decodable images")
+    } finally rmrf(dir2)
+    rmrf(tmp)
+  }
+
   test("stateful sessionization survives a pathological single-user batch (100k events)") {
     import spark.implicits._
     // one power user, 100k events in one batch: runs of 10 events 1s
