@@ -283,6 +283,14 @@ object SparkEntry {
       ((s, dir) => Dedup.embedIncremental(Tables.embeddings(s, dir), useLsh = true)),
     "q_bpe_tokenize" -> ((s, dir) => text.Bpe.bpeTokenize(Tables.documents(s, dir))),
     "q_bpe_train" -> ((s, dir) => text.Bpe.trainBpe(Tables.documents(s, dir))),
+    // unigram-LM tokenizer (Kudo 2018, the SentencePiece model):
+    // EM-trained piece vocabulary over the word histogram's
+    // segmentation lattices; micro-count-deterministic; the EM
+    // likelihood curve ships in the artifact (round-11 addition)
+    "q_unigram_train" -> ((s, dir) => text.Unigram.unigramTrain(Tables.documents(s, dir))),
+    // Viterbi tokenization under the SELF-trained unigram vocabulary
+    // (the train->apply composition, the BPE family's q102 shape)
+    "q_unigram_tokenize" -> ((s, dir) => text.Unigram.unigramTokenize(Tables.documents(s, dir))),
     "q_bpe_train_apply" -> ((s, dir) => text.Bpe.bpeTokenizeTrained(Tables.documents(s, dir))),
     // per-language tokenizer fertility (tokens/word + chars/token) —
     // the tokenizer-fit audit: lang rides the same zero-Exchange

@@ -1,0 +1,334 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** UNIGRAM-LM tokenizer (Kudo 2018 — the SentencePiece unigram model):
+  * the OTHER canonical learned tokenizer next to [[Bpe]]. Where BPE
+  * greedily merges the most frequent pair, the unigram model keeps a
+  * piece VOCABULARY with probabilities, estimated by EM over each
+  * word's segmentation lattice, and tokenizes by Viterbi — the
+  * probabilistic tokenizer production stacks ship when they want
+  * sampling-based subword regularization.
+  *
+  * Spark shape (the [[Bpe.trainBpe]] discipline): ONE corpus scan
+  * builds the word histogram — the only corpus-sized operation; every
+  * EM iteration runs over the VOCABULARY-BOUNDED (word, cnt) table
+  * with the piece table a driver artifact broadcast into a typed
+  * mapPartitions seam (the lattice forward–backward is genuine
+  * per-row imperative DP — the declared-imperative-seam case, like
+  * the media codec; a Catalyst expression can't express a
+  * variable-length lattice sensibly). Per-word posterior
+  * contributions are fixed to integer MICRO-COUNTS before the
+  * cross-partition sum, so training is bit-deterministic under any
+  * partitioning (the micro-nat discipline).
+  *
+  * Determinism contract: expected counts and corpus log-likelihoods
+  * are integer micros; seed selection, pruning, and all tie-breaks
+  * are (count DESC, piece ASC); Viterbi ties prefer the LONGER piece
+  * (unique per boundary). Two runs are bit-equal. Model-dependent
+  * (lattice DP not SQL-expressible) ⇒ rows-only gates + UnigramSpec
+  * hand-pinned EM arithmetic, likelihood monotonicity, coverage, and
+  * run-to-run equality.
+  */
+object Unigram {
+
+  final case class Piece(piece: String, microLogProb: Long)
+
+  val defaultMaxPieceLen = 6
+  val defaultSeedSize    = 512
+  val defaultVocabSize   = 128
+  val defaultEmIters     = 4
+
+  private def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+
+  // ------------------------------------------------------------ lattice DP
+
+  /** Expected piece counts for ONE occurrence of `word` under the
+    * current model: forward–backward over the segmentation lattice in
+    * log space. Returns (pieceIdx → posterior expected count); empty
+    * when the word cannot be segmented (impossible while all single
+    * chars are in the vocabulary).
+    */
+  private[graft] def wordPosteriors(
+      word: String, vocab: Map[String, Int], logp: Array[Double],
+      maxLen: Int): Map[Int, Double] = {
+    val n = word.length
+    val NEG = Double.NegativeInfinity
+    def lse(a: Double, b: Double): Double =
+      if (a == NEG) b else if (b == NEG) a
+      else { val m = math.max(a, b); m + math.log(math.exp(a - m) + math.exp(b - m)) }
+    val alpha = Array.fill(n + 1)(NEG); alpha(0) = 0.0
+    var i = 0
+    while (i < n) {
+      if (alpha(i) != NEG) {
+        var l = 1
+        while (l <= math.min(maxLen, n - i)) {
+          vocab.get(word.substring(i, i + l)) match {
+            case Some(idx) => alpha(i + l) = lse(alpha(i + l), alpha(i) + logp(idx))
+            case None      =>
+          }
+          l += 1
+        }
+      }
+      i += 1
+    }
+    if (alpha(n) == NEG) return Map.empty
+    val beta = Array.fill(n + 1)(NEG); beta(n) = 0.0
+    i = n - 1
+    while (i >= 0) {
+      var l = 1
+      while (l <= math.min(maxLen, n - i)) {
+        vocab.get(word.substring(i, i + l)) match {
+          case Some(idx) => beta(i) = lse(beta(i), logp(idx) + beta(i + l))
+          case None      =>
+        }
+        l += 1
+      }
+      i -= 1
+    }
+    val z = alpha(n)
+    val out = scala.collection.mutable.HashMap.empty[Int, Double]
+    i = 0
+    while (i < n) {
+      if (alpha(i) != NEG) {
+        var l = 1
+        while (l <= math.min(maxLen, n - i)) {
+          vocab.get(word.substring(i, i + l)) match {
+            case Some(idx) if beta(i + l) != NEG =>
+              val post = math.exp(alpha(i) + logp(idx) + beta(i + l) - z)
+              out(idx) = out.getOrElse(idx, 0.0) + post
+            case _ =>
+          }
+          l += 1
+        }
+      }
+      i += 1
+    }
+    out.toMap
+  }
+
+  /** The word's total log-likelihood under the model (the lattice Z). */
+  private[graft] def wordLogZ(
+      word: String, vocab: Map[String, Int], logp: Array[Double],
+      maxLen: Int): Double = {
+    val n = word.length
+    val NEG = Double.NegativeInfinity
+    def lse(a: Double, b: Double): Double =
+      if (a == NEG) b else if (b == NEG) a
+      else { val m = math.max(a, b); m + math.log(math.exp(a - m) + math.exp(b - m)) }
+    val alpha = Array.fill(n + 1)(NEG); alpha(0) = 0.0
+    var i = 0
+    while (i < n) {
+      if (alpha(i) != NEG) {
+        var l = 1
+        while (l <= math.min(maxLen, n - i)) {
+          vocab.get(word.substring(i, i + l)) match {
+            case Some(idx) => alpha(i + l) = lse(alpha(i + l), alpha(i) + logp(idx))
+            case None      =>
+          }
+          l += 1
+        }
+      }
+      i += 1
+    }
+    alpha(n)
+  }
+
+  /** Viterbi segmentation; ties prefer the LONGER piece at each
+    * boundary (unique per (end, length), so fully deterministic).
+    */
+  private[graft] def viterbi(
+      word: String, vocab: Map[String, Int], logp: Array[Double],
+      maxLen: Int): Seq[String] = {
+    val n = word.length
+    val NEG = Double.NegativeInfinity
+    val best = Array.fill(n + 1)(NEG); best(0) = 0.0
+    val back = Array.fill(n + 1)(0)
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      while (l <= math.min(maxLen, i)) {
+        if (best(i - l) != NEG) {
+          vocab.get(word.substring(i - l, i)) match {
+            case Some(idx) =>
+              val s = best(i - l) + logp(idx)
+              // strictly-greater OR equal-with-longer-piece: l ascends,
+              // so >= keeps the longest scoring tie
+              if (s >= best(i)) { best(i) = s; back(i) = l }
+            case None =>
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    if (best(n) == NEG) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    i = n
+    while (i > 0) { out += word.substring(i - back(i), i); i -= back(i) }
+    out.reverse.toSeq
+  }
+
+  // -------------------------------------------------------------- training
+
+  /** The word histogram — the one corpus-sized scan ([[Bpe]]'s seam). */
+  private def wordHist(documents: DataFrame): DataFrame =
+    graft.Spread(documents)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+
+  /** Train the unigram vocabulary. Returns pieces sorted by
+    * (prob DESC, piece ASC) with integer micro-log-probs, plus the
+    * per-iteration corpus log-likelihood curve in micro-nats (the EM
+    * monotonicity artifact UnigramSpec pins).
+    */
+  private[graft] def train(
+      documents: DataFrame,
+      vocabSize: Int = defaultVocabSize,
+      seedSize: Int = defaultSeedSize,
+      maxPieceLen: Int = defaultMaxPieceLen,
+      emIters: Int = defaultEmIters): (Seq[Piece], Seq[Long]) = {
+    require(vocabSize >= 16 && vocabSize <= 65536, s"vocabSize out of range: $vocabSize")
+    require(seedSize >= vocabSize, "seed must be at least the target vocabulary")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val hist = wordHist(documents)
+
+    // seed: every substring up to maxPieceLen, scored by occurrence-
+    // weighted frequency — distributed (the substring table is
+    // vocabulary- not corpus-sized), top-(seedSize) with ALL single
+    // chars retained regardless of rank (coverage guarantee)
+    val subs = hist.select(col("cnt"), explode(expr(
+      s"""flatten(transform(sequence(1, length(word)),
+         |  i -> transform(sequence(1, least($maxPieceLen, length(word) - i + 1)),
+         |    l -> substring(word, i, l))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).as("freq"))
+    val ranked = subs.orderBy(col("freq").desc, col("piece").asc)
+      .limit(seedSize).collect().map(r => (r.getString(0), r.getLong(1)))
+    val chars = subs.filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val seed = (ranked ++ chars.filterNot(c => ranked.exists(_._1 == c._1)))
+      .sortBy { case (p, f) => (-f, p) }
+    var pieces: Array[String] = seed.map(_._1)
+    var logp: Array[Double] = {
+      val tot = seed.map(_._2).sum.toDouble
+      seed.map { case (_, f) => math.log(f / tot) }
+    }
+
+    val words: Dataset[(String, Long)] = hist.as[(String, Long)]
+    val llCurve = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+    def eStep(ps: Array[String], lp: Array[Double]): (Array[Long], Long) = {
+      val vocab = ps.zipWithIndex.toMap
+      val contrib = words.mapPartitions { it =>
+        it.flatMap { case (word, cnt) =>
+          val post = wordPosteriors(word, vocab, lp, maxPieceLen)
+          val z = wordLogZ(word, vocab, lp, maxPieceLen)
+          // per-word micro fixing BEFORE the cross-partition sum:
+          // bit-deterministic under any partitioning
+          post.iterator.map { case (idx, c) => (idx, micro(c * cnt)) } ++
+            Iterator.single((-1, micro(z * cnt))) // LL rides idx -1
+        }
+      }.toDF("idx", "m").groupBy("idx").agg(sum(col("m")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      val counts = Array.tabulate(ps.length)(i => contrib.getOrElse(i, 0L))
+      (counts, contrib.getOrElse(-1, 0L))
+    }
+
+    var iter = 0
+    while (iter < emIters) {
+      val (counts, ll) = eStep(pieces, logp)
+      llCurve += ll
+      val tot = counts.sum.toDouble
+      // M-step: zero-count single chars keep an epsilon floor (the
+      // coverage guarantee must survive any EM trajectory)
+      logp = pieces.zip(counts).map { case (p, c) =>
+        if (c > 0L) math.log(c / tot)
+        else if (p.length == 1) math.log(1e-9 / tot) else Double.NegativeInfinity
+      }
+      iter += 1
+    }
+
+    // prune to the target: all single chars + top multi-char pieces by
+    // (final expected count DESC, piece ASC)
+    val (finalCounts, finalLl) = eStep(pieces, logp)
+    llCurve += finalLl
+    val withCounts = pieces.zip(finalCounts).zip(logp)
+      .map { case ((p, c), l) => (p, c, l) }
+    val charPieces = withCounts.filter(_._1.length == 1)
+    val multi = withCounts.filter(_._1.length > 1)
+      .sortBy { case (p, c, _) => (-c, p) }
+      .take(math.max(0, vocabSize - charPieces.length))
+    val kept = (charPieces ++ multi).filter(t => t._2 > 0L || t._1.length == 1)
+    val keptTot = math.max(kept.map(_._2).sum, 1L).toDouble
+    val out = kept.map { case (p, c, _) =>
+      val prob = if (c > 0L) c / keptTot else 1e-9 / keptTot
+      (p, c, micro(math.log(prob)))
+    }.sortBy { case (p, c, _) => (-c, p) }
+      .map { case (p, _, m) => Piece(p, m) }
+    (out.toSeq, llCurve.toSeq)
+  }
+
+  /** Memoized trained model — the [[Bpe.trainMergesCached]] discipline. */
+  private val trainMemo = graft.Memo[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Int, Int),
+    (Seq[Piece], Seq[Long])]()
+
+  private[graft] def trainCached(
+      documents: DataFrame, vocabSize: Int = defaultVocabSize,
+      seedSize: Int = defaultSeedSize, maxPieceLen: Int = defaultMaxPieceLen,
+      emIters: Int = defaultEmIters): (Seq[Piece], Seq[Long]) =
+    trainMemo.getOrElseUpdate(documents.sparkSession,
+      (documents.queryExecution.analyzed.canonicalized, vocabSize, seedSize,
+        maxPieceLen, emIters))(
+      train(documents, vocabSize, seedSize, maxPieceLen, emIters))
+
+  /** q156: the trained unigram vocabulary — (rank, piece, micro_logprob,
+    * is_char), probability-ranked; plus the EM likelihood curve as the
+    * trailing rows (piece = `__ll_iter_k`) so the monotonicity
+    * evidence ships IN the artifact (the #128 audit-in-artifact
+    * pattern).
+    */
+  def unigramTrain(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (ps, ll) = trainCached(documents)
+    val rows = ps.zipWithIndex.map { case (p, i) =>
+      (i.toLong + 1L, p.piece, p.microLogProb, p.piece.length == 1)
+    } ++ ll.zipWithIndex.map { case (v, k) =>
+      (1000000L + k, s"__ll_iter_$k", v, false)
+    }
+    // bounded local artifact (≤ vocab + iters rows) — no exchange
+    rows.toDF("rank", "piece", "micro_logprob", "is_char")
+  }
+
+  /** q157: Viterbi tokenization of the corpus under the SELF-trained
+    * vocabulary (the [[Bpe.bpeTokenizeTrained]] composition on the
+    * unigram family): per doc (doc_id, n_words, n_pieces,
+    * pieces_md5). Scan-side: the model is a broadcast driver artifact,
+    * the DP runs in the typed seam, no shuffle at all.
+    */
+  def unigramTokenize(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (ps, _) = trainCached(documents)
+    val vocab = ps.map(_.piece).zipWithIndex.toMap
+    val lp = ps.map(_.microLogProb / 1e6).toArray
+    val maxLen = defaultMaxPieceLen
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val words = text.split("\\s+").filter(_.nonEmpty)
+          val segs = words.map(w => viterbi(w, vocab, lp, maxLen))
+          val stream = segs.map(_.mkString(" ")).mkString(" | ")
+          md.reset()
+          val hash = md.digest(stream.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (id, words.length.toLong, segs.map(_.length.toLong).sum, hash)
+        }
+      }.toDF("doc_id", "n_words", "n_pieces", "pieces_md5")
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Unigram
+
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: (Long, String)*) =
+    texts.toSeq.toDF("doc_id", "text").withColumn("lang", lit("en"))
+
+  test("wordPosteriors: hand-built two-path lattice splits mass correctly") {
+    // word "ab", vocab {a, b, ab} with p(a)=p(b)=0.25, p(ab)=0.5:
+    // path1 = a·b = 0.0625, path2 = ab = 0.5, Z = 0.5625
+    val vocab = Map("a" -> 0, "b" -> 1, "ab" -> 2)
+    val lp = Array(math.log(0.25), math.log(0.25), math.log(0.5))
+    val post = Unigram.wordPosteriors("ab", vocab, lp, 6)
+    assert(math.abs(post(0) - 0.0625 / 0.5625) < 1e-12)
+    assert(math.abs(post(1) - 0.0625 / 0.5625) < 1e-12)
+    assert(math.abs(post(2) - 0.5 / 0.5625) < 1e-12)
+    val z = Unigram.wordLogZ("ab", vocab, lp, 6)
+    assert(math.abs(z - math.log(0.5625)) < 1e-12)
+  }
+
+  test("viterbi: best path wins; ties prefer the longer piece; coverage via chars") {
+    val vocab = Map("a" -> 0, "b" -> 1, "ab" -> 2)
+    assert(Unigram.viterbi("ab", vocab,
+      Array(math.log(0.25), math.log(0.25), math.log(0.5)), 6) === Seq("ab"))
+    // equal-probability tie: ab (one piece, p=.25) beats a·b (.25·.25)
+    assert(Unigram.viterbi("ab", vocab,
+      Array(math.log(0.25), math.log(0.25), math.log(0.25)), 6) === Seq("ab"))
+    // unseen substring falls back to chars
+    assert(Unigram.viterbi("ba", vocab,
+      Array(math.log(0.25), math.log(0.25), math.log(0.5)), 6) === Seq("b", "a"))
+  }
+
+  test("train: a repetitive corpus promotes the repeated piece; EM likelihood is monotone") {
+    val corpus = docs(
+      1L -> "abab abab abab", 2L -> "abab abab", 3L -> "cd cd cd abab")
+    val (pieces, ll) = Unigram.train(corpus,
+      vocabSize = 16, seedSize = 32, emIters = 4)
+    val byPiece = pieces.map(p => p.piece -> p.microLogProb).toMap
+    assert(byPiece.contains("abab") || byPiece.contains("ab"),
+      s"repeated piece must survive pruning: ${pieces.map(_.piece)}")
+    // every single char of the corpus is in the vocabulary
+    Seq("a", "b", "c", "d").foreach(c => assert(byPiece.contains(c), s"char $c"))
+    // EM monotonicity in micro-nats (1 micro slack for the fixing)
+    ll.sliding(2).foreach { case Seq(x, y) =>
+      assert(y >= x - 1L, s"likelihood regressed: $ll")
+    }
+    assert(ll.length === 5) // emIters + the post-EM audit pass
+  }
+
+  test("train is bit-deterministic run to run (fresh frames, no memo)") {
+    val mk = () => docs(1L -> "xyz xyz wvu", 2L -> "xyz wvu wvu xyz")
+    val (p1, l1) = Unigram.train(mk(), vocabSize = 16, seedSize = 32, emIters = 3)
+    val (p2, l2) = Unigram.train(mk(), vocabSize = 16, seedSize = 32, emIters = 3)
+    assert(p1 === p2)
+    assert(l1 === l2)
+  }
+
+  test("unigramTokenize: full corpus coverage, composition with the self-trained vocab") {
+    val corpus = Tables.documents(spark, sf)
+    val out = Unigram.unigramTokenize(corpus).collect()
+    assert(out.length === corpus.count())
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"doc ${r.getLong(0)}: pieces must cover every word")
+      assert(r.getString(3).length === 32)
+    }
+    // artifact sanity: vocab rows + ll rows, ranked, chars flagged
+    val art = Unigram.unigramTrain(corpus).collect()
+    val vocabRows = art.filter(!_.getString(1).startsWith("__ll_iter_"))
+    assert(vocabRows.length >= 16)
+    assert(vocabRows.forall(r => r.getBoolean(3) === (r.getString(1).length == 1)))
+    val llRows = art.filter(_.getString(1).startsWith("__ll_iter_"))
+    assert(llRows.length === Unigram.defaultEmIters + 1)
+  }
+}
