@@ -116,6 +116,12 @@ pq_search:
 pq_append:
 	$(SBT) "runMain graft.cli.PqIndexTool --mode append --family $(FAMILY) --data $(RAW_DIR) --index_dir $(PQ_DIR)"
 
+unigram_train:
+	$(SBT) "runMain graft.cli.UnigramModelTool --mode train --data $(RAW_DIR) --model data/unigram/pieces.txt"
+
+unigram_tokenize:
+	$(SBT) "runMain graft.cli.UnigramModelTool --mode tokenize --data $(RAW_DIR) --model data/unigram/pieces.txt"
+
 bpe_train:
 	$(SBT) "runMain graft.cli.BpeModelTool --mode train --data $(RAW_DIR) --model $(BPE_MODEL)"
 

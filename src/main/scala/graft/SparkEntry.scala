@@ -291,6 +291,9 @@ object SparkEntry {
     // Viterbi tokenization under the SELF-trained unigram vocabulary
     // (the train->apply composition, the BPE family's q102 shape)
     "q_unigram_tokenize" -> ((s, dir) => text.Unigram.unigramTokenize(Tables.documents(s, dir))),
+    // the shipped-tokenizer lifecycle: tokenize under the PERSISTED
+    // pieces.txt — bit-equal to in-session (integer micros round-trip)
+    "q_unigram_tokenize_disk" -> ((s, dir) => text.Unigram.unigramTokenizeDisk(Tables.documents(s, dir))),
     "q_bpe_train_apply" -> ((s, dir) => text.Bpe.bpeTokenizeTrained(Tables.documents(s, dir))),
     // per-language tokenizer fertility (tokens/word + chars/token) —
     // the tokenizer-fit audit: lang rides the same zero-Exchange

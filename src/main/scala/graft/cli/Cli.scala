@@ -354,6 +354,29 @@ object BpeModelTool {
   }
 }
 
+/** `graft.cli.UnigramModelTool --mode train --data <sfDir> --model <path>`
+  * trains the unigram-LM piece vocabulary and ships it as a
+  * rank-ordered pieces.txt; `--mode tokenize` reads the model back
+  * and tokenizes — the BpeModelTool lifecycle on the unigram family.
+  */
+object UnigramModelTool {
+  def main(argv: Array[String]): Unit = CliSession.withSession { spark =>
+    val a = Args.parse(argv)
+    val data = Args.required(a, "data")
+    val model = Args.required(a, "model")
+    val docs = graft.Tables.documents(spark, data)
+    a.getOrElse("mode", "train") match {
+      case "train" =>
+        graft.text.UnigramModel.writeTrained(docs, model)
+        println(s"[UNIGRAM] pieces written to $model")
+      case "tokenize" =>
+        graft.text.UnigramModel.tokenize(docs, model)
+          .orderBy(col("doc_id")).show(20, truncate = false)
+      case m => throw new IllegalArgumentException(s"unknown --mode '$m'")
+    }
+  }
+}
+
 /** `graft.cli.TextModelTool --mode train|score --family quality|langid
   * --data <sfDir> --model_dir <dir>` — the train-once/score-forever
   * lifecycle for the two learned text filters (MLlib model dir;

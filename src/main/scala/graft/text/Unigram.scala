@@ -310,10 +310,39 @@ object Unigram {
     * pieces_md5). Scan-side: the model is a broadcast driver artifact,
     * the DP runs in the typed seam, no shuffle at all.
     */
-  def unigramTokenize(documents: DataFrame): DataFrame = {
+  def unigramTokenize(documents: DataFrame): DataFrame =
+    tokenizeWith(documents, trainCached(documents)._1)
+
+  /** Session-scoped registry of persisted model paths keyed on the
+    * corpus plan (the lmIndexDirCached discipline) — the disk-served
+    * query writes the model once per corpus per session.
+    */
+  private val modelPathMemo = graft.Memo[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String]()
+
+  private[graft] def modelPathCached(documents: DataFrame): String =
+    modelPathMemo.getOrElseUpdate(documents.sparkSession,
+      documents.queryExecution.analyzed.canonicalized)({
+      val p = java.nio.file.Files.createTempDirectory("graft_unigram_")
+        .resolve("pieces.txt").toString
+      UnigramModel.writeTrained(documents, p)
+      p
+    })
+
+  /** q158: [[unigramTokenize]] under the PERSISTED model — the
+    * shipped-tokenizer lifecycle (train once, tokenize forever);
+    * bit-equal to the in-session composition because the vocabulary
+    * round-trips integer micros through the text artifact (pinned).
+    */
+  def unigramTokenizeDisk(documents: DataFrame): DataFrame =
+    UnigramModel.tokenize(documents, modelPathCached(documents))
+
+  /** The apply half over an EXPLICIT vocabulary — the seam
+    * [[UnigramModel.tokenize]] serves a persisted model through.
+    */
+  def tokenizeWith(documents: DataFrame, ps: Seq[Piece]): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val (ps, _) = trainCached(documents)
     val vocab = ps.map(_.piece).zipWithIndex.toMap
     val lp = ps.map(_.microLogProb / 1e6).toArray
     val maxLen = defaultMaxPieceLen

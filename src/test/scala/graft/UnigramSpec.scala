@@ -60,6 +60,26 @@ class UnigramSpec extends SparkSpec {
     assert(l1 === l2)
   }
 
+  test("UnigramModel: write -> read -> tokenize bit-equal to in-session; corrupt models loud") {
+    import graft.text.UnigramModel
+    val corpus = docs(1L -> "foo bar foo baz", 2L -> "bar bar foo")
+    val (pieces, _) = Unigram.train(corpus, vocabSize = 16, seedSize = 32, emIters = 2)
+    val path = java.nio.file.Files.createTempDirectory("unigram_model_")
+      .resolve("pieces.txt").toString
+    UnigramModel.write(pieces, path)
+    assert(UnigramModel.read(path) === pieces, "integer micros must round-trip exactly")
+    val inSession = Unigram.tokenizeWith(corpus, pieces)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val viaDisk = UnigramModel.tokenize(corpus, path)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(viaDisk.toSeq === inSession.toSeq)
+    intercept[IllegalArgumentException] { UnigramModel.write(Seq.empty, path) }
+    val bad = java.nio.file.Files.createTempDirectory("unigram_bad_")
+      .resolve("pieces.txt")
+    java.nio.file.Files.write(bad, "not a header\nfoo\t1".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] { UnigramModel.read(bad.toString) }
+  }
+
   test("unigramTokenize: full corpus coverage, composition with the self-trained vocab") {
     val corpus = Tables.documents(spark, sf)
     val out = Unigram.unigramTokenize(corpus).collect()
