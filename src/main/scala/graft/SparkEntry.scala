@@ -83,6 +83,12 @@ object SparkEntry {
     // one wide aggregate, unpivot on the 1-row result (round-5
     // addition)
     "q_profile" -> ((s, dir) => Relational.profile(Tables.lineitem(s, dir))),
+    // Deequ-style declarative constraint suite: completeness /
+    // uniqueness / range / accepted-set / referential checks, one
+    // verdict row per constraint, one wide aggregate per fact scan
+    // (round-11 addition)
+    "q_dq_suite" -> ((s, dir) => ops.DataQuality.dqSuite(
+      Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir))),
     // one-pass EXACT-moment Pearson correlation matrix — integer
     // moments make it engine-deterministic where the standard
     // double-accumulated form is not (round-5 addition)
@@ -864,6 +870,7 @@ object SparkEntry {
     "q_compacted_read" -> graft.sources.Compact.sqlCompactedRollup,
     "q_skew_profile" -> graft.ops.Skew.sqlSkewProfile(),
     "q_skew_join" -> graft.ops.Skew.sqlSkewJoin,
+    "q_dq_suite" -> graft.ops.DataQuality.sqlDqSuite,
     "q_zorder" -> graft.sources.ZOrder.sqlZorderAudit,
     "q_bucketed_join" -> graft.sources.Bucketing.sqlBucketedJoinRollup,
     "q_stream_sliding" -> Events.sqlSlidingAgg(),
