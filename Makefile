@@ -116,6 +116,12 @@ pq_search:
 pq_append:
 	$(SBT) "runMain graft.cli.PqIndexTool --mode append --family $(FAMILY) --data $(RAW_DIR) --index_dir $(PQ_DIR)"
 
+phash_index:
+	$(SBT) "runMain graft.cli.PhashIndexTool --mode build --data $(RAW_DIR) --index_dir data/phash_index"
+
+phash_probe:
+	$(SBT) "runMain graft.cli.PhashIndexTool --mode probe --data $(RAW_DIR) --index_dir data/phash_index"
+
 unigram_train:
 	$(SBT) "runMain graft.cli.UnigramModelTool --mode train --data $(RAW_DIR) --model data/unigram/pieces.txt"
 

@@ -549,6 +549,40 @@ object ShingleIndexTool {
   }
 }
 
+/** `graft.cli.PhashIndexTool --mode build|probe|append --data <sfDir>
+  * --index_dir <dir> [--batch_mod 10] [--tau 2]` — the persisted
+  * image-hash store lifecycle (q_image_incremental_disk as shell
+  * commands): `build` decodes + hashes the store slice's images into
+  * the PhashIndex band table, `probe` screens the batch slice against
+  * the read-back layout, `append` lands the batch's decodable hashes.
+  * Disk-vs-memory row-equality is pinned in PhashSpec; this is the
+  * ops wrapper.
+  */
+object PhashIndexTool {
+  def main(argv: Array[String]): Unit = CliSession.withSession { spark =>
+    val a = Args.parse(argv)
+    val data = Args.required(a, "data")
+    val indexDir = Args.required(a, "index_dir")
+    val batchMod = a.getOrElse("batch_mod", "10").toLong
+    val tau = a.getOrElse("tau", "2").toInt
+    val docs = graft.Tables.documents(spark, data)
+    val store = docs.filter(pmod(col("doc_id"), lit(batchMod)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(batchMod)) === 0)
+    a.getOrElse("mode", "build") match {
+      case "build" =>
+        graft.mm.PhashIndex.write(store, indexDir)
+        println(s"[PHASH] index written to $indexDir")
+      case "probe" =>
+        graft.mm.PhashIndex.probe(spark, batch, indexDir, tau)
+          .orderBy(col("doc_id")).show(20, truncate = false)
+      case "append" =>
+        graft.mm.PhashIndex.append(spark, batch, indexDir)
+        println(s"[PHASH] batch appended to $indexDir")
+      case m => throw new IllegalArgumentException(s"unknown --mode '$m'")
+    }
+  }
+}
+
 /** `graft.cli.LmIndexTool --mode train|score --data <sfDir>
   * --model_dir <dir> [--order 1|2|3] [--batch_mod 10]` — the
   * persisted order-n LM lifecycle (q_ppl_incremental_disk as shell
