@@ -120,6 +120,10 @@ object SparkEntry {
     // struct-maxes); oracle is the independent two-rank-CTE + left
     // join formulation (round-5 addition)
     "q_snapshot_diff" -> ((s, dir) => ops.Temporal.snapshotDiff(Tables.events(s, dir))),
+    // MERGE INTO semantics (the writer's view of the snapshot diff):
+    // post-merge table with update/insert/noop op labels, both sides
+    // from conditional struct-maxes in ONE scan (round-11 addition)
+    "q_merge_upsert" -> ((s, dir) => ops.Temporal.mergeUpsert(Tables.events(s, dir))),
     // daily active users via HLL++ sketch: fixed-size mergeable
     // accumulator, shuffle carries |days| x sketch bytes; approximate
     // => rows-only gate + error pin in RelationalSpec (round-5
@@ -871,6 +875,7 @@ object SparkEntry {
     "q_skew_profile" -> graft.ops.Skew.sqlSkewProfile(),
     "q_skew_join" -> graft.ops.Skew.sqlSkewJoin,
     "q_dq_suite" -> graft.ops.DataQuality.sqlDqSuite,
+    "q_merge_upsert" -> graft.ops.Temporal.sqlMergeUpsert(),
     "q_zorder" -> graft.sources.ZOrder.sqlZorderAudit,
     "q_bucketed_join" -> graft.sources.Bucketing.sqlBucketedJoinRollup,
     "q_stream_sliding" -> Events.sqlSlidingAgg(),

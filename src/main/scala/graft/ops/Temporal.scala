@@ -181,6 +181,70 @@ object Temporal {
       col("b.event_id").as("new_event_id"))
   }
 
+  /** q160: MERGE INTO semantics over the CDC log — the writer's view
+    * next to [[snapshotDiff]]'s audit view: target = latest state per
+    * user as of t1, source = the (t1, t2] change slice, and the
+    * output is the POST-MERGE table with the Delta/Iceberg op labels
+    * (matched → `update`, not-matched-by-target → `insert`, target
+    * rows the source never touched → `noop` — the WHEN NOT MATCHED BY
+    * SOURCE branch). Same scale shape as [[snapshotDiff]]: BOTH sides
+    * from conditional struct-maxes in ONE scan + ONE groupBy — the
+    * log is never joined against itself; the merged row is a per-
+    * column CASE over the two struct arms (engine-portable — no
+    * struct-valued coalesce seam). Oracle: the independent
+    * two-rank-CTE + FULL OUTER JOIN formulation.
+    */
+  def mergeUpsert(events: DataFrame, t1Ms: Long = 1705363200000L,
+      t2Ms: Long = 1706745600000L): DataFrame = {
+    require(t1Ms < t2Ms, "mergeUpsert needs t1 < t2")
+    val st = struct(col("ts_ms"), col("event_id"), col("event_type"), col("value"))
+    val agg = events
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("ts_ms") <= t1Ms, st)).as("tgt"),
+        max(when(col("ts_ms") > t1Ms && col("ts_ms") <= t2Ms, st)).as("src"))
+      .filter(col("tgt").isNotNull || col("src").isNotNull)
+    def pick(f: String) =
+      when(col("src").isNotNull, col(s"src.$f")).otherwise(col(s"tgt.$f"))
+    agg.select(
+      col("user_id"),
+      when(col("tgt").isNull, lit("insert"))
+        .when(col("src").isNull, lit("noop"))
+        .otherwise(lit("update")).as("op"),
+      pick("ts_ms").as("ts_ms"),
+      pick("event_id").as("event_id"),
+      pick("event_type").as("event_type"),
+      Det.r(pick("value"), 2).as("value"))
+  }
+
+  def sqlMergeUpsert(t1Ms: Long = 1705363200000L, t2Ms: Long = 1706745600000L): String =
+    s"""WITH mue AS (
+       |  SELECT user_id, event_id, event_type, value,
+       |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+       |  FROM events
+       |), mut AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts_ms DESC, event_id DESC) AS rn
+       |    FROM mue WHERE ts_ms <= $t1Ms) WHERE rn = 1
+       |), mus AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts_ms DESC, event_id DESC) AS rn
+       |    FROM mue WHERE ts_ms > $t1Ms AND ts_ms <= $t2Ms) WHERE rn = 1
+       |)
+       |SELECT coalesce(s.user_id, t.user_id) AS user_id,
+       |  CASE WHEN t.user_id IS NULL THEN 'insert'
+       |       WHEN s.user_id IS NULL THEN 'noop'
+       |       ELSE 'update' END AS op,
+       |  coalesce(s.ts_ms, t.ts_ms) AS ts_ms,
+       |  coalesce(s.event_id, t.event_id) AS event_id,
+       |  coalesce(s.event_type, t.event_type) AS event_type,
+       |  floor(coalesce(s.value, t.value) * 100.0 + 0.5) / 100.0 AS value
+       |FROM mut t FULL OUTER JOIN mus s ON t.user_id = s.user_id""".stripMargin
+
   def sqlSnapshotDiff(t1Ms: Long = 1705363200000L, t2Ms: Long = 1706745600000L): String =
     s"""WITH e AS (
        |  SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events

@@ -110,6 +110,52 @@ class TemporalSpec extends SparkSpec {
       3L -> (("unchanged", 4L, 4L))))
   }
 
+  test("mergeUpsert: hand-built log pins update/insert/noop and the post-merge row") {
+    import spark.implicits._
+    // t1 = 5000: user 1 has target + later change (update), user 2 only
+    // target (noop), user 3 only change (insert), user 4 only after t2
+    // (absent). user 1's change slice has two events — latest wins.
+    val ev = Seq(
+      (1L, 1L, 1000L, "click", 1.0), (2L, 1L, 6000L, "view", 2.0),
+      (3L, 1L, 7000L, "purchase", 3.0),
+      (4L, 2L, 2000L, "click", 4.0),
+      (5L, 3L, 8000L, "signup", 5.0),
+      (6L, 4L, 99999L, "click", 6.0))
+      .toDF("event_id", "user_id", "ts_ms", "event_type", "value")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val got = Temporal.mergeUpsert(ev, t1Ms = 5000L, t2Ms = 9000L).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getString(4), r.getDouble(5))))
+      .toMap
+    assert(got === Map(
+      1L -> (("update", 7000L, 3L, "purchase", 3.0)),
+      2L -> (("noop", 2000L, 4L, "click", 4.0)),
+      3L -> (("insert", 8000L, 5L, "signup", 5.0))))
+  }
+
+  test("mergeUpsert agrees with snapshotDiff's status partition; update+noop rows ARE the t1 users") {
+    val events = Tables.events(spark, sf)
+    val merged = Temporal.mergeUpsert(events).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val diff = Temporal.snapshotDiff(events).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // op maps onto the audit view: insert==added; update/noop split changed/unchanged
+    assert(merged.keySet === diff.keySet)
+    merged.foreach { case (u, op) =>
+      val status = diff(u)
+      op match {
+        case "insert" => assert(status === "added", s"user $u")
+        // an update can land on the SAME latest event_id only if the
+        // change re-won; changed status implies a source change existed
+        case "update" => assert(status === "changed" || status === "unchanged", s"user $u")
+        case "noop"   => assert(status === "unchanged", s"user $u")
+      }
+    }
+    // one-scan shape like snapshotDiff: single Exchange, single scan
+    val plan = planOf(Temporal.mergeUpsert(events))
+    assert("Exchange".r.findAllIn(plan).length === 1, s"plan:\n$plan")
+  }
+
   test("snapshotDiff agrees with two latestSnapshots on real events; one scan, one shuffle") {
     val events = Tables.events(spark, sf)
     val (t1, t2) = (1705363200000L, 1706745600000L)
