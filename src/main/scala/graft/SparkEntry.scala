@@ -184,6 +184,11 @@ object SparkEntry {
     // fixed-order float association, TakeOrdered top-k (round-5
     // addition)
     "q_bm25_search" -> ((s, dir) => text.Search.bm25Search(Tables.documents(s, dir))),
+    // hybrid retrieval: BM25 + brute-kNN fused by integer-micro RRF
+    // (the RAG-stack discipline); both constituents are oracle-gated
+    // queries, the twin composes their SQL (round-11 addition)
+    "q_hybrid_search" -> ((s, dir) =>
+      text.Search.hybridSearch(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     "q_fingerprint" -> ((s, dir) => Text.fingerprint(Tables.documents(s, dir))),
     // unigram-LM surprisal (perplexity-proxy quality signal): tf
     // shuffle + vocabulary rollup + broadcast corpus total; per-token
@@ -876,6 +881,7 @@ object SparkEntry {
     "q_skew_join" -> graft.ops.Skew.sqlSkewJoin,
     "q_dq_suite" -> graft.ops.DataQuality.sqlDqSuite,
     "q_merge_upsert" -> graft.ops.Temporal.sqlMergeUpsert(),
+    "q_hybrid_search" -> text.Search.sqlHybridSearch(),
     "q_zorder" -> graft.sources.ZOrder.sqlZorderAudit,
     "q_bucketed_join" -> graft.sources.Bucketing.sqlBucketedJoinRollup,
     "q_stream_sliding" -> Events.sqlSlidingAgg(),

@@ -207,4 +207,80 @@ object Search {
        |SELECT CAST("rank" AS BIGINT) AS "rank", doc_id, n_hit_terms, score
        |FROM r WHERE "rank" <= $k""".stripMargin
   }
+
+  /** q161: HYBRID retrieval — the RAG-stack discipline (BM25 + vector
+    * search fused by Reciprocal Rank Fusion, Cormack et al. 2009):
+    * the lexical ranking ([[bm25Search]] under the fixed term query)
+    * and the semantic ranking (the memoized brute-kNN neighbors of
+    * query vector `queryVec` — doc_id and vec_id share the corpus
+    * entity space) merge by RRF score Σ 1/(rrfK + rank), fixed to
+    * INTEGER MICROS via `1000000 div (rrfK + rank)` so the fusion has
+    * zero float seams (the rounding IS the score contract, documented
+    * — at rrfK=60 the micro grid still separates every rank pair ≤
+    * 900). Lists are k-bounded, so the fusion join, the full-outer
+    * merge, and the final rank window all run over ≤2k rows; absent
+    * ranks carry the -1 sentinel, never NULL. Both constituent
+    * rankings are oracle-gated queries already (#59, #27) ⇒ the twin
+    * composes their SQL and the hash gate covers the FUSION
+    * arithmetic end to end.
+    */
+  def hybridSearch(
+      documents: DataFrame,
+      embeddings: DataFrame,
+      terms: Seq[String] = defaultQuery,
+      queryVec: Long = 0L,
+      k: Int = 20,
+      rrfK: Long = 60L): DataFrame = {
+    val text = bm25Search(documents, terms, k)
+      .select(col("doc_id"), col("rank").as("text_rank"))
+    val vec = graft.sim.Similarity.bruteKnnCached(embeddings)
+      .filter(col("query_id") === queryVec)
+      .select(col("vec_id").as("doc_id"), col("rank").cast("long").as("vec_rank"))
+    val fused = text.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("text_rank"), lit(-1L)).as("text_rank"),
+        coalesce(col("vec_rank"), lit(-1L)).as("vec_rank"))
+      .withColumn("rrf_micros",
+        when(col("text_rank") > 0, expr(s"1000000 div ($rrfK + text_rank)"))
+          .otherwise(lit(0L)) +
+          when(col("vec_rank") > 0, expr(s"1000000 div ($rrfK + vec_rank)"))
+            .otherwise(lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Det.constKey(col("doc_id")))
+      .orderBy(col("rrf_micros").desc, col("doc_id").asc)
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("text_rank"), col("vec_rank"),
+        col("rrf_micros"))
+  }
+
+  def sqlHybridSearch(
+      terms: Seq[String] = defaultQuery,
+      queryVec: Long = 0L,
+      k: Int = 20,
+      rrfK: Long = 60L): String =
+    s"""WITH hst AS (
+       |  SELECT doc_id, "rank" AS text_rank FROM (
+       |${sqlBm25Search(terms, k)}
+       |  )
+       |), hsv AS (
+       |  SELECT vec_id AS doc_id, CAST("rank" AS BIGINT) AS vec_rank FROM (
+       |${graft.sim.Similarity.sqlBruteKnn()}
+       |  ) WHERE query_id = $queryVec
+       |), hsf AS (
+       |  SELECT coalesce(hst.doc_id, hsv.doc_id) AS doc_id,
+       |    coalesce(text_rank, -1) AS text_rank,
+       |    coalesce(vec_rank, -1) AS vec_rank
+       |  FROM hst FULL OUTER JOIN hsv ON hst.doc_id = hsv.doc_id
+       |), hsg AS (
+       |  SELECT *,
+       |    (CASE WHEN text_rank > 0 THEN 1000000 // ($rrfK + text_rank) ELSE 0 END)
+       |    + (CASE WHEN vec_rank > 0 THEN 1000000 // ($rrfK + vec_rank) ELSE 0 END)
+       |      AS rrf_micros
+       |  FROM hsf
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY rrf_micros DESC, doc_id ASC) AS BIGINT) AS "rank",
+       |  doc_id, CAST(text_rank AS BIGINT) AS text_rank,
+       |  CAST(vec_rank AS BIGINT) AS vec_rank, CAST(rrf_micros AS BIGINT) AS rrf_micros
+       |FROM hsg""".stripMargin
 }

@@ -64,4 +64,30 @@ class SearchSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("hybridSearch: RRF fusion matches a driver recomputation; overlap outranks solo") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val out = graft.text.Search.hybridSearch(docs, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // recompute RRF from the two constituent oracle-gated rankings
+    val text = graft.text.Search.bm25Search(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val vec = graft.sim.Similarity.bruteKnnCached(emb)
+      .filter(org.apache.spark.sql.functions.col("query_id") === 0L).collect()
+      .map(r => r.getLong(2) -> r.getInt(1).toLong).toMap
+    val expect = (text.keySet ++ vec.keySet).map { id =>
+      val tr = text.getOrElse(id, -1L); val vr = vec.getOrElse(id, -1L)
+      val rrf = (if (tr > 0) 1000000L / (60L + tr) else 0L) +
+        (if (vr > 0) 1000000L / (60L + vr) else 0L)
+      id -> ((tr, vr, rrf))
+    }.toMap
+    assert(out.length === expect.size)
+    out.foreach { case (_, id, tr, vr, rrf) =>
+      assert(expect(id) === ((tr, vr, rrf)), s"doc $id")
+    }
+    // rank order follows (rrf desc, doc_id asc)
+    val sorted = out.sortBy(r => (-r._5, r._2)).map(_._2)
+    assert(out.sortBy(_._1).map(_._2).toSeq === sorted.toSeq)
+  }
 }
