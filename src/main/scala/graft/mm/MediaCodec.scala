@@ -842,8 +842,13 @@ object MediaCodec {
 
   /** Planted-image arithmetic for the PERCEPTUAL-HASH family — the
     * near-dup structure the planting deliberately creates: images are
-    * keyed by GROUP `doc_id % 16` (16 distinct base pictures) with a
-    * per-doc VARIANT `(doc_id / 16) % 3`:
+    * keyed by GROUP `doc_id div 48` (consecutive ids share a picture —
+    * the crawl-local duplicate shape, and the property that keeps the
+    * pair graph LINEAR in the corpus: clique size is ≤48 at ANY scale,
+    * where a modulus-keyed group grows with the corpus and makes every
+    * pair-emitting consumer quadratic — measured at sf1 before the
+    * re-plant: exp 1.28 on q_image_dedup) with a per-doc VARIANT
+    * `doc_id % 3`:
     *
     *   v0: the base picture
     *   v1: the base +7 on every channel (a re-encode/brightness shift
@@ -859,8 +864,8 @@ object MediaCodec {
   private[graft] val phashW = 36 // 9 block columns × 4 px
   private[graft] val phashH = 32 // 8 block rows    × 4 px
   private[graft] def phashPixelAt(docId: Long, x: Int, y: Int): (Int, Int, Int) = {
-    val g = math.floorMod(docId, 16L)
-    val v = math.floorMod(docId / 16L, 3L)
+    val g = docId / 48L
+    val v = math.floorMod(docId, 3L)
     val add =
       if (v == 1L) 7
       else if (v == 2L && x / 4 == (g % 9L).toInt && y / 4 == (g % 8L).toInt) 64
@@ -951,7 +956,7 @@ object MediaCodec {
     */
   private def sqlPhashCtes: String =
     s"""ig AS (
-       |  SELECT doc_id, doc_id % 16 AS g, (doc_id // 16) % 3 AS v FROM documents
+       |  SELECT doc_id, doc_id // 48 AS g, doc_id % 3 AS v FROM documents
        |), ipx AS (
        |  SELECT doc_id, g, v, unnest(range(0, $phashW)) AS x FROM ig
        |), ipxy AS (

@@ -26,7 +26,7 @@ class PhashSpec extends SparkSpec {
     a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
 
   test("imagePhash: real decode recovers the planted-arithmetic bands; quarantine fires") {
-    val ids = Seq(1L, 17L, 33L, 19L, 5L, 40L)
+    val ids = Seq(3L, 4L, 5L, 19L, 6L, 48L)
     val out = MediaCodec.imagePhash(docs(ids: _*))
       .collect().map(r => r.getLong(0) -> r).toMap
     ids.filter(_ % 19 != 0).foreach { id =>
@@ -44,39 +44,39 @@ class PhashSpec extends SparkSpec {
   }
 
   test("dHash invariances: brightness shift hashes EQUAL, one-block edit within 2 bits") {
-    // group g=1: id 1 (v0 base), 17 (v1 brightness), 33 (v2 block edit)
-    val base = plantedBands(1L)
-    assert(plantedBands(17L).toSeq === base.toSeq,
+    // group 0 (ids 0..47): id 3 (v0 base), 4 (v1 brightness), 5 (v2 block edit)
+    val base = plantedBands(3L)
+    assert(plantedBands(4L).toSeq === base.toSeq,
       "uniform brightness adds the same constant to every block sum — gradients unchanged")
-    val edited = plantedBands(33L)
+    val edited = plantedBands(5L)
     assert(hamming(base, edited) <= 2, "a 4x4-block edit touches at most 2 comparisons")
     // different groups are different pictures: far apart in hash space
-    assert(hamming(plantedBands(1L), plantedBands(2L)) > 2)
+    assert(hamming(plantedBands(3L), plantedBands(48L)) > 2)
   }
 
   test("imageDedup: planted variant pairs recovered, quarantined docs excluded, a<b once") {
-    // two full groups (g=1, g=2) across all three variants + a quarantined id
-    val out = MediaCodec.imageDedup(docs(1L, 17L, 33L, 2L, 18L, 34L, 19L))
+    // two groups (0 and 1) across all three variants + a quarantined id
+    val out = MediaCodec.imageDedup(docs(3L, 4L, 5L, 48L, 49L, 50L, 19L))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val pairs = out.map(t => (t._1, t._2)).toSet
-    assert(pairs.contains((1L, 17L)), "brightness pair")
-    assert(out.find(t => t._1 == 1L && t._2 == 17L).get._3 === 0L)
-    assert(pairs.contains((1L, 33L)) && pairs.contains((17L, 33L)), "block-edit pairs")
-    assert(pairs.contains((2L, 18L)) && pairs.contains((2L, 34L)))
+    assert(pairs.contains((3L, 4L)), "brightness pair")
+    assert(out.find(t => t._1 == 3L && t._2 == 4L).get._3 === 0L)
+    assert(pairs.contains((3L, 5L)) && pairs.contains((4L, 5L)), "block-edit pairs")
+    assert(pairs.contains((48L, 49L)) && pairs.contains((48L, 50L)))
     assert(!out.exists(t => t._1 == 19L || t._2 == 19L), "quarantined never pairs")
     assert(out.forall(t => t._1 < t._2))
     assert(out.map(t => (t._1, t._2)).distinct.length === out.length, "pairs emitted once")
     // cross-group: nothing within tau by planting
-    assert(!pairs.exists { case (a, b) => a % 16L != b % 16L })
+    assert(!pairs.exists { case (a, b) => a / 48L != b / 48L })
   }
 
   test("imageDrop: first-wins survivor per perceptual cluster, singletons keep, quarantine absent") {
-    val out = MediaCodec.imageDrop(docs(1L, 17L, 33L, 2L, 19L))
+    val out = MediaCodec.imageDrop(docs(3L, 4L, 5L, 48L, 19L))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
     assert(!out.contains(19L), "quarantined doc must not get a verdict")
-    assert(out(1L) === ((1L, true)), "cluster min keeps")
-    assert(out(17L) === ((1L, false)) && out(33L) === ((1L, false)), "later members drop")
-    assert(out(2L) === ((2L, true)), "singleton keeps")
+    assert(out(3L) === ((3L, true)), "cluster min keeps")
+    assert(out(4L) === ((3L, false)) && out(5L) === ((3L, false)), "later members drop")
+    assert(out(48L) === ((48L, true)), "singleton keeps")
     // verdict conserves: one keep per cluster
     out.values.groupBy(_._1).foreach { case (cid, vs) =>
       assert(vs.count(_._2) === 1, s"cluster $cid keeps")
@@ -84,15 +84,15 @@ class PhashSpec extends SparkSpec {
   }
 
   test("imageScreen: batch images drop on a store hash hit; undecodable batch rows pass flagged") {
-    // batch = ids % 10 == 0: 0 (quarantined: 0 % 19 == 0), 20 (g4 v1), 30 (g14 v1)
-    // store: 4 (g4 v0 — hash-equal to 20 via brightness invariance), 1, 2
-    val all = docs(0L, 20L, 30L, 4L, 1L, 2L)
+    // batch = ids % 10 == 0: 0 (quarantined: 0 % 19 == 0), 50 (g1 v2),
+    // 480 (g10 v0 — novel). store: 49 (g1 v1 — within tau of 50)
+    val all = docs(0L, 50L, 480L, 49L)
     val out = MediaCodec.imageScreen(all).collect()
       .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getBoolean(3)))).toMap
-    assert(out.keySet === Set(0L, 20L, 30L), "exactly the batch rows")
+    assert(out.keySet === Set(0L, 50L, 480L), "exactly the batch rows")
     assert(out(0L) === ((false, 0L, true)), "quarantined: passes the IMAGE screen, flagged")
-    assert(out(20L)._1 && out(20L)._2 >= 1L && !out(20L)._3, "store near-dup screens out")
-    assert(out(30L) === ((true, 0L, true)), "novel picture lands")
+    assert(out(50L)._1 && out(50L)._2 >= 1L && !out(50L)._3, "store near-dup screens out")
+    assert(out(480L) === ((true, 0L, true)), "novel picture lands")
     // the arbitrary-split core agrees with the modulus form
     val viaCore = MediaCodec.imageScreenAgainst(
       all.filter(col("doc_id") % 10 === 0), all.filter(col("doc_id") % 10 =!= 0))
@@ -132,7 +132,7 @@ class PhashSpec extends SparkSpec {
   test("imageDedup on the corpus: every same-group variant pair is present") {
     val corpus = Tables.documents(spark, sf).select("doc_id")
     val ids = corpus.as[Long].collect().filter(_ % 19 != 0)
-    val expected = ids.groupBy(_ % 16).values.flatMap { grp =>
+    val expected = ids.groupBy(_ / 48).values.flatMap { grp =>
       for {
         a <- grp.toSeq; b <- grp.toSeq if a < b
         // same picture family: variants of one group with hamming <= 2
