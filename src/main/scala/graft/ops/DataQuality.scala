@@ -34,8 +34,10 @@ object DataQuality {
     val spark = lineitem.sparkSession
     import spark.implicits._
 
+    // coalesce: sum over an EMPTY table is null, and a data-quality
+    // gate must verdict an empty input (n=0, zero violations), not NPE
     def viol(c: org.apache.spark.sql.Column) =
-      sum(when(c, 1L).otherwise(0L))
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
 
     // ONE scan: every per-row lineitem constraint is a conditional
     // count inside the same aggregate

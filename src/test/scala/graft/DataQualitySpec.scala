@@ -46,6 +46,17 @@ class DataQualitySpec extends SparkSpec {
     assert(out(("orders", "ref_o_custkey_in_customer")) === ((6L, 1L, false)))
   }
 
+  test("dqSuite verdicts an empty input (n=0, zero violations) instead of throwing") {
+    val out = DataQuality.dqSuite(
+      li().limit(0).union(li((1.0, 1.0, "A", 0.0, 0.0))).limit(0),
+      od().limit(0).union(od((1L, 1L, 1.0))).limit(0),
+      cu(1L).limit(0)).collect()
+    assert(out.length === 11)
+    out.foreach { r =>
+      assert(r.getLong(2) === 0L && r.getLong(3) === 0L && r.getBoolean(4), r.getString(1))
+    }
+  }
+
   test("dqSuite on the shipped corpus: every constraint passes (the gate a run would read)") {
     val out = DataQuality.dqSuite(Tables.lineitem(spark, sf),
       Tables.orders(spark, sf), Tables.customer(spark, sf)).collect()
