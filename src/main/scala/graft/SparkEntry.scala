@@ -309,6 +309,9 @@ object SparkEntry {
     // the shipped-tokenizer lifecycle: tokenize under the PERSISTED
     // pieces.txt — bit-equal to in-session (integer micros round-trip)
     "q_unigram_tokenize_disk" -> ((s, dir) => text.Unigram.unigramTokenizeDisk(Tables.documents(s, dir))),
+    // tokenizer selection artifact: BPE vs self-trained unigram
+    // fertility per language, word counts shared by construction
+    "q_tokenizer_compare" -> ((s, dir) => text.Unigram.tokenizerCompare(Tables.documents(s, dir))),
     "q_bpe_train_apply" -> ((s, dir) => text.Bpe.bpeTokenizeTrained(Tables.documents(s, dir))),
     // per-language tokenizer fertility (tokens/word + chars/token) —
     // the tokenizer-fit audit: lang rides the same zero-Exchange

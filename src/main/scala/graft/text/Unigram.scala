@@ -337,6 +337,47 @@ object Unigram {
   def unigramTokenizeDisk(documents: DataFrame): DataFrame =
     UnigramModel.tokenize(documents, modelPathCached(documents))
 
+  /** q162: tokenizer COMPARISON — the selection artifact a pipeline
+    * reads before committing a tokenizer (the #112 fertility metric
+    * computed for BOTH trained families side by side, per language):
+    * (lang, n_docs, total_words, total_bpe_tokens, bpe_fertility,
+    * total_uni_pieces, uni_fertility). The word count is the SAME
+    * whitespace split on both sides by construction, so the two
+    * fertilities are directly comparable (and the spec pins the word
+    * totals equal — a cross-family consistency invariant). BPE side =
+    * the #112 rollup (shipped merges head); unigram side = the
+    * self-trained #156 model applied scan-side with lang carried
+    * through the scan (no corpus-sized join back). Bounded ≤|langs|
+    * output; model-dependent ⇒ rows-only.
+    */
+  def tokenizerCompare(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val (ps, _) = trainCached(documents)
+    val vocab = ps.map(_.piece).zipWithIndex.toMap
+    val lp = ps.map(_.microLogProb / 1e6).toArray
+    val maxLen = defaultMaxPieceLen
+    val uni = documents.select(col("lang"), col("text")).as[(String, String)]
+      .mapPartitions { it =>
+        it.map { case (lang, text) =>
+          val words = text.split("\\s+").filter(_.nonEmpty)
+          (lang, words.length.toLong,
+            words.map(w => viterbi(w, vocab, lp, maxLen).length.toLong).sum)
+        }
+      }.toDF("lang", "w", "p")
+      .groupBy("lang")
+      .agg(sum(col("w")).as("uni_words"), sum(col("p")).as("total_uni_pieces"))
+    Bpe.fertility(documents)
+      .join(uni, "lang")
+      .select(col("lang"), col("n_docs"), col("total_words"),
+        col("total_bpe_tokens"),
+        col("fertility").as("bpe_fertility"),
+        col("total_uni_pieces"),
+        when(col("uni_words") > 0,
+          graft.Det.r(col("total_uni_pieces").cast("double") /
+            col("uni_words").cast("double"), 6)).as("uni_fertility"))
+  }
+
   /** The apply half over an EXPLICIT vocabulary — the seam
     * [[UnigramModel.tokenize]] serves a persisted model through.
     */

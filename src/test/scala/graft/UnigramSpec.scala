@@ -80,6 +80,24 @@ class UnigramSpec extends SparkSpec {
     intercept[IllegalArgumentException] { UnigramModel.read(bad.toString) }
   }
 
+  test("tokenizerCompare: word totals agree across families; fertilities well-formed") {
+    val corpus = Tables.documents(spark, sf)
+    val out = Unigram.tokenizerCompare(corpus).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size === 5, s"langs: ${out.keySet}")
+    // the same whitespace split on both sides: per-lang word totals
+    // must equal a driver recomputation
+    val words = corpus.collect().groupBy(_.getString(2)).map { case (l, rs) =>
+      l -> rs.map(_.getString(1).split("\\s+").count(_.nonEmpty).toLong).sum
+    }
+    out.foreach { case (lang, r) =>
+      assert(r.getLong(2) === words(lang), s"$lang word total")
+      assert(r.getLong(3) >= r.getLong(2), s"$lang bpe pieces cover words")
+      assert(r.getLong(5) >= r.getLong(2), s"$lang unigram pieces cover words")
+      assert(r.getDouble(4) >= 1.0 && r.getDouble(6) >= 1.0)
+    }
+  }
+
   test("unigramTokenize: full corpus coverage, composition with the self-trained vocab") {
     val corpus = Tables.documents(spark, sf)
     val out = Unigram.unigramTokenize(corpus).collect()
