@@ -173,6 +173,10 @@ object SparkEntry {
     // candidate scrubbed), counts report what validated (round-11
     // addition)
     "q_pii_scrub" -> ((s, dir) => text.Pii.piiScrub(Tables.documents(s, dir))),
+    // the composed per-doc POLICY table: gopher x c4 x pii x quality
+    // with the conjunction (pii vetoes); twin composes the constituent
+    // oracles (round-11 addition)
+    "q_policy_report" -> ((s, dir) => text.Pii.policyReport(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => Text.langId(Tables.documents(s, dir))),
     // language-ID confusion matrix vs the declared ground truth
     // (round-5 addition)
@@ -821,6 +825,7 @@ object SparkEntry {
     "q_text_repetition" -> Text.sqlRepetition,
     "q_text_scrub" -> Text.sqlScrub,
     "q_pii_scrub" -> text.Pii.sqlPiiScrub,
+    "q_policy_report" -> text.Pii.sqlPolicyReport,
     "q_lang_id" -> Text.sqlLangId,
     "q_langid_eval" -> Text.sqlLangIdEval,
     "q_tfidf" -> text.Search.sqlTfidfTop(),

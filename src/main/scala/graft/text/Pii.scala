@@ -147,6 +147,64 @@ object Pii {
           col("n_ipv4_valid") > 0 || col("n_cards_luhn_valid") > 0)
   }
 
+  /** q163: the composed per-document POLICY table — the four
+    * independent per-doc screens a curation policy reads, joined into
+    * one row per doc (the #134 funnel's FILTER-side sibling: #134
+    * composes quality × perplexity × dedup × containment; this
+    * composes the NAMED rule bundles + the privacy screen): gopher
+    * keep (#145's pinned parameters), c4 keep (#146's), has_pii
+    * (#147's validated detections), the blended quality score (#19),
+    * and the conjunction (pii is a veto: a doc with validated PII
+    * does not ship regardless of quality). All four constituents are
+    * scan-side hash-exact operators over the SAME corpus scan shape —
+    * the composition is three doc_id equi-joins of same-sized
+    * per-doc tables (at 100 TB: co-partitioned by doc_id, or fused
+    * into one scan; the joins here keep each constituent
+    * independently testable). Twin composes the constituent SQL ⇒
+    * hash-exact end to end.
+    */
+  def policyReport(documents: DataFrame): DataFrame = {
+    val g = Text.gopherFilter(documents, minStopwords = 1L)
+      .select(col("doc_id"), col("keep").as("gopher_keep"))
+    val c = Text.c4Filter(documents, blocklist = Seq("slow"),
+      enforceTerminal = false, enforceSentences = false)
+      .select(col("doc_id"), col("keep").as("c4_keep"))
+    val p = piiScrub(documents).select(col("doc_id"), col("has_pii"))
+    val q = Text.quality(documents)
+      .select(col("doc_id"), col("quality_score"))
+    g.join(c, "doc_id").join(p, "doc_id").join(q, "doc_id")
+      .withColumn("keep",
+        col("gopher_keep") && col("c4_keep") && !col("has_pii"))
+      .select(col("doc_id"), col("gopher_keep"), col("c4_keep"),
+        col("has_pii"), col("quality_score"), col("keep"))
+  }
+
+  def sqlPolicyReport: String =
+    s"""WITH prg AS (
+       |  SELECT doc_id, keep AS gopher_keep FROM (
+       |${Text.sqlGopherFilter(minStopwords = 1L)}
+       |  )
+       |), prc AS (
+       |  SELECT doc_id, keep AS c4_keep FROM (
+       |${Text.sqlC4Filter(blocklist = Seq("slow"),
+          enforceTerminal = false, enforceSentences = false)}
+       |  )
+       |), prp AS (
+       |  SELECT doc_id, has_pii FROM (
+       |$sqlPiiScrub
+       |  )
+       |), prq AS (
+       |  SELECT doc_id, quality_score FROM (
+       |${Text.sqlQuality}
+       |  )
+       |)
+       |SELECT prg.doc_id, gopher_keep, c4_keep, has_pii, quality_score,
+       |  (gopher_keep AND c4_keep AND NOT has_pii) AS keep
+       |FROM prg
+       |JOIN prc ON prg.doc_id = prc.doc_id
+       |JOIN prp ON prg.doc_id = prp.doc_id
+       |JOIN prq ON prg.doc_id = prq.doc_id""".stripMargin
+
   def sqlPiiScrub: String = {
     val ipOk = (k: Int) => s"CAST(string_split(c, '.')[$k] AS INT) <= 255"
     s"""WITH pp AS (

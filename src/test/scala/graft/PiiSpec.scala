@@ -79,4 +79,26 @@ class PiiSpec extends SparkSpec {
     val n = out.count(_.getBoolean(8))
     assert(n > 0 && n < out.length)
   }
+
+  test("policyReport: conjunction equals its constituents; pii vetoes regardless of quality") {
+    val corpus = Tables.documents(spark, sf)
+    val out = Pii.policyReport(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out.size === corpus.count())
+    val gopher = graft.text.Text.gopherFilter(corpus, minStopwords = 1L).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(11)).toMap
+    val pii = Pii.piiScrub(corpus).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(8)).toMap
+    out.foreach { case (id, (g, c, p, q, keep)) =>
+      assert(g === gopher(id), s"doc $id gopher")
+      assert(p === pii(id), s"doc $id pii")
+      assert(keep === (g && c && !p), s"doc $id conjunction")
+      assert(q >= 0.0 && q <= 1.0)
+    }
+    // a doc with validated PII never ships, even at top quality
+    out.values.filter(_._3).foreach(v => assert(!v._5, "pii veto"))
+    val kept = out.values.count(_._5)
+    assert(kept > 0 && kept < out.size, s"degenerate policy: $kept/${out.size}")
+  }
 }
