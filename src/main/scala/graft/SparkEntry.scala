@@ -177,6 +177,10 @@ object SparkEntry {
     // with the conjunction (pii vetoes); twin composes the constituent
     // oracles (round-11 addition)
     "q_policy_report" -> ((s, dir) => text.Pii.policyReport(Tables.documents(s, dir))),
+    // hash-kernel signed-projection document embeddings: the
+    // text-to-vector featurizer bridge, portable-md5-exact in both
+    // engines (round-11 addition)
+    "q_doc_embed" -> ((s, dir) => text.DocEmbed.docEmbed(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => Text.langId(Tables.documents(s, dir))),
     // language-ID confusion matrix vs the declared ground truth
     // (round-5 addition)
@@ -826,6 +830,7 @@ object SparkEntry {
     "q_text_scrub" -> Text.sqlScrub,
     "q_pii_scrub" -> text.Pii.sqlPiiScrub,
     "q_policy_report" -> text.Pii.sqlPolicyReport,
+    "q_doc_embed" -> text.DocEmbed.sqlDocEmbed,
     "q_lang_id" -> Text.sqlLangId,
     "q_langid_eval" -> Text.sqlLangIdEval,
     "q_tfidf" -> text.Search.sqlTfidfTop(),

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.DocEmbed
+
+class DocEmbedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5h32(t: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  private def signs(t: String): Array[Long] = {
+    val h = md5h32(t)
+    Array.tabulate(DocEmbed.dims)(j => if (((h >> j) & 1L) == 1L) 1L else -1L)
+  }
+
+  test("docEmbed: hand-computed hash signs reproduce a two-token doc exactly") {
+    val out = DocEmbed.docEmbed(
+      Seq((1L, "alpha beta"), (2L, "alpha alpha")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val expect1 = signs("alpha").zip(signs("beta")).map { case (a, b) => a + b }
+    val expect2 = signs("alpha").map(_ * 2L)
+    assert(out(1L).getLong(1) === 2L)
+    (0 until DocEmbed.dims).foreach { j =>
+      assert(out(1L).getLong(2 + j) === expect1(j), s"doc 1 e$j")
+      assert(out(2L).getLong(2 + j) === expect2(j), s"doc 2 e$j: multiplicity counts")
+    }
+  }
+
+  test("docEmbed on the corpus: component bounds and parity invariants") {
+    val corpus = Tables.documents(spark, sf)
+    val out = DocEmbed.docEmbed(corpus).collect()
+    assert(out.length === corpus.count())
+    out.foreach { r =>
+      val n = r.getLong(1)
+      (0 until DocEmbed.dims).foreach { j =>
+        val e = r.getLong(2 + j)
+        assert(math.abs(e) <= n, s"|e$j| bounded by token count")
+        assert(((e % 2 + 2) % 2) === (n % 2), s"e$j parity matches n_tokens")
+      }
+    }
+  }
+
+  test("derived vectors feed the vector family unchanged (brute kNN composability)") {
+    val emb = DocEmbed.docEmbed(Tables.documents(spark, sf))
+      .select(col("doc_id").as("vec_id"),
+        array((0 until DocEmbed.dims).map(j => col(s"e$j").cast("float")): _*)
+          .as("embedding"))
+    val knn = graft.sim.Similarity.bruteKnn(emb, nQueries = 3, k = 5).collect()
+    assert(knn.length === 15, "3 queries x top-5 over the derived vectors")
+    knn.foreach(r => assert(r.getDouble(3) >= -1.0 - 1e-9 && r.getDouble(3) <= 1.0 + 1e-9))
+  }
+}
