@@ -337,6 +337,9 @@ object SparkEntry {
     // q_ann_ivf_kmeans; model-dependent ⇒ rows-only, SemDedupSpec
     // gates (round-11 addition)
     "q_semdedup" -> ((s, dir) => Dedup.semDedup(Tables.embeddings(s, dir))),
+    // the DISK-SERVED form: cluster index read back from the persisted
+    // ivf_kmeans layout; row-equal to in-session (round-11 addition)
+    "q_semdedup_disk" -> ((s, dir) => Dedup.semDedupDisk(Tables.embeddings(s, dir))),
     // SemDeDup-style composition: embedding pair graph -> connected
     // components -> highest-quality document survivor per semantic
     // cluster. Brute pair graph here (oracle-checked vs the recursive

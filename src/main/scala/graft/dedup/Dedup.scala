@@ -1393,6 +1393,48 @@ object Dedup {
     val cents = Similarity.kmeansCached(embeddings, nCells, iters)
       .select(col("cell"), col("cv"), lit(1.0).as("cn"))
     val cells = Similarity.assignCellsCached(embeddings, cents, s"kmeans:$nCells:$iters")
+    semDedupFrom(embeddings, cents, cells, tau)
+  }
+
+  /** Session-scoped registry of persisted k-means IVF index dirs per
+    * corpus (the phashIndexDirCached discipline) — the disk-served
+    * semantic dedup reads ONE persisted index per session.
+    */
+  private val semIdxMemo =
+    graft.Memo[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String]()
+
+  private[graft] def semIndexDirCached(
+      embeddings: DataFrame, nCells: Int, iters: Int): String =
+    semIdxMemo.getOrElseUpdate(embeddings.sparkSession,
+      embeddings.queryExecution.analyzed.canonicalized)({
+      val dir = Files.createTempDirectory("graft_sem_ivf_").toString
+      graft.sim.IvfIndex.write(embeddings, dir, nCells, kmeans = true, iters)
+      dir
+    })
+
+  /** q165: [[semDedup]] served from the PERSISTED k-means IVF index
+    * (the layout q_ann_ivf_kmeans also persists through PqIndexTool
+    * --family ivf_kmeans): centroids round-trip bit-exact through the
+    * index JSON and the assignment parquet IS the in-session cell
+    * table materialized, so the disk path is row-equal to the
+    * in-session dedup (pinned in SemDedupSpec). The production shape:
+    * the cluster index is built once and BOTH the ANN serving path
+    * and the semantic dedup read it from disk.
+    */
+  def semDedupDisk(
+      embeddings: DataFrame,
+      nCells: Int = 16,
+      iters: Int = 5,
+      tau: Double = 0.35): DataFrame = {
+    val dir = semIndexDirCached(embeddings, nCells, iters)
+    val (cents, assigned) = graft.sim.IvfIndex.read(embeddings.sparkSession, dir)
+    semDedupFrom(embeddings, cents, assigned, tau)
+  }
+
+  private def semDedupFrom(
+      embeddings: DataFrame, cents: DataFrame, cells: DataFrame,
+      tau: Double): DataFrame = {
+    import graft.sim.Similarity
     val scored = Similarity.prepared(embeddings)
       .join(cells, "vec_id")
       .join(broadcast(cents), "cell")

@@ -61,4 +61,12 @@ class SemDedupSpec extends SparkSpec {
           s"within-cell pair ($a, $b) above tau not grouped")
     }
   }
+
+  test("semDedupDisk: the persisted-index path is row-equal to the in-session dedup") {
+    val viaDisk = Dedup.semDedupDisk(emb, tau = tau).collect()
+      .map(_.toSeq).sortBy(_.mkString("|"))
+    val inSession = Dedup.semDedup(emb, tau = tau).collect()
+      .map(_.toSeq).sortBy(_.mkString("|"))
+    assert(viaDisk.toSeq === inSession.toSeq)
+  }
 }
