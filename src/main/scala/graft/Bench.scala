@@ -57,7 +57,8 @@ object Bench {
         // scan, not the CSV write that creates its input)
         graft.sources.Sources.prewarm(spark, sfDir) ++
         graft.text.LangModel.prewarm(Tables.documents(spark, sfDir)) ++
-        graft.mm.MediaCodec.prewarm(Tables.documents(spark, sfDir))
+        graft.mm.MediaCodec.prewarm(Tables.documents(spark, sfDir)) ++
+        graft.text.Unigram.prewarm(Tables.documents(spark, sfDir))
     catch { case e: Throwable =>
       System.err.println(s"[bench] prewarm failed (queries will pay builds inline): ${e.getMessage}")
     }

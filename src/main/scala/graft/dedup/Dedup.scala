@@ -1619,6 +1619,7 @@ object Dedup {
     timed("dedup_shingle_index") {
       shingleIndexDirCached(documents.filter(!(pmod(col("doc_id"), lit(10L)) === 0))); ()
     }
+    timed("dedup_sem_ivf_index") { semIndexDirCached(embeddings, 16, 5); () }
     out.toSeq
   }
 

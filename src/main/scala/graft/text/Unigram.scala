@@ -337,6 +337,20 @@ object Unigram {
   def unigramTokenizeDisk(documents: DataFrame): DataFrame =
     UnigramModel.tokenize(documents, modelPathCached(documents))
 
+  /** Bench seam itemization: the trained model (shared by the train /
+    * apply / compare / disk queries) and its persisted artifact.
+    */
+  def prewarm(documents: DataFrame): Seq[(String, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def timed(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      out += name -> ((System.nanoTime() - t0) / 1e9)
+    }
+    timed("text_unigram_model") { trainCached(documents); () }
+    timed("text_unigram_artifact") { modelPathCached(documents); () }
+    out.toSeq
+  }
+
   /** q162: tokenizer COMPARISON — the selection artifact a pipeline
     * reads before committing a tokenizer (the #112 fertility metric
     * computed for BOTH trained families side by side, per language):
