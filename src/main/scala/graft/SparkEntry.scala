@@ -181,6 +181,10 @@ object SparkEntry {
     // text-to-vector featurizer bridge, portable-md5-exact in both
     // engines (round-11 addition)
     "q_doc_embed" -> ((s, dir) => text.DocEmbed.docEmbed(Tables.documents(s, dir))),
+    // the RAG indexing core: chunk (q72's stride windows) + embed
+    // every chunk with the same hash-kernel projection — composed
+    // hash-exact (round-11 addition)
+    "q_chunk_embed" -> ((s, dir) => text.DocEmbed.chunkEmbed(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => Text.langId(Tables.documents(s, dir))),
     // language-ID confusion matrix vs the declared ground truth
     // (round-5 addition)
@@ -834,6 +838,7 @@ object SparkEntry {
     "q_pii_scrub" -> text.Pii.sqlPiiScrub,
     "q_policy_report" -> text.Pii.sqlPolicyReport,
     "q_doc_embed" -> text.DocEmbed.sqlDocEmbed,
+    "q_chunk_embed" -> text.DocEmbed.sqlChunkEmbed(),
     "q_lang_id" -> Text.sqlLangId,
     "q_langid_eval" -> Text.sqlLangIdEval,
     "q_tfidf" -> text.Search.sqlTfidfTop(),

@@ -56,6 +56,63 @@ object DocEmbed {
         (0 until dims).map(j => col(s"e$j")): _*)
   }
 
+  /** q166: the RAG indexing core — CHUNK the corpus (#72's overlapping
+    * stride windows) and embed EVERY CHUNK with the same hash-kernel
+    * projection, producing the (doc_id, chunk_id) → vector table a
+    * retrieval index is built over. Composition of two hash-exact
+    * operators stays hash-exact; plan shape is #72's chunk fan-out
+    * with a second scan-side explode of each chunk's tokens (the
+    * generator input IS the slice — no sibling-projection
+    * re-evaluation hazard) and ONE (doc, chunk)-keyed aggregate.
+    */
+  def chunkEmbed(
+      documents: DataFrame, chunkTokens: Int = 64, stride: Int = 32): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    val chunks = documents
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("start",
+        explode(sequence(lit(0L), col("n_tokens") - 1L, lit(stride.toLong))))
+      .select(col("doc_id"), expr(s"start DIV $stride").as("chunk_id"),
+        explode(slice(col("toks"), (col("start") + 1L).cast("int"), lit(chunkTokens)))
+          .as("t"))
+      .withColumn("h", h32)
+    val sums = (0 until dims).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"e$j"))
+    chunks.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("chunk_len"), sums: _*)
+      .select(col("doc_id") +: col("chunk_id") +: col("chunk_len") +:
+        (0 until dims).map(j => col(s"e$j")): _*)
+  }
+
+  def sqlChunkEmbed(chunkTokens: Int = 64, stride: Int = 32): String = {
+    val toks = Text.sqlTokens("text")
+    val h = (1 to 8).map { i =>
+      s"(strpos('$hexAlphabet', substr(md5(t), $i, 1)) - 1) * ${1L << (4 * (8 - i))}"
+    }.mkString("(", " + ", ")")
+    val sums = (0 until dims).map(j =>
+      s"CAST(sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS e$j")
+      .mkString(",\n       |  ")
+    s"""WITH cet AS (
+       |  SELECT doc_id, $toks AS toks FROM documents
+       |), cen AS (
+       |  SELECT doc_id, toks, len(toks) AS n FROM cet WHERE len(toks) > 0
+       |), ces AS (
+       |  SELECT doc_id, toks, unnest(range(0, n, $stride)) AS start FROM cen
+       |), cex AS (
+       |  SELECT doc_id, CAST(start // $stride AS BIGINT) AS chunk_id,
+       |    unnest(toks[start + 1 : start + $chunkTokens]) AS t
+       |  FROM ces
+       |), ceh AS (
+       |  SELECT doc_id, chunk_id, $h AS h FROM cex
+       |)
+       |SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS chunk_len,
+       |  $sums
+       |FROM ceh GROUP BY doc_id, chunk_id""".stripMargin
+  }
+
   def sqlDocEmbed: String = {
     val toks = Text.sqlTokens("text")
     val h = (1 to 8).map { i =>

@@ -54,4 +54,27 @@ class DocEmbedSpec extends SparkSpec {
     assert(knn.length === 15, "3 queries x top-5 over the derived vectors")
     knn.foreach(r => assert(r.getDouble(3) >= -1.0 - 1e-9 && r.getDouble(3) <= 1.0 + 1e-9))
   }
+
+  test("chunkEmbed: chunk partition of the doc embedding; counts tie to q_chunk") {
+    val corpus = Tables.documents(spark, sf)
+    val ce = DocEmbed.chunkEmbed(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // chunk geometry matches q_chunk row for row
+    val ch = graft.text.Corpus.chunk(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(ce.keySet === ch.keySet)
+    ce.foreach { case (k, r) => assert(r.getLong(2) === ch(k), s"chunk $k length") }
+    // at stride 32 / chunk 64 every token lands in exactly 2 chunks
+    // except the first stride's tokens (1 chunk): summing chunk
+    // embeddings double-counts interior tokens — verify on a planted
+    // short doc where one chunk covers everything
+    val one = DocEmbed.chunkEmbed(Seq((7L, "alpha beta")).toDF("doc_id", "text"))
+      .collect()
+    assert(one.length === 1)
+    val doc = DocEmbed.docEmbed(Seq((7L, "alpha beta")).toDF("doc_id", "text")).head()
+    (0 until DocEmbed.dims).foreach { j =>
+      assert(one.head.getLong(3 + j) === doc.getLong(2 + j),
+        s"single-chunk doc: chunk embedding == doc embedding at e$j")
+    }
+  }
 }
