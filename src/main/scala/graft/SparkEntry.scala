@@ -185,6 +185,9 @@ object SparkEntry {
     // every chunk with the same hash-kernel projection — composed
     // hash-exact (round-11 addition)
     "q_chunk_embed" -> ((s, dir) => text.DocEmbed.chunkEmbed(Tables.documents(s, dir))),
+    // the RAG loop's read half: query-doc embeddings probe the chunk
+    // index, top-k per query, fully oracle-exact (round-11 addition)
+    "q_chunk_search" -> ((s, dir) => text.DocEmbed.chunkSearch(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => Text.langId(Tables.documents(s, dir))),
     // language-ID confusion matrix vs the declared ground truth
     // (round-5 addition)
@@ -839,6 +842,7 @@ object SparkEntry {
     "q_policy_report" -> text.Pii.sqlPolicyReport,
     "q_doc_embed" -> text.DocEmbed.sqlDocEmbed,
     "q_chunk_embed" -> text.DocEmbed.sqlChunkEmbed(),
+    "q_chunk_search" -> text.DocEmbed.sqlChunkSearch(),
     "q_lang_id" -> Text.sqlLangId,
     "q_langid_eval" -> Text.sqlLangIdEval,
     "q_tfidf" -> text.Search.sqlTfidfTop(),

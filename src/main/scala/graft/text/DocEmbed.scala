@@ -113,6 +113,69 @@ object DocEmbed {
        |FROM ceh GROUP BY doc_id, chunk_id""".stripMargin
   }
 
+  /** q167: retrieval over the chunk index — the RAG loop's READ half
+    * (#166 builds the chunk-vector table; this searches it): the
+    * first `nQueries` docs' #164 embeddings probe every OTHER doc's
+    * chunks by cosine, top-k per query. The brute-kNN shape (#27):
+    * chunk table scanned ONCE against the broadcast query set, rank
+    * window per query. Integer dots + IEEE sqrt/divide + 6-dp fixing
+    * keep both engines bit-identical; zero-norm vectors are excluded
+    * on both sides (a perfectly sign-balanced token multiset has no
+    * direction — the unitCorpus convention).
+    */
+  def chunkSearch(
+      documents: DataFrame, nQueries: Int = 3, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def normsq(prefix: String) =
+      (0 until dims).map(j => col(s"$prefix$j") * col(s"$prefix$j"))
+        .reduce(_ + _)
+    val chunks = chunkEmbed(documents)
+      .withColumn("nsq", normsq("e")).filter(col("nsq") > 0L)
+    val queries = docEmbed(documents)
+      .filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_doc") +:
+        (0 until dims).map(j => col(s"e$j").as(s"q$j")): _*)
+      .withColumn("qsq", normsq("q")).filter(col("qsq") > 0L)
+    val dot = (0 until dims).map(j => col(s"e$j") * col(s"q$j")).reduce(_ + _)
+    val w = Window.partitionBy(col("query_doc"))
+      .orderBy(col("cosine").desc, col("doc_id").asc, col("chunk_id").asc)
+    chunks.join(broadcast(queries), col("doc_id") =!= col("query_doc"))
+      .withColumn("cosine", graft.Det.r(
+        dot.cast("double") / (sqrt(col("nsq").cast("double")) *
+          sqrt(col("qsq").cast("double"))), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_doc"), col("rank"), col("doc_id"), col("chunk_id"),
+        col("cosine"))
+  }
+
+  def sqlChunkSearch(nQueries: Int = 3, k: Int = 5): String = {
+    def nsq(p: String) = (0 until dims).map(j => s"$p$j * $p$j").mkString(" + ")
+    val dot = (0 until dims).map(j => s"c.e$j * q.q$j").mkString(" + ")
+    val qcols = (0 until dims).map(j => s"e$j AS q$j").mkString(", ")
+    s"""WITH csc AS (
+       |  SELECT * FROM (
+       |${sqlChunkEmbed()}
+       |  ) WHERE ${nsq("e")} > 0
+       |), csq AS (
+       |  SELECT doc_id AS query_doc, $qcols FROM (
+       |$sqlDocEmbed
+       |  ) WHERE doc_id < $nQueries AND ${nsq("e")} > 0
+       |), csj AS (
+       |  SELECT q.query_doc, c.doc_id, c.chunk_id,
+       |    floor(CAST($dot AS DOUBLE)
+       |      / (sqrt(CAST(${nsq("c.e")} AS DOUBLE)) * sqrt(CAST(${nsq("q.q")} AS DOUBLE)))
+       |      * 1000000.0 + 0.5) / 1000000.0 AS cosine
+       |  FROM csc c JOIN csq q ON c.doc_id != q.query_doc
+       |), csr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_doc
+       |    ORDER BY cosine DESC, doc_id ASC, chunk_id ASC) AS "rank"
+       |  FROM csj
+       |)
+       |SELECT query_doc, CAST("rank" AS BIGINT) AS "rank", doc_id, chunk_id, cosine
+       |FROM csr WHERE "rank" <= $k""".stripMargin
+  }
+
   def sqlDocEmbed: String = {
     val toks = Text.sqlTokens("text")
     val h = (1 to 8).map { i =>

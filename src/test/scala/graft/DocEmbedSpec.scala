@@ -77,4 +77,32 @@ class DocEmbedSpec extends SparkSpec {
         s"single-chunk doc: chunk embedding == doc embedding at e$j")
     }
   }
+
+  test("chunkSearch: top-k per query, self-doc excluded, cosine matches a driver recompute") {
+    val corpus = Tables.documents(spark, sf)
+    val out = DocEmbed.chunkSearch(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.length === 15, "3 queries x top-5")
+    assert(out.forall(r => r._1 != r._3), "a query never retrieves its own chunks")
+    out.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to 5L), s"query $q ranks")
+      // ranks descend in cosine
+      val byRank = rs.sortBy(_._2).map(_._5)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, s"query $q order")
+    }
+    // recompute one hit's cosine from the two embedding tables
+    val chunks = DocEmbed.chunkEmbed(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (0 until DocEmbed.dims).map(j => r.getLong(3 + j)).toArray).toMap
+    val queries = DocEmbed.docEmbed(corpus).collect()
+      .map(r => r.getLong(0) ->
+        (0 until DocEmbed.dims).map(j => r.getLong(2 + j)).toArray).toMap
+    out.take(3).foreach { case (q, _, d, c, cos) =>
+      val (qv, cv) = (queries(q), chunks((d, c)))
+      val dot = qv.zip(cv).map { case (x, y) => x * y }.sum.toDouble
+      val expect = dot / (math.sqrt(cv.map(x => x * x).sum.toDouble) *
+        math.sqrt(qv.map(x => x * x).sum.toDouble))
+      assert(math.abs(math.floor(expect * 1e6 + 0.5) / 1e6 - cos) < 1e-9, s"($q,$d,$c)")
+    }
+  }
 }
