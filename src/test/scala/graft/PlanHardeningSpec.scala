@@ -27,8 +27,12 @@ class PlanHardeningSpec extends SparkSpec {
   // q_embed_incremental is not a brute BASELINE but shares the shape:
   // its batch side broadcasts against the corpus scan by design (the
   // scan-x-broadcast screen IS the operator's scale contract)
+  // q_chunk_search is the q_knn_brute shape on the chunk index: the
+  // corpus-×-broadcast-queries scan (join on doc_id != query_doc) IS
+  // the operator's contract
   private val bruteBaselines =
-    Set("q_knn_brute", "q_dedup_embedding", "q_ann_eval", "q_embed_incremental")
+    Set("q_knn_brute", "q_dedup_embedding", "q_ann_eval", "q_embed_incremental",
+      "q_chunk_search")
 
   test("every non-ML query plans without a CartesianProduct") {
     SparkEntry.queries.filterNot(q => mlQueries(q._1)).foreach { case (name, fn) =>
