@@ -1390,10 +1390,36 @@ object Dedup {
       iters: Int = 5,
       tau: Double = 0.35): DataFrame = {
     import graft.sim.Similarity
-    val cents = Similarity.kmeansCached(embeddings, nCells, iters)
+    val cells0 = semCells(embeddings, nCells)
+    val cents = Similarity.kmeansCached(embeddings, cells0, iters)
       .select(col("cell"), col("cv"), lit(1.0).as("cn"))
-    val cells = Similarity.assignCellsCached(embeddings, cents, s"kmeans:$nCells:$iters")
+    val cells = Similarity.assignCellsCached(embeddings, cents, s"kmeans:$cells0:$iters")
     semDedupFrom(embeddings, cents, cells, tau)
+  }
+
+  /** Corpus-ADAPTIVE cell count — the docstring's scaling argument
+    * ("nCells grows with the corpus so cell size stays bounded") made
+    * real: cells = max(floor, ⌈n / targetCellSize⌉), so the
+    * within-cell all-pairs stage is O(n · targetCellSize) — LINEAR in
+    * the corpus — instead of O(n²/floor). Below floor·targetCellSize
+    * vectors (every local test scale up to sf0.1) the derived count
+    * equals the ANN family's 16 and the session SHARES one trained
+    * index with q_ann_ivf_kmeans; past it, semantic dedup fits its own
+    * right-sized index (the fit's one extra Lloyd run is O(n·cells)
+    * scan-side arms — at true production scale you'd train those
+    * centroids on a bounded sample, the faiss discipline the PQ
+    * codebooks already follow). The corpus count is memoized per plan
+    * (one cheap parquet-metadata count per session, the *Cached seam
+    * discipline).
+    */
+  private val semNMemo =
+    graft.Memo[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long]()
+
+  private[graft] def semCells(
+      embeddings: DataFrame, floorCells: Int, targetCellSize: Long = 1024L): Int = {
+    val n = semNMemo.getOrElseUpdate(embeddings.sparkSession,
+      embeddings.queryExecution.analyzed.canonicalized)(embeddings.count())
+    math.max(floorCells, ((n + targetCellSize - 1L) / targetCellSize).toInt)
   }
 
   /** Session-scoped registry of persisted k-means IVF index dirs per
@@ -1426,7 +1452,7 @@ object Dedup {
       nCells: Int = 16,
       iters: Int = 5,
       tau: Double = 0.35): DataFrame = {
-    val dir = semIndexDirCached(embeddings, nCells, iters)
+    val dir = semIndexDirCached(embeddings, semCells(embeddings, nCells), iters)
     val (cents, assigned) = graft.sim.IvfIndex.read(embeddings.sparkSession, dir)
     semDedupFrom(embeddings, cents, assigned, tau)
   }

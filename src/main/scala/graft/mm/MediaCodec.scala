@@ -192,8 +192,12 @@ object MediaCodec {
     val stride = w * 3
     val expected = h * (stride + 1)
     val inflated = new Array[Byte](expected)
+    // inf.end() must run on EVERY exit (including the early Left
+    // returns): Inflater holds native memory until finalization, and a
+    // long-lived executor decoding many corrupt payloads would
+    // otherwise accumulate off-heap usage
+    val inf = new java.util.zip.Inflater()
     try {
-      val inf = new java.util.zip.Inflater()
       inf.setInput(compressed)
       var off = 0
       while (off < expected && !inf.finished()) {
@@ -201,11 +205,10 @@ object MediaCodec {
         if (n == 0 && inf.needsInput()) return Left("truncated_idat")
         off += n
       }
-      inf.end()
       if (off < expected) return Left("truncated_idat")
     } catch {
       case _: java.util.zip.DataFormatException => return Left("corrupt_idat")
-    }
+    } finally inf.end()
     // unfilter
     val raw = Array.ofDim[Byte](h * stride)
     for (y <- 0 until h) {

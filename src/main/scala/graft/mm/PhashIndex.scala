@@ -45,10 +45,19 @@ object PhashIndex {
   private def writeMeta(spark: SparkSession, dir: String): Unit = {
     val n = spark.read.parquet(s"$dir/hashes").count()
     Files.createDirectories(Paths.get(dir))
-    Files.write(Paths.get(dir, "meta.json"),
+    // temp-file + atomic move (the BloomIndex appendSharded
+    // discipline): a crash between the hashes append and the meta
+    // refresh must never leave a torn/stale meta.json alongside a
+    // grown band table — readers see either the old complete meta or
+    // the new complete meta
+    val tmp = Paths.get(dir, ".meta.json.tmp")
+    Files.write(tmp,
       (s"""{"n_images": $n, "grid": "9x8", "block": "4x4", """ +
         """"gray": "r+g+b", "bands": 4, "band_bits": 16}""")
         .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(dir, "meta.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** The persisted band table; loud on a missing or drifted layout. */

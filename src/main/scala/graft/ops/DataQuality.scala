@@ -28,64 +28,87 @@ import org.apache.spark.sql.functions._
   */
 object DataQuality {
 
-  /** q159: the constraint battery over lineitem + orders + customer. */
+  /** q159: the constraint battery over lineitem + orders + customer.
+    *
+    * Fully LAZY — the verdict table is a union of aggregate plans, not
+    * a driver-side Seq of collected counts: each wide aggregate
+    * UNPIVOTS into its constraint rows via one explode over literal
+    * (table, constraint, n, violations) structs, so the real scans,
+    * the uniqueness groupBy and the referential join are all visible
+    * in the returned plan (and get the same hardening checks every
+    * other query gets) and nothing executes until the caller acts.
+    */
   def dqSuite(
       lineitem: DataFrame, orders: DataFrame, customer: DataFrame): DataFrame = {
-    val spark = lineitem.sparkSession
-    import spark.implicits._
+    import org.apache.spark.sql.Column
 
     // coalesce: sum over an EMPTY table is null, and a data-quality
     // gate must verdict an empty input (n=0, zero violations), not NPE
-    def viol(c: org.apache.spark.sql.Column) =
+    def viol(c: Column) =
       coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+
+    // one aggregate row → its constraint rows, lazily
+    def unpivot(agg: DataFrame, table: String, constraints: Seq[(String, String)]) =
+      agg.select(explode(array(constraints.map { case (name, vcol) =>
+        struct(lit(table).as("table_name"), lit(name).as("constraint_name"),
+          col("n").as("n_rows"), col(vcol).as("n_violations"))
+      }: _*)).as("r")).select("r.*")
 
     // ONE scan: every per-row lineitem constraint is a conditional
     // count inside the same aggregate
-    val li = lineitem.agg(
-      count(lit(1)).as("n"),
-      viol(col("l_quantity").isNull).as("v_qty_null"),
-      viol(col("l_extendedprice").isNull).as("v_price_null"),
-      viol(!(col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0) &&
-        col("l_quantity").isNotNull).as("v_qty_range"),
-      viol(!(col("l_extendedprice") > 0.0) && col("l_extendedprice").isNotNull)
-        .as("v_price_pos"),
-      viol(!col("l_returnflag").isin("A", "N", "R")).as("v_flag_set"),
-      viol(!(col("l_discount") >= 0.0 && col("l_discount") <= 1.0) &&
-        col("l_discount").isNotNull).as("v_disc_range"),
-      viol(col("l_tax") < 0.0).as("v_tax_neg")).head()
+    val li = unpivot(
+      lineitem.agg(
+        count(lit(1)).as("n"),
+        viol(col("l_quantity").isNull).as("v_qty_null"),
+        viol(col("l_extendedprice").isNull).as("v_price_null"),
+        viol(!(col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0) &&
+          col("l_quantity").isNotNull).as("v_qty_range"),
+        viol(!(col("l_extendedprice") > 0.0) && col("l_extendedprice").isNotNull)
+          .as("v_price_pos"),
+        viol(!col("l_returnflag").isin("A", "N", "R")).as("v_flag_set"),
+        viol(!(col("l_discount") >= 0.0 && col("l_discount") <= 1.0) &&
+          col("l_discount").isNotNull).as("v_disc_range"),
+        viol(col("l_tax") < 0.0).as("v_tax_neg")),
+      "lineitem", Seq(
+        ("complete_l_quantity", "v_qty_null"),
+        ("complete_l_extendedprice", "v_price_null"),
+        ("range_l_quantity_1_50", "v_qty_range"),
+        ("positive_l_extendedprice", "v_price_pos"),
+        ("accepted_l_returnflag_ANR", "v_flag_set"),
+        ("range_l_discount_0_1", "v_disc_range"),
+        ("nonnegative_l_tax", "v_tax_neg")))
 
-    val od = orders.agg(
-      count(lit(1)).as("n"),
-      viol(col("o_orderkey").isNull).as("v_key_null"),
-      viol(!(col("o_totalprice") > 0.0) && col("o_totalprice").isNotNull)
-        .as("v_total_pos")).head()
+    val od = unpivot(
+      orders.agg(
+        count(lit(1)).as("n"),
+        viol(col("o_orderkey").isNull).as("v_key_null"),
+        viol(!(col("o_totalprice") > 0.0) && col("o_totalprice").isNotNull)
+          .as("v_total_pos")),
+      "orders", Seq(
+        ("complete_o_orderkey", "v_key_null"),
+        ("positive_o_totalprice", "v_total_pos")))
 
-    // uniqueness: rows carrying a key value that occurs more than once
-    val dupOrderRows = orders.groupBy(col("o_orderkey"))
-      .agg(count(lit(1)).as("c")).filter(col("c") > 1L)
-      .agg(coalesce(sum(col("c")), lit(0L)).as("d")).head().getLong(0)
+    // uniqueness: rows carrying a key value that occurs more than
+    // once; Σ per-key counts IS the table's row count, so one keyed
+    // rollup yields both n and the duplicate total
+    val uq = unpivot(
+      orders.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+          coalesce(sum(when(col("c") > 1L, col("c"))), lit(0L)).as("d")),
+      "orders", Seq(("unique_o_orderkey", "d")))
 
-    // referential: order rows whose customer key does not resolve
-    val orphanOrders = orders
-      .join(broadcast(customer.select(col("c_custkey"))),
-        orders("o_custkey") === customer("c_custkey"), "left_anti")
-      .count()
+    // referential: order rows whose customer key does not resolve —
+    // a 1:≤1 broadcast left join against the distinct dimension keys
+    // counts rows and orphans in the same pass
+    val rf = unpivot(
+      orders
+        .join(broadcast(customer.select(col("c_custkey")).distinct()),
+          orders("o_custkey") === customer("c_custkey"), "left")
+        .agg(count(lit(1)).as("n"),
+          viol(col("c_custkey").isNull).as("orphans")),
+      "orders", Seq(("ref_o_custkey_in_customer", "orphans")))
 
-    val nLi = li.getLong(0)
-    val nOd = od.getLong(0)
-    val rows = Seq(
-      ("lineitem", "complete_l_quantity", nLi, li.getLong(1)),
-      ("lineitem", "complete_l_extendedprice", nLi, li.getLong(2)),
-      ("lineitem", "range_l_quantity_1_50", nLi, li.getLong(3)),
-      ("lineitem", "positive_l_extendedprice", nLi, li.getLong(4)),
-      ("lineitem", "accepted_l_returnflag_ANR", nLi, li.getLong(5)),
-      ("lineitem", "range_l_discount_0_1", nLi, li.getLong(6)),
-      ("lineitem", "nonnegative_l_tax", nLi, li.getLong(7)),
-      ("orders", "complete_o_orderkey", nOd, od.getLong(1)),
-      ("orders", "positive_o_totalprice", nOd, od.getLong(2)),
-      ("orders", "unique_o_orderkey", nOd, dupOrderRows),
-      ("orders", "ref_o_custkey_in_customer", nOd, orphanOrders))
-    rows.toDF("table_name", "constraint_name", "n_rows", "n_violations")
+    li.union(od).union(uq).union(rf)
       .withColumn("pass", col("n_violations") === 0L)
   }
 

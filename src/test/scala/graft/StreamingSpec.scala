@@ -626,26 +626,57 @@ class StreamingSpec extends SparkSpec {
 
     // growing store: appended keepers block later twins — sequential
     // semantics vs a driver-side greedy simulation over the SAME
-    // micro-batch order the stream actually processed
+    // micro-batch order the stream actually processed (the
+    // ingestStream discipline): per-batch verdicts are computed
+    // against the store AS OF the batch start, then decodable keepers
+    // land before the next batch
     val dir2 = Files.createTempDirectory("img_stream_grow").toString
     try {
       graft.mm.PhashIndex.write(store, dir2)
-      val seen = new scala.collection.mutable.ArrayBuffer[(Long, Seq[Long], Boolean)]()
-      val batchOrder = new scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+      // (doc_id, decoded, image_keep) per micro-batch, in batch order
+      val batchOrder =
+        new scala.collection.mutable.ArrayBuffer[Seq[(Long, Boolean, Boolean)]]()
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(tmp)
       val q = Events.imageScreenStream(stream, dir2, appendLanded = true) { (verdict, _) =>
         val rows = verdict.collect()
-        seen.synchronized {
-          batchOrder += rows.map(_.getLong(0)).toSeq.sorted
-          seen ++= rows.map(r => (r.getLong(0), Seq.empty[Long], r.getBoolean(3)))
+        batchOrder.synchronized {
+          batchOrder += rows.map(r =>
+            (r.getLong(0), r.getBoolean(1), r.getBoolean(3))).toSeq.sortBy(_._1)
         }
         ()
       }.start()
       try q.processAllAvailable() finally q.stop()
       assert(batchOrder.length >= 2)
+      // greedy simulation: one decode pass supplies every doc's bands;
+      // dup = any 16-bit band equal AND total Hamming <= tau(=2),
+      // exactly screenPhashFrames' candidate+verify criterion
+      val bands = graft.mm.MediaCodec.imagePhash(docs)
+        .select("doc_id", "b0", "b1", "b2", "b3", "err").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.getString(5).isEmpty)
+            Some(Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          else None)).toMap
+      def dup(a: Seq[Long], b: Seq[Long]): Boolean =
+        a.zip(b).exists { case (x, y) => x == y } &&
+          a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum <= 2
+      val simStore = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      store.select("doc_id").collect()
+        .flatMap(r => bands(r.getLong(0))).foreach(simStore += _)
+      for (batch <- batchOrder) {
+        val landed = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+        for ((id, decoded, keep) <- batch) {
+          val h = bands(id)
+          assert(decoded === h.nonEmpty, s"doc $id: decode verdict drifted")
+          val expectKeep = h.forall(me => !simStore.exists(dup(me, _)))
+          assert(keep === expectKeep,
+            s"doc $id: sequential keep verdict drifted from the greedy simulation")
+          if (keep) h.foreach(landed += _)
+        }
+        simStore ++= landed
+      }
       // the grown index equals store + exactly the kept decodable images
-      val keptIds = seen.filter(_._3).map(_._1).toSet
+      val keptIds = batchOrder.flatten.filter(_._3).map(_._1).toSet
       val idx = graft.mm.PhashIndex.readHashes(spark, dir2)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       val storeDecodable = store.collect().map(_.getLong(0)).filter(_ % 19 != 0).toSet
