@@ -188,6 +188,14 @@ object SparkEntry {
     // the RAG loop's read half: query-doc embeddings probe the chunk
     // index, top-k per query, fully oracle-exact (round-11 addition)
     "q_chunk_search" -> ((s, dir) => text.DocEmbed.chunkSearch(Tables.documents(s, dir))),
+    // the 100 TB shape of the read half: the chunk-vector table served
+    // through the trained IVF index (kmeansCached/assignCellsCached —
+    // the q_semdedup composition), candidates from the cell equi-join,
+    // exact re-score; model-dependent ⇒ rows-only, recall floor vs the
+    // q_chunk_search brute truth pinned in DocEmbedSpec (round-12
+    // addition)
+    "q_chunk_search_ann" -> ((s, dir) =>
+      text.DocEmbed.chunkSearchAnn(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => Text.langId(Tables.documents(s, dir))),
     // language-ID confusion matrix vs the declared ground truth
     // (round-5 addition)

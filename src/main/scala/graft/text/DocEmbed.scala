@@ -117,14 +117,27 @@ object DocEmbed {
     * (#166 builds the chunk-vector table; this searches it): the
     * first `nQueries` docs' #164 embeddings probe every OTHER doc's
     * chunks by cosine, top-k per query. The brute-kNN shape (#27):
-    * chunk table scanned ONCE against the broadcast query set, rank
-    * window per query. Integer dots + IEEE sqrt/divide + 6-dp fixing
-    * keep both engines bit-identical; zero-norm vectors are excluded
-    * on both sides (a perfectly sign-balanced token multiset has no
-    * direction — the unitCorpus convention).
+    * chunk table scanned ONCE against the broadcast query set.
+    * Integer dots + IEEE sqrt/divide + 6-dp fixing keep both engines
+    * bit-identical; zero-norm vectors are excluded on both sides (a
+    * perfectly sign-balanced token multiset has no direction — the
+    * unitCorpus convention).
+    *
+    * Top-k is TWO-PHASE (the bm25Search/#81 bounded-window
+    * discipline): phase 1 takes per-(query, shard) top-k under a
+    * doc_id shard key — nQueries·`shards` window partitions, so the
+    * corpus-sized candidate mass never funnels into nQueries
+    * partitions — and phase 2 ranks only the ≤ nQueries·shards·k
+    * survivors. The global top-k is a subset of the union of
+    * per-shard top-ks and the order (cosine desc, doc_id, chunk_id)
+    * is total, so ranks are IDENTICAL to the single-window form —
+    * same oracle, same hash. [[chunkSearchAnn]] is the index-served
+    * sibling; this stays the labeled exact truth it is recall-gated
+    * against.
     */
   def chunkSearch(
-      documents: DataFrame, nQueries: Int = 3, k: Int = 5): DataFrame = {
+      documents: DataFrame, nQueries: Int = 3, k: Int = 5,
+      shards: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def normsq(prefix: String) =
       (0 until dims).map(j => col(s"$prefix$j") * col(s"$prefix$j"))
@@ -137,16 +150,97 @@ object DocEmbed {
         (0 until dims).map(j => col(s"e$j").as(s"q$j")): _*)
       .withColumn("qsq", normsq("q")).filter(col("qsq") > 0L)
     val dot = (0 until dims).map(j => col(s"e$j") * col(s"q$j")).reduce(_ + _)
-    val w = Window.partitionBy(col("query_doc"))
-      .orderBy(col("cosine").desc, col("doc_id").asc, col("chunk_id").asc)
+    val order = Seq(col("cosine").desc, col("doc_id").asc, col("chunk_id").asc)
+    val w1 = Window
+      .partitionBy(col("query_doc"), pmod(col("doc_id"), lit(shards.toLong)))
+      .orderBy(order: _*)
+    val w2 = Window.partitionBy(col("query_doc")).orderBy(order: _*)
     chunks.join(broadcast(queries), col("doc_id") =!= col("query_doc"))
       .withColumn("cosine", graft.Det.r(
         dot.cast("double") / (sqrt(col("nsq").cast("double")) *
           sqrt(col("qsq").cast("double"))), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= k)
+      .withColumn("rank", row_number().over(w2).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_doc"), col("rank"), col("doc_id"), col("chunk_id"),
         col("cosine"))
+  }
+
+  /** Chunk-id span reserved per doc when packing (doc_id, chunk_id)
+    * into one synthetic vec_id: chunk_id = tokenStart/stride, so a
+    * doc would need >2^20 stride-32 windows (~33M tokens) to overflow.
+    */
+  private val ChunkSpan = 1L << 20
+
+  /** q168: ANN-SERVED chunk retrieval — the 100 TB shape of #167 (the
+    * VERDICT's top item: the brute scan was the only baseline in the
+    * fleet without an approximate sibling). Composes the #166
+    * chunk-vector table with the section-E IVF machinery exactly as
+    * q_semdedup composes with the k-means index: the chunk vectors
+    * become a (vec_id, embedding) corpus (vec_id packs (doc_id,
+    * chunk_id) — deterministic, invertible), Lloyd centroids train
+    * once per session ([[graft.sim.Similarity.kmeansCached]]), every
+    * chunk lands in one cell ([[graft.sim.Similarity.assignCellsCached]]
+    * — the memoized table IS the index; at 100 TB it is what you
+    * persist + bucket by cell), and each #164 query embedding probes
+    * its nProbe best cells. Candidates come from the cell equi-join
+    * (never an n×n compare), are re-scored EXACTLY and top-k'd per
+    * query — the family invariant: approximate paths generate
+    * candidates, exact arithmetic ranks them, so emitted cosines are
+    * bit-identical to #167's and only the candidate SET is
+    * approximate. Model-dependent (trained centroids) ⇒ rows-only
+    * gate; recall@k vs the #167 brute truth is floor-pinned in
+    * DocEmbedSpec, the SimilaritySpec discipline.
+    */
+  def chunkSearchAnn(
+      documents: DataFrame, nQueries: Int = 3, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.sim.Similarity
+    val vdot = graft.functions.GraftFunctions.vecDot _
+    val chunkVecs = chunkEmbed(documents)
+      .select(col("doc_id"), col("chunk_id"),
+        (col("doc_id") * lit(ChunkSpan) + col("chunk_id")).as("vec_id"),
+        array((0 until dims).map(j => col(s"e$j").cast("double")): _*)
+          .as("embedding"))
+    val embFrame = chunkVecs.select(col("vec_id"), col("embedding"))
+    val cents = Similarity.kmeansCached(embFrame, nCells, iters)
+      .select(col("cell"), col("cv"), lit(1.0).as("cn"))
+    val assigned =
+      Similarity.assignCellsCached(embFrame, cents, s"kmeans:$nCells:$iters")
+    // queries: the #164 doc embeddings, unit-prepared; zero-norm
+    // excluded (no direction), bounded at nQueries rows
+    val queries = docEmbed(documents)
+      .filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_doc"),
+        array((0 until dims).map(j => col(s"e$j").cast("double")): _*).as("qv"))
+      .withColumn("qn", sqrt(vdot(col("qv"), col("qv"))))
+      .filter(col("qn") > 0.0)
+    // probe selection: nQueries × nCells rows, entirely broadcast-side
+    val wp = Window.partitionBy(col("query_doc"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val qProbes = queries.crossJoin(broadcast(cents))
+      .withColumn("ccos", vdot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_doc"), col("cell"), col("qv"), col("qn"))
+    // candidates: cell equi-join against the persisted-shape index,
+    // then ONE exact re-score pass over the probed fraction only
+    val wr = Window.partitionBy(col("query_doc"))
+      .orderBy(col("cosine").desc, col("c_doc").asc, col("c_chunk").asc)
+    assigned.join(broadcast(qProbes), Seq("cell"))
+      .join(chunkVecs.withColumnRenamed("doc_id", "c_doc")
+        .withColumnRenamed("chunk_id", "c_chunk"), Seq("vec_id"))
+      .filter(col("c_doc") =!= col("query_doc"))
+      .withColumn("nrm", sqrt(vdot(col("embedding"), col("embedding"))))
+      .filter(col("nrm") > 0.0)
+      .withColumn("cosine", graft.Det.r(
+        vdot(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_doc"), col("rank"), col("c_doc").as("doc_id"),
+        col("c_chunk").as("chunk_id"), col("cosine"))
   }
 
   def sqlChunkSearch(nQueries: Int = 3, k: Int = 5): String = {

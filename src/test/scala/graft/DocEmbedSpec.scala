@@ -105,4 +105,39 @@ class DocEmbedSpec extends SparkSpec {
       assert(math.abs(math.floor(expect * 1e6 + 0.5) / 1e6 - cos) < 1e-9, s"($q,$d,$c)")
     }
   }
+
+  test("chunkSearchAnn: recall floor vs the brute truth, exact re-scored cosines, contract") {
+    val corpus = Tables.documents(spark, sf)
+    def hits(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val brute = DocEmbed.chunkSearch(corpus).collect()
+    val ann = DocEmbed.chunkSearchAnn(corpus).collect()
+    // contract: same shape as the brute truth — per-query dense ranks,
+    // self-doc excluded, cosine-descending
+    assert(ann.forall(r => r.getLong(0) != r.getLong(2)),
+      "a query never retrieves its own chunks")
+    ann.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to rs.length.toLong),
+        s"query $q ranks dense")
+      val byRank = rs.sortBy(_.getLong(1)).map(_.getDouble(4))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $q cosine order")
+    }
+    // recall@5 vs the exact scan — the SimilaritySpec IVF discipline
+    val recall =
+      hits(ann).intersect(hits(brute)).size.toDouble / hits(brute).size
+    assert(recall >= 0.5, s"chunk ANN recall@5 $recall below floor")
+    // the family invariant: cosines on SHARED hits are bit-identical
+    // (exact re-score — only the candidate SET is approximate)
+    val bruteCos = brute.map(r =>
+      (r.getLong(0), r.getLong(2), r.getLong(3)) -> r.getDouble(4)).toMap
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2), r.getLong(3))
+      bruteCos.get(key).foreach(b =>
+        assert(b === r.getDouble(4), s"cosine drift on shared hit $key"))
+    }
+    // plan: candidates come from the cell equi-join, never a cartesian
+    val plan = DocEmbed.chunkSearchAnn(corpus).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "ANN path must stay equi-join-only")
+  }
 }

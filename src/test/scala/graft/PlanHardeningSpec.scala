@@ -52,9 +52,13 @@ class PlanHardeningSpec extends SparkSpec {
         // over m-double rows
         // q_ann_opq is q_ann_pq's ADC scan over the rotated frame —
         // the same flat-code-scan exemption
+        // q_chunk_search_ann's probe selection is the IVF family's
+        // bounded nQueries-×-broadcast-centroids cross join; its
+        // candidate path is equi-join-only (pinned in DocEmbedSpec)
         assert(!plan.contains("BroadcastNestedLoopJoin")
             || name == "q_ann_ivf" || name == "q_ann_ivf_kmeans" || name == "q_ann_pq"
-            || name == "q_ann_sq8" || name == "q_ann_pca" || name == "q_ann_opq",
+            || name == "q_ann_sq8" || name == "q_ann_pca" || name == "q_ann_opq"
+            || name == "q_chunk_search_ann",
           s"$name has an unexpected BroadcastNestedLoopJoin")
       }
     }
@@ -86,7 +90,7 @@ class PlanHardeningSpec extends SparkSpec {
       "q_dedup_bloom", "q_ann_pca", "q_embed_pca", "q_ivf_cell_profile",
       "q_ann_ivf_sq8", "q_ann_opq", "q_semdedup",
       "q_unigram_train", "q_unigram_tokenize", "q_unigram_tokenize_disk",
-      "q_tokenizer_compare", "q_semdedup_disk"))
+      "q_tokenizer_compare", "q_semdedup_disk", "q_chunk_search_ann"))
   }
 
   private lazy val emptyDocs = spark.createDataFrame(
