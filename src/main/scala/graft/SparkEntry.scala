@@ -483,6 +483,16 @@ object SparkEntry {
     // PhashIndex — no store decode per ingest; shares q154's oracle
     // verbatim (round-11 addition)
     "q_image_incremental_disk" -> ((s, dir) => graft.mm.MediaCodec.imageScreenDisk(Tables.documents(s, dir))),
+    // the AUDIO perceptual family (round-12 addition, closing the r11
+    // verdict's #2 gap: a re-encoded audio copy passed every screen):
+    // energy-delta fingerprint from the REAL RIFF/PCM-16 decode,
+    // banded Hamming pairs (pigeonhole-exact at tau=2), first-wins
+    // drop verdicts, incremental ingest screen — all four hash-exact
+    // vs planting-arithmetic oracles
+    "q_audio_fingerprint" -> ((s, dir) => graft.mm.AudioFp.fpCached(Tables.documents(s, dir))),
+    "q_audio_dedup" -> ((s, dir) => graft.mm.AudioFp.audioDedup(Tables.documents(s, dir))),
+    "q_audio_drop" -> ((s, dir) => graft.mm.AudioFp.audioDrop(Tables.documents(s, dir))),
+    "q_audio_incremental" -> ((s, dir) => graft.mm.AudioFp.audioScreen(Tables.documents(s, dir))),
     // --- G. Streaming (batch-equivalent form; the readStream path is
     // exercised in ScalaTest with a memory sink) ---------------------
     "q_stream_hourly" -> ((s, dir) => Events.hourlyAgg(Tables.events(s, dir))),
@@ -907,6 +917,10 @@ object SparkEntry {
     "q_image_drop" -> graft.mm.MediaCodec.sqlImageDrop(),
     "q_image_incremental" -> graft.mm.MediaCodec.sqlImageScreen(),
     "q_image_incremental_disk" -> graft.mm.MediaCodec.sqlImageScreen(),
+    "q_audio_fingerprint" -> graft.mm.AudioFp.sqlAudioFingerprint,
+    "q_audio_dedup" -> graft.mm.AudioFp.sqlAudioDedup(),
+    "q_audio_drop" -> graft.mm.AudioFp.sqlAudioDrop(),
+    "q_audio_incremental" -> graft.mm.AudioFp.sqlAudioScreen(),
     "q_stream_hourly" -> Events.sqlHourlyAgg,
     "q_partition_prune" -> graft.sources.Partitioned.sqlDailyPruned(),
     "q_compacted_read" -> graft.sources.Compact.sqlCompactedRollup,

@@ -490,14 +490,38 @@ object MediaCodec {
     * integer sum-of-abs / peak-abs. Total: every malformation is a
     * Left, never a throw.
     */
-  def parseWav(bytes: Array[Byte]): Either[String, WavInfo] = {
+  def parseWav(bytes: Array[Byte]): Either[String, WavInfo] =
+    wavDataWindow(bytes).map { case (channels, rate, dataAt, dataLen) =>
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def leS16(i: Int): Int = ((u8(i) | (u8(i + 1) << 8)) << 16) >> 16
+      val nFrames = dataLen / (channels * 2)
+      var (sumAbs, peakAbs) = (0L, 0L)
+      var o = dataAt
+      val end = dataAt + dataLen.toInt
+      while (o < end) {
+        val a = math.abs(leS16(o).toLong)
+        sumAbs += a
+        if (a > peakAbs) peakAbs = a
+        o += 2
+      }
+      WavInfo(channels.toLong, rate, nFrames,
+        nFrames * 1000L / rate, sumAbs, peakAbs)
+    }
+
+  /** The shared RIFF walk + fmt parse behind [[parseWav]] and
+    * [[wavSamples]]: Right((channels, rate, dataAt, dataLen)) after
+    * every structural gate, Left with the SAME error precedence the
+    * original monolithic parser established (the q143 oracle encodes
+    * it — truncation before fmt code before missing data).
+    */
+  private def wavDataWindow(
+      bytes: Array[Byte]): Either[String, (Int, Long, Int, Long)] = {
     if (bytes == null || bytes.length < 12) return Left("truncated_header")
     def u8(i: Int): Int = bytes(i) & 0xff
     def leU16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     def leU32(i: Int): Long =
       (u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
         (u8(i + 3).toLong << 24)) & 0xffffffffL
-    def leS16(i: Int): Int = (leU16(i) << 16) >> 16 // sign-extend
     if (new String(bytes, 0, 4, "US-ASCII") != "RIFF") return Left("not_riff")
     if (new String(bytes, 8, 4, "US-ASCII") != "WAVE") return Left("not_wave")
 
@@ -522,21 +546,29 @@ object MediaCodec {
     if (audioFormat != 1 || bits != 16) return Left("unsupported_encoding")
     if (channels < 1 || rate < 1) return Left("bad_fmt")
     if (dataAt < 0) return Left("missing_data")
-    val blockAlign = channels * 2
-    if (dataLen % blockAlign != 0) return Left("ragged_data")
-    val nFrames = dataLen / blockAlign
-    var (sumAbs, peakAbs) = (0L, 0L)
-    var o = dataAt
-    val end = dataAt + dataLen.toInt
-    while (o < end) {
-      val a = math.abs(leS16(o).toLong)
-      sumAbs += a
-      if (a > peakAbs) peakAbs = a
-      o += 2
-    }
-    Right(WavInfo(channels.toLong, rate, nFrames,
-      nFrames * 1000L / rate, sumAbs, peakAbs))
+    if (dataLen % (channels * 2) != 0) return Left("ragged_data")
+    Right((channels, rate, dataAt, dataLen))
   }
+
+  /** The full interleaved s16 sample stream — the decode surface the
+    * audio FINGERPRINT family ([[AudioFp]]) hashes from, sharing every
+    * structural gate with [[parseWav]].
+    */
+  private[mm] def wavSamples(bytes: Array[Byte]): Either[String, Array[Int]] =
+    wavDataWindow(bytes).map { case (_, _, dataAt, dataLen) =>
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def leS16(i: Int): Int = ((u8(i) | (u8(i + 1) << 8)) << 16) >> 16
+      val out = Array.ofDim[Int](dataLen.toInt / 2)
+      var k = 0
+      var o = dataAt
+      val end = dataAt + dataLen.toInt
+      while (o < end) {
+        out(k) = leS16(o)
+        k += 1
+        o += 2
+      }
+      out
+    }
 
   /** Planted-audio arithmetic — shared by the builder and the oracle.
     * Samples span the full signed-16-bit range so a sign-extension or
@@ -1058,7 +1090,7 @@ object MediaCodec {
     * self-join ([[imageDedup]]) and the batch-vs-store screen
     * ([[imageScreenAgainst]]).
     */
-  private def bandUnpivot(ph: DataFrame): DataFrame = {
+  private[mm] def bandUnpivot(ph: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     ph.filter(col("err") === "")
       .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
