@@ -59,6 +59,7 @@ object Bench {
         graft.text.LangModel.prewarm(Tables.documents(spark, sfDir)) ++
         graft.mm.MediaCodec.prewarm(Tables.documents(spark, sfDir)) ++
         graft.mm.AudioFp.prewarm(Tables.documents(spark, sfDir)) ++
+        graft.mm.GifDedup.prewarm(Tables.documents(spark, sfDir)) ++
         graft.text.Unigram.prewarm(Tables.documents(spark, sfDir))
     catch { case e: Throwable =>
       System.err.println(s"[bench] prewarm failed (queries will pay builds inline): ${e.getMessage}")

@@ -676,7 +676,8 @@ object MediaCodec {
   def buildGifAnim(
       screenW: Long, screenH: Long, frames: Int,
       delayCs: Int => Long, frameW: Int => Long, frameH: Int => Long,
-      subLen: Int => Int): Array[Byte] = {
+      subLen: Int => Int,
+      subByte: (Int, Int) => Int = (_, _) => 0x55): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"))
     out.write(le16(screenW)); out.write(le16(screenH))
@@ -698,7 +699,7 @@ object MediaCodec {
       out.write(2) // LZW min code size
       val l = math.max(1, math.min(255, subLen(f)))
       out.write(l)
-      out.write(Array.fill(l)(0x55.toByte))
+      out.write(Array.tabulate(l)(j => (subByte(f, j) & 0xff).toByte))
       out.write(0) // sub-block terminator
     }
     out.write(0x3b)
@@ -717,7 +718,37 @@ object MediaCodec {
     * length), trailer required. Total — truncated streams, bogus
     * block introducers, and malformed GCEs all return Left.
     */
-  def parseGifFrames(bytes: Array[Byte]): Either[String, GifFrames] = {
+  def parseGifFrames(bytes: Array[Byte]): Either[String, GifFrames] =
+    walkGif(bytes) { case (sw, sh, frames) =>
+      var totalDelay = 0L
+      var maxW = 0L
+      var maxH = 0L
+      frames.foreach { f =>
+        totalDelay += f.delayCs
+        if (f.w > maxW) maxW = f.w
+        if (f.h > maxH) maxH = f.h
+      }
+      GifFrames(sw, sh, frames.length.toLong, totalDelay, maxW, maxH)
+    }
+
+  /** One walked frame: dims, its GCE delay, and the CONTENT SIGNATURE
+    * — the first 8 bytes of the frame's concatenated LZW data
+    * sub-block payload packed little-endian into one Long (injective
+    * on those bytes by construction; top byte masked to 7 bits so the
+    * value stays non-negative in engines without unsigned 64-bit).
+    * The signature is what the frame-level dedup family ([[GifDedup]])
+    * joins on — two frames are "the same picture" iff their payload
+    * bytes agree.
+    */
+  private[mm] final case class WalkedFrame(w: Long, h: Long, delayCs: Long, sig: Long)
+
+  /** The shared GIF89a block walk behind [[parseGifFrames]] and
+    * [[GifDedup]]: identical structural gates and error precedence
+    * (the q144 oracle encodes them); the result builder sees the full
+    * frame list once the trailer is reached.
+    */
+  private[mm] def walkGif[A](bytes: Array[Byte])(
+      build: (Long, Long, Vector[WalkedFrame]) => A): Either[String, A] = {
     if (bytes == null || bytes.length < 13) return Left("truncated_header")
     def u8(i: Int): Int = bytes(i) & 0xff
     def leU16v(i: Int): Long = ((u8(i + 1) << 8) | u8(i)).toLong
@@ -740,16 +771,35 @@ object MediaCodec {
       -1
     }
 
-    var nFrames = 0L
-    var totalDelay = 0L
-    var maxW = 0L
-    var maxH = 0L
+    /** Pack the chain's first 8 payload bytes LE; assumes the chain
+      * was already validated by [[skipSubBlocks]].
+      */
+    def chainSig(j0: Int): Long = {
+      var sig = 0L
+      var k = 0
+      var j = j0
+      while (k < 8) {
+        val l = u8(j)
+        if (l == 0) return sig
+        var p = 0
+        while (p < l && k < 8) {
+          val b = if (k == 7) u8(j + 1 + p) & 0x7f else u8(j + 1 + p)
+          sig |= b.toLong << (8 * k)
+          p += 1
+          k += 1
+        }
+        j += 1 + l
+      }
+      sig
+    }
+
+    var frames = Vector.empty[WalkedFrame]
     var pendingDelay = 0L
     while (true) {
       if (i >= bytes.length) return Left("missing_trailer")
       u8(i) match {
         case 0x3b =>
-          return Right(GifFrames(sw, sh, nFrames, totalDelay, maxW, maxH))
+          return Right(build(sw, sh, frames))
         case 0x21 =>
           if (i + 2 >= bytes.length) return Left("truncated_block")
           val label = u8(i + 1)
@@ -771,11 +821,8 @@ object MediaCodec {
           j += 1 // LZW minimum code size byte
           val next = skipSubBlocks(j)
           if (next < 0) return Left("truncated_block")
-          nFrames += 1
-          totalDelay += pendingDelay
+          frames :+= WalkedFrame(fw, fh, pendingDelay, chainSig(j))
           pendingDelay = 0L
-          if (fw > maxW) maxW = fw
-          if (fh > maxH) maxH = fh
           i = next
         case _ => return Left("bad_block_intro")
       }
