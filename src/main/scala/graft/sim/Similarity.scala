@@ -31,11 +31,22 @@ object Similarity {
     * expression), not a transform() lambda — an interpreted
     * per-element closure on every corpus scan; values are identical
     * (element-wise float-to-double is exact).
+    *
+    * ZERO-NORM rows are filtered HERE, at the family's single entry
+    * seam (the unitCorpus convention): a zero vector has no direction,
+    * so it can neither rank nor be ranked by cosine, and every
+    * downstream divide (cellArms ccos, probe ranking, re-score) is by
+    * `nrm` — under ANSI mode one zero-norm row crashes the whole index
+    * build (the round-12 q_chunk_search_ann DIVIDE_BY_ZERO at sf0.1).
+    * Excluding it at the seam protects every IVF/PQ/SQ8/LSH consumer
+    * at once; operators that must see the full corpus (labelCentroids,
+    * quantizeInt8) read `embeddings` directly, not this.
     */
   private[graft] def prepared(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
 
   /** Codegen'd dot product ([[graft.functions.VecDot]]) — the hot loop
     * of every scoring path; bit-identical to the interpreted

@@ -204,7 +204,16 @@ object DocEmbed {
         (col("doc_id") * lit(ChunkSpan) + col("chunk_id")).as("vec_id"),
         array((0 until dims).map(j => col(s"e$j").cast("double")): _*)
           .as("embedding"))
+    // zero-norm chunks (a perfectly sign-balanced token multiset) are
+    // excluded BEFORE the IVF build — the brute sibling's `nsq > 0`
+    // convention (line ~146): they are unrankable on both paths, and a
+    // zero norm in the cell-assignment divide is an ANSI
+    // DIVIDE_BY_ZERO (the round-12 sf0.1 crash). Similarity.prepared
+    // now also drops them at the family seam; the filter here keeps
+    // the INDEX corpus itself (the memoized cell table a 100 TB
+    // deployment persists) free of undirectioned rows.
     val embFrame = chunkVecs.select(col("vec_id"), col("embedding"))
+      .filter(vdot(col("embedding"), col("embedding")) > 0.0)
     val cents = Similarity.kmeansCached(embFrame, nCells, iters)
       .select(col("cell"), col("cv"), lit(1.0).as("cn"))
     val assigned =

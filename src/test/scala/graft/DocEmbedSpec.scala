@@ -106,6 +106,30 @@ class DocEmbedSpec extends SparkSpec {
     }
   }
 
+  test("chunkSearchAnn: a planted sign-balanced (zero-norm) chunk neither crashes the IVF build nor retrieves") {
+    // two tokens with COMPLEMENTARY sign vectors in all 8 dims —
+    // (h(a) ^ h(b)) & 0xFF == 0xFF — make "a b" a single chunk whose
+    // hash-kernel embedding is exactly the zero vector: the class that
+    // crashed the round-12 sf0.1 bench (DIVIDE_BY_ZERO in the cell
+    // assignment when the unfiltered chunk table fed the index build).
+    val byLow = (0 until 4096).map(i => s"zz$i")
+      .groupBy(t => (md5h32(t) & 0xFFL).toInt)
+    val (ta, tb) = (0 until 256).iterator
+      .flatMap(lo => for { as <- byLow.get(lo); bs <- byLow.get(lo ^ 0xFF) }
+        yield (as.head, bs.head)).next()
+    assert(((md5h32(ta) ^ md5h32(tb)) & 0xFFL) === 0xFFL, "tokens are sign-complementary")
+    val planted = Seq((99991L, s"$ta $tb")).toDF("doc_id", "text")
+    // the planted chunk really is zero-norm
+    val pe = DocEmbed.chunkEmbed(planted).head()
+    (0 until DocEmbed.dims).foreach(j => assert(pe.getLong(3 + j) === 0L, s"e$j zero"))
+    val corpus = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    val ann = DocEmbed.chunkSearchAnn(corpus).collect() // must not throw
+    assert(ann.nonEmpty, "ANN search still serves the nonzero corpus")
+    assert(!ann.exists(_.getLong(2) == 99991L),
+      "a zero-norm chunk has no direction — excluded from the index and every result")
+  }
+
   test("chunkSearchAnn: recall floor vs the brute truth, exact re-scored cosines, contract") {
     val corpus = Tables.documents(spark, sf)
     def hits(rows: Array[org.apache.spark.sql.Row]) =

@@ -49,6 +49,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall@10 $recall below floor")
   }
 
+  test("a planted zero-norm vector crashes nothing and is excluded from every index and result") {
+    import spark.implicits._
+    // corpus with a zero-norm CORPUS vector (id 20) and a zero-norm
+    // QUERY vector (id 1): a zero vector has no direction (the
+    // unitCorpus convention), so under ANSI mode any cosine against it
+    // is a DIVIDE_BY_ZERO — the round-12 q_chunk_search_ann sf0.1
+    // crash class. prepared() must drop both at the family seam.
+    val emb = (0 until 20).map { i =>
+      val v =
+        if (i == 1) Array.fill(8)(0f)
+        else Array.tabulate(8)(j => ((i * 7 + j * 3) % 11 - 5).toFloat)
+      (i.toLong, v)
+    } :+ (20L, Array.fill(8)(0f))
+    val df = emb.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteKnn(df, nQueries = 3, k = 5).collect()
+    val ivf = Similarity.ivfAnn(df, nQueries = 3, k = 5, nCells = 4, nProbe = 2).collect()
+    Seq("brute" -> brute, "ivf" -> ivf).foreach { case (name, rows) =>
+      assert(rows.nonEmpty, s"$name returns rows for the nonzero queries")
+      assert(!rows.exists(r => r.getLong(0) == 1L),
+        s"$name: the zero-norm query has no direction — emitted no rows")
+      assert(!rows.exists(r => Set(1L, 20L)(r.getLong(2))),
+        s"$name: zero-norm corpus vectors are unrankable — never retrieved")
+    }
+  }
+
   test("PQ ANN: acceptable recall, exact re-scored cosines, full per-query contract") {
     val pq = Similarity.pqAnn(Tables.embeddings(spark, sf)).cache()
     val recall = pairSet(pq).intersect(pairSet(brute)).size.toDouble / pairSet(brute).size
