@@ -53,10 +53,29 @@ object GifDedup {
   private[graft] def gdNFrames(g: Long): Int = (4L + math.floorMod(g, 4L)).toInt
   private[graft] def gdCid(g: Long, v: Long, f: Int): Long =
     if (v == 2L && f.toLong == g % gdNFrames(g).toLong) 100L + f else f.toLong
-  private[graft] def gdByte(g: Long, cid: Long, j: Int): Int = {
-    val m = if (j == 7) 128L else 256L
-    math.floorMod(g * 13L + cid * 29L + j * 41L + 7L, m).toInt
-  }
+  /** Payload byte j of content `cid` in group `g`. The 8-byte frame
+    * signature must be INJECTIVE in (g, cid): the original
+    * `(g·13 + cid·29 + j·41) mod 256` form had only 256 distinct
+    * signatures corpus-wide, so unrelated groups collided every ~256
+    * groups and the pair output grew QUADRATICALLY with corpus size —
+    * the unbounded-clique failure the div-48 grouping exists to avoid.
+    * Now bytes 0–3 carry (g·KA mod 2^32) and bytes 4–5 carry
+    * (cid·KB mod 2^16); both multipliers are odd (units mod 2^32 /
+    * 2^16), so distinct (g, cid) → distinct signatures for any
+    * g < 2^32, cid < 2^16 — cross-group frame sets are DISJOINT and
+    * the equi-join never emits a cross-group candidate. Bytes 6–7 stay
+    * mixing bytes (7 masked to 7 bits — the walker's chainSig top-byte
+    * convention).
+    */
+  private[graft] val GdKA = 2654435761L // Knuth 32-bit golden ratio; odd
+  private[graft] val GdKB = 40503L // 16-bit Fibonacci-hash multiplier; odd
+  private[graft] def gdByte(g: Long, cid: Long, j: Int): Int =
+    if (j <= 3) (((g * GdKA) >> (8 * j)) & 255L).toInt
+    else if (j <= 5) (((cid * GdKB) >> (8 * (j - 4))) & 255L).toInt
+    else {
+      val m = if (j == 7) 128L else 256L
+      math.floorMod(g * 13L + cid * 29L + 7L, m).toInt
+    }
   private[graft] def gdSig(g: Long, cid: Long): Long =
     (0 until 8).map(j => gdByte(g, cid, j).toLong << (8 * j)).sum
 
@@ -150,8 +169,12 @@ object GifDedup {
       |  SELECT doc_id, g, f, cid, unnest(range(0, 8)) AS j FROM gdc
       |), gdb AS (
       |  SELECT doc_id, f, j,
-      |    CASE WHEN j = 7 THEN (g * 13 + cid * 29 + j * 41 + 7) % 128
-      |         ELSE (g * 13 + cid * 29 + j * 41 + 7) % 256 END AS b
+      |    CASE WHEN j <= 3 THEN ((g * 2654435761) // (CASE j WHEN 0 THEN 1
+      |           WHEN 1 THEN 256 WHEN 2 THEN 65536 ELSE 16777216 END)) % 256
+      |         WHEN j = 4 THEN (cid * 40503) % 256
+      |         WHEN j = 5 THEN ((cid * 40503) // 256) % 256
+      |         WHEN j = 6 THEN (g * 13 + cid * 29 + 7) % 256
+      |         ELSE (g * 13 + cid * 29 + 7) % 128 END AS b
       |  FROM gdj
       |), gsig AS MATERIALIZED (
       |  SELECT doc_id, f AS frame_pos,
