@@ -17,6 +17,20 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var failures = List.empty[String]
+    // exception class + message per failure, IN the JSON artifact: the
+    // round-12 red bench line carried only the query name — the
+    // DIVIDE_BY_ZERO text went to stderr, which the driver's bounded
+    // tail loses, so naming the error needed a manual repro
+    var failureInfo = List.empty[(String, String)]
+    def jesc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ")
+    def recordFailure(name: String, e: Throwable): Unit = {
+      System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      failures ::= name
+      val msg = Option(e.getMessage).getOrElse("").take(300)
+      failureInfo ::= (name -> s"${e.getClass.getSimpleName}: $msg")
+    }
 
     // Setup OUTSIDE the per-query timings:
     //  - the one-time LR fit + feature/prediction cache warm, reported
@@ -33,8 +47,7 @@ object Bench {
         graft.ml.Churn.predictions(spark, sfDir, "test").write.format("noop").mode("overwrite").save()
         (System.nanoTime() - tFit) / 1e9
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] fit FAILED: ${e.getMessage}")
-        failures ::= "fit"
+        recordFailure("fit", e)
         -1.0
       }
     // Pre-warm the memoized index/scan seams (brute truth, IVF
@@ -77,11 +90,7 @@ object Bench {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failures ::= name
-          false
-        }
+        catch { case e: Throwable => recordFailure(name, e); false }
       val paid = Memo.missCount - m0
       if (paid > 0) memoMisses ::= (name -> paid)
       // capture the elapsed time BEFORE the isolation GC — the forced
@@ -100,6 +109,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val fs = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fi = failureInfo.sortBy(_._1)
+      .map { case (k, v) => "\"" + jesc(k) + "\":\"" + jesc(v) + "\"" }
+      .mkString("{", ",", "}")
     // contention self-documentation: driver-captured rounds have landed
     // on loaded containers (r6/r7 fit_sec 27s captured vs 15s
     // uncontended), so the artifact carries the 1-minute system load
@@ -113,7 +125,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val build = buildItems
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","fit_sec":$fitSec,"build_sec":$buildSec,"build":$build,"queries":$qs,"failures":$fs,"memo_misses":$mm,"load_avg":$loadAvg,"available_cpus":$cpuCount,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","fit_sec":$fitSec,"build_sec":$buildSec,"build":$build,"queries":$qs,"failures":$fs,"failure_info":$fi,"memo_misses":$mm,"load_avg":$loadAvg,"available_cpus":$cpuCount,"sf":"$sfDir"}""")
     // The harness keeps only a small TAIL of stdout and the full line
     // above (85 queries) outgrew it, truncating away total/fit_sec.
     // Emit a compact headline LAST (<500 bytes: totals, failure list,
@@ -124,7 +136,7 @@ object Bench {
     // n_queries counts only SUCCESSFUL timings (total/top5 exclude
     // failures, so the headline counts must describe the same set)
     val nOk = results.count(_._2 >= 0)
-    println(s"""{"metric":"headline","total":${r3(total)},"unit":"sec","fit_sec":${r3(fitSec)},"build_sec":${r3(buildSec)},"n_queries":$nOk,"n_failed":${failures.size},"failures":$fs,"top5":$top5,"load_avg":$loadAvg,"available_cpus":$cpuCount,"sf":"$sfDir"}""")
+    println(s"""{"metric":"headline","total":${r3(total)},"unit":"sec","fit_sec":${r3(fitSec)},"build_sec":${r3(buildSec)},"n_queries":$nOk,"n_failed":${failures.size},"failures":$fs,"failure_info":$fi,"top5":$top5,"load_avg":$loadAvg,"available_cpus":$cpuCount,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
