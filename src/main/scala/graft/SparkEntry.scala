@@ -617,6 +617,11 @@ object SparkEntry {
       ((s, dir) => Dedup.decontaminateSpans(Tables.documents(s, dir))),
     // concat-and-chunk sequence packing via the two-level cumsum
     "q_pack_sequences" -> ((s, dir) => Corpus.packSequences(Tables.documents(s, dir))),
+    // FIXED-BIN whole-document FFD packing in bounded doc_id groups —
+    // the padding-near-optimal layout between concat-and-chunk and
+    // batch-by-length; hash-exact vs a recursive-CTE FFD replay
+    // (round-13 addition)
+    "q_pack_bins" -> ((s, dir) => Corpus.packBins(Tables.documents(s, dir))),
     // packing under the TOKENIZER's budget (BPE counts, not whitespace
     // words) — the production training-data layout composition
     // (round-9 addition)
@@ -960,6 +965,7 @@ object SparkEntry {
     "q_dup_spans_incremental" -> Dedup.sqlIncrementalSpans(),
     "q_ingest_span_scrub" -> Dedup.sqlIngestSpanScrub(),
     "q_pack_sequences" -> Corpus.sqlPackSequences(),
+    "q_pack_bins" -> Corpus.sqlPackBins(),
     "q_pack_bpe" -> Corpus.sqlPackSequencesBpe(),
     "q_pack_shuffled" -> Corpus.sqlPackSequencesShuffled(),
     "q_length_buckets" -> Corpus.sqlLengthBuckets(),

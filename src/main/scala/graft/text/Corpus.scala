@@ -868,6 +868,106 @@ object Corpus {
        |  start_off % $seqLen AS seq_offset
        |FROM pc""".stripMargin
 
+  private final case class PackBinRow(
+      doc_id: Long, n_tokens: Long, bin_id: Long, bin_offset: Long)
+
+  /** q175: FIXED-BIN whole-document packing — first-fit-decreasing
+    * (FFD) into `cap`-token bins, the layout between #49's
+    * concat-and-chunk (zero waste, documents span boundaries) and
+    * #124's batch-by-length (whole docs, power-of-two padding bill):
+    * every training sequence holds WHOLE documents (no cross-boundary
+    * attention/loss masking) and FFD keeps the padding near-optimal
+    * (≤ 11/9·OPT + 6/9 bins per group; structurally, at most ONE bin
+    * per group can end ≤ half full — any two would have merged).
+    *
+    * Packing is greedy-sequential by nature, so the 100 TB shape
+    * BOUNDS the sequential scope: documents pack within PACKING GROUPS
+    * of `groupSize` consecutive doc_ids (ONE shuffle on the group key;
+    * each group's FFD is an in-memory O(g log g + g·bins) pass over
+    * ≤ groupSize (id, count) pairs — embarrassingly parallel across
+    * groups, no global state, and bin ids are globally unique by
+    * construction: grp·groupSize + local index). A document longer
+    * than `cap` opens its own over-full bin (nothing else fits there —
+    * the no-special-case FFD convention). Empty docs hold no slot
+    * (the #124 rule). Fully deterministic (sort by n_tokens desc,
+    * doc_id asc) ⇒ HASH-EXACT against a DuckDB twin that replays FFD
+    * as a recursive CTE over a per-group bin-load LIST — the
+    * placement-for-placement same algorithm, so the oracle validates
+    * the distributed decomposition, not a re-derivation.
+    *
+    * Output: (doc_id, n_tokens, bin_id, bin_offset) — bin_offset is
+    * the token offset where the doc lands inside its bin (docs laid
+    * out in placement order).
+    */
+  def packBins(
+      documents: DataFrame, cap: Long = 512, groupSize: Long = 128): DataFrame = {
+    require(cap > 0 && groupSize > 0, "cap and groupSize must be positive")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+      .select(expr(s"doc_id DIV ${groupSize}L").as("grp"),
+        col("doc_id"), col("n_tokens"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (grp, it) =>
+        val docs = it.map { case (_, id, n) => (id, n) }.toArray
+          .sortBy { case (id, n) => (-n, id) }
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        docs.iterator.map { case (id, n) =>
+          var i = 0
+          while (i < loads.length && loads(i) + n > cap) i += 1
+          val off = if (i < loads.length) loads(i) else 0L
+          if (i < loads.length) loads(i) += n else loads += n
+          PackBinRow(id, n, grp * groupSize + i, off)
+        }
+      }
+      .toDF()
+  }
+
+  /** DuckDB twin of [[packBins]]: the SAME FFD, replayed as a
+    * recursive CTE advancing every group in rank lockstep with the
+    * bin-load list as carried state (list_position over a lambda is
+    * the first-fit probe; it returns 0, not NULL, on no-fit).
+    */
+  def sqlPackBins(cap: Long = 512, groupSize: Long = 128): String = {
+    val toks = Text.sqlTokens("text")
+    s"""WITH RECURSIVE pbd AS (
+       |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    doc_id // $groupSize AS grp
+       |  FROM documents WHERE len($toks) >= 1
+       |), pbr AS MATERIALIZED (
+       |  SELECT doc_id, n_tokens, grp,
+       |    CAST(row_number() OVER (PARTITION BY grp
+       |      ORDER BY n_tokens DESC, doc_id ASC) AS BIGINT) AS rk
+       |  FROM pbd
+       |), pfd(grp, rk, loads, bin_idx) AS (
+       |  SELECT grp, rk, [n_tokens], CAST(1 AS BIGINT) FROM pbr WHERE rk = 1
+       |  UNION ALL
+       |  SELECT grp, rk,
+       |    CASE WHEN fit = 0 THEN list_append(loads, n_tokens)
+       |         ELSE loads[1:fit-1] || [loads[fit] + n_tokens] || loads[fit+1:] END,
+       |    CAST(CASE WHEN fit = 0 THEN len(loads) + 1 ELSE fit END AS BIGINT)
+       |  FROM (
+       |    SELECT p.grp, r.rk, p.loads, r.n_tokens,
+       |      list_position(list_transform(p.loads, x -> x + r.n_tokens <= $cap),
+       |        true) AS fit
+       |    FROM pfd p JOIN pbr r ON r.grp = p.grp AND r.rk = p.rk + 1
+       |  )
+       |), pasn AS (
+       |  SELECT b.doc_id, b.n_tokens, b.grp, b.rk, f.bin_idx
+       |  FROM pbr b JOIN pfd f ON b.grp = f.grp AND b.rk = f.rk
+       |)
+       |SELECT doc_id, n_tokens,
+       |  CAST(grp * $groupSize + bin_idx - 1 AS BIGINT) AS bin_id,
+       |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY grp, bin_idx ORDER BY rk
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS bin_offset
+       |FROM pasn""".stripMargin
+  }
+
   /** q124: the PADDING BILL of batch-by-length serving — the layout
     * decision packing competes with: SFT and inference batch documents
     * of similar length and pad to the bucket cap instead of

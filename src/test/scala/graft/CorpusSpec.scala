@@ -261,6 +261,68 @@ class CorpusSpec extends SparkSpec {
     assert(rejectingStages >= 2, "the funnel should exercise multiple gates")
   }
 
+  test("packBins: hand-built corpus pins FFD placements, oversize isolation, group boundaries") {
+    import spark.implicits._
+    def doc(id: Long, n: Int) = (id, (1 to n).map(i => s"t$i").mkString(" "))
+    // group 0 (cap 10): lengths 7, 5, 4, 3, 1 → FFD desc: 7→b0, 5→b1,
+    // 4→b1(5+4=9), 3→b0(7+3=10 boundary), 1→b0? 10+1>10 → b1? 9+1=10 ✓
+    // oversize 12 → its own over-full bin first (sorted desc)
+    val docs = Seq(doc(0L, 7), doc(1L, 5), doc(2L, 4), doc(3L, 3), doc(4L, 1),
+      doc(5L, 12), // oversize: alone in its bin
+      doc(128L, 6), doc(129L, 6), // group 1: neither pair fits together
+      doc(130L, 0) // empty: holds no slot
+    ).toDF("doc_id", "text")
+    val out = Corpus.packBins(docs, cap = 10, groupSize = 128).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(!out.contains(130L), "empty docs hold no slot")
+    // FFD order in group 0: 12, 7, 5, 4, 3, 1
+    assert(out(5L) === ((12L, 0L, 0L)), "oversize opens bin 0, alone")
+    assert(out(0L) === ((7L, 1L, 0L)))
+    assert(out(1L) === ((5L, 2L, 0L)))
+    assert(out(2L) === ((4L, 2L, 5L)), "4 first-fits bin 2 at offset 5")
+    assert(out(3L) === ((3L, 1L, 7L)), "3 fills bin 1 to the boundary")
+    assert(out(4L) === ((1L, 2L, 9L)), "1 first-fits bin 2, not the full bin 1")
+    assert(out(128L) === ((6L, 128L, 0L)) && out(129L) === ((6L, 129L, 0L)),
+      "group 1 bins (grp·groupSize + i = 128, 129) never mix with group 0")
+  }
+
+  test("packBins on the corpus: driver FFD replay, load caps, the ≤1-half-empty-bin law") {
+    val docs = Tables.documents(spark, sf)
+    val out = Corpus.packBins(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val counts = docs.withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).filter(_._2 >= 1)
+    // exact driver-side FFD replay
+    val expect = counts.groupBy(_._1 / 128L).toSeq.flatMap { case (g, ds) =>
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+      ds.sortBy { case (id, n) => (-n, id) }.toSeq.map { case (id, n) =>
+        var i = 0
+        while (i < loads.length && loads(i) + n > 512L) i += 1
+        val off = if (i < loads.length) loads(i) else 0L
+        if (i < loads.length) loads(i) += n else loads += n
+        (id, n, g * 128L + i, off)
+      }
+    }.toSet
+    assert(out.toSet === expect, "distributed packing == sequential FFD per group")
+    val loads = out.groupBy(_._3).map { case (b, ds) => b -> ds.map(_._2).sum }
+    loads.foreach { case (b, l) =>
+      val members = out.filter(_._3 == b)
+      assert(l <= 512L || members.length === 1, s"bin $b over cap with ${members.length} docs")
+    }
+    // first-fit structural law: ≤1 bin per group ends ≤ half-full
+    // (two such bins would have merged when the second opened)
+    loads.groupBy(_._1 / 128L).foreach { case (g, bs) =>
+      assert(bs.count(_._2 <= 256L) <= 1, s"group $g half-empty bins")
+    }
+    // volume lower bound: FFD can't beat ceil(tokens / cap) bins per group
+    out.groupBy(_._3 / 128L).foreach { case (g, ds) =>
+      val bins = ds.map(_._3).distinct.size
+      val vol = ds.map(_._2).sum
+      assert(bins >= ((vol + 511L) / 512L).toInt, s"group $g volume bound")
+    }
+  }
+
   test("lengthBuckets: integer pow2 caps, exact-boundary docs, waste accounting") {
     // counts 1,2,3,4,5,8,9 → caps 1,2,4,4,8,8,16 (exact powers stay in
     // their own cap — the float-log2 hazard the binary-string length
