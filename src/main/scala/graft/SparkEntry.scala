@@ -355,6 +355,13 @@ object SparkEntry {
     // the DISK-SERVED form: cluster index read back from the persisted
     // ivf_kmeans layout; row-equal to in-session (round-11 addition)
     "q_semdedup_disk" -> ((s, dir) => Dedup.semDedupDisk(Tables.embeddings(s, dir))),
+    // CHUNK-level semantic dedup — the SemDeDup paper's passage
+    // operand: the chunk-vector table through the same trained-kmeans
+    // + within-cell-pairs recipe, catching passages duplicated across
+    // otherwise-different documents; rows-only, SemDedupSpec pins the
+    // single-chunk identity to doc-level semdedup (round-13 addition)
+    "q_semdedup_chunks" ->
+      ((s, dir) => graft.text.DocEmbed.semDedupChunks(Tables.documents(s, dir))),
     // SemDeDup-style composition: embedding pair graph -> connected
     // components -> highest-quality document survivor per semantic
     // cluster. Brute pair graph here (oracle-checked vs the recursive

@@ -173,6 +173,60 @@ object DocEmbed {
     */
   private val ChunkSpan = 1L << 20
 
+  /** Chunk-id-major vec_id packing for operators that SEED by low
+    * vec_id ([[graft.sim.Similarity.kmeansCentroids]] seeds cells from
+    * vec_id < nCells): chunk_id·2^40 + doc_id puts the first nCells
+    * DOCS' first chunks in the seed set (a spread across documents)
+    * instead of one document's first chunks, and on a single-chunk
+    * corpus vec_id == doc_id exactly — which is what makes the
+    * chunk↔doc semdedup equivalence in SemDedupSpec an identity, not
+    * an isomorphism. Invertible for doc_id < 2^40 and chunk_id < 2^22
+    * (a 2^22-chunk doc would be ~134M tokens).
+    */
+  private val SemChunkSpan = 1L << 40
+
+  /** q176: CHUNK-level semantic dedup — the SemDeDup paper's other
+    * operand (the paper dedups both whole documents and passages; the
+    * doc-level form is q_semdedup): the #166 chunk-vector table runs
+    * through the SAME trained-k-means + within-cell-pairs + CC +
+    * keep-the-least-central recipe ([[graft.dedup.Dedup.semDedup]] —
+    * pure composition, zero new mechanics), so a PASSAGE duplicated
+    * across otherwise-different documents (boilerplate, quoted blocks,
+    * license headers — invisible to doc-level semdedup because the
+    * surrounding text drags the doc embeddings apart) lands in one
+    * cluster and all but one chunk copy is dropped. Output one row per
+    * chunk: (doc_id, chunk_id, cell, cluster_id, n_chunks,
+    * centroid_cos, keep) — cluster_id stays the packed min-vec_id
+    * group label (opaque, deterministic). Model-dependent (trained
+    * centroids) ⇒ rows-only; SemDedupSpec pins the single-chunk-doc
+    * identity to doc-level semdedup and the shared-passage recovery
+    * case.
+    *
+    * tau default 0.99, NOT the doc-level 0.35: the hash-kernel chunk
+    * embedding is [[dims]]=8-dimensional AND the corpus vocabulary is
+    * shared-token-heavy, so two UNRELATED chunks' cosine is large
+    * (measured at sf0.1: median 0.44, 1% of random pairs ≥ 0.9) — at
+    * any low τ the within-cell τ-graph PERCOLATES into giant
+    * components (τ=0.35 collapsed 10,813 chunks to 16 keepers;
+    * τ=0.9 to 316 — a dedup that keeps 3% is a corpus deleter, not a
+    * deduplicator). At 0.99 the background rate is ~1e-4 ≪ 1/cell
+    * size, the graph stays subcritical, and only near-identical token
+    * multisets (true passage copies) cluster.
+    */
+  def semDedupChunks(
+      documents: DataFrame, nCells: Int = 16, iters: Int = 5,
+      tau: Double = 0.99): DataFrame = {
+    val chunkVecs = chunkEmbed(documents).select(
+      (col("chunk_id") * lit(SemChunkSpan) + col("doc_id")).as("vec_id"),
+      array((0 until dims).map(j => col(s"e$j").cast("double")): _*)
+        .as("embedding"))
+    graft.dedup.Dedup.semDedup(chunkVecs, nCells, iters, tau)
+      .select(pmod(col("vec_id"), lit(SemChunkSpan)).as("doc_id"),
+        expr(s"vec_id DIV ${SemChunkSpan}L").as("chunk_id"),
+        col("cell"), col("cluster_id"), col("n_docs").as("n_chunks"),
+        col("centroid_cos"), col("keep"))
+  }
+
   /** q168: ANN-SERVED chunk retrieval — the 100 TB shape of #167 (the
     * VERDICT's top item: the brute scan was the only baseline in the
     * fleet without an approximate sibling). Composes the #166

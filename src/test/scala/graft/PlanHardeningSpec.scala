@@ -90,7 +90,8 @@ class PlanHardeningSpec extends SparkSpec {
       "q_dedup_bloom", "q_ann_pca", "q_embed_pca", "q_ivf_cell_profile",
       "q_ann_ivf_sq8", "q_ann_opq", "q_semdedup",
       "q_unigram_train", "q_unigram_tokenize", "q_unigram_tokenize_disk",
-      "q_tokenizer_compare", "q_semdedup_disk", "q_chunk_search_ann"))
+      "q_tokenizer_compare", "q_semdedup_disk", "q_chunk_search_ann",
+      "q_semdedup_chunks"))
   }
 
   private lazy val emptyDocs = spark.createDataFrame(

@@ -69,4 +69,67 @@ class SemDedupSpec extends SparkSpec {
       .map(_.toSeq).sortBy(_.mkString("|"))
     assert(viaDisk.toSeq === inSession.toSeq)
   }
+
+  test("semDedupChunks: on a single-chunk corpus it IS doc-level semdedup (vec_id == doc_id)") {
+    import spark.implicits._
+    // truncate every doc to its first 20 tokens: ≤ stride (32) tokens
+    // ⇒ exactly one chunk per doc, and the chunk embedding equals the
+    // doc embedding (DocEmbedSpec); with the chunk-major vec_id
+    // packing chunk_id·2^40 + doc_id, a single-chunk corpus packs to
+    // vec_id == doc_id — so the chunk pipeline must reproduce the
+    // doc-level pipeline's rows EXACTLY, not just isomorphically
+    val short = Tables.documents(spark, sf)
+      .withColumn("toks", graft.text.Text.tokens(col("text")))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), 1, 20)).as("text"))
+      .localCheckpoint()
+    val chunkSide = graft.text.DocEmbed.semDedupChunks(short, tau = tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+    assert(chunkSide.forall(_._2 == 0L), "every doc has exactly one chunk")
+    val docVecs = graft.text.DocEmbed.docEmbed(short).select(
+      col("doc_id").as("vec_id"),
+      array((0 until graft.text.DocEmbed.dims)
+        .map(j => col(s"e$j").cast("double")): _*).as("embedding"))
+    val docSide = Dedup.semDedup(docVecs, tau = tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5))).sortBy(_._1)
+    val mapped = chunkSide.map(t => (t._1, t._3, t._4, t._5, t._6, t._7)).sortBy(_._1)
+    assert(mapped.length === docSide.length)
+    mapped.zip(docSide).foreach { case (c, d) =>
+      assert(c._1 === d._1 && c._2 === d._2 && c._3 === d._3 && c._4 === d._4 &&
+        c._6 === d._6, s"doc ${c._1}: chunk-level row != doc-level row")
+      // centroid_cos: two independent Lloyd trainings on the same
+      // vectors — 6-dp-rounded values agree within one rounding step
+      assert(math.abs(c._5 - d._5) <= 1e-6 + 1e-9, s"doc ${c._1} centroid_cos")
+    }
+  }
+
+  test("semDedupChunks: a passage duplicated across different docs clusters at chunk level") {
+    import spark.implicits._
+    // two docs sharing their FIRST 64 tokens (one full chunk) with
+    // distinct continuations, plus filler docs: doc-level embeddings
+    // diverge but chunk 0 is bit-identical in both — the SemDeDup
+    // passage case only the chunk operand can see
+    val shared = (1 to 64).map(i => s"dup$i").mkString(" ")
+    val tailA = (1 to 64).map(i => s"alpha$i").mkString(" ")
+    val tailB = (1 to 64).map(i => s"beta$i").mkString(" ")
+    val filler = (0 until 20).map(i =>
+      (100L + i, (1 to 40).map(j => s"f${i}w$j").mkString(" ")))
+    val docs = (Seq((1L, s"$shared $tailA"), (2L, s"$shared $tailB")) ++ filler)
+      .toDF("doc_id", "text")
+    val rows = graft.text.DocEmbed.semDedupChunks(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3), r.getBoolean(6)))
+    val out = rows.map(t => t._1 -> ((t._2, t._3))).toMap
+    val (c1, c2) = (out((1L, 0L)), out((2L, 0L)))
+    assert(c1._1 === c2._1, "identical leading chunks share a cluster")
+    // the cluster may also capture the half-shared chunk 1s (dup tail
+    // + distinct continuation can clear tau); the structural claims:
+    // one keeper per cluster, and the two IDENTICAL copies never both
+    // keep — at least one duplicated-passage copy is dropped
+    assert(rows.filter(_._2 == c1._1).count(_._3) === 1,
+      "the shared-passage cluster keeps exactly one chunk")
+    assert(!(c1._2 && c2._2), "identical passage copies never both keep")
+  }
 }
