@@ -70,6 +70,7 @@ object Bench {
         // scan, not the CSV write that creates its input)
         graft.sources.Sources.prewarm(spark, sfDir) ++
         graft.text.LangModel.prewarm(Tables.documents(spark, sfDir)) ++
+        graft.text.DocEmbed.prewarm(Tables.documents(spark, sfDir)) ++
         graft.mm.MediaCodec.prewarm(Tables.documents(spark, sfDir)) ++
         graft.mm.AudioFp.prewarm(Tables.documents(spark, sfDir)) ++
         graft.mm.GifDedup.prewarm(Tables.documents(spark, sfDir)) ++

@@ -87,6 +87,33 @@ object DocEmbed {
         (0 until dims).map(j => col(s"e$j")): _*)
   }
 
+  /** Memoized, materialized [[chunkEmbed]] (default geometry) — the
+    * chunk-vector table is the input of FOUR multi-pass consumers
+    * (semantic dedup's count + Lloyd training + cell assignment +
+    * scored join, and the ANN search's index build + re-score side),
+    * and every uncached evaluation re-runs the tokenize + per-token
+    * md5 scan. One materialization per corpus per session (the
+    * pairsCached discipline); consumers derive their vec_id packings
+    * as cheap projections over the cached table. Measured: the
+    * round-13 q_semdedup_chunks first landed at 9.96 s on the sf0.1
+    * bench — the slowest query in the fleet — with ~6 full chunk-scan
+    * re-evaluations inside one query; the seam removes all but one.
+    */
+  private val ceMemo =
+    graft.Memo[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
+
+  def chunkEmbedCached(documents: DataFrame): DataFrame =
+    ceMemo.getOrElseUpdate(documents.sparkSession,
+      documents.queryExecution.analyzed.canonicalized)(
+      chunkEmbed(documents).localCheckpoint())
+
+  /** Bench seam itemization (the MediaCodec.prewarm discipline). */
+  def prewarm(documents: DataFrame): Seq[(String, Double)] = {
+    val t0 = System.nanoTime()
+    chunkEmbedCached(documents)
+    Seq("text_chunk_embed" -> ((System.nanoTime() - t0) / 1e9))
+  }
+
   def sqlChunkEmbed(chunkTokens: Int = 64, stride: Int = 32): String = {
     val toks = Text.sqlTokens("text")
     val h = (1 to 8).map { i =>
@@ -216,7 +243,7 @@ object DocEmbed {
   def semDedupChunks(
       documents: DataFrame, nCells: Int = 16, iters: Int = 5,
       tau: Double = 0.99): DataFrame = {
-    val chunkVecs = chunkEmbed(documents).select(
+    val chunkVecs = chunkEmbedCached(documents).select(
       (col("chunk_id") * lit(SemChunkSpan) + col("doc_id")).as("vec_id"),
       array((0 until dims).map(j => col(s"e$j").cast("double")): _*)
         .as("embedding"))
@@ -253,7 +280,7 @@ object DocEmbed {
     import org.apache.spark.sql.expressions.Window
     import graft.sim.Similarity
     val vdot = graft.functions.GraftFunctions.vecDot _
-    val chunkVecs = chunkEmbed(documents)
+    val chunkVecs = chunkEmbedCached(documents)
       .select(col("doc_id"), col("chunk_id"),
         (col("doc_id") * lit(ChunkSpan) + col("chunk_id")).as("vec_id"),
         array((0 until dims).map(j => col(s"e$j").cast("double")): _*)
