@@ -196,6 +196,17 @@ object SparkEntry {
     // addition)
     "q_chunk_search_ann" -> ((s, dir) =>
       text.DocEmbed.chunkSearchAnn(Tables.documents(s, dir))),
+    // MMR-diversified retrieval: the re-rank between retrieval and the
+    // context window — greedy λ·rel − (1−λ)·max-sim over the exact
+    // top-kPool; per-query bounded flatMapGroups; λ=1 ≡ brute top-k
+    // pinned in DocEmbedSpec (round-13 addition)
+    "q_search_mmr" -> ((s, dir) =>
+      text.DocEmbed.chunkSearchMmr(Tables.documents(s, dir))),
+    // the quality-threshold ablation ladder: docs/tokens surviving
+    // every candidate cutoff of the #19 score in ONE pass (explode to
+    // passed thresholds + one ≤steps-row groupBy) (round-13 addition)
+    "q_filter_ablation" -> ((s, dir) =>
+      Text.filterAblation(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => Text.langId(Tables.documents(s, dir))),
     // language-ID confusion matrix vs the declared ground truth
     // (round-5 addition)
@@ -243,6 +254,12 @@ object SparkEntry {
       ((s, dir) => text.LangModel.surprisalTrigram(Tables.documents(s, dir))),
     // --- D. Deduplication -------------------------------------------
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    // canonicalize-then-hash dedup: catches case/whitespace/punct
+    // re-encodings the raw hash misses; variants planted from doc_id
+    // arithmetic (the Pii discipline — this corpus is already
+    // canonical), twin replays the planting (round-13 addition)
+    "q_dedup_normalized" -> ((s, dir) =>
+      Dedup.exactNormalized(Tables.documents(s, dir))),
     // exact duplicated-SPAN detection (Lee et al. exact-substring
     // modality): cross-doc repeated k-token windows as 8-byte hashes —
     // the shuffles never carry text (round-6 addition)
@@ -629,6 +646,12 @@ object SparkEntry {
     // batch-by-length; hash-exact vs a recursive-CTE FFD replay
     // (round-13 addition)
     "q_pack_bins" -> ((s, dir) => Corpus.packBins(Tables.documents(s, dir))),
+    // the export-shard manifest: ingestion-order docs cut into
+    // ~targetTokens shards via the packSequences two-level cumsum +
+    // one rollup — the write side's file plan with id ranges and the
+    // fill-skew audit (round-13 addition)
+    "q_shard_manifest" -> ((s, dir) =>
+      Corpus.shardManifest(Tables.documents(s, dir))),
     // packing under the TOKENIZER's budget (BPE counts, not whitespace
     // words) — the production training-data layout composition
     // (round-9 addition)
@@ -869,6 +892,7 @@ object SparkEntry {
         |GROUP BY fw.cohort_week, a.week""".stripMargin,
     "q_token_stats" -> Text.sqlTokenStats,
     "q_text_quality" -> Text.sqlQuality,
+    "q_filter_ablation" -> Text.sqlFilterAblation(),
     "q_gopher_filter" -> Text.sqlGopherFilter(minStopwords = 1L),
     "q_c4_filter" -> Text.sqlC4Filter(blocklist = Seq("slow"),
       enforceTerminal = false, enforceSentences = false),
@@ -899,6 +923,7 @@ object SparkEntry {
     // q_dedup_eval audits both against the exact pair set (same hash
     // models => rows-only, monotone-recall-pinned in DedupSpec).
     "q_dedup_exact" -> Dedup.sqlExact,
+    "q_dedup_normalized" -> Dedup.sqlExactNormalized,
     "q_dup_spans" -> Dedup.sqlDupSpans(),
     "q_dup_span_scrub" -> Dedup.sqlDupSpanScrub(),
     "q_dup_span_report" -> Dedup.sqlDupSpanReport(),
@@ -973,6 +998,7 @@ object SparkEntry {
     "q_ingest_span_scrub" -> Dedup.sqlIngestSpanScrub(),
     "q_pack_sequences" -> Corpus.sqlPackSequences(),
     "q_pack_bins" -> Corpus.sqlPackBins(),
+    "q_shard_manifest" -> Corpus.sqlShardManifest(),
     "q_pack_bpe" -> Corpus.sqlPackSequencesBpe(),
     "q_pack_shuffled" -> Corpus.sqlPackSequencesShuffled(),
     "q_length_buckets" -> Corpus.sqlLengthBuckets(),

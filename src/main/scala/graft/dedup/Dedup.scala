@@ -94,6 +94,76 @@ object Dedup {
       |FROM documents GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------------
+  // q177: NORMALIZED exact dedup (canonicalize-then-hash).
+  // ------------------------------------------------------------------
+
+  /** The deterministic RE-ENCODING each doc receives before the
+    * normalized dedup measures it (the Pii planting discipline: this
+    * corpus is already canonical lowercase single-spaced ASCII, so
+    * trivially-re-encoded duplicates — the #22 exact hash's blind
+    * spot — are planted from doc_id arithmetic and the DuckDB twin
+    * replays the same transform):
+    *   - doc_id % 3 == 0 → verbatim;
+    *   - doc_id % 3 == 1 → UPPERCASED (a case re-encode);
+    *   - doc_id % 3 == 2 → double-spaced + a trailing " !!" (a
+    *     whitespace/punctuation re-encode).
+    * Each variant is content-preserving under [[normText]], so two
+    * docs share a normalized group iff their ORIGINAL texts match —
+    * but their raw md5s differ whenever their variant classes do.
+    */
+  private def reencoded(text: Column, docId: Column): Column =
+    when(pmod(docId, lit(3L)) === 1L, upper(text))
+      .when(pmod(docId, lit(3L)) === 2L,
+        concat(regexp_replace(text, " ", "  "), lit(" !!")))
+      .otherwise(text)
+
+  /** Canonical text: lowercase, every run of non-alphanumerics
+    * collapsed to one space, ends trimmed — the normalization layer
+    * crawl pipelines put in front of the exact hash so case flips,
+    * whitespace reflows, and stray punctuation don't defeat it.
+    */
+  private def normText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** q177: exact dedup after text CANONICALIZATION — catches the
+    * trivially re-encoded duplicates (case flips, whitespace reflow,
+    * punctuation dressing) that the raw content hash (#22) treats as
+    * distinct documents. Same single-shuffle shape as [[exact]]: one
+    * groupBy on the normalized hash with map-side partial aggregation;
+    * the normalization itself is pure scan-side codegen (lower +
+    * regexp_replace + trim). `n_exact_variants` counts the distinct
+    * RAW hashes inside each normalized group — rows with
+    * n_exact_variants > 1 are precisely the duplicates raw exact
+    * dedup misses (guaranteed non-degenerate here by [[reencoded]]'s
+    * planted variants; pinned in DedupSpec).
+    */
+  def exactNormalized(documents: DataFrame): DataFrame = {
+    val enc = reencoded(col("text"), col("doc_id"))
+    documents
+      .select(col("doc_id"),
+        md5(enc.cast("binary")).as("raw_hash"),
+        md5(normText(enc).cast("binary")).as("norm_hash"))
+      .groupBy(col("norm_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("raw_hash")).as("n_exact_variants"),
+        min(col("doc_id")).as("keep_id"))
+  }
+
+  def sqlExactNormalized: String =
+    """WITH ne AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 1 THEN upper(text)
+      |         WHEN doc_id % 3 = 2 THEN replace(text, ' ', '  ') || ' !!'
+      |         ELSE text END AS enc
+      |  FROM documents
+      |)
+      |SELECT md5(trim(regexp_replace(lower(enc), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
+      |  CAST(count(*) AS BIGINT) AS n_copies,
+      |  CAST(count(DISTINCT md5(enc)) AS BIGINT) AS n_exact_variants,
+      |  min(doc_id) AS keep_id
+      |FROM ne GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
   // q23: exact n-gram Jaccard near-dup pairs (inverted index).
   // ------------------------------------------------------------------
   /** Jaccard via inclusion-exclusion: |A∪B| = |A|+|B|-|A∩B|, so only

@@ -968,6 +968,87 @@ object Corpus {
        |FROM pasn""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q179: the export-shard MANIFEST.
+  // ------------------------------------------------------------------
+
+  /** q179: the export-shard manifest — the table the WRITE side of the
+    * pipeline reads: documents in ingestion order (doc_id) cut into
+    * output shards of ~`targetTokens` tokens each (a doc belongs to
+    * the shard its running-total START falls in — whole docs, shard
+    * sizes within ±1 doc of target), rolled up to one row per shard:
+    * doc count, token/char totals, the [first_doc, last_doc] id range
+    * a reader needs to locate a document without an index, and the
+    * fill fraction against target (the skew audit: a fill_frac far
+    * from 1.0 means one giant document blew through its boundary).
+    *
+    * The running total is the SAME two-level cumsum as [[packSequences]]
+    * (per-block sums broadcast as offsets + a within-block window) —
+    * never a single global sort partition — followed by one ≤
+    * corpus_tokens/targetTokens-row groupBy. The DuckDB twin replays
+    * the plain single-window cumsum, so the oracle validates the
+    * two-level decomposition against the textbook formulation,
+    * hash-exactly (integer tokens, one IEEE divide, 6-dp fixing).
+    */
+  def shardManifest(
+      documents: DataFrame,
+      targetTokens: Long = 4096,
+      blockSize: Long = 65536): DataFrame = {
+    require(targetTokens > 0, "targetTokens must be positive")
+    val counts = documents
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr(s"doc_id DIV ${blockSize}L").as("blk"))
+    val wBlk = Window.partitionBy(Det.constKey(col("blk")))
+      .orderBy(col("blk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkOffsets = counts
+      .groupBy(col("blk"))
+      .agg(sum(col("n_tokens")).as("blk_tokens"))
+      .withColumn("blk_offset", coalesce(sum(col("blk_tokens")).over(wBlk), lit(0L)))
+      .select(col("blk"), col("blk_offset"))
+    val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .join(broadcast(blkOffsets), Seq("blk"))
+      .withColumn("start_off",
+        col("blk_offset") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .withColumn("shard_id", expr(s"start_off DIV ${targetTokens}L"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .withColumn("fill_frac",
+        Det.r(col("n_tokens").cast("double") / targetTokens, 6))
+  }
+
+  /** DuckDB twin of [[shardManifest]]: the plain one-window running
+    * total (what the two-level form decomposes) + the same rollup.
+    */
+  def sqlShardManifest(targetTokens: Long = 4096): String = {
+    val toks = Text.sqlTokens("text")
+    s"""WITH smb AS (
+       |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(text) AS BIGINT) AS n_chars
+       |  FROM documents
+       |), smc AS (
+       |  SELECT doc_id, n_tokens, n_chars,
+       |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_off
+       |  FROM smb
+       |)
+       |SELECT start_off // $targetTokens AS shard_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |  floor(CAST(sum(n_tokens) AS DOUBLE) / $targetTokens
+       |    * 1000000.0 + 0.5) / 1000000.0 AS fill_frac
+       |FROM smc GROUP BY 1""".stripMargin
+  }
+
   /** q124: the PADDING BILL of batch-by-length serving — the layout
     * decision packing competes with: SFT and inference batch documents
     * of similar length and pad to the bucket cap instead of

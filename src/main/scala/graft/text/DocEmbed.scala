@@ -377,4 +377,125 @@ object DocEmbed {
        |  $sums
        |FROM deh GROUP BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // q180: MMR-diversified retrieval.
+  // ------------------------------------------------------------------
+
+  // NOT private: the typed-Dataset DESERIALIZER (SafeProjection) is
+  // generated code in another package constructing MmrCand — a private
+  // constructor fails janino compilation at runtime (PackBinRow gets
+  // away with private because it is serializer-side only)
+  final case class MmrCand(
+      query_doc: Long, doc_id: Long, chunk_id: Long, cosine: Double,
+      uv: Array[Double])
+  final case class MmrPick(
+      query_doc: Long, mmr_rank: Long, doc_id: Long, chunk_id: Long,
+      cosine: Double, max_sim: Double, mmr_score: Double)
+
+  /** q180: MMR-DIVERSIFIED chunk retrieval — the re-rank a RAG stack
+    * runs between retrieval and the context window (Carbonell &
+    * Goldstein 1998): plain top-k (#167) happily fills all k slots
+    * with near-copies of the same passage (and a deduplicated corpus
+    * still retrieves paraphrase clusters); maximal marginal relevance
+    * picks greedily by `λ·rel(q,c) − (1−λ)·max_{s∈picked} sim(c,s)`,
+    * so each slot is charged for redundancy against what is already
+    * in the context. At λ=1 the charge vanishes and MMR IS the brute
+    * top-k — the equivalence DocEmbedSpec pins, next to the
+    * diversification case (duplicate chunks tie in #167's list; at
+    * λ=0.7 at most one of a duplicate pair survives).
+    *
+    * Scale shape: candidates are the EXACT top-`kPool` per query from
+    * the #167 two-phase scan (same windows, same zero-norm exclusion,
+    * vectors carried through); the greedy selection — sequential by
+    * nature, like FFD packing — is then an in-memory O(kPool²·dims)
+    * pass per QUERY GROUP inside flatMapGroups: ≤ kPool rows each,
+    * embarrassingly parallel across queries, no global state. Both
+    * relevance (the #167 6-dp cosine — emitted ranks stay comparable
+    * to the brute list) and pairwise sims (unit-vector dots of exact
+    * integer embeddings) are deterministic, ties break (doc_id,
+    * chunk_id) — but the MODEL choice (λ, pool) makes the output a
+    * ranking artifact, not a corpus fact ⇒ rows-only gate, invariants
+    * in DocEmbedSpec.
+    */
+  def chunkSearchMmr(
+      documents: DataFrame, nQueries: Int = 3, k: Int = 5,
+      kPool: Int = 32, lambda: Double = 0.7, shards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0,1]")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    def normsq(prefix: String) =
+      (0 until dims).map(j => col(s"$prefix$j") * col(s"$prefix$j"))
+        .reduce(_ + _)
+    val chunks = chunkEmbedCached(documents)
+      .withColumn("nsq", normsq("e")).filter(col("nsq") > 0L)
+    val queries = docEmbed(documents)
+      .filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_doc") +:
+        (0 until dims).map(j => col(s"e$j").as(s"q$j")): _*)
+      .withColumn("qsq", normsq("q")).filter(col("qsq") > 0L)
+    val dot = (0 until dims).map(j => col(s"e$j") * col(s"q$j")).reduce(_ + _)
+    val order = Seq(col("cosine").desc, col("doc_id").asc, col("chunk_id").asc)
+    val w1 = Window
+      .partitionBy(col("query_doc"), pmod(col("doc_id"), lit(shards.toLong)))
+      .orderBy(order: _*)
+    val w2 = Window.partitionBy(col("query_doc")).orderBy(order: _*)
+    val pool = chunks.join(broadcast(queries), col("doc_id") =!= col("query_doc"))
+      .withColumn("cosine", graft.Det.r(
+        dot.cast("double") / (sqrt(col("nsq").cast("double")) *
+          sqrt(col("qsq").cast("double"))), 6))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= kPool)
+      .withColumn("r2", row_number().over(w2))
+      .filter(col("r2") <= kPool)
+      .select(col("query_doc"), col("doc_id"), col("chunk_id"), col("cosine"),
+        array((0 until dims).map(j =>
+          col(s"e$j").cast("double") / sqrt(col("nsq").cast("double"))): _*)
+          .as("uv"))
+      .as[MmrCand]
+    pool
+      .groupByKey(_.query_doc)
+      .flatMapGroups { (_, it) =>
+        val cands = it.toArray
+          .sortBy(c => (-c.cosine, c.doc_id, c.chunk_id))
+        val picked = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
+        val used = new Array[Boolean](cands.length)
+        val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+        var rank = 1L
+        while (rank <= k && picked.length < cands.length) {
+          var bestI = -1
+          var bestScore = Double.NegativeInfinity
+          var bestSim = 0.0
+          var i = 0
+          while (i < cands.length) {
+            if (!used(i)) {
+              val c = cands(i)
+              var ms = 0.0
+              picked.foreach { p =>
+                var d = 0.0
+                var j = 0
+                while (j < c.uv.length) { d += c.uv(j) * p.uv(j); j += 1 }
+                if (d > ms) ms = d
+              }
+              val score = lambda * c.cosine - (1.0 - lambda) * ms
+              // strictly-better wins; the candidate order is already
+              // (cosine desc, doc_id, chunk_id), so first-seen ties
+              // keep the brute order — the λ=1 identity
+              if (score > bestScore) { bestI = i; bestScore = score; bestSim = ms }
+            }
+            i += 1
+          }
+          val c = cands(bestI)
+          used(bestI) = true
+          picked += c
+          out += MmrPick(c.query_doc, rank, c.doc_id, c.chunk_id, c.cosine,
+            math.floor(bestSim * 1e6 + 0.5) / 1e6,
+            math.floor(bestScore * 1e6 + 0.5) / 1e6)
+          rank += 1
+        }
+        out
+      }
+      .toDF()
+  }
 }

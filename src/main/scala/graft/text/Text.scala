@@ -128,6 +128,72 @@ object Text {
        |FROM documents""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q178: the quality-threshold ABLATION ladder.
+  // ------------------------------------------------------------------
+
+  /** q178: what each candidate quality CUTOFF would cost — the table a
+    * curation decision actually reads before anyone picks the #19
+    * score's filter threshold: for every threshold τ = k/steps, the
+    * documents and tokens that survive `quality_score ≥ τ` and the
+    * surviving fraction of each. One pass computes the whole ladder —
+    * no per-threshold re-scan: each doc EXPLODES to the thresholds it
+    * passes (score ∈ [0,1] by construction ⇒ k ≤ floor(score·steps),
+    * ≤ `steps` rows per doc, integer-exact membership), and a single
+    * groupBy(k) with map-side partial aggregation collapses the
+    * blow-up to ≤ steps rows per task before the one shuffle — at
+    * 100 TB the exchange carries ≤ steps × tasks tiny rows. Totals
+    * ride a window over the ≤ steps-row result (τ=0 keeps everything,
+    * so max over the ladder IS the corpus total). Fractions are one
+    * IEEE divide + 6-dp fixing ⇒ hash-exact.
+    */
+  def filterAblation(documents: DataFrame, steps: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityColumns(col("toks"), col("text"))
+    val wAll = Window.partitionBy(Det.constKey(col("th_step")))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    documents
+      .withColumn("toks", tokens(col("text")))
+      .select(q.nTokens.as("n_tokens"), q.score.as("score"))
+      .select(col("n_tokens"),
+        explode(sequence(lit(0L),
+          least(floor(col("score") * steps).cast("long"), lit(steps - 1L))))
+          .as("th_step"))
+      .groupBy(col("th_step"))
+      .agg(count(lit(1)).as("docs_kept"), sum(col("n_tokens")).as("tokens_kept"))
+      .withColumn("total_docs", max(col("docs_kept")).over(wAll))
+      .withColumn("total_tokens", max(col("tokens_kept")).over(wAll))
+      .select(col("th_step"),
+        (col("th_step").cast("double") / steps).as("threshold"),
+        col("docs_kept"), col("tokens_kept"),
+        Det.r(col("docs_kept").cast("double") / col("total_docs"), 6)
+          .as("docs_frac"),
+        Det.r(col("tokens_kept").cast("double") / col("total_tokens"), 6)
+          .as("tokens_frac"))
+  }
+
+  /** DuckDB twin of [[filterAblation]]: the #19 score CTE, the same
+    * generate_series explode, and window-max totals.
+    */
+  def sqlFilterAblation(steps: Int = 20): String =
+    s"""WITH faq AS (${sqlQuality.replace("\n", "\n  ")}
+       |), fae AS (
+       |  SELECT n_tokens,
+       |    unnest(generate_series(0, least(CAST(floor(quality_score * $steps) AS BIGINT), ${steps - 1}))) AS th_step
+       |  FROM faq
+       |), faa AS (
+       |  SELECT th_step, CAST(count(*) AS BIGINT) AS docs_kept,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+       |  FROM fae GROUP BY 1
+       |)
+       |SELECT th_step, CAST(th_step AS DOUBLE) / $steps AS threshold,
+       |  docs_kept, tokens_kept,
+       |  floor(CAST(docs_kept AS DOUBLE) / CAST(max(docs_kept) OVER () AS DOUBLE)
+       |    * 1000000.0 + 0.5) / 1000000.0 AS docs_frac,
+       |  floor(CAST(tokens_kept AS DOUBLE) / CAST(max(tokens_kept) OVER () AS DOUBLE)
+       |    * 1000000.0 + 0.5) / 1000000.0 AS tokens_frac
+       |FROM faa""".stripMargin
+
   /** The Gopher rule-set stop words (Rae et al. 2021, Appendix A13:
     * "contains at least two of the following English words: the, be,
     * to, of, and, that, have, with").

@@ -606,4 +606,44 @@ class CorpusSpec extends SparkSpec {
     val plan = planOf(Corpus.chunk(docs))
     assert(!plan.contains("Exchange"), s"chunking must be scan-side only:\n$plan")
   }
+
+  test("shardManifest: equals a driver single-pass cumsum replay; conserves volume; id ranges tile") {
+    val corpus = Tables.documents(spark, sf)
+    val target = 512L
+    // driver replay of the textbook one-window formulation the
+    // two-level decomposition must reproduce
+    val rows = corpus.select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).split("\\s+").count(_.nonEmpty).toLong
+        (r.getLong(0), toks, r.getString(1).length.toLong)
+      }.sortBy(_._1)
+    var off = 0L
+    val assign = rows.map { case (id, nt, nc) =>
+      val s = off / target; off += nt; (s, id, nt, nc)
+    }
+    val expect = assign.groupBy(_._1).map { case (s, g) =>
+      s -> (g.length.toLong, g.map(_._3).sum, g.map(_._4).sum,
+        g.map(_._2).min, g.map(_._2).max)
+    }
+    val out = Corpus.shardManifest(corpus, targetTokens = target).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(out.keySet === expect.keySet)
+    expect.foreach { case (s, (nd, nt, nc, fd, ld)) =>
+      val (ond, ont, onc, ofd, old, off6) = out(s)
+      assert((ond, ont, onc, ofd, old) === ((nd, nt, nc, fd, ld)), s"shard $s")
+      assert(off6 === math.floor(nt.toDouble / target * 1e6 + 0.5) / 1e6,
+        s"shard $s fill_frac")
+    }
+    // conservation + tiling: every doc in exactly one shard, id ranges
+    // contiguous in shard order (a reader can binary-search the manifest)
+    assert(out.values.map(_._1).sum === rows.length.toLong)
+    assert(out.values.map(_._2).sum === rows.map(_._2).sum)
+    val ordered = out.toSeq.sortBy(_._1).map(v => (v._2._4, v._2._5))
+    ordered.sliding(2).foreach {
+      case Seq((_, l1), (f2, _)) => assert(f2 > l1, "shard id ranges must tile")
+      case _ =>
+    }
+    assert(out.size > 1, "target must cut this corpus into multiple shards")
+  }
 }

@@ -1354,4 +1354,54 @@ class DedupSpec extends SparkSpec {
     val plan = planOf(Dedup.decontaminateFrac(real))
     assert(plan.contains("BroadcastHashJoin"), s"expected eval-side broadcast:\n$plan")
   }
+
+  test("exactNormalized: planted re-encodings collapse to one group that raw exact dedup splits") {
+    // doc_ids chosen to land one doc in each variant class (mod 3):
+    // 0 verbatim, 1 uppercased, 2 double-spaced+punct — same text
+    val docs = Seq(
+      (0L, "spark line column"), (1L, "spark line column"),
+      (2L, "spark line column"), (3L, "other words here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactNormalized(docs).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.size === 2, "two normalized groups")
+    val big = out.values.find(_._1 == 3L).get
+    assert(big === ((3L, 3L, 0L)),
+      "3 copies, 3 DISTINCT raw hashes (the re-encodings), keep the min id")
+    assert(out.values.exists(_ == ((1L, 1L, 3L))), "singleton stays alone")
+    // the blind spot proven: raw exact dedup over the SAME encoded
+    // texts sees three distinct documents
+    val enc = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3L)) === 1L, upper(col("text")))
+        .when(pmod(col("doc_id"), lit(3L)) === 2L,
+          concat(regexp_replace(col("text"), " ", "  "), lit(" !!")))
+        .otherwise(col("text")).as("text"))
+    assert(Dedup.exact(enc).count() === 4,
+      "raw hashing treats every planted re-encoding as a distinct doc")
+  }
+
+  test("exactNormalized on the corpus: normalized groups are exactly the raw exact-dedup groups") {
+    // this corpus is already canonical (lowercase, single-spaced,
+    // alnum-only), so norm(reencode(text)) == text and the normalized
+    // group table must coincide with q_dedup_exact's group-for-group:
+    // same hash key, same sizes, same survivor
+    val docs = Tables.documents(spark, sf)
+    val norm = Dedup.exactNormalized(docs).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(3)))).toMap
+    val raw = Dedup.exact(docs).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(norm.keySet === raw.keySet, "norm_hash == md5(original canonical text)")
+    norm.foreach { case (h, v) =>
+      assert(v === raw(h), s"group $h: same n_copies and keep_id")
+    }
+    // and every group's variant count is consistent with its members'
+    // mod-3 classes: a group of >=2 docs in different classes must
+    // show >1 raw variant
+    val multi = Dedup.exactNormalized(docs)
+      .filter(col("n_copies") > col("n_exact_variants")).collect()
+    multi.foreach { r =>
+      assert(r.getLong(2) >= 1L)
+    }
+  }
 }

@@ -164,4 +164,96 @@ class DocEmbedSpec extends SparkSpec {
     val plan = DocEmbed.chunkSearchAnn(corpus).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "ANN path must stay equi-join-only")
   }
+
+  test("chunkSearchMmr at lambda=1 IS the brute top-k (the redundancy charge vanishes)") {
+    val corpus = Tables.documents(spark, sf)
+    val brute = DocEmbed.chunkSearch(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    val mmr = DocEmbed.chunkSearchMmr(corpus, lambda = 1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(mmr === brute, "rank-for-rank identity at lambda=1")
+  }
+
+  test("chunkSearchMmr equals a driver-side greedy replay; rank 1 is the brute rank 1") {
+    val corpus = Tables.documents(spark, sf)
+    val (nQ, k, kPool, lam) = (3, 5, 32, 0.7)
+    // rebuild the candidate pools from the oracle-gated constituents
+    val qvecs = DocEmbed.docEmbed(corpus).collect()
+      .map(r => r.getLong(0) ->
+        Array.tabulate(DocEmbed.dims)(j => r.getLong(2 + j)))
+      .filter { case (id, v) => id < nQ && v.map(x => x * x).sum > 0 }
+    val chunks = DocEmbed.chunkEmbed(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Array.tabulate(DocEmbed.dims)(j => r.getLong(3 + j))))
+      .filter(_._3.map(x => x * x).sum > 0)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect = qvecs.flatMap { case (q, qv) =>
+      val qn = math.sqrt(qv.map(x => (x * x).toDouble).sum)
+      val pool = chunks.filter(_._1 != q).map { case (d, c, ev) =>
+        val nsq = ev.map(x => x * x).sum
+        val cos = r6(ev.zip(qv).map { case (a, b) => (a * b).toDouble }.sum /
+          (math.sqrt(nsq.toDouble) * qn))
+        val uv = ev.map(_ / math.sqrt(nsq.toDouble))
+        (d, c, cos, uv)
+      }.sortBy(t => (-t._3, t._1, t._2)).take(kPool)
+      val used = Array.fill(pool.length)(false)
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      (1 to math.min(k, pool.length)).map { rank =>
+        var bi = -1; var bs = Double.NegativeInfinity; var bm = 0.0
+        pool.indices.foreach { i =>
+          if (!used(i)) {
+            var ms = 0.0
+            picked.foreach { p =>
+              val d = pool(i)._4.zip(p).map { case (a, b) => a * b }.sum
+              if (d > ms) ms = d
+            }
+            val sc = lam * pool(i)._3 - (1.0 - lam) * ms
+            if (sc > bs) { bi = i; bs = sc; bm = ms }
+          }
+        }
+        used(bi) = true; picked += pool(bi)._4
+        (q, rank.toLong, pool(bi)._1, pool(bi)._2, pool(bi)._3, r6(bm), r6(bs))
+      }
+    }.toSet
+    val out = DocEmbed.chunkSearchMmr(corpus, nQ, k, kPool, lam).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSet
+    assert(out === expect, "greedy MMR replay must match pick-for-pick")
+    // rank 1 always equals the brute rank 1 (no redundancy charge yet)
+    val brute1 = DocEmbed.chunkSearch(corpus).collect()
+      .filter(_.getLong(1) == 1L).map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val mmr1 = out.filter(_._2 == 1L).map(t => (t._1, t._3, t._4))
+    assert(mmr1 === brute1)
+  }
+
+  test("chunkSearchMmr diversifies: a planted duplicate pair cannot fill adjacent top slots") {
+    // doc 0 is the query; docs 1 and 2 are identical (their chunks'
+    // vectors coincide — pairwise sim 1.0); docs 3.. diverge. The
+    // brute list ranks the twin copies back-to-back; MMR's redundancy
+    // charge must push something diverse between or past the copy.
+    // NOTE the embedding is a token-multiset hash kernel (order-blind):
+    // only docs 1/2 share the query's token set, docs 3/4 share none
+    val base = "spark line column order small sort fast value scan hash"
+    val docs = Seq(
+      (0L, base + " group batch"),
+      (1L, base + " merge"), (2L, base + " merge"),
+      (3L, "window row data table stream filter big key index cache"),
+      (4L, "plan read write node disk shuffle join agg query the"))
+      .toDF("doc_id", "text")
+    val brute = DocEmbed.chunkSearch(docs, nQueries = 1, k = 4).collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (rank, doc_id)
+    val mmr = DocEmbed.chunkSearchMmr(docs, nQueries = 1, k = 4, kPool = 8,
+      lambda = 0.5).collect().map(r => (r.getLong(1), r.getLong(2)))
+    // precondition (self-validating planting): the twins hold brute
+    // ranks 1 and 2
+    assert(brute.sortBy(_._1).take(2).map(_._2).toSet === Set(1L, 2L),
+      s"planting broken: brute head is ${brute.toSeq}")
+    // MMR must NOT place the second twin at rank 2 — the sim-1.0
+    // charge (0.5 * 1.0) exceeds any relevance edge it has
+    val mmrRank2 = mmr.find(_._1 == 2L).get._2
+    assert(mmrRank2 !== (if (mmr.find(_._1 == 1L).get._2 == 1L) 2L else 1L),
+      s"twin pair filled adjacent MMR slots: ${mmr.toSeq}")
+  }
 }

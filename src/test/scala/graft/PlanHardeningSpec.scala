@@ -30,9 +30,11 @@ class PlanHardeningSpec extends SparkSpec {
   // q_chunk_search is the q_knn_brute shape on the chunk index: the
   // corpus-×-broadcast-queries scan (join on doc_id != query_doc) IS
   // the operator's contract
+  // q_search_mmr's candidate pool is that same exact-top-kPool scan
+  // (the MMR re-rank itself is a bounded per-query flatMapGroups)
   private val bruteBaselines =
     Set("q_knn_brute", "q_dedup_embedding", "q_ann_eval", "q_embed_incremental",
-      "q_chunk_search")
+      "q_chunk_search", "q_search_mmr")
 
   test("every non-ML query plans without a CartesianProduct") {
     SparkEntry.queries.filterNot(q => mlQueries(q._1)).foreach { case (name, fn) =>
@@ -91,7 +93,7 @@ class PlanHardeningSpec extends SparkSpec {
       "q_ann_ivf_sq8", "q_ann_opq", "q_semdedup",
       "q_unigram_train", "q_unigram_tokenize", "q_unigram_tokenize_disk",
       "q_tokenizer_compare", "q_semdedup_disk", "q_chunk_search_ann",
-      "q_semdedup_chunks"))
+      "q_semdedup_chunks", "q_search_mmr"))
   }
 
   private lazy val emptyDocs = spark.createDataFrame(

@@ -185,4 +185,39 @@ class TextSpec extends SparkSpec {
     val kept = out.count(_.getBoolean(11))
     assert(kept > 0 && kept < out.length, s"degenerate verdict: $kept/${out.length}")
   }
+
+  test("filterAblation: ladder equals a driver replay over the scored corpus; monotone; totals at tau=0") {
+    val corpus = Tables.documents(spark, sf)
+    val steps = 20
+    val scored = Text.quality(corpus).collect()
+      .map(r => (r.getLong(1), r.getDouble(5))) // (n_tokens, quality_score)
+    val expect = (0 until steps).flatMap { k =>
+      val kept = scored.filter { case (_, s) =>
+        math.min(math.floor(s * steps).toLong, steps - 1L) >= k
+      }
+      if (kept.isEmpty) None
+      else Some(k.toLong -> (kept.length.toLong, kept.map(_._1).sum))
+    }.toMap
+    val out = Text.filterAblation(corpus, steps).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out.keySet === expect.keySet, "exactly the non-empty ladder rungs")
+    val (totD, totT) = expect(0L) // score >= 0 by construction: rung 0 keeps all
+    assert(totD === scored.length && totT === scored.map(_._1).sum)
+    expect.foreach { case (k, (d, t)) =>
+      val (od, ot, df, tf) = out(k)
+      assert(od === d && ot === t, s"rung $k counts")
+      assert(df === math.floor(d.toDouble / totD * 1e6 + 0.5) / 1e6, s"rung $k docs_frac")
+      assert(tf === math.floor(t.toDouble / totT * 1e6 + 0.5) / 1e6, s"rung $k tokens_frac")
+    }
+    // monotone: a higher cutoff can only shrink the surviving corpus
+    val inOrder = out.toSeq.sortBy(_._1).map(_._2)
+    inOrder.sliding(2).foreach {
+      case Seq((d1, t1, _, _), (d2, t2, _, _)) =>
+        assert(d2 <= d1 && t2 <= t1, "survivors must not grow with the cutoff")
+      case _ =>
+    }
+    // the ladder discriminates on this corpus (not a flat table)
+    assert(inOrder.last._1 < inOrder.head._1, "degenerate ladder")
+  }
 }
