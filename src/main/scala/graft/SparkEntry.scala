@@ -270,6 +270,11 @@ object SparkEntry {
     "q_dup_span_scrub" -> ((s, dir) => Dedup.dupSpanScrub(Tables.documents(s, dir))),
     "q_dup_span_report" -> ((s, dir) => Dedup.dupSpanReport(Tables.documents(s, dir))),
     "q_dedup_ngram" -> ((s, dir) => Dedup.pairsCached(Tables.documents(s, dir))),
+    // the Jaccard-cutoff decision table: pairs + implicated docs per
+    // candidate tau in ONE pass over the memoized pair graph
+    // (integer-micro rung membership — the percolation early-warning)
+    // (round-13 addition)
+    "q_dedup_sweep" -> ((s, dir) => Dedup.dedupSweep(Tables.documents(s, dir))),
     // asymmetric containment pairs — the short-doc-inside-long-doc
     // modality symmetric Jaccard is blind to (round-10 addition)
     "q_dedup_containment" ->
@@ -670,6 +675,10 @@ object SparkEntry {
     "q_curation_verdicts" -> ((s, dir) => Corpus.curationVerdicts(Tables.documents(s, dir))),
     // per-language top-k bigram vocabulary (two-phase exact top-k)
     "q_ngram_vocab" -> ((s, dir) => Corpus.ngramVocab(Tables.documents(s, dir))),
+    // the tokenizer-sizing table: exact top-N occurrence coverage at
+    // every pow2 vocab size, computed from the COUNT HISTOGRAM (never
+    // a global vocabulary rank) (round-13 addition)
+    "q_vocab_coverage" -> ((s, dir) => Corpus.vocabCoverage(Tables.documents(s, dir))),
     // exact heavy hitters over the open token domain, two-pass:
     // MisraGries sketch (<= k counters per partition cross the
     // network) -> broadcast candidates -> exact recount; output equals
@@ -928,6 +937,7 @@ object SparkEntry {
     "q_dup_span_scrub" -> Dedup.sqlDupSpanScrub(),
     "q_dup_span_report" -> Dedup.sqlDupSpanReport(),
     "q_dedup_ngram" -> Dedup.sqlNgramPairs(),
+    "q_dedup_sweep" -> Dedup.sqlDedupSweep(),
     "q_dedup_containment" -> Dedup.sqlContainmentPairs(),
     "q_dedup_modality_agreement" -> Dedup.sqlModalityAgreement(),
     "q_contained_drop" -> Dedup.sqlContainedDrop(),
@@ -1004,6 +1014,7 @@ object SparkEntry {
     "q_length_buckets" -> Corpus.sqlLengthBuckets(),
     "q_curation_verdicts" -> Corpus.sqlCurationVerdicts(),
     "q_ngram_vocab" -> Corpus.sqlNgramVocab(),
+    "q_vocab_coverage" -> Corpus.sqlVocabCoverage(),
     "q_heavy_hitters" -> Corpus.sqlHeavyHitters(),
     // the JSONL round-trip must be value-exact vs the parquet source,
     // so the oracle reads the parquet table directly

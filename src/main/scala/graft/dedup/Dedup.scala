@@ -289,6 +289,70 @@ object Dedup {
       ngramPairs(documents, tau).localCheckpoint())
 
   // ------------------------------------------------------------------
+  // q181: the dedup-threshold SWEEP.
+  // ------------------------------------------------------------------
+
+  /** q181: what each candidate Jaccard CUTOFF would do — the #178
+    * ablation-ladder discipline applied to the near-dup decision: for
+    * every τ_k = tau + k·step (micro-integer rungs, 0.5→1.0 in 0.025
+    * steps) the pairs surviving `jaccard ≥ τ_k` and the distinct
+    * documents they implicate. This is the table that catches
+    * PERCOLATION before it deletes a corpus: n_docs exploding as τ
+    * drops means the τ-graph is going supercritical (the q_semdedup τ
+    * lesson, institutionalized).
+    *
+    * One pass over the MEMOIZED #23 pair graph — no per-threshold
+    * re-join: rung membership is integer-exact in jaccard MICROS
+    * (floor(jac·1e6 + 0.5) recovers the 6-dp fixed point exactly;
+    * k ≤ (jm − base) DIV step — no float boundary can misfile a
+    * pair), each pair explodes to its rungs × its two endpoints
+    * (≤ 2·(rungs+1) rows per pair), and one groupBy(rung) computes
+    * both counts: n_pairs = rows/2, n_docs = the distinct endpoints.
+    * Empty rungs drop (the #178 convention). DuckDB twin composes the
+    * #23 CTE chain with the same explode ⇒ hash-exact.
+    */
+  def dedupSweep(
+      documents: DataFrame, tau: Double = 0.5, stepMicro: Long = 25000L): DataFrame = {
+    val base = math.round(tau * 1e6)
+    val maxK = (1000000L - base) / stepMicro
+    pairsCached(documents, tau)
+      .withColumn("jm", floor(col("jaccard") * lit(1e6) + lit(0.5)).cast("long"))
+      .select(explode(sequence(lit(0L),
+        least(expr(s"(jm - ${base}L) DIV ${stepMicro}L"), lit(maxK)))).as("rung"),
+        col("doc_a"), col("doc_b"))
+      .select(col("rung"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("rung"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("d")).as("n_docs"))
+      .select(col("rung"),
+        ((lit(base) + col("rung") * stepMicro).cast("double") / lit(1e6))
+          .as("threshold"),
+        col("n_pairs"), col("n_docs"))
+  }
+
+  def sqlDedupSweep(tau: Double = 0.5, stepMicro: Long = 25000L): String = {
+    val base = math.round(tau * 1e6)
+    val maxK = (1000000L - base) / stepMicro
+    val (ctes, select) = sqlNgramCtes(tau)
+    s"""WITH $ctes, dsp AS (
+       |$select
+       |), dsr AS (
+       |  SELECT doc_a, doc_b,
+       |    unnest(generate_series(0, least(
+       |      (CAST(floor(jaccard * 1000000.0 + 0.5) AS BIGINT) - $base) // $stepMicro,
+       |      $maxK))) AS rung
+       |  FROM dsp
+       |), dsd AS (
+       |  SELECT rung, unnest([doc_a, doc_b]) AS d FROM dsr
+       |)
+       |SELECT rung,
+       |  CAST($base + rung * $stepMicro AS DOUBLE) / 1000000.0 AS threshold,
+       |  CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+       |  CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+       |FROM dsd GROUP BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // q127: asymmetric CONTAINMENT pairs — the near-dup modality
   // symmetric Jaccard is blind to.
   // ------------------------------------------------------------------

@@ -1137,6 +1137,117 @@ object Corpus {
     * sorts in one window partition (the q_corpus_stats weakness, fixed
     * by construction here).
     */
+  // ------------------------------------------------------------------
+  // q182: the vocabulary COVERAGE ladder.
+  // ------------------------------------------------------------------
+
+  /** q182: token-occurrence coverage at every power-of-two vocabulary
+    * size — the tokenizer-sizing table (what share of the corpus does
+    * a top-N vocab cover? where does coverage flatten?): one row per
+    * vocab_size ∈ {1, 2, 4, …, V} with the occurrences covered by the
+    * top-vocab_size types (frequency desc, token asc ties) and the
+    * 6-dp coverage fraction.
+    *
+    * The scale trick: NEVER rank the vocabulary globally (a 100 TB
+    * corpus has ~10⁸ types; a global rank window is a single-partition
+    * sort — the q_corpus_stats weakness). Within a frequency CLASS
+    * (all types with count c) every member contributes identically, so
+    * exact top-N coverage is a function of the COUNT HISTOGRAM alone:
+    * cum_mass_before(class) + (N − cum_types_before(class))·c for the
+    * class the Nth rank falls in. The histogram (distinct count
+    * values — thousands, not the vocabulary) takes one extra tf
+    * groupBy; the cumsums ride a window over that tiny frame; each
+    * class EMITS the ladder rungs 2^j that land inside it (integer
+    * log2 via the #124 binary-string-length trick — no float log, no
+    * range join, no BNLJ), and the exact-V full-vocab row unions in
+    * from the last class (distinct() absorbs the V-is-a-power-of-two
+    * overlap, where both rows are identical by the algebra above).
+    * Integer masses + one IEEE divide + 6-dp ⇒ hash-exact.
+    */
+  def vocabCoverage(documents: DataFrame): DataFrame = {
+    val hist = documents
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(explode(col("toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n_types"))
+    val w = Window.partitionBy(Det.constKey(col("c"))).orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(Det.constKey(col("c")))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("ctb", coalesce(sum(col("n_types")).over(w), lit(0L)))
+      .withColumn("mtb", coalesce(sum(col("n_types") * col("c")).over(w), lit(0L)))
+      .withColumn("ct", col("ctb") + col("n_types"))
+      .withColumn("mt", col("mtb") + col("n_types") * col("c"))
+      .withColumn("v_total", max(col("ctb") + col("n_types")).over(wAll))
+      .withColumn("m_total", max(col("mtb") + col("n_types") * col("c")).over(wAll))
+    val pow2 = (c: String) => expr(s"shiftleft(1L, CAST($c AS INT))")
+    val rungs = cum
+      .withColumn("jmin",
+        when((col("ctb") + 1) === expr("shiftleft(1L, length(bin(ctb + 1)) - 1)"),
+          expr("length(bin(ctb + 1)) - 1"))
+          .otherwise(expr("length(bin(ctb + 1))")).cast("long"))
+      .withColumn("jmax", expr("length(bin(ct)) - 1").cast("long"))
+      .filter(col("jmin") <= col("jmax"))
+      .select(explode(sequence(col("jmin"), col("jmax"))).as("j"),
+        col("ctb"), col("mtb"), col("c"), col("m_total"))
+      .select(pow2("j").as("vocab_size"),
+        (col("mtb") + (pow2("j") - col("ctb")) * col("c"))
+          .as("covered_occurrences"),
+        col("m_total").as("total_occurrences"))
+    val full = cum.filter(col("ct") === col("v_total"))
+      .select(col("v_total").as("vocab_size"),
+        col("mt").as("covered_occurrences"),
+        col("m_total").as("total_occurrences"))
+    rungs.union(full).distinct()
+      .withColumn("coverage_frac",
+        Det.r(col("covered_occurrences").cast("double") /
+          col("total_occurrences"), 6))
+  }
+
+  /** DuckDB twin of [[vocabCoverage]]: the same histogram → cumsum →
+    * per-class rung emission, bin()-length log2 and all.
+    */
+  def sqlVocabCoverage(): String = {
+    val toks = Text.sqlTokens("text")
+    s"""WITH vtf AS (
+       |  SELECT t, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest($toks) AS t FROM documents) GROUP BY 1
+       |), vh AS (
+       |  SELECT c, CAST(count(*) AS BIGINT) AS n_types FROM vtf GROUP BY 1
+       |), vc AS (
+       |  SELECT c, n_types,
+       |    CAST(coalesce(sum(n_types) OVER (ORDER BY c DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ctb,
+       |    CAST(coalesce(sum(n_types * c) OVER (ORDER BY c DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS mtb
+       |  FROM vh
+       |), vx AS (
+       |  SELECT *, ctb + n_types AS ct, mtb + n_types * c AS mt,
+       |    CASE WHEN (ctb + 1) = (CAST(1 AS BIGINT) << (length(bin(ctb + 1)) - 1))
+       |         THEN length(bin(ctb + 1)) - 1
+       |         ELSE length(bin(ctb + 1)) END AS jmin,
+       |    length(bin(ctb + n_types)) - 1 AS jmax,
+       |    max(ctb + n_types) OVER () AS v_total,
+       |    max(mtb + n_types * c) OVER () AS m_total
+       |  FROM vc
+       |), vr AS (
+       |  SELECT CAST(CAST(1 AS BIGINT) << CAST(j AS INT) AS BIGINT) AS vocab_size,
+       |    CAST(mtb + ((CAST(1 AS BIGINT) << CAST(j AS INT)) - ctb) * c AS BIGINT)
+       |      AS covered_occurrences,
+       |    CAST(m_total AS BIGINT) AS total_occurrences
+       |  FROM (SELECT *, unnest(generate_series(jmin, jmax)) AS j
+       |        FROM vx WHERE jmin <= jmax)
+       |  UNION
+       |  SELECT CAST(v_total AS BIGINT), CAST(mt AS BIGINT), CAST(m_total AS BIGINT)
+       |  FROM vx WHERE ct = v_total
+       |)
+       |SELECT DISTINCT vocab_size, covered_occurrences, total_occurrences,
+       |  floor(CAST(covered_occurrences AS DOUBLE) / CAST(total_occurrences AS DOUBLE)
+       |    * 1000000.0 + 0.5) / 1000000.0 AS coverage_frac
+       |FROM vr""".stripMargin
+  }
+
   def ngramVocab(documents: DataFrame, k: Int = 10, buckets: Int = 64): DataFrame = {
     val grams = graft.Spread(documents)
       .withColumn("toks", Text.tokens(col("text")))

@@ -607,6 +607,37 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"chunking must be scan-side only:\n$plan")
   }
 
+  test("vocabCoverage: equals a brute top-N ranking replay at every rung; endpoints exact") {
+    val corpus = Tables.documents(spark, sf)
+    // brute truth: rank the whole vocabulary (fine at spec scale),
+    // then read off top-N mass — the histogram construction must
+    // reproduce it exactly
+    val tf = corpus.select(explode(Text.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }
+    val total = tf.map(_._2).sum
+    val v = tf.length.toLong
+    def topMass(n: Long) = tf.take(n.toInt).map(_._2).sum
+    val rungSizes = (0 to 62).map(1L << _).filter(_ <= v).toSet + v
+    val out = Corpus.vocabCoverage(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet === rungSizes, "every pow2 rung <= V, plus the full-vocab row")
+    out.foreach { case (n, (cov, tot, frac)) =>
+      assert(tot === total)
+      assert(cov === topMass(n), s"coverage at vocab_size=$n")
+      assert(frac === math.floor(cov.toDouble / total * 1e6 + 0.5) / 1e6)
+    }
+    assert(out(1L)._1 === tf.head._2, "rung 1 = the single most frequent type")
+    assert(out(v)._1 === total, "the full vocabulary covers everything")
+    // ranking inside a frequency class is immaterial: any N covers the
+    // same mass regardless of tie order (the histogram identity) — so
+    // the brute replay above, which breaks ties (count desc, token
+    // asc), must already agree; spot-check monotone concavity instead
+    val seq = out.toSeq.sortBy(_._1).map(_._2._1)
+    seq.sliding(2).foreach { case Seq(a, b) => assert(b >= a); case _ => }
+  }
+
   test("shardManifest: equals a driver single-pass cumsum replay; conserves volume; id ranges tile") {
     val corpus = Tables.documents(spark, sf)
     val target = 512L

@@ -1355,6 +1355,33 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected eval-side broadcast:\n$plan")
   }
 
+  test("dedupSweep: ladder equals a driver replay over the pair graph; monotone; base rung is the whole graph") {
+    val corpus = Tables.documents(spark, sf)
+    val pairs = Dedup.pairsCached(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty, "corpus must have near-dup pairs for the sweep to mean anything")
+    val expect = (0L to 20L).flatMap { k =>
+      val th = (500000L + 25000L * k) / 1e6
+      val keep = pairs.filter { case (_, _, j) =>
+        math.floor(j * 1e6 + 0.5).toLong >= 500000L + 25000L * k
+      }
+      if (keep.isEmpty) None
+      else Some(k -> (th, keep.length.toLong,
+        keep.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong))
+    }.toMap
+    val out = Dedup.dedupSweep(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out === expect, "rung-for-rung replay")
+    // rung 0 is the full pair graph (tau == the base emission cutoff)
+    assert(out(0L)._2 === pairs.length.toLong)
+    // monotone: pairs and docs can only shrink as tau rises
+    val o = out.toSeq.sortBy(_._1).map(_._2)
+    o.sliding(2).foreach {
+      case Seq((_, p1, d1), (_, p2, d2)) => assert(p2 <= p1 && d2 <= d1)
+      case _ =>
+    }
+  }
+
   test("exactNormalized: planted re-encodings collapse to one group that raw exact dedup splits") {
     // doc_ids chosen to land one doc in each variant class (mod 3):
     // 0 verbatim, 1 uppercased, 2 double-spaced+punct — same text
