@@ -550,6 +550,16 @@ object SparkEntry {
     // independent lag-gap formulation with the matching break
     // convention (round-5 addition)
     "q_session_window" -> ((s, dir) => Events.sessionWindowAgg(Tables.events(s, dir))),
+    // micro-batch accounting under the deterministic arrival-delay
+    // model: per 10-min trigger interval, rows/users/event-time span,
+    // the batch-granular watermark (Spark's actual between-batch
+    // advance), and the rows it would drop (round-13 addition)
+    "q_trigger_batches" -> ((s, dir) => Events.triggerBatches(Tables.events(s, dir))),
+    // the watermark DECISION table: drop count + worst lateness per
+    // candidate withWatermark delay, by event type — the sweep that
+    // sizes the state store before deploying the stream; integer-ms
+    // rung membership, hash-exact (round-13 addition)
+    "q_watermark_sweep" -> ((s, dir) => Events.watermarkSweep(Tables.events(s, dir))),
     // join-key skew profile over a deliberately skew-planted routing
     // of events (~90% on one hot key): MisraGries sketch -> broadcast
     // exact recount; output equals the naive groupBy, so hash-exact
@@ -988,6 +998,8 @@ object SparkEntry {
     "q_bucketed_join" -> graft.sources.Bucketing.sqlBucketedJoinRollup,
     "q_stream_sliding" -> Events.sqlSlidingAgg(),
     "q_session_window" -> Events.sqlSessionWindowAgg(),
+    "q_trigger_batches" -> Events.sqlTriggerBatches(),
+    "q_watermark_sweep" -> Events.sqlWatermarkSweep(),
     "q_corpus_stats" -> Corpus.sqlStats,
     "q_token_entropy" -> Corpus.sqlTokenEntropy,
     "q_source_profile" -> Corpus.sqlSourceProfile,

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -650,4 +651,187 @@ object Events {
       .agg(
         count(lit(1)).as("n_events"),
         (max(col("ts_ms")) - min(col("ts_ms"))).as("duration_ms"))
+
+  // ------------------------------------------------------------------
+  // Watermark policy audit (micro-batch accounting + delay sweep).
+  // ------------------------------------------------------------------
+
+  /** Deterministic arrival-delay model for the watermark audits: the
+    * generator's event log is ts-ordered (event_id order == event-time
+    * order, so the raw log has literally zero out-of-order arrivals
+    * and any watermark audit over it is degenerate), so arrival time
+    * is modeled as ts + a per-event network delay derived from the
+    * event's own identity — the md5-nibble arithmetic both engines
+    * share (the [[graft.text.DocEmbed]] hash seam): the first 6 hex
+    * nibbles of md5(event_id) as an integer, mod [[DelayModMs]]
+    * (uniform in [0, 4h)). Everything downstream is integer-exact in
+    * both engines.
+    */
+  private[graft] val DelayModMs = 14400000L // 4 h
+  /** Micro-batch trigger interval on ARRIVAL time. */
+  private[graft] val TriggerMs = 600000L // 10 min
+
+  private[graft] def withArrival(
+      events: DataFrame, triggerMs: Long = TriggerMs): DataFrame =
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("delay_ms",
+        expr(s"CAST(conv(substring(md5(cast(cast(event_id AS STRING) AS BINARY)), 1, 6), 16, 10) AS BIGINT) % ${DelayModMs}L"))
+      .withColumn("arrival_ms", col("ts_ms") + col("delay_ms"))
+      .withColumn("batch_id", expr(s"arrival_ms DIV ${triggerMs}L"))
+
+  /** Exclusive prefix max of event time over micro-batch ids — the
+    * watermark base each batch observes (Structured Streaming advances
+    * the watermark BETWEEN batches from the max event time of PRIOR
+    * batches; within a batch every row sees the same watermark). The
+    * frame this window runs over is the per-batch aggregate — one row
+    * per trigger interval, i.e. ~52k rows/YEAR at a 10-min trigger —
+    * so the unpartitioned window is a deliberate tiny-frame sort, not
+    * a scale hazard; the event-sized work is the one groupBy feeding
+    * it and the broadcast join back.
+    */
+  private[graft] def batchWatermarkBase(arrivals: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("batch_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    arrivals
+      .groupBy(col("batch_id"))
+      .agg(max(col("ts_ms")).as("batch_max_ts"))
+      .withColumn("wm_base_ms", max(col("batch_max_ts")).over(w))
+  }
+
+  /** q183: micro-batch accounting under the arrival-delay model — the
+    * table an operator reads before SIZING a streaming deployment:
+    * one row per 10-minute trigger interval with its row count,
+    * distinct users, event-time span, the watermark the batch runs
+    * under (fixed delay `watermarkMinutes`; first batch has none —
+    * sentinel -1), and how many of its rows arrive BELOW that
+    * watermark (= rows a watermarked stateful op would drop). Spark's
+    * actual batch-granular semantics, not a per-row approximation:
+    * wm(b) = max event time over batches < b, minus the delay. Plan:
+    * one shuffle to the batch rollup, a broadcast of the tiny
+    * watermark table back onto it — no event-sized window anywhere.
+    */
+  def triggerBatches(events: DataFrame, watermarkMinutes: Int = 60): DataFrame = {
+    val wmMs = watermarkMinutes * 60000L
+    val arrivals = withArrival(events)
+    val wm = batchWatermarkBase(arrivals)
+      .select(col("batch_id"), col("wm_base_ms"))
+    arrivals
+      .join(broadcast(wm), Seq("batch_id"))
+      .groupBy(col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("ts_ms")).as("ts_min_ms"),
+        max(col("ts_ms")).as("ts_max_ms"),
+        coalesce(max(col("wm_base_ms") - wmMs), lit(-1L)).as("watermark_ms"),
+        sum(when(col("ts_ms") < col("wm_base_ms") - wmMs, 1L).otherwise(0L))
+          .as("n_late"))
+  }
+
+  def sqlTriggerBatches(watermarkMinutes: Int = 60): String = {
+    val wmMs = watermarkMinutes * 60000L
+    s"""WITH e AS (
+       |  SELECT event_id, user_id,
+       |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+       |  FROM events
+       |), a AS (
+       |  SELECT *, ts_ms + ${delaySql("event_id")} AS arrival_ms FROM e
+       |), b AS (
+       |  SELECT *, arrival_ms // $TriggerMs AS batch_id FROM a
+       |), wm AS (
+       |  SELECT batch_id,
+       |    max(bmax) OVER (ORDER BY batch_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_base_ms
+       |  FROM (SELECT batch_id, max(ts_ms) AS bmax FROM b GROUP BY batch_id)
+       |)
+       |SELECT b.batch_id,
+       |  count(*) AS n_events,
+       |  count(DISTINCT user_id) AS n_users,
+       |  min(ts_ms) AS ts_min_ms,
+       |  max(ts_ms) AS ts_max_ms,
+       |  coalesce(max(wm_base_ms - $wmMs), -1) AS watermark_ms,
+       |  CAST(sum(CASE WHEN ts_ms < wm_base_ms - $wmMs THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+       |FROM b JOIN wm USING (batch_id)
+       |GROUP BY b.batch_id""".stripMargin
+  }
+
+  /** The arrival-delay expression in DuckDB terms: first 6 md5 nibbles
+    * of the event id rendered as a decimal integer (strpos-nibble
+    * arithmetic — DuckDB has no conv()), mod [[DelayModMs]].
+    */
+  private def delaySql(idCol: String): String = {
+    val hexAlphabet = "0123456789abcdef"
+    val nibbles = (1 to 6).map { i =>
+      s"(strpos('$hexAlphabet', substr(md5(CAST($idCol AS VARCHAR)), $i, 1)) - 1) * ${1L << (4 * (6 - i))}"
+    }.mkString("(", " + ", ")")
+    s"($nibbles % $DelayModMs)"
+  }
+
+  /** q184: the watermark DECISION table — for each candidate delay,
+    * how much data a watermarked streaming agg would drop, by event
+    * type: n_late (rows arriving below the batch watermark) and the
+    * worst observed lateness (how far below; 0 when none). The sweep
+    * an operator reads to pick `withWatermark`'s delay BEFORE
+    * deploying the stream: the smallest rung whose drop rate is
+    * acceptable bounds the state store. The batch-granular watermark
+    * is computed ONCE (one shuffle + the tiny prefix window); the
+    * sweep rungs are a constant-size explode over the joined frame —
+    * per-rung membership is integer ms arithmetic, so no float
+    * boundary can misfile a row (the q_dedup_sweep discipline).
+    */
+  def watermarkSweep(
+      events: DataFrame,
+      watermarkMinutes: Seq[Int] = Seq(15, 30, 60, 120, 240)): DataFrame = {
+    val arrivals = withArrival(events)
+    val wm = batchWatermarkBase(arrivals)
+      .select(col("batch_id"), col("wm_base_ms"))
+    arrivals
+      .join(broadcast(wm), Seq("batch_id"))
+      .withColumn("watermark_minutes",
+        explode(array(watermarkMinutes.map(m => lit(m.toLong)): _*)))
+      .withColumn("late_by_ms",
+        when(col("wm_base_ms").isNotNull &&
+          col("ts_ms") < col("wm_base_ms") - col("watermark_minutes") * 60000L,
+          col("wm_base_ms") - col("watermark_minutes") * 60000L - col("ts_ms"))
+          .otherwise(lit(0L)))
+      .groupBy(col("watermark_minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("late_by_ms") > 0L, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_by_ms")).as("max_late_ms"))
+  }
+
+  def sqlWatermarkSweep(
+      watermarkMinutes: Seq[Int] = Seq(15, 30, 60, 120, 240)): String = {
+    val rungs = watermarkMinutes.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT event_id, event_type,
+       |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+       |  FROM events
+       |), a AS (
+       |  SELECT *, ts_ms + ${delaySql("event_id")} AS arrival_ms FROM e
+       |), b AS (
+       |  SELECT *, arrival_ms // $TriggerMs AS batch_id FROM a
+       |), wm AS (
+       |  SELECT batch_id,
+       |    max(bmax) OVER (ORDER BY batch_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_base_ms
+       |  FROM (SELECT batch_id, max(ts_ms) AS bmax FROM b GROUP BY batch_id)
+       |), x AS (
+       |  SELECT b.*, wm.wm_base_ms, r.watermark_minutes,
+       |    CASE WHEN wm.wm_base_ms IS NOT NULL
+       |           AND ts_ms < wm.wm_base_ms - r.watermark_minutes * 60000
+       |         THEN wm.wm_base_ms - r.watermark_minutes * 60000 - ts_ms
+       |         ELSE 0 END AS late_by_ms
+       |  FROM b JOIN wm USING (batch_id)
+       |  CROSS JOIN (SELECT CAST(unnest([$rungs]) AS BIGINT) AS watermark_minutes) r
+       |)
+       |SELECT watermark_minutes, event_type,
+       |  count(*) AS n_events,
+       |  CAST(sum(CASE WHEN late_by_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       |  max(late_by_ms) AS max_late_ms
+       |FROM x GROUP BY 1, 2""".stripMargin
+  }
 }

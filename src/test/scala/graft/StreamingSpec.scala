@@ -687,6 +687,99 @@ class StreamingSpec extends SparkSpec {
     rmrf(tmp)
   }
 
+  test("watermark sweep: monotone drops, zero at the delay bound, per-type conservation") {
+    val events = Tables.events(spark, sf)
+    val n = events.count()
+    val rows = Events.watermarkSweep(events).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    assert(byType.nonEmpty)
+    for ((_, rs) <- byType) {
+      val sorted = rs.sortBy(_.getAs[Long]("watermark_minutes"))
+      // n_events is rung-independent (every row lands in every rung)
+      assert(sorted.map(_.getAs[Long]("n_events")).distinct.length === 1)
+      // a longer allowed delay can only drop FEWER rows
+      val lates = sorted.map(_.getAs[Long]("n_late"))
+      assert(lates.zip(lates.tail).forall { case (a, b) => a >= b },
+        s"n_late must be non-increasing in watermark_minutes: ${lates.toList}")
+      // the 240-min rung covers the 4-hour delay-model bound: the
+      // batch watermark base is max PRIOR event time, an arrival can
+      // be at most DelayModMs behind its own batch's floor, so no row
+      // can be below base - 4h
+      assert(sorted.last.getAs[Long]("n_late") === 0L)
+      assert(sorted.last.getAs[Long]("max_late_ms") === 0L)
+      // max_late_ms consistent with n_late
+      assert(sorted.forall(r =>
+        (r.getAs[Long]("n_late") > 0L) === (r.getAs[Long]("max_late_ms") > 0L)))
+    }
+    // one rung partitions the whole log by event_type
+    val rung15 = rows.filter(_.getAs[Long]("watermark_minutes") == 15L)
+    assert(rung15.map(_.getAs[Long]("n_events")).sum === n)
+  }
+
+  test("trigger batches: conservation, first-batch sentinel, monotone watermark") {
+    val events = Tables.events(spark, sf)
+    val n = events.count()
+    val rows = Events.triggerBatches(events).collect()
+      .sortBy(_.getAs[Long]("batch_id"))
+    assert(rows.map(_.getAs[Long]("n_events")).sum === n)
+    // only the FIRST batch has no prior event time to derive a
+    // watermark from (every later batch id has a predecessor in the
+    // prefix window)
+    assert(rows.head.getAs[Long]("watermark_ms") === -1L)
+    assert(rows.tail.forall(_.getAs[Long]("watermark_ms") > 0L))
+    // the watermark never regresses (running max minus a constant)
+    val wms = rows.tail.map(_.getAs[Long]("watermark_ms"))
+    assert(wms.zip(wms.tail).forall { case (a, b) => a <= b })
+    // drops are bounded by the batch and the first batch drops nothing
+    assert(rows.forall(r => r.getAs[Long]("n_late") <= r.getAs[Long]("n_events")))
+    assert(rows.head.getAs[Long]("n_late") === 0L)
+  }
+
+  test("the modeled batch watermark matches a real dropDuplicatesWithinWatermark run") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // coarse 24h trigger keeps the micro-batch count test-sized (~31
+    // batches over the 30-day log) while still producing late rows
+    val triggerMs = 24L * 3600000L
+    val wmDelayMs = 3600000L // withWatermark("ts", "60 minutes")
+    val arrivals = Events.withArrival(Tables.events(spark, sf), triggerMs)
+      .select("batch_id", "event_id", "ts_ms")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the model's prediction: per batch, watermark = max prior event
+    // time - delay; a row below it is dropped
+    val batches = arrivals.groupBy(_._1).toSeq.sortBy(_._1)
+    var maxPrior = Long.MinValue
+    val predictedKept = scala.collection.mutable.Set.empty[Long]
+    for ((_, evs) <- batches) {
+      val wm = if (maxPrior == Long.MinValue) Long.MinValue else maxPrior - wmDelayMs
+      evs.foreach { case (_, id, ts) => if (ts >= wm) predictedKept += id }
+      maxPrior = math.max(maxPrior, evs.map(_._3).max)
+    }
+    assert(predictedKept.size < arrivals.length,
+      "the coarse-trigger slice must actually contain late rows")
+    // the REAL run: same batches through MemoryStream in arrival
+    // order; event_ids are unique, so dropDuplicatesWithinWatermark's
+    // only effect is its row-level watermark drop policy
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = ms.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "60 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("wm_model_test")
+      .outputMode("append").start()
+    try {
+      for ((_, evs) <- batches) {
+        ms.addData(evs.map { case (_, id, ts) => (id, new java.sql.Timestamp(ts)) })
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamedKept = spark.table("wm_model_test")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(streamedKept === predictedKept.toSet,
+      s"streamed kept ${streamedKept.size} vs modeled ${predictedKept.size}")
+  }
+
   test("stateful sessionization survives a pathological single-user batch (100k events)") {
     import spark.implicits._
     // one power user, 100k events in one batch: runs of 10 events 1s
