@@ -33,16 +33,20 @@ import org.apache.spark.sql.functions._
   * Planting (the phashPixelAt discipline, MediaCodec.scala:846): clips
   * are keyed by GROUP doc_id div 48 (BOUNDED cliques — the r11 scale
   * lesson: modulus-keyed groups grow with the corpus and turn every
-  * pair emitter quadratic) with variant doc_id % 3: v0 base signal,
-  * v1 base ×3 gain (different bytes, same fingerprint — the
-  * re-encoded copy lexical dedup is blind to), v2 one segment's
-  * samples +2500 (≤2 bits flip). Sample magnitudes stay ≤6000, far
-  * inside s16 — no clamp can desync builder and oracle. Every 19th
-  * doc ships truncated to 9 bytes and must quarantine (the family's
-  * corruption discipline). All four queries are HASH-EXACT: the
-  * DuckDB oracle replays the planting arithmetic through the same
-  * segment-energy/compare/pack pipeline with zero byte decoding —
-  * proof the Spark bits came from actual decoded RIFF bytes.
+  * pair emitter quadratic; and the comparison pattern is INJECTIVE in
+  * the group via an affine 32-bit mix — see [[fpBit]] — so cliques
+  * never merge ACROSS groups either, the GifDedup gdByte lesson) with
+  * variant doc_id % 3: v0 base signal, v1 base ×3 gain (different
+  * bytes, same fingerprint — the re-encoded copy lexical dedup is
+  * blind to), v2 one segment's samples +2500 (≤2 bits flip —
+  * structural; the exact count is (bit t−1 = 0) + (bit t = 1)).
+  * Sample magnitudes stay ≤29400, inside s16 — no clamp can desync
+  * builder and oracle. Every 19th doc ships truncated to 9 bytes and
+  * must quarantine (the family's corruption discipline). All four
+  * queries are HASH-EXACT: the DuckDB oracle replays the planting
+  * arithmetic through the same segment-energy/compare/pack pipeline
+  * with zero byte decoding — proof the Spark bits came from actual
+  * decoded RIFF bytes.
   *
   * Scale shape: fingerprinting is the typed mapPartitions batch seam
   * (scan-side, embarrassingly parallel, zero shuffles); all join work
@@ -57,17 +61,62 @@ object AudioFp {
   private[graft] val fpFrames = nSeg * segFrames // 130 mono frames
   private val fpRate = 8000L
 
-  /** Planted-signal arithmetic — shared by the builder and the oracle. */
-  private[graft] def fpBase(g: Long, i: Int): Long =
-    math.floorMod(i * 37L + g * 101L + 11L, 4001L) - 2000L
+  /** Planted-signal arithmetic — shared by the builder and the oracle.
+    *
+    * The comparison pattern is INJECTIVE in the group (the GifDedup
+    * gdByte lesson, replayed on this modality): the original smooth
+    * base signal made the 64 energy comparisons a near-periodic
+    * function of g, so UNRELATED groups collided on whole fingerprints
+    * — measured at sf1: 1,082 distinct fingerprints across 1,042
+    * groups, 623-doc cross-group cliques, 417M banded candidate rows,
+    * and q_audio_drop's component propagation dying outright. Now bit
+    * k of group g is bit k of an affine 32-bit mix ((g·KA + CA) mod
+    * 2^32 for k < 32; the KB/CB half for k ≥ 32) — distinct groups
+    * < 2^32 get distinct comparison patterns (KA, KB odd ⇒ the mixes
+    * are bijections), two groups land within Hamming ≤ 2 only when
+    * their id difference inverts to a ≤2-bit value (≈500·nGroups/2^32
+    * of all pairs — none at any bench scale), and the pair graph is
+    * the PLANTED bounded ≤48-id group cliques at every corpus size
+    * (measured: candidates 0.38M/3.9M/11.6M at sf0.1/1/3 — linear).
+    *
+    * Segment energies walk the pattern: E(0) = 10000, E(k+1) = E(k) ±
+    * 150 as bit k directs (range [400, 19600], always even, always
+    * positive); each segment's two frames carry E/2 per sample, so the
+    * decoded integer energy is exactly E. Gain (v1, ×3 ≤ 29400 < s16
+    * max) scales every energy — comparisons invariant; the v2 edit
+    * (+2500 per sample on segment g mod 65) raises that one energy by
+    * exactly 5000 > the 150-step, so comparisons t−1 and t saturate
+    * (up into t, down out of it) and the flip count is (bit t−1 = 0)
+    * + (bit t = 1) ∈ {0, 1, 2} — the ≤2-bit bound is structural, the
+    * ≥1 for group 0 is a concrete-value fact (bit 0 of CA is 1).
+    */
+  private[graft] val KA = 2654435761L
+  private[graft] val CA = 2654435769L
+  private[graft] val KB = 2246822519L
+  private[graft] val CB = 3266489917L
+  private val M32 = 4294967296L
+
+  /** Comparison-pattern bit k (0..63) for group g. */
+  private[graft] def fpBit(g: Long, k: Int): Int =
+    if (k < 32) ((((g * KA + CA) % M32) >> k) & 1L).toInt
+    else ((((g * KB + CB) % M32) >> (k - 32)) & 1L).toInt
+
+  /** Target base-variant segment energy (before gain/edit). */
+  private[graft] def fpEnergy(g: Long, seg: Int): Long = {
+    var e = 10000L
+    var k = 0
+    while (k < seg) { e += (if (fpBit(g, k) == 1) 150L else -150L); k += 1 }
+    e
+  }
 
   private[graft] def fpSample(docId: Long, i: Int): Int = {
     val g = docId / 48L
     val v = math.floorMod(docId, 3L)
-    val b = fpBase(g, i)
-    (if (v == 1L) b * 3L
-     else if (v == 2L && i / segFrames == (g % nSeg.toLong).toInt) b + 2500L
-     else b).toInt
+    val seg = i / segFrames
+    val s = fpEnergy(g, seg) / 2L
+    (if (v == 1L) s * 3L
+     else if (v == 2L && seg == (g % nSeg.toLong).toInt) s + 2500L
+     else s).toInt
   }
 
   /** Energy-delta hash over a decoded mono s16 stream: 65 segment
@@ -215,16 +264,25 @@ object AudioFp {
     s"""ag AS (
        |  SELECT doc_id, doc_id // 48 AS g, doc_id % 3 AS v FROM documents
        |), ai AS (
-       |  SELECT doc_id, g, v, unnest(range(0, $fpFrames)) AS i FROM ag
-       |), asg AS (
-       |  SELECT doc_id, i // $segFrames AS seg,
-       |    CASE WHEN v = 1 THEN ((i * 37 + g * 101 + 11) % 4001 - 2000) * 3
-       |         WHEN v = 2 AND i // $segFrames = g % $nSeg
-       |           THEN (i * 37 + g * 101 + 11) % 4001 - 2000 + 2500
-       |         ELSE (i * 37 + g * 101 + 11) % 4001 - 2000 END AS samp
+       |  SELECT doc_id, g, v, unnest(range(0, $nSeg)) AS seg FROM ag
+       |), abitt AS (
+       |  SELECT doc_id, g, v, seg,
+       |    CASE WHEN seg < 32
+       |         THEN (((g * $KA + $CA) % 4294967296) >> seg) & 1
+       |         ELSE (((g * $KB + $CB) % 4294967296) >> (seg - 32)) & 1
+       |    END AS bit
        |  FROM ai
        |), ae AS MATERIALIZED (
-       |  SELECT doc_id, seg, sum(abs(samp)) AS e FROM asg GROUP BY 1, 2
+       |  SELECT doc_id, seg,
+       |    CASE WHEN v = 1 THEN 3 * e0
+       |         WHEN v = 2 AND seg = g % $nSeg THEN e0 + 5000
+       |         ELSE e0 END AS e
+       |  FROM (
+       |    SELECT doc_id, g, v, seg,
+       |      10000 + 150 * (2 * coalesce(sum(bit) OVER (
+       |        PARTITION BY doc_id ORDER BY seg
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) - seg) AS e0
+       |    FROM abitt)
        |), abits AS (
        |  SELECT a.doc_id, a.seg AS k, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
        |  FROM ae a JOIN ae b ON b.doc_id = a.doc_id AND b.seg = a.seg + 1

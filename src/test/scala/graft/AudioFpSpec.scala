@@ -42,19 +42,21 @@ class AudioFpSpec extends SparkSpec {
       "positive gain scales every segment energy by the same factor — comparisons unchanged")
     val edited = plantedBands(5L)
     assert(hamming(base, edited) <= 2, "a one-segment edit touches at most 2 comparisons")
-    // The ≥1-flip is a CONCRETE-VALUE fact, not a monotonicity law:
-    // |b+2500| < |b| whenever b < -1250, so in general the edit can
-    // even net to zero. For group 0 the edited segment is seg 0
-    // (samples -1989, -1952): energy 3941 → 1059 crosses the seg-1
-    // energy 3793, so comparison bit 0 flips false → true.
-    val segE = (0 until AudioFp.nSeg).map(s =>
-      (0 until AudioFp.segFrames).map(i =>
-        math.abs(AudioFp.fpBase(0L, s * AudioFp.segFrames + i))).sum)
-    assert(segE(0) === 3941L && segE(1) === 3793L && segE(0) > segE(1),
-      "group 0 planted energies: bit 0 is 0 in the base hash")
-    assert(hamming(edited, base) >= 1,
-      "for group 0's concrete energies the edited seg-0 energy (1059) drops below E(1) — bit 0 flips")
-    // different groups are different signals: far apart in hash space
+    // The ≥1-flip is a CONCRETE-VALUE fact, not a structural law: the
+    // +5000 energy bump on segment t = g mod 65 flips (bit t−1 = 0) +
+    // (bit t = 1) comparisons, which CAN be zero for some groups. For
+    // group 0 the edited segment is t = 0 (no t−1 comparison) and bit
+    // 0 of the pattern is bit 0 of CA = 1 (E(1) = 10150 > E(0) =
+    // 10000 in the base), so the bumped E(0) = 15000 > E(1) flips
+    // comparison 0 true → false: exactly one flip.
+    assert(AudioFp.fpBit(0L, 0) === 1 &&
+      AudioFp.fpEnergy(0L, 1) > AudioFp.fpEnergy(0L, 0),
+      "group 0 pattern: comparison 0 is 1 in the base hash")
+    assert(hamming(edited, base) === 1,
+      "group 0's seg-0 edit overtakes E(1) — comparison 0 flips, nothing else moves")
+    // different groups are different signals: the affine 32-bit mix
+    // puts unrelated groups far apart in hash space (the injectivity
+    // that keeps cliques group-local at every corpus size)
     assert(hamming(plantedBands(3L), plantedBands(48L)) > 2)
   }
 
