@@ -1779,8 +1779,31 @@ object Dedup {
     timed("dedup_shingle_index") {
       shingleIndexDirCached(documents.filter(!(pmod(col("doc_id"), lit(10L)) === 0))); ()
     }
-    timed("dedup_sem_ivf_index") { semIndexDirCached(embeddings, 16, 5); () }
+    // the ADAPTIVE cell count — semDedupDisk's actual memo key; the
+    // raw floor (16) warmed a different index above the floor regime,
+    // so at sf1+ every semdedup query re-fit its own k-means inside
+    // its timing (memo_misses named it)
+    timed("dedup_sem_ivf_index") {
+      semIndexDirCached(embeddings, semCells(embeddings, 16), 5); ()
+    }
+    timed("dedup_sem_kmeans") { semPrewarm(embeddings); () }
     out.toSeq
+  }
+
+  /** Warm the IN-SESSION semantic-dedup k-means seams for `embeddings`
+    * at the family defaults — the exact memo keys [[semDedup]] reads
+    * (corpus count, trained centroids at the ADAPTIVE cell count, cell
+    * assignment). Callers with a derived vector table (the chunk-level
+    * semdedup) pass it here so the fit lands in the bench's build line
+    * instead of the first consumer's timing.
+    */
+  def semPrewarm(embeddings: DataFrame, nCells: Int = 16, iters: Int = 5): Unit = {
+    import graft.sim.Similarity
+    val cells0 = semCells(embeddings, nCells)
+    val cents = Similarity.kmeansCached(embeddings, cells0, iters)
+      .select(col("cell"), col("cv"), lit(1.0).as("cn"))
+    Similarity.assignCellsCached(embeddings, cents, s"kmeans:$cells0:$iters")
+    ()
   }
 
   /** Per-document duplicated-span report: (doc_id, n_windows,
