@@ -1283,7 +1283,10 @@ object Dedup {
     */
   def embedScreenAgainst(
       newVecs: DataFrame, existingVecs: DataFrame, tau: Double = 0.35,
-      useLsh: Boolean = false, tables: Int = 8, bits: Int = 8): DataFrame = {
+      useLsh: Boolean = false, tables: Int = 8, floorBits: Int = 8): DataFrame = {
+    // the STORE defines the geometry, including the adaptive width —
+    // every micro-batch of a streaming ingest probes the same index
+    val bits = if (useLsh) lshBits(existingVecs, floorBits) else floorBits
     val dot = graft.functions.GraftFunctions.vecDot _
     // zero-norm guard (the Similarity-family `nrm > 0` discipline):
     // without it cos = 0/0 = NaN, and Spark ORDERS NaN above all
@@ -1382,8 +1385,10 @@ object Dedup {
       embeddings: DataFrame,
       tau: Double = 0.35,
       tables: Int = 8,
-      bits: Int = 8,
+      floorBits: Int = 8,
       dims: Int = -1): DataFrame = {
+    // corpus-adaptive width (floorBits is the floor) — see [[lshBits]]
+    val bits = lshBits(embeddings, floorBits)
     // referenced by the left/right candidate sides AND both re-score
     // joins (4 consumers, all corpus-sized) — checkpoint so the scan +
     // bucket projection run once instead of four times
@@ -1554,6 +1559,33 @@ object Dedup {
     val n = semNMemo.getOrElseUpdate(embeddings.sparkSession,
       embeddings.queryExecution.analyzed.canonicalized)(embeddings.count())
     math.max(floorCells, ((n + targetCellSize - 1L) / targetCellSize).toInt)
+  }
+
+  /** Corpus-ADAPTIVE hyperplane count for the LSH blocking — the
+    * [[semCells]] discipline on the bucket geometry: at a FIXED bit
+    * width the per-bucket occupancy grows linearly with the corpus,
+    * so the banded candidate mass is quadratic (measured: the 8-bit
+    * default carried ~0.7B candidate rows at sf1 and ~6B at sf3,
+    * where the distinct() aggregation died in SPILL_OUT_OF_MEMORY).
+    * bits = max(floor, ⌈log2(n / targetBucket)⌉) bounds occupancy at
+    * ~targetBucket, making candidates O(n · tables · probes ·
+    * targetBucket) — linear. The cost is recall at the LOW-cosine end
+    * (collision probability per table is p^bits, p = 1 − θ/π): true
+    * near-duplicates (cos ≳ 0.9, p ≳ 0.9) keep high recall at any
+    * realistic width — and near-dup discovery is the operator's
+    * contract — while marginal tau≈0.35 pairs degrade; the brute
+    * baseline (q_dedup_embedding) and the cluster-scoped semdedup
+    * remain the exact/recall-priority paths. Below floor-width
+    * corpora (every spec scale) the derived width equals the floor,
+    * so the recall gate pins unchanged behavior.
+    */
+  private[graft] def lshBits(
+      embeddings: DataFrame, floorBits: Int, targetBucket: Long = 64L): Int = {
+    val n = semNMemo.getOrElseUpdate(embeddings.sparkSession,
+      embeddings.queryExecution.analyzed.canonicalized)(embeddings.count())
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(24, math.max(floorBits, needed))
   }
 
   /** Session-scoped registry of persisted k-means IVF index dirs per

@@ -404,13 +404,22 @@ object Similarity {
       u: DataFrame, cents: Array[(Long, Array[Double])], d: Int): DataFrame = {
     // nearest cell = max over ≤nCells literal (cos, -cell, cell)
     // structs; ties resolve to the smallest cell id, as max_by's
-    // struct(cos, -cell) tie-break did
-    val arms = cents.map { case (cell, cv) =>
-      struct(dot(col("u"), typedLit(cv.toSeq)).as("cos"),
-        lit(-cell).as("tb"), lit(cell).as("cell"))
-    }
+    // struct(cos, -cell) tie-break did. Same unroll/loop switch as
+    // [[cellArmsArray]] (u is unit-norm, so no divide here).
+    val armArr =
+      if (cents.length <= ArmUnrollLimit)
+        array(cents.map { case (cell, cv) =>
+          struct(dot(col("u"), typedLit(cv.toSeq)).as("cos"),
+            lit(-cell).as("tb"), lit(cell).as("cell"))
+        }.toIndexedSeq: _*)
+      else {
+        val table = typedLit(cents.map { case (cell, cv) => (cell, cv.toSeq) }.toSeq)
+        transform(table, c =>
+          struct(dot(col("u"), c.getField("_2")).as("cos"),
+            (-c.getField("_1")).as("tb"), c.getField("_1").as("cell")))
+      }
     val assigned = u.select(
-      col("u"), array_max(array(arms.toIndexedSeq: _*)).getField("cell").as("cell"))
+      col("u"), array_max(armArr).getField("cell").as("cell"))
     val means = (0 until d).map(i => avg(col("u")(i)).as(s"m$i"))
     assigned
       .groupBy(col("cell"))
@@ -437,7 +446,7 @@ object Similarity {
     val cl = collectCells(cents)
     if (cl.isEmpty) return e.select(col("vec_id"), lit(null).cast("bigint").as("cell")).limit(0)
     e.select(col("vec_id"),
-      array_max(array(cellArms(cl).toIndexedSeq: _*)).getField("cell").as("cell"))
+      array_max(cellArmsArray(cl)).getField("cell").as("cell"))
   }
 
   /** The bounded centroid table as driver rows, cell-sorted. */
@@ -445,9 +454,40 @@ object Similarity {
     cents.select(col("cell"), col("cv"), col("cn")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).sortBy(_._1)
 
+  /** Above this centroid count the unrolled arm expression stops
+    * being a win: janino's 64 KB method limit rejects the generated
+    * code, so every consuming stage paid a ~30 s failed whole-stage
+    * compile (per stage, per plan) and then ran INTERPRETED over a
+    * width-proportional expression tree — at the sf3 chunk corpus
+    * (323 adaptive cells) the assignment crawled at one core and the
+    * run died downstream. 64 unrolled 8-dim arms stay comfortably
+    * inside the method limit.
+    */
+  private val ArmUnrollLimit = 64
+
+  /** The (ccos, -cell, cell) arm ARRAY over a prepared row's (v, nrm)
+    * — the scan-side argmax/argsort arms shared by [[assignCells]]
+    * and the IVF probe rankings. Two physical forms with identical
+    * values (same IEEE ops in the same order): UNROLLED literal
+    * structs while the centroid table is narrow (whole-stage
+    * codegen'd — the hot shape every bench index uses), and a
+    * `transform` LOOP over ONE literal centroid table above
+    * [[ArmUnrollLimit]] — constant-size generated code at any cell
+    * count, the shape that survives corpus-adaptive cell growth.
+    */
+  private def cellArmsArray(cl: Array[(Long, Seq[Double], Double)]): Column =
+    if (cl.length <= ArmUnrollLimit)
+      array(cellArms(cl).toIndexedSeq: _*)
+    else {
+      val table = typedLit(cl.toSeq)
+      transform(table, c =>
+        struct((dot(col("v"), c.getField("_2")) / (col("nrm") * c.getField("_3")))
+          .as("ccos"),
+          (-c.getField("_1")).as("tb"), c.getField("_1").as("cell")))
+    }
+
   /** Literal (ccos, -cell, cell) struct per centroid over a prepared
-    * row's (v, nrm) — the scan-side argmax/argsort arms shared by
-    * [[assignCells]] and [[ivfPqAnn]]'s probe ranking.
+    * row's (v, nrm) — the unrolled arms behind [[cellArmsArray]].
     */
   private def cellArms(cl: Array[(Long, Seq[Double], Double)]): Array[Column] =
     cl.map { case (cell, cv, cn) =>
@@ -1369,7 +1409,7 @@ object Similarity {
     if (cl.isEmpty) return None
     val qProbes = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
-        explode(slice(reverse(array_sort(array(cellArms(cl).toIndexedSeq: _*))), 1, nProbe)).as("a"))
+        explode(slice(reverse(array_sort(cellArmsArray(cl))), 1, nProbe)).as("a"))
       .select(col("query_id"), col("a.cell").as("cell"))
     val qs = pqQueryTabs(unitCorpus(embeddings, d), books, books.size, d, nQueries)
     Some(assigned.join(broadcast(qProbes), Seq("cell"))
@@ -1457,7 +1497,7 @@ object Similarity {
     // scan-side probe ranking — identical to ivfPqScored
     val qProbes = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
-        explode(slice(reverse(array_sort(array(cellArms(cl).toIndexedSeq: _*))), 1, nProbe)).as("a"))
+        explode(slice(reverse(array_sort(cellArmsArray(cl))), 1, nProbe)).as("a"))
       .select(col("query_id"), col("a.cell").as("cell"))
     val steps = bounds.map { case (lo, hi) => if (hi > lo) (hi - lo) / 255.0 else 0.0 }
     val warr = array((0 until d).map(i => col("u")(i) * lit(steps(i))): _*)

@@ -758,6 +758,49 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("assignCells above the unroll limit: the loop form matches a driver argmax, still scan-side") {
+    // >64 centroids flips cellArmsArray to the transform-loop form —
+    // the shape corpus-adaptive cell counts reach at sf1+ (the
+    // unrolled arms exceed janino's 64 KB method limit there: every
+    // stage paid a failed compile + interpreted fallback, and the sf3
+    // chunk semdedup died). The loop form must be value-identical and
+    // keep the zero-Exchange/zero-Join plan contract.
+    import org.apache.spark.sql.functions.sqrt
+    val nCells = 80
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.vecDot(col("v"), col("v"))))
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = Similarity.assignCells(e, cents)
+    val plan = planOf(assigned)
+    assert(!plan.contains("Exchange"), s"loop-form assignment must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"loop-form assignment must not join:\n$plan")
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cellVecs = (0L until nCells.toLong).map(c => c -> vecs(c))
+    val expected = vecs.map { case (id, v) =>
+      id -> cellVecs.map { case (c, cv) => (c, cos(v, cv)) }
+        .maxBy { case (c, s) => (s, -c) }._1
+    }
+    val got = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // and the trained path: kmeansCentroids above the limit returns
+    // unit centroids and assigns every vector (the lloydStep twin of
+    // the same switch)
+    val emb = Tables.embeddings(spark, sf)
+    val trained = Similarity.kmeansCentroids(emb, nCells = 80, iters = 2)
+    assert(trained.count() > 64L, "seeding 80 cells must survive training above the unroll limit")
+    val assignedTrained = Similarity.assignCells(
+      Similarity.prepared(emb),
+      trained.withColumn("cn", org.apache.spark.sql.functions.lit(1.0)))
+    assert(assignedTrained.count() === Similarity.prepared(emb).count())
+  }
+
   test("detectDim picks the modal vector length deterministically, ties to the smaller") {
     import spark.implicits._
     val rows = (0 until 20).map(i => (i.toLong, Array.fill(16)(1.0f))) ++
