@@ -1623,6 +1623,20 @@ object Dedup {
     semDedupFrom(embeddings, cents, assigned, tau)
   }
 
+  /** Rows above which a trained cell is SALTED into sub-cells for the
+    * within-cell pair stage. k-means guarantees nothing about balance:
+    * on the sf3 chunk corpus one cell absorbed a corpus-scale share
+    * and its self-join funneled ~10^9 candidate evaluations into ONE
+    * task (observed: a single thread spilling an UnsafeExternalSorter
+    * for 20+ min while 31 sat idle). Salting by vec_id mod
+    * ⌈rows/cap⌉ bounds every join partition at ~cap rows; the cost is
+    * the cells approximation getting coarser INSIDE oversized cells
+    * only (pairs across sub-cells of one salted cell are not
+    * examined — the same accepted boundary as cross-cell pairs, and
+    * only above the cap, so every gate/spec scale is byte-identical).
+    */
+  private val SemMaxCellRows = 4096L
+
   private def semDedupFrom(
       embeddings: DataFrame, cents: DataFrame, cells: DataFrame,
       tau: Double): DataFrame = {
@@ -1635,11 +1649,18 @@ object Dedup {
           graft.functions.GraftFunctions.vecDot(col("v"), col("cv")) /
             (col("nrm") * col("cn"))).otherwise(lit(0.0)), 6).as("centroid_cos"))
       .localCheckpoint()
-    val l = scored.select(col("cell"), col("vec_id").as("vec_a"),
+    val cellSizes = scored.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cell_rows"))
+    val salted = scored.join(broadcast(cellSizes), "cell")
+      .withColumn("splits", greatest(lit(1L),
+        ceil(col("cell_rows").cast("double") / lit(SemMaxCellRows.toDouble))
+          .cast("long")))
+      .withColumn("subcell", pmod(col("vec_id"), col("splits")))
+    val l = salted.select(col("cell"), col("subcell"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("nrm").as("na"))
-    val r = scored.select(col("cell"), col("vec_id").as("vec_b"),
+    val r = salted.select(col("cell"), col("subcell"), col("vec_id").as("vec_b"),
       col("v").as("vb"), col("nrm").as("nb"))
-    val pairs = l.join(r, "cell")
+    val pairs = l.join(r, Seq("cell", "subcell"))
       .filter(col("vec_a") < col("vec_b") && col("na") > 0 && col("nb") > 0)
       .filter(graft.functions.GraftFunctions.vecDot(col("va"), col("vb")) /
         (col("na") * col("nb")) >= tau)

@@ -132,4 +132,25 @@ class SemDedupSpec extends SparkSpec {
       "the shared-passage cluster keeps exactly one chunk")
     assert(!(c1._2 && c2._2), "identical passage copies never both keep")
   }
+
+  test("oversized cells salt into bounded sub-cells: completes, over-keep bounded by splits") {
+    import spark.implicits._
+    // 9000 identical vectors: k-means collapses them into ONE cell at
+    // any k (identical vectors cannot be split by centroids), which is
+    // exactly the hot-cell shape that funneled the sf3 chunk corpus's
+    // pair join into one task. 9000 rows over the 4096-row cap salt
+    // into splits = 3 sub-cells (vec_id mod 3), so the join partition
+    // is bounded; the documented cost is ONE keeper per sub-cell
+    // instead of one overall — the min vec_id of each residue class.
+    val n = 9000
+    val vecs = (0 until n).map(i => (i.toLong, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(vecs, nCells = 4, iters = 1, tau = 0.99)
+      .select("vec_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out.size === n)
+    val keepers = out.filter(_._2).keys.toSet
+    assert(keepers === Set(0L, 1L, 2L),
+      s"one keeper per sub-cell residue class, got $keepers")
+  }
 }
