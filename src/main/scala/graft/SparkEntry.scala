@@ -166,6 +166,12 @@ object SparkEntry {
         enforceTerminal = false, enforceSentences = false)),
     "q_text_repetition" -> ((s, dir) => Text.repetition(Tables.documents(s, dir))),
     "q_text_scrub" -> ((s, dir) => Text.scrub(Tables.documents(s, dir))),
+    // main-content extraction: the markup strip ahead of every quality
+    // and dedup operator — head/script/style/nav dropped WITH content,
+    // tags stripped, entities decoded; markup planted from doc_id
+    // arithmetic, one codegen regex chain, zero shuffles (round-14
+    // addition)
+    "q_text_extract" -> ((s, dir) => Text.extract(Tables.documents(s, dir))),
     // PII screen: planted-from-arithmetic emails/phones/IPv4/Luhn
     // cards (the MediaCodec planting discipline — this corpus ships
     // zero PII), detected and validated FOR REAL: octet bounds + a
@@ -260,6 +266,12 @@ object SparkEntry {
     // canonical), twin replays the planting (round-13 addition)
     "q_dedup_normalized" -> ((s, dir) =>
       Dedup.exactNormalized(Tables.documents(s, dir))),
+    // LINE-level exact dedup, keep-first corpus-wide: the sub-document
+    // screen (C4/RefinedWeb repeated-line removal) between whole-doc
+    // exact dedup and span scrubbing; boilerplate lines planted from
+    // doc_id arithmetic, docs reassembled from surviving lines
+    // (round-14 addition)
+    "q_dedup_lines" -> ((s, dir) => Dedup.lineDedup(Tables.documents(s, dir))),
     // exact duplicated-SPAN detection (Lee et al. exact-substring
     // modality): cross-doc repeated k-token windows as 8-byte hashes —
     // the shuffles never carry text (round-6 addition)
@@ -619,6 +631,11 @@ object SparkEntry {
     // repeat-cap verdict — integer micro-arithmetic end to end
     // (round-10 addition)
     "q_mix_epochs" -> ((s, dir) => Corpus.mixEpochs(Tables.documents(s, dir))),
+    // the deterministic training-order shuffle: hash to shards, order
+    // within shard by the same portable md5 key — one hash partition +
+    // per-shard bounded sort, never a global ORDER BY (round-14
+    // addition)
+    "q_corpus_shuffle" -> ((s, dir) => Corpus.corpusShuffle(Tables.documents(s, dir))),
     // quality-weighted soft sampling: keep probability = quality
     // score, via a portable integer keep draw — one scan, scan-side
     // predicate (round-5 addition)
@@ -632,6 +649,12 @@ object SparkEntry {
     // shared-shingle SHARE reaches the threshold; exact integer
     // cross-multiply at the boundary (round-6 addition)
     "q_decontaminate_frac" -> ((s, dir) => Dedup.decontaminateFrac(Tables.documents(s, dir))),
+    // SEMANTIC decontamination: the embedding modality of the eval
+    // screen — a paraphrased eval item shares no 8-gram but sits next
+    // to it in embedding space; constant-sized eval side broadcasts
+    // into one map-side corpus pass, zero shuffles (round-14 addition)
+    "q_decontaminate_semantic" ->
+      ((s, dir) => Dedup.decontaminateSemantic(Tables.embeddings(s, dir))),
     // the BLOOM form of the incremental exact screen: the store ships
     // a compact filter (native mergeable BloomBuild aggregate) and
     // batch docs probe it scan-side (codegen BloomMightContain) —
@@ -917,6 +940,7 @@ object SparkEntry {
       enforceTerminal = false, enforceSentences = false),
     "q_text_repetition" -> Text.sqlRepetition,
     "q_text_scrub" -> Text.sqlScrub,
+    "q_text_extract" -> Text.sqlExtract,
     "q_pii_scrub" -> text.Pii.sqlPiiScrub,
     "q_policy_report" -> text.Pii.sqlPolicyReport,
     "q_doc_embed" -> text.DocEmbed.sqlDocEmbed,
@@ -943,6 +967,7 @@ object SparkEntry {
     // models => rows-only, monotone-recall-pinned in DedupSpec).
     "q_dedup_exact" -> Dedup.sqlExact,
     "q_dedup_normalized" -> Dedup.sqlExactNormalized,
+    "q_dedup_lines" -> Dedup.sqlLineDedup,
     "q_dup_spans" -> Dedup.sqlDupSpans(),
     "q_dup_span_scrub" -> Dedup.sqlDupSpanScrub(),
     "q_dup_span_report" -> Dedup.sqlDupSpanReport(),
@@ -1011,10 +1036,12 @@ object SparkEntry {
     "q_chunk" -> Corpus.sqlChunk(),
     "q_temperature_mix" -> Corpus.sqlTemperatureMix(),
     "q_mix_epochs" -> Corpus.sqlMixEpochs(),
+    "q_corpus_shuffle" -> Corpus.sqlCorpusShuffle(),
     "q_weighted_sample" -> Corpus.sqlQualityWeightedSample(),
     "q_contamination" -> Dedup.sqlContamination(),
     "q_decontaminate" -> Dedup.sqlDecontaminate(),
     "q_decontaminate_frac" -> Dedup.sqlDecontaminateFrac(),
+    "q_decontaminate_semantic" -> Dedup.sqlDecontaminateSemantic(),
     "q_decontaminate_spans" -> Dedup.sqlDecontaminateSpans(),
     "q_dup_spans_incremental" -> Dedup.sqlIncrementalSpans(),
     "q_ingest_span_scrub" -> Dedup.sqlIngestSpanScrub(),

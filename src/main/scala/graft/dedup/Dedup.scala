@@ -164,6 +164,134 @@ object Dedup {
       |FROM ne GROUP BY 1""".stripMargin
 
   // ------------------------------------------------------------------
+  // q185: LINE-level exact dedup (the sub-document screen).
+  // ------------------------------------------------------------------
+
+  /** Tokens per derived line. This corpus is single-line token
+    * streams, so the "line" a crawl pipeline would dedup on (a
+    * newline-delimited run) is derived as consecutive fixed-width
+    * token windows — the same move the span family makes for its
+    * k-token windows, here non-overlapping because a LINE partitions
+    * its document.
+    */
+  private val LineW = 12
+
+  /** Two boilerplate lines planted from doc_id arithmetic (the
+    * [[reencoded]] discipline — this corpus has no natural nav/footer
+    * boilerplate, so the structure line-dedup exists to remove is
+    * planted deterministically and the DuckDB twin replays it):
+    * doc_id % 4 == 0 prepends [[BoilerA]], doc_id % 4 == 2 appends
+    * [[BoilerB]]. Each lands in ~a quarter of the corpus, so the line
+    * table carries two corpus-scale heavy-hitter hashes — exactly the
+    * skew profile real boilerplate has (and what AQE's skew handling
+    * sees at the keep-verdict join).
+    */
+  private val BoilerA =
+    "subscribe to the data stream newsletter and follow for more updates"
+  private val BoilerB =
+    "click here to read the full archive of spark query reports"
+
+  /** One row per (doc, line): doc_id, line_no (0-based), line text.
+    * Lines are [[LineW]]-token windows of the whitespace token stream
+    * plus the planted boilerplate; derivation is pure scan-side
+    * codegen (split + transform/slice/array_join + posexplode).
+    */
+  private def lineFrame(documents: DataFrame): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val body = transform(
+      sequence(lit(0), ((size(col("toks")) + lit(LineW - 1)) / lit(LineW)).cast("int") - lit(1)),
+      i => array_join(slice(col("toks"), i * LineW + 1, lit(LineW)), " "))
+    spread(documents)
+      .withColumn("toks", toks)
+      // an empty token stream must yield zero lines, not sequence(0,-1)
+      // (which Spark evaluates as the DESCENDING sequence [0,-1])
+      .withColumn("body",
+        when(size(col("toks")) === 0, array().cast("array<string>")).otherwise(body))
+      .withColumn("lines",
+        when(pmod(col("doc_id"), lit(4L)) === 0L, concat(array(lit(BoilerA)), col("body")))
+          .when(pmod(col("doc_id"), lit(4L)) === 2L, concat(col("body"), array(lit(BoilerB))))
+          .otherwise(col("body")))
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("line_no", "line")))
+  }
+
+  /** q185: corpus-wide LINE-level exact dedup, keep-first — the
+    * sub-document modality (C4 / RefinedWeb's repeated-line removal)
+    * between whole-document exact dedup (#22, blind to a duplicated
+    * line inside distinct docs) and duplicated-SPAN scrubbing (#89,
+    * which only fires on k-token windows shared across near-dup
+    * pairs): EVERY line occurrence corpus-wide except the first
+    * (minimum (doc_id, line_no), packed into one BIGINT so the winner
+    * is a plain min — engine-portable, no struct-min semantics seam)
+    * is dropped, and each document is reassembled from its surviving
+    * lines in order.
+    *
+    * Plan (all linear, three bounded shuffles): scan-side line
+    * derivation → one groupBy(line hash) with map-side partial agg for
+    * the winners (heavy hitters collapse map-side — a boilerplate line
+    * that appears in a quarter of a 100 TB corpus is ONE row per map
+    * task) → hash-join lines against winners (line-count-sized, AQE
+    * skew-split handles the boilerplate keys) → one groupBy(doc_id) to
+    * reassemble. Nothing is ever all-pairs; text crosses the wire only
+    * for the line table itself.
+    *
+    * Packed winner key: doc_id · 2^20 + line_no (line_no < 2^20 — a
+    * million lines per document — by corpus contract; doc_id headroom
+    * 2^43).
+    */
+  def lineDedup(documents: DataFrame): DataFrame = {
+    val lines = lineFrame(documents)
+      .withColumn("lh", md5(col("line").cast("binary")))
+      .withColumn("wk", col("doc_id") * lit(1048576L) + col("line_no"))
+    val winners = lines.groupBy(col("lh")).agg(min(col("wk")).as("w"))
+    lines.join(winners, Seq("lh"))
+      .withColumn("kept", col("wk") === col("w"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"), struct(col("line_no"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("kept_text"))
+  }
+
+  def sqlLineDedup: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, ${graft.text.Text.sqlTokens("text")} AS toks FROM documents
+       |), body AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE list_transform(range(0, (len(toks) + ${LineW - 1}) // $LineW),
+       |                i -> array_to_string(list_slice(toks, i * $LineW + 1, i * $LineW + $LineW), ' '))
+       |    END AS body
+       |  FROM tk
+       |), ln AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 0 THEN list_prepend('$BoilerA', body)
+       |         WHEN doc_id % 4 = 2 THEN list_append(body, '$BoilerB')
+       |         ELSE body END AS lines
+       |  FROM body
+       |), ex AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS line_no, lines[i] AS line
+       |  FROM ln, UNNEST(range(1, len(lines) + 1)) AS t(i)
+       |), h AS (
+       |  SELECT doc_id, line_no, line, md5(line) AS lh,
+       |         doc_id * 1048576 + line_no AS wk
+       |  FROM ex
+       |), w AS (
+       |  SELECT lh, min(wk) AS w FROM h GROUP BY 1
+       |)
+       |SELECT h.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(sum(CASE WHEN h.wk = w.w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  coalesce(array_to_string(
+       |    list(CASE WHEN h.wk = w.w THEN h.line END ORDER BY h.line_no)
+       |      FILTER (WHERE h.wk = w.w), chr(10)), '') AS kept_text
+       |FROM h JOIN w USING (lh)
+       |GROUP BY h.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // q23: exact n-gram Jaccard near-dup pairs (inverted index).
   // ------------------------------------------------------------------
   /** Jaccard via inclusion-exclusion: |A∪B| = |A|+|B|-|A∩B|, so only
@@ -1370,6 +1498,88 @@ object Dedup {
        |  CAST(coalesce(nearp.n_near_dups, 0) AS BIGINT) AS n_near_dups,
        |  CAST(CASE WHEN coalesce(nearp.n_near_dups, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM b LEFT JOIN nearp USING (vec_id)""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q188: SEMANTIC decontamination — the embedding modality of #48.
+  // ------------------------------------------------------------------
+  /** q188: semantic eval-set decontamination — the embedding-space
+    * analog of the lexical [[decontaminate]] ladder: a train document
+    * that PARAPHRASES an eval item shares no 8-gram (the lexical
+    * screens are blind to it) but its embedding sits next to the eval
+    * embedding; per train vector this emits how many eval vectors are
+    * within cosine τ, the worst (max) cosine, and the keep verdict.
+    * Eval slice is the [[decontaminate]] convention (vec_id % evalMod
+    * == 0, the stand-in for a benchmark table).
+    *
+    * Scale shape — the [[decontaminateSpans]] broadcast argument, in
+    * the embedding modality: eval BENCHMARKS are constant-sized (MBs
+    * of vectors — they do not grow with the crawl), so the eval side
+    * broadcasts and the screen is ONE map-side pass over the train
+    * corpus scan, O(n_train · n_eval · d) work with ZERO shuffles —
+    * linear in the corpus at fixed eval suite, never a corpus-side
+    * hash exchange. (A corpus-scale "eval" side would instead take the
+    * [[embedScreenAgainst]] LSH form — same verdict, bucketed
+    * candidates; this operator IS that screen with the roles fixed by
+    * the decontamination contract.) Exact arithmetic end to end ⇒
+    * shares the brute DuckDB oracle hash-exactly (cosines 6-dp via
+    * [[graft.Det.r]], the q_chunk_search discipline); zero-norm
+    * vectors are excluded by the Similarity-family `nrm > 0`
+    * convention (unrankable on both sides).
+    */
+  def decontaminateSemantic(
+      embeddings: DataFrame, evalMod: Long = 50, tau: Double = 0.35): DataFrame = {
+    require(evalMod >= 2, "evalMod must carve an eval slice out of the corpus")
+    val dot = graft.functions.GraftFunctions.vecDot _
+    def prep(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+    val isEval = pmod(col("vec_id"), lit(evalMod)) === 0
+    val eval = prep(embeddings.filter(isEval))
+      .select(col("vec_id").as("ev_id"), col("v").as("ev"), col("nrm").as("en"))
+    val train = prep(embeddings.filter(!isEval))
+    val hits = train.join(broadcast(eval), lit(true))
+      .withColumn("cos", dot(col("v"), col("ev")) / (col("nrm") * col("en")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cos")).as("mc"))
+    train.select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        Det.r(coalesce(col("mc"), lit(0.0)), 6).as("max_cos"),
+        when(coalesce(col("n_eval_hits"), lit(0L)) === 0L, lit(1L))
+          .otherwise(lit(0L)).as("keep"))
+  }
+
+  /** DuckDB twin of [[decontaminateSemantic]]: the same brute
+    * train × eval cosine comparison with the identical IEEE sequence
+    * (ordered list_sum = the vecDot accumulation order).
+    */
+  def sqlDecontaminateSemantic(evalMod: Long = 50, tau: Double = 0.35): String = {
+    val dot = "list_sum(list_transform(range(1, len(t.v) + 1), i -> t.v[i] * e.v[i]))"
+    s"""WITH dsp AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), dsn AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM dsp
+       |  WHERE sqrt(list_sum(list_transform(v, x -> x * x))) > 0
+       |), e AS (
+       |  SELECT vec_id, v, nrm FROM dsn WHERE vec_id % $evalMod = 0
+       |), t AS (
+       |  SELECT vec_id, v, nrm FROM dsn WHERE vec_id % $evalMod <> 0
+       |), hits AS (
+       |  SELECT t.vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+       |    max(($dot) / (t.nrm * e.nrm)) AS mc
+       |  FROM t JOIN e ON ($dot) / (t.nrm * e.nrm) >= $tau
+       |  GROUP BY 1
+       |)
+       |SELECT t.vec_id,
+       |  CAST(coalesce(hits.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+       |  floor(coalesce(hits.mc, 0.0) * 1000000.0 + 0.5) / 1000000.0 AS max_cos,
+       |  CAST(CASE WHEN coalesce(hits.n_eval_hits, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM t LEFT JOIN hits USING (vec_id)""".stripMargin
   }
 
   /** The SCALE PATH for embeddingPairs' semantics: random-hyperplane

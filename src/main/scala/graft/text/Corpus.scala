@@ -1444,6 +1444,61 @@ object Corpus {
        |FROM s""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q186: the deterministic TRAINING-ORDER shuffle (shard + position).
+  // ------------------------------------------------------------------
+
+  /** q186: the global training-order shuffle, decomposed the only way
+    * it scales — a training run wants every epoch to read the corpus
+    * in a fixed pseudo-random order, but a literal ORDER BY
+    * hash(doc_id) over 100 TB is a global sort into one ordered
+    * output. The standard decomposition (what data loaders actually
+    * consume): hash every doc to a SHARD (read order across shards is
+    * the loader's round-robin), and order within the shard by the
+    * same hash — so the only wide operations are ONE hash partition
+    * and a per-shard sort bounded to corpus/nShards (pick nShards so
+    * a shard is file-sized; the exponent is in the operator, not the
+    * plan). Output is the manifest a loader reads: (doc_id, shard,
+    * pos).
+    *
+    * Determinism is engine-portable md5 arithmetic, no engine RNG:
+    * order key = md5('<seed>:' || doc_id) (hex strings compare
+    * identically in both engines on lowercase hex); shard = the key's
+    * first 6 nibbles as an integer mod nShards (the
+    * [[graft.streaming.Events]] arrival-delay convention: conv() on
+    * the Spark side, strpos-nibble arithmetic in DuckDB). Re-keying
+    * with a new seed re-shuffles; same seed replays bit-identically —
+    * exactly the epoch-reshuffle contract (#113's mixEpochs reads
+    * this operator's keys at epoch granularity).
+    */
+  def corpusShuffle(
+      documents: DataFrame, nShards: Int = 64, seed: String = "shuf1"): DataFrame = {
+    require(nShards >= 1, "corpusShuffle needs at least one shard")
+    val keyed = documents
+      .select(col("doc_id"),
+        md5(concat(lit(seed), lit(":"), col("doc_id").cast("string")).cast("binary")).as("okey"))
+      .withColumn("shard",
+        pmod(expr("CAST(conv(substring(okey, 1, 6), 16, 10) AS BIGINT)"), lit(nShards.toLong)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("okey"), col("doc_id"))
+    keyed.select(col("doc_id"), col("shard"),
+      (row_number().over(w) - 1).cast("long").as("pos"))
+  }
+
+  def sqlCorpusShuffle(nShards: Int = 64, seed: String = "shuf1"): String = {
+    val hexAlphabet = "0123456789abcdef"
+    val nib6 = (1 to 6).map { i =>
+      s"(strpos('$hexAlphabet', substr(okey, $i, 1)) - 1) * ${1L << (4 * (6 - i))}"
+    }.mkString("(", " + ", ")")
+    s"""WITH k AS (
+       |  SELECT doc_id, md5('$seed:' || CAST(doc_id AS VARCHAR)) AS okey FROM documents
+       |), s AS (
+       |  SELECT doc_id, okey, $nib6 % $nShards AS shard FROM k
+       |)
+       |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id) - 1 AS BIGINT) AS pos
+       |FROM s""".stripMargin
+  }
+
   def sqlCurate(
       qualityTau: Double = 0.6,
       allowedLangs: Seq[String] = Seq("en", "es", "de", "zh"),

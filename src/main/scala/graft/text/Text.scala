@@ -606,4 +606,123 @@ object Text {
        |  len(${sqlShingles("text")}) AS n_shingles,
        |  list_aggregate(list_transform(${sqlShingles("text")}, s -> md5(s)), 'min') AS fingerprint
        |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q187: main-content EXTRACTION from markup (the boilerplate strip).
+  // ------------------------------------------------------------------
+
+  /** The deterministic MARKUP each doc receives before the extractor
+    * measures it (the planting discipline — this corpus is plain
+    * canonical text, so the crawl-HTML structure the extractor exists
+    * to remove is planted from doc_id arithmetic and the DuckDB twin
+    * replays it):
+    *   - doc_id % 3 == 0 → plain (the extractor must pass it through);
+    *   - doc_id % 3 == 1 → a full HTML page: head with script+style
+    *     blocks, body wrapping the text in <h1>, a nav div and a
+    *     footer paragraph AFTER it (tags stripped, script/style/nav
+    *     CONTENT removed, body text kept);
+    *   - doc_id % 3 == 2 → an entity-dressed paragraph: the text plus
+    *     a suffix exercising the &amp;/&lt;/&gt;/&nbsp; decodes.
+    * Every pattern below is shared Java-regex/RE2 syntax: lazy
+    * quantifiers and inline (?s), NO backreferences (RE2 has none —
+    * script and style are two separate replaces, not <(script|style)>
+    * ...</\1>).
+    */
+  private def plantedMarkup(text: Column, docId: Column): Column =
+    when(pmod(docId, lit(3L)) === 1L,
+      concat(
+        lit("<html><head><title>doc</title><script type=\"text/javascript\">var x = 1; track();</script>" +
+          "<style>.nav { color: red; }</style></head><body><h1>"),
+        text,
+        lit("</h1><div class=\"nav\">home about contact</div></body></html>")))
+      .when(pmod(docId, lit(3L)) === 2L,
+        concat(lit("<p>"), text, lit(" &amp; more &lt;soon&gt;&nbsp;</p><br/>")))
+      .otherwise(text)
+
+  private val headPat = "(?s)<head[^>]*>.*?</head>"
+  private val scriptPat = "(?s)<script[^>]*>.*?</script>"
+  private val stylePat = "(?s)<style[^>]*>.*?</style>"
+  private val navPat = "(?s)<div class=\"(nav|footer)\">.*?</div>"
+  private val tagPat = "<[^>]+>"
+
+  private def extractText(raw: Column): Column = {
+    // the whole head goes first (title/meta are chrome, not content);
+    // script/style repeat AFTER it for their in-body occurrences
+    val noHead = regexp_replace(raw, headPat, " ")
+    val noScript = regexp_replace(noHead, scriptPat, " ")
+    val noStyle = regexp_replace(noScript, stylePat, " ")
+    val noNav = regexp_replace(noStyle, navPat, " ")
+    val noTags = regexp_replace(noNav, tagPat, " ")
+    // entity decode order: named entities first, the bare ampersand
+    // LAST (the classic double-decode pitfall: "&amp;lt;" must become
+    // "&lt;" the TEXT, not "<")
+    val decoded =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(noTags, "&nbsp;", " "),
+            "&lt;", "<"),
+          "&gt;", ">"),
+        "&amp;", "&")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** q187: main-content extraction — the markup strip every crawl
+    * pipeline runs BEFORE any quality/dedup operator sees the text
+    * (the trafilatura/resiliparse stage, in its deterministic
+    * regex-pipeline form): script/style blocks dropped WITH their
+    * content, declared-boilerplate containers (nav/footer divs)
+    * dropped with theirs, remaining tags stripped to whitespace, the
+    * four core entities decoded, whitespace collapsed. Markup is
+    * planted per [[plantedMarkup]] (this corpus is plain text);
+    * extraction is ONE chain of scan-side regexp_replace calls —
+    * zero shuffles, whole-stage codegen end to end, linear at any
+    * corpus size. Invariants (pinned in TextSpec): variants 0 and 1
+    * recover the original text EXACTLY; variant 2 recovers it as a
+    * prefix with the decoded entity tail.
+    */
+  def extract(documents: DataFrame): DataFrame = {
+    val raw = plantedMarkup(col("text"), col("doc_id"))
+    graft.Spread(documents)
+      .withColumn("raw", raw)
+      .select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(3L)).as("variant"),
+        length(col("raw")).cast("long").as("n_raw_chars"),
+        extractText(col("raw")).as("extracted"))
+      .withColumn("n_extracted_chars", length(col("extracted")).cast("long"))
+  }
+
+  def sqlExtract: String = {
+    // the SAME pattern constants, escaped for SQL string literals
+    def lit(p: String) = p.replace("\\", "\\\\").replace("'", "''")
+    s"""WITH raw AS (
+       |  SELECT doc_id, doc_id % 3 AS variant,
+       |    CASE WHEN doc_id % 3 = 1 THEN
+       |      '<html><head><title>doc</title><script type="text/javascript">var x = 1; track();</script>' ||
+       |      '<style>.nav { color: red; }</style></head><body><h1>' || text ||
+       |      '</h1><div class="nav">home about contact</div></body></html>'
+       |    WHEN doc_id % 3 = 2 THEN '<p>' || text || ' &amp; more &lt;soon&gt;&nbsp;</p><br/>'
+       |    ELSE text END AS raw
+       |  FROM documents
+       |), ex AS (
+       |  SELECT doc_id, variant, raw,
+       |    trim(regexp_replace(
+       |      replace(replace(replace(replace(
+       |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+       |          '${lit(headPat)}', ' ', 'g'),
+       |          '${lit(scriptPat)}', ' ', 'g'),
+       |          '${lit(stylePat)}', ' ', 'g'),
+       |          '${lit(navPat)}', ' ', 'g'),
+       |          '${lit(tagPat)}', ' ', 'g'),
+       |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+       |      '\\s+', ' ', 'g')) AS extracted
+       |  FROM raw
+       |)
+       |SELECT doc_id, CAST(variant AS BIGINT) AS variant,
+       |  CAST(length(raw) AS BIGINT) AS n_raw_chars,
+       |  extracted,
+       |  CAST(length(extracted) AS BIGINT) AS n_extracted_chars
+       |FROM ex""".stripMargin
+  }
 }

@@ -677,4 +677,50 @@ class CorpusSpec extends SparkSpec {
     }
     assert(out.size > 1, "target must cut this corpus into multiple shards")
   }
+
+  // ------------------------------------------------------------------
+  // q186: the deterministic training-order shuffle
+  // ------------------------------------------------------------------
+
+  /** Driver replay of the shuffle keying: lowercase-hex md5 of
+    * "<seed>:<doc_id>", shard from the first 6 nibbles.
+    */
+  private def replayKey(seed: String, docId: Long): (String, Long) = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$docId".getBytes("UTF-8"))
+    val hex = d.map(b => f"${b & 0xff}%02x").mkString
+    (hex, java.lang.Long.parseLong(hex.take(6), 16) % 64)
+  }
+
+  test("corpus shuffle: a permutation into dense per-shard positions, replayed driver-side") {
+    val docs = Tables.documents(spark, sf)
+    val got = Corpus.corpusShuffle(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet === ids, "every document appears exactly once")
+    assert(got.length === ids.size)
+    // dense positions 0..n-1 within every shard
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq,
+        s"shard $shard positions must be dense from 0")
+    }
+    // full driver replay: shard and within-shard order from the md5 key
+    val expected = got.map(_._1).map { id =>
+      val (hex, shard) = replayKey("shuf1", id)
+      (id, shard, hex)
+    }.groupBy(_._2).iterator.flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._3, r._1)).zipWithIndex.map { case ((id, s, _), i) => (id, s, i.toLong) }
+    }.toSet
+    assert(got.toSet === expected)
+  }
+
+  test("corpus shuffle: same seed replays bit-identically, a new seed reorders") {
+    val docs = Tables.documents(spark, sf)
+    val a = Corpus.corpusShuffle(docs).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Corpus.corpusShuffle(docs).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b, "identical seed must replay the identical order")
+    val c = Corpus.corpusShuffle(docs, seed = "shuf2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(c !== a, "re-seeding must re-shuffle")
+  }
 }

@@ -1431,4 +1431,108 @@ class DedupSpec extends SparkSpec {
       assert(r.getLong(2) >= 1L)
     }
   }
+
+  // ------------------------------------------------------------------
+  // q185: line-level exact dedup
+  // ------------------------------------------------------------------
+
+  /** Driver replay of the line derivation: 12-token windows plus the
+    * planted boilerplate (the lineDedup planting arithmetic).
+    */
+  private def replayLines(docId: Long, text: String): Seq[String] = {
+    val boilerA = "subscribe to the data stream newsletter and follow for more updates"
+    val boilerB = "click here to read the full archive of spark query reports"
+    val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+    val body = toks.grouped(12).map(_.mkString(" ")).toSeq
+    if (docId % 4 == 0) boilerA +: body
+    else if (docId % 4 == 2) body :+ boilerB
+    else body
+  }
+
+  test("line dedup: keep-first on a hand-built corpus, boilerplate removed everywhere but its first carrier") {
+    val twentyFour = (1 to 24).map(i => s"w$i").mkString(" ")
+    val out = Dedup.lineDedup(docs(
+      1L -> twentyFour, // 2 lines, first carrier of both
+      5L -> twentyFour, // exact twin: every line already seen
+      4L -> "novel words only here", // boilerA prepended (4 % 4 == 0)
+      8L -> "other novel words" // boilerA again: dropped (doc 4 owns it)
+    )).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 2L && out(1L).getLong(2) === 2L)
+    assert(out(5L).getLong(1) === 2L && out(5L).getLong(2) === 0L)
+    assert(out(5L).getString(3) === "")
+    assert(out(4L).getLong(1) === 2L && out(4L).getLong(2) === 2L,
+      "doc 4 is the minimum (doc_id, line_no) carrier of boilerA")
+    assert(out(8L).getLong(1) === 2L && out(8L).getLong(2) === 1L)
+    assert(out(8L).getString(3) === "other novel words",
+      "doc 8 keeps only its body line; the boilerplate belongs to doc 4")
+    assert(out(4L).getString(3).startsWith("subscribe to the data stream"))
+  }
+
+  test("line dedup on the corpus equals a full driver keep-first replay; kept volume = distinct lines") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    // keep-first replay over (doc_id, line_no) order
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = texts.map { case (id, text) =>
+      val lines = replayLines(id, text)
+      val kept = lines.filter(l => seen.add(l))
+      (id, lines.size.toLong, kept.size.toLong, kept.mkString("\n"))
+    }.toSet
+    // the replay walks ids ascending and lines in order, which IS the
+    // packed-key minimum; compare the full row set
+    val got = Dedup.lineDedup(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got === expected)
+    val distinctLines = texts.flatMap { case (id, t) => replayLines(id, t) }.distinct.size.toLong
+    assert(got.toSeq.map(_._3).sum === distinctLines,
+      "every distinct line survives exactly once corpus-wide")
+    assert(got.exists(r => r._3 < r._2), "planted boilerplate must drop somewhere")
+  }
+
+  // ------------------------------------------------------------------
+  // q188: semantic decontamination
+  // ------------------------------------------------------------------
+
+  test("semantic decontamination: planted paraphrase flagged, orthogonal train kept, zero vector excluded") {
+    import spark.implicits._
+    val eval = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), // eval slice: vec_id % 50 == 0
+      (50L, Seq(0f, 1f, 0f, 0f)))
+    val train = Seq(
+      (1L, Seq(2f, 0.1f, 0f, 0f)), // near eval 0 → contaminated
+      (2L, Seq(0f, 0f, 3f, 0f)), // orthogonal to both → keep
+      (3L, Seq(0f, 0f, 0f, 0f))) // zero norm → excluded entirely
+    val out = Dedup.decontaminateSemantic((eval ++ train).toDF("vec_id", "embedding"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(0L) && !out.contains(50L), "eval rows are not verdict rows")
+    assert(!out.contains(3L), "zero-norm vectors are unrankable and excluded")
+    assert(out(1L).getLong(1) === 1L && out(1L).getLong(3) === 0L)
+    assert(out(1L).getDouble(2) > 0.99)
+    assert(out(2L).getLong(1) === 0L && out(2L).getLong(3) === 1L)
+    assert(out(2L).getDouble(2) === 0.0)
+  }
+
+  test("semantic decontamination on the corpus equals the brute driver replay") {
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .filter { case (_, v) => math.sqrt(v.map(x => x * x).sum) > 0 }
+    val (ev, tr) = vecs.partition(_._1 % 50 == 0)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = tr.map { case (id, v) =>
+      val cs = ev.map { case (_, e) => cos(v, e) }.filter(_ >= 0.35)
+      val mc = if (cs.isEmpty) 0.0 else cs.max
+      (id, cs.size.toLong, math.floor(mc * 1e6 + 0.5) / 1e6,
+        if (cs.isEmpty) 1L else 0L)
+    }.toSet
+    val got = Dedup.decontaminateSemantic(Tables.embeddings(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got === expected)
+    assert(got.exists(_._4 === 0L), "the planted straddling near-dups must flag")
+    assert(got.count(_._4 === 0L) < got.size / 10, "contamination must stay the exception")
+  }
 }

@@ -32,9 +32,12 @@ class PlanHardeningSpec extends SparkSpec {
   // the operator's contract
   // q_search_mmr's candidate pool is that same exact-top-kPool scan
   // (the MMR re-rank itself is a bounded per-query flatMapGroups)
+  // q_decontaminate_semantic is the q_embed_incremental shape with the
+  // roles fixed by the decontamination contract: the constant-sized
+  // eval suite broadcasts against the one train-corpus scan
   private val bruteBaselines =
     Set("q_knn_brute", "q_dedup_embedding", "q_ann_eval", "q_embed_incremental",
-      "q_chunk_search", "q_search_mmr")
+      "q_chunk_search", "q_search_mmr", "q_decontaminate_semantic")
 
   test("every non-ML query plans without a CartesianProduct") {
     SparkEntry.queries.filterNot(q => mlQueries(q._1)).foreach { case (name, fn) =>

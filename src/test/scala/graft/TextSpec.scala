@@ -220,4 +220,38 @@ class TextSpec extends SparkSpec {
     // the ladder discriminates on this corpus (not a flat table)
     assert(inOrder.last._1 < inOrder.head._1, "degenerate ladder")
   }
+
+  // ------------------------------------------------------------------
+  // q187: main-content extraction
+  // ------------------------------------------------------------------
+
+  test("extract: every planted variant recovers the original text (variant 2 with its decoded entity tail)") {
+    val docs = Tables.documents(spark, sf)
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Text.extract(docs).collect()
+    assert(out.length === orig.size)
+    out.foreach { r =>
+      val (id, variant, extracted) = (r.getLong(0), r.getLong(1), r.getString(3))
+      assert(variant === id % 3)
+      variant match {
+        case 0L => assert(extracted === orig(id), s"doc $id: plain text must pass through")
+        case 1L => assert(extracted === orig(id),
+          s"doc $id: head/script/style/nav content must vanish, body text must survive")
+        case _ =>
+          assert(extracted.startsWith(orig(id)), s"doc $id: body text must survive the entity strip")
+          assert(extracted.endsWith("& more <soon>"), s"doc $id: entities must decode, once")
+      }
+      assert(r.getLong(4) === extracted.length.toLong)
+      assert(r.getLong(2) >= extracted.length.toLong)
+    }
+  }
+
+  test("extract: markup never leaks — no angle brackets or entity escapes in any extracted text") {
+    val leaked = Text.extract(Tables.documents(spark, sf))
+      .filter(col("extracted").rlike("</?(html|head|body|script|style|div|h1|p|br)") ||
+        col("extracted").contains("&amp;") || col("extracted").contains("&nbsp;"))
+      .count()
+    assert(leaked === 0L)
+  }
 }
