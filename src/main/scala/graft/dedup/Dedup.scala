@@ -612,22 +612,16 @@ object Dedup {
       batchSets: DataFrame, exSets: DataFrame, exIndex: DataFrame,
       tau: Double): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
-    val probe = batchSets
-      .filter(size(col("sh")) >= 1)
-      .select(col("doc_id"), size(col("sh")).as("n_sh"),
-        posexplode(col("sh")).as(Seq("pos0", "h")))
-      .filter(col("pos0") + 1 <=
-        col("n_sh") - ceil(lit(tau) * col("n_sh") - lit(1e-9)).cast("int") + 1)
-      .select(col("doc_id"), col("h"))
-    val cands = probe.join(exIndex, Seq("h"))
-      .select(col("doc_id"), col("ex_id"))
-      .distinct()
-    val contained = cands
-      .join(batchSets.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
-      .join(exSets.select(col("doc_id").as("ex_id"), col("sh").as("sh_b")), "ex_id")
-      .withColumn("inter",
-        graft.functions.GraftFunctions.sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double"))
-      .filter(col("inter") / size(col("sh_a")).cast("double") >= tau)
+    // the [[interCounts]] count-join (see the near screen): containment
+    // C(A→B) = |A∩B| / |A| needs only the intersection COUNT and the
+    // batch side's sizes — nothing in the screen carries an array
+    val withDocs = batchSets.filter(size(col("sh")) >= 1)
+    val bSizes = withDocs.select(col("doc_id"), size(col("sh")).as("n_a"))
+    val contained = interCounts(withDocs, exIndex)
+      .join(broadcast(bSizes), Seq("doc_id"))
+      // identical arithmetic to the round-11 array walk: double count
+      // over double batch size (both exact integers)
+      .filter(col("inter").cast("double") / col("n_a").cast("double") >= tau)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_containers"))
     batchSets.select(col("doc_id"))
@@ -2750,31 +2744,58 @@ object Dedup {
     * persisted layout arrives pre-partitioned so its scan IS the
     * required distribution (no hint, no store-side Exchange).
     */
+  /** Exact per-(batch doc, store doc) shingle-intersection sizes via
+    * the inverted-index COUNT-JOIN: one slim equi-join of the batch's
+    * exploded hashes against the store index, collapsed by a
+    * map-side-partial aggregate. |A∩B| is a COUNT of co-occurring
+    * hashes (the sets are distinct by construction), so Jaccard and
+    * containment both derive from this one aggregate plus the two set
+    * SIZES — no row in the screen ever carries a shingle ARRAY.
+    *
+    * This replaced the round-11 candidates-then-verify shape
+    * (prefix-probe → distinct pairs → join both sh arrays →
+    * sortedIntersectSize): at sf3 the 40-word vocabulary produced 44M
+    * candidate pairs, and re-attaching both arrays to every pair
+    * shuffled 21 GB and spent 2700 executor-seconds in merge walks —
+    * the whole cost of the disk-served screens' super-linear tail.
+    * The count-join ships 16-byte rows, aggregates them in-stage, and
+    * needs no verification pass at all; pairs sharing zero hashes
+    * never materialize, pairs sharing only common shingles fail the
+    * jac/containment threshold exactly as the array walk scored them
+    * (identical integer intersection, identical IEEE division).
+    */
+  private def interCounts(batchSets: DataFrame, exIndex: DataFrame): DataFrame =
+    batchSets
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .join(exIndex, Seq("h"))
+      .groupBy(col("doc_id"), col("ex_id"))
+      .agg(count(lit(1)).as("inter"))
+
   private[dedup] def screenSetsWithIndex(
       batchSets: DataFrame, exSets: DataFrame, exIndex: DataFrame,
       tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
     // ---- exact screen: batch content hashes vs the existing store's
     val exactDups = batchSets.select(col("doc_id"), col("ch"))
       .join(exSets.select(col("ch")).distinct(), Seq("ch"), "left_semi")
       .select(col("doc_id"))
-    // ---- near screen: batch prefixes probe the existing full index
-    val probe = batchSets
-      .select(col("doc_id"), size(col("sh")).as("n_sh"),
-        posexplode(col("sh")).as(Seq("pos0", "h")))
-      // prefix bound |A| - ceil(tau*|A|) + 1 with the same
-      // epsilon-lowered ceil as ngramPairs (under-ceiling only ever
-      // lengthens the prefix — extra verification, never lost recall)
-      .filter(col("pos0") + 1 <=
-        col("n_sh") - ceil(lit(tau) * col("n_sh") - lit(1e-9)).cast("int") + 1)
-      .select(col("doc_id"), col("h"))
-    val cands = probe.join(exIndex, Seq("h"))
-      .select(col("doc_id"), col("ex_id"))
-      .distinct()
-    val near = withJaccard(
-      cands
-        .join(batchSets.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
-        .join(exSets.select(col("doc_id").as("ex_id"), col("sh").as("sh_b")), "ex_id")
-        .filter(sizeRatioFilter(tau)))
+    // ---- near screen: intersection counts + the two size tables.
+    // Store sizes are a store-sized SLIM projection (16 B/doc) joined
+    // by ex_id; batch sizes BROADCAST (bounded by the incremental
+    // contract, and slim regardless of document length).
+    val exSizes = exSets.select(col("doc_id").as("ex_id"), size(col("sh")).as("n_b"))
+    val bSizes = batchSets.select(col("doc_id"), size(col("sh")).as("n_a"))
+    val near = interCounts(batchSets, exIndex)
+      .join(exSizes.hint("shuffle_hash"), Seq("ex_id"))
+      .join(broadcast(bSizes), Seq("doc_id"))
+      // the same size-ratio prune as ngramPairs (epsilon toward
+      // keeping: only ever admits extra pairs to the jac test)
+      .filter(col("n_a").cast("double") >= lit(tau) * col("n_b").cast("double") - lit(1e-9) &&
+        col("n_b").cast("double") >= lit(tau) * col("n_a").cast("double") - lit(1e-9))
+      // identical arithmetic to withJaccard: double intersection over
+      // int size sum (the sort-merge walk computed the same integer)
+      .withColumn("interd", col("inter").cast("double"))
+      .withColumn("jac", col("interd") / (col("n_a") + col("n_b") - col("interd")))
       .filter(col("jac") >= tau)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_near_dups"))

@@ -176,7 +176,12 @@ object ShingleIndex {
   def probe(
       spark: SparkSession, newDocs: DataFrame, dir: String,
       tau: Double = 0.5): DataFrame =
-    probeSets(spark, Dedup.hashedShingleSets(newDocs), dir, tau)
+    // the batch seam feeds four plan branches (exact hashes, sizes,
+    // the count-join explode, the verdict spine) — checkpoint the
+    // batch-sized derivation once instead of re-running the
+    // tokenize+shingle scan per branch (the decisionFromIndex
+    // discipline)
+    probeSets(spark, Dedup.hashedShingleSets(newDocs).localCheckpoint(), dir, tau)
 
   /** [[probe]] over a PREPARED batch set-frame — the seam a caller
     * screening the same batch several ways ([[Dedup.decisionFromIndex]])
@@ -243,7 +248,7 @@ object ShingleIndex {
   def containmentProbe(
       spark: SparkSession, newDocs: DataFrame, dir: String,
       tau: Double = 0.8): DataFrame =
-    containSets(spark, Dedup.hashedShingleSets(newDocs), dir, tau)
+    containSets(spark, Dedup.hashedShingleSets(newDocs).localCheckpoint(), dir, tau)
 
   /** [[containmentProbe]] over a prepared batch set-frame (see
     * [[probeSets]]).

@@ -1,11 +1,18 @@
 #!/bin/bash
+# Capture the scale ladder (sf0.1 -> sf1 -> sf3) for SCALING.md.
+# Data: regenerate with
+#   sbt "runMain graft.tools.GenSf /root/testdata/sf0.1 localdata/sf1 10"
+#   sbt "runMain graft.tools.GenSf /root/testdata/sf0.1 localdata/sf3 30"
+# Round suffix via $1 (default r14).
 cd /root/repo
+R=${1:-r14}
 set -x
-for pair in "/root/testdata/sf0.1 BENCH_LOCAL_r13_sf0.1.json" "localdata/sf1 BENCH_LOCAL_r13_sf1.json" "localdata/sf3 BENCH_LOCAL_r13_sf3.json"; do
+for pair in "/root/testdata/sf0.1 BENCH_LOCAL_${R}_sf0.1.json" "localdata/sf1 BENCH_LOCAL_${R}_sf1.json" "localdata/sf3 BENCH_LOCAL_${R}_sf3.json"; do
   set -- $pair
   dir=$1; out=$2
   echo "=== bench $dir -> $out ==="
-  SPARK_GRAFT_SF_DIR=$dir SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" 2>/dev/null \
+  SPARK_GRAFT_SF_DIR=$dir SPARK_GRAFT_CPUS=32 java -Xmx100g \
+    -cp "/opt/spark/jars/*:target/scala-2.13/classes" graft.Bench 2>/dev/null \
     | grep -o '{"metric":"total".*}' | tail -1 > $out
   echo "=== done $out: $(head -c 120 $out)"
 done

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Two-step scaling exponent tables from the r13 local bench captures.
+"""Two-step scaling exponent tables from the local bench captures (round via argv[1], default r14).
 
 Step 1: sf0.1 -> sf1 (10x), exp = log10(t1/t01).
 Step 2: sf1 -> sf3 (3x),  exp = log(t3/t1)/log(3).
@@ -10,9 +10,10 @@ import json, math, sys
 def load(p):
     with open(p) as f: return json.load(f)
 
-b01 = load("BENCH_LOCAL_r13_sf0.1.json")
-b1  = load("BENCH_LOCAL_r13_sf1.json")
-b3  = load("BENCH_LOCAL_r13_sf3.json")
+R = sys.argv[1] if len(sys.argv) > 1 else "r14"
+b01 = load(f"BENCH_LOCAL_{R}_sf0.1.json")
+b1  = load(f"BENCH_LOCAL_{R}_sf1.json")
+b3  = load(f"BENCH_LOCAL_{R}_sf3.json")
 
 FAMILIES = {}  # query -> family letter, derived from SURVEY
 import re
