@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** localCheckpoint with a BOUNDED carried size estimate.
+  *
+  * Spark 4's `Dataset.localCheckpoint` carries the origin plan's
+  * statistics onto the new `LogicalRDD`
+  * (`LogicalRDD.rewriteStatsAndConstraints`). Catalyst's size-only
+  * join estimate is the PRODUCT of the children's sizes, so a chain of
+  * checkpointed derivations — each origin joining frames whose leaves
+  * are themselves checkpoints carrying already-multiplied estimates —
+  * compounds the exponent geometrically across generations. Deep
+  * enough chains (the semantic-dedup pipeline at sf3: chunk seam →
+  * k-means seams → scored → the CC loop's per-round checkpoints) push
+  * the estimate past BigInteger's 2^31-bit ceiling and
+  * `java.lang.ArithmeticException: BigInteger would overflow supported
+  * range` kills the job AFTER its work succeeded, while the stats are
+  * being rewritten onto the checkpoint.
+  *
+  * [[local]] caps the carry: when the checkpoint's carried sizeInBytes
+  * exceeds Long.MaxValue — past any physical meaning; no planner
+  * decision distinguishes 2^63 from 2^400 bytes — the frame is rebuilt
+  * over the SAME materialized internal-row RDD with fresh (default)
+  * statistics, so the next generation's origin multiplies bounded
+  * numbers. Below the cap (every physically plausible frame) the
+  * checkpoint is returned untouched, carried stats, partitioning and
+  * all — broadcast decisions downstream of normal seams are
+  * unaffected.
+  */
+object Ckpt {
+  private val MaxCarried = BigInt(Long.MaxValue)
+
+  def local(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    val carried = ck.queryExecution.analyzed.stats.sizeInBytes
+    if (carried <= MaxCarried) ck
+    else org.apache.spark.sql.GraftSqlBridge.internalFrame(
+      df.sparkSession, ck.queryExecution.toRdd, ck.schema)
+  }
+
+  /** Suffix form, so call sites read like the built-in. */
+  implicit class CkptOps(private val df: DataFrame) extends AnyVal {
+    def boundedCheckpoint(): DataFrame = Ckpt.local(df)
+  }
+}

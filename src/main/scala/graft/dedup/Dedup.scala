@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Det
+import graft.Ckpt.CkptOps
 import graft.text.Text
 
 /** Deduplication operators for LLM-training-data pipelines: exact
@@ -74,7 +75,7 @@ object Dedup {
   def setsCached(documents: DataFrame): DataFrame =
     setsMemo.getOrElseUpdate(documents.sparkSession,
       documents.queryExecution.analyzed.canonicalized)(
-      hashedShingleSets(documents).localCheckpoint())
+      hashedShingleSets(documents).boundedCheckpoint())
 
   // ------------------------------------------------------------------
   // q22: exact dedup — one row per distinct content hash with the
@@ -414,7 +415,7 @@ object Dedup {
   def pairsCached(documents: DataFrame, tau: Double = 0.5): DataFrame =
     pairsMemo.getOrElseUpdate(documents.sparkSession,
       (documents.queryExecution.analyzed.canonicalized, tau))(
-      ngramPairs(documents, tau).localCheckpoint())
+      ngramPairs(documents, tau).boundedCheckpoint())
 
   // ------------------------------------------------------------------
   // q181: the dedup-threshold SWEEP.
@@ -553,7 +554,7 @@ object Dedup {
   def containmentCached(documents: DataFrame, tau: Double = 0.8): DataFrame =
     containMemo.getOrElseUpdate(documents.sparkSession,
       (documents.queryExecution.analyzed.canonicalized, tau))(
-      containmentPairs(documents, tau).localCheckpoint())
+      containmentPairs(documents, tau).boundedCheckpoint())
 
   /** q131: the ACTION for [[containmentPairs]] — a per-document keep
     * verdict: DROP a document iff it is contained (C ≥ τ) in a
@@ -791,7 +792,7 @@ object Dedup {
     var ckpt = edges
       .groupBy(col("src").as("doc_id"))
       .agg(min(least(col("src"), col("dst"))).as("cluster_id"))
-      .localCheckpoint()
+      .boundedCheckpoint()
     var labels = ckpt
     var converged = false
     var i = 0
@@ -816,7 +817,7 @@ object Dedup {
           least(col("cluster_id"), col("nb_label"), col("pj_label")).as("new_label"),
           (least(col("cluster_id"), col("nb_label"), col("pj_label")) < col("cluster_id"))
             .cast("long").as("chg"))
-        .localCheckpoint()
+        .boundedCheckpoint()
       val changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
       ckpt.unpersist()
       ckpt = next
@@ -883,7 +884,7 @@ object Dedup {
     // checkpoint: labels feed the member prune AND the final join —
     // without it the whole iterative clustering would re-run per
     // consumer
-    survivorsFromLabels(documents, clustersQuery(documents, tau).localCheckpoint())
+    survivorsFromLabels(documents, clustersQuery(documents, tau).boundedCheckpoint())
 
   /** The survivor tail shared by [[bestSurvivors]] (ngram clusters)
     * and [[embedDedupBest]] (embedding clusters): quality-score ONLY
@@ -1027,7 +1028,7 @@ object Dedup {
   def sigsCached(documents: DataFrame, numHashes: Int = 32): DataFrame =
     sigsMemo.getOrElseUpdate(documents.sparkSession,
       (documents.queryExecution.analyzed.canonicalized, numHashes))(
-      minhashSignaturesFrom(setsCached(documents), numHashes).localCheckpoint())
+      minhashSignaturesFrom(setsCached(documents), numHashes).boundedCheckpoint())
 
   def minhashLshPairs(
       documents: DataFrame,
@@ -1115,7 +1116,7 @@ object Dedup {
   def simhashCached(documents: DataFrame): DataFrame =
     simhashMemo.getOrElseUpdate(documents.sparkSession,
       documents.queryExecution.analyzed.canonicalized)(
-      simhashTable(documents).localCheckpoint())
+      simhashTable(documents).boundedCheckpoint())
 
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4 bands of 16 bits are lossless only up to Hamming distance 3")
@@ -1233,7 +1234,7 @@ object Dedup {
       // consumed twice (the verification path and the n_cands cost
       // aggregate) — materialize so the band self-join runs once, the
       // same reason shPairs below is checkpointed
-      .localCheckpoint()
+      .boundedCheckpoint()
     def candAt(bands: Int): Column = {
       val run = maxBands / bands
       (0 until bands).map { i =>
@@ -1271,7 +1272,7 @@ object Dedup {
     // ---- simhash: hamming rides along; intersect the exact set.
     // Materialized: both the candidate-count aggregate (cost axis)
     // and the exact-set intersection read the banded pair table.
-    val shPairs = simhashPairs(documents, maxHamming = hammingSweep.max).localCheckpoint()
+    val shPairs = simhashPairs(documents, maxHamming = hammingSweep.max).boundedCheckpoint()
     val shHits = shPairs
       .join(exact.select(col("doc_a"), col("doc_b")), Seq("doc_a", "doc_b"))
     val shWide = shHits.agg(
@@ -1348,7 +1349,7 @@ object Dedup {
   def embeddingPairsCached(embeddings: DataFrame, tau: Double = 0.35): DataFrame =
     embPairsMemo.getOrElseUpdate(embeddings.sparkSession,
       (embeddings.queryExecution.analyzed.canonicalized, tau))(
-      embeddingPairs(embeddings, tau).localCheckpoint())
+      embeddingPairs(embeddings, tau).boundedCheckpoint())
 
   /** q108: INCREMENTAL semantic dedup — the [[incrementalDedup]]
     * contract for the embedding modality: per BATCH vector (the
@@ -1596,7 +1597,7 @@ object Dedup {
     // referenced by the left/right candidate sides AND both re-score
     // joins (4 consumers, all corpus-sized) — checkpoint so the scan +
     // bucket projection run once instead of four times
-    val e = graft.sim.Similarity.bucketedCorpus(embeddings, tables, bits, dims).localCheckpoint()
+    val e = graft.sim.Similarity.bucketedCorpus(embeddings, tables, bits, dims).boundedCheckpoint()
     val left = e.select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bkt")))
     val right = e
       .select(col("vec_id").as("vid_b"), posexplode(col("buckets")).as(Seq("t", "qbkt")))
@@ -1641,7 +1642,7 @@ object Dedup {
     val pairs =
       (if (useLsh) embeddingPairsLsh(embeddings, tau) else embeddingPairsCached(embeddings, tau))
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    survivorsFromLabels(documents, clusters(pairs).localCheckpoint())
+    survivorsFromLabels(documents, clusters(pairs).boundedCheckpoint())
   }
 
   /** Oracle: recursive transitive closure over the brute cosine pair
@@ -1852,7 +1853,7 @@ object Dedup {
         Det.r(when(col("nrm") > 0,
           graft.functions.GraftFunctions.vecDot(col("v"), col("cv")) /
             (col("nrm") * col("cn"))).otherwise(lit(0.0)), 6).as("centroid_cos"))
-      .localCheckpoint()
+      .boundedCheckpoint()
     val cellSizes = scored.groupBy(col("cell"))
       .agg(count(lit(1)).as("cell_rows"))
     val salted = scored.join(broadcast(cellSizes), "cell")
@@ -1869,7 +1870,7 @@ object Dedup {
       .filter(graft.functions.GraftFunctions.vecDot(col("va"), col("vb")) /
         (col("na") * col("nb")) >= tau)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val labels = clusters(pairs).localCheckpoint()
+    val labels = clusters(pairs).boundedCheckpoint()
       .withColumnRenamed("doc_id", "vec_id")
     val wN = Window.partitionBy(col("cluster_id"))
     val wR = Window.partitionBy(col("cluster_id"))
@@ -2010,7 +2011,7 @@ object Dedup {
   def winsCached(documents: DataFrame, k: Int = 10): DataFrame =
     winsMemo.getOrElseUpdate(documents.sparkSession,
       (documents.queryExecution.analyzed.canonicalized, k))(
-      spanWindows(documents, k).localCheckpoint())
+      spanWindows(documents, k).boundedCheckpoint())
 
   /** Force every memoized derivation the dedup family shares — the
     * shingle sets, minhash signatures, simhash fingerprints, the exact
@@ -2863,7 +2864,13 @@ object Dedup {
     require(batchMod >= 2, "batchMod must split the corpus into batch and existing")
     val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
     val dir = shingleIndexDirCached(documents.filter(!isBatch))
-    ShingleIndex.probe(documents.sparkSession, documents.filter(isBatch), dir, tau)
+    // batch side from the family-shared materialized seam (the
+    // in-memory twin's source): the _disk twin exists to price the
+    // LAYOUT, and a per-call batch re-tokenize would land in its
+    // timing instead (ShingleIndex.probe keeps the fresh derivation
+    // for arbitrary landed docs)
+    ShingleIndex.probeSets(
+      documents.sparkSession, setsCached(documents).filter(isBatch), dir, tau)
   }
 
   /** The FULL ingest decision served from the persisted store index —
@@ -2879,10 +2886,19 @@ object Dedup {
     */
   def decisionFromIndex(
       spark: org.apache.spark.sql.SparkSession, newDocs: DataFrame, dir: String,
-      tau: Double = 0.5, tauContain: Double = 0.8): DataFrame = {
+      tau: Double = 0.5, tauContain: Double = 0.8): DataFrame =
     // ONE batch-seam derivation feeds all three screens (the
     // decisionSets discipline, here with the store side on disk)
-    val batchSets = hashedShingleSets(newDocs).localCheckpoint()
+    decisionFromIndexSets(
+      spark, hashedShingleSets(newDocs).boundedCheckpoint(), dir, tau, tauContain)
+
+  /** [[decisionFromIndex]] over a PREPARED batch set-frame — the seam
+    * the mod-split query plugs the family-shared [[setsCached]] slice
+    * into (see [[incrementalDedupDisk]]).
+    */
+  private[graft] def decisionFromIndexSets(
+      spark: org.apache.spark.sql.SparkSession, batchSets: DataFrame, dir: String,
+      tau: Double, tauContain: Double): DataFrame = {
     val store = ShingleIndex.probeSets(spark, batchSets, dir, tau)
       .select(col("doc_id"), col("keep").as("store_keep"))
     val intra = selfScreenSets(batchSets, tau)
@@ -2904,7 +2920,9 @@ object Dedup {
     require(batchMod >= 2, "batchMod must split the corpus into batch and existing")
     val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
     val dir = shingleIndexDirCached(documents.filter(!isBatch))
-    decisionFromIndex(documents.sparkSession, documents.filter(isBatch), dir, tau, tauContain)
+    // batch side from the shared seam (the incrementalDedupDisk note)
+    decisionFromIndexSets(
+      documents.sparkSession, setsCached(documents).filter(isBatch), dir, tau, tauContain)
   }
 
   /** DuckDB twin of [[incrementalDedup]]: brute batch × existing cross

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Det
+import graft.Ckpt.CkptOps
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -101,7 +102,7 @@ object Similarity {
   def bruteKnnCached(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame =
     bruteMemo.getOrElseUpdate(embeddings.sparkSession,
       (embeddings.queryExecution.analyzed.canonicalized, nQueries, k))(
-      bruteKnn(embeddings, nQueries, k).localCheckpoint())
+      bruteKnn(embeddings, nQueries, k).boundedCheckpoint())
 
   def sqlBruteKnn(nQueries: Int = 10, k: Int = 10): String = {
     val dotSql = "list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * q.qv[i]))"
@@ -382,7 +383,7 @@ object Similarity {
       // interpreted transform lambda is fine here: one normalization
       // pass of a training job, not an oracle-checked hot path
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
-      .localCheckpoint()
+      .boundedCheckpoint()
     // seeds: a bounded nCells-row driver read
     var cents: Array[(Long, Array[Double])] = u.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("u").as("cv"))
@@ -510,7 +511,7 @@ object Similarity {
       embeddings: DataFrame, cents: DataFrame, tag: String): DataFrame =
     assignMemo.getOrElseUpdate(embeddings.sparkSession,
       (embeddings.queryExecution.analyzed.canonicalized, tag))(
-      assignCells(prepared(embeddings), cents).localCheckpoint())
+      assignCells(prepared(embeddings), cents).boundedCheckpoint())
 
   /** The search tail over a prebuilt cell assignment: rank probe
     * cells per query, candidate-join, exact re-score.
@@ -794,7 +795,7 @@ object Similarity {
   private def sq8CodesCached(embeddings: DataFrame, d: Int): DataFrame =
     sq8CodesMemo.getOrElseUpdate(embeddings.sparkSession,
       (embeddings.queryExecution.analyzed.canonicalized, d))(
-      sq8Encode(unitCorpus(embeddings, d), sq8BoundsCached(embeddings, d)).localCheckpoint())
+      sq8Encode(unitCorpus(embeddings, d), sq8BoundsCached(embeddings, d)).boundedCheckpoint())
 
   // ------------------------------------------------------------------
   // PCA transform family (round-10 additions): the faiss PCAMatrix
@@ -960,7 +961,7 @@ object Similarity {
     pcaCodesMemo.getOrElseUpdate(embeddings.sparkSession,
       (embeddings.queryExecution.analyzed.canonicalized, s"pcac:$d:$m:$trainN"))(
       pcaProject(unitCorpus(embeddings, d), pcaModelCached(embeddings, d, trainN)._2, m)
-        .localCheckpoint())
+        .boundedCheckpoint())
 
   /** q122: the variance SPECTRUM artifact — the table that decides m
     * (the audit-before-the-index discipline): per component its
@@ -1126,7 +1127,7 @@ object Similarity {
       require(basis.nonEmpty, "cannot rotate an empty corpus")
       pcaProject(unitCorpus(embeddings, d), basis, d)
         .select(col("vec_id"), col("p").as("embedding"))
-        .localCheckpoint()
+        .boundedCheckpoint()
     })
 
   /** Exact top-m ADC candidates per query, two-phase (see [[pqAnn]]);
@@ -1288,7 +1289,7 @@ object Similarity {
       nSub: Int, nCodes: Int, iters: Int, trainN: Int, d: Int): DataFrame =
     pqCodesMemo.getOrElseUpdate(embeddings.sparkSession,
       (embeddings.queryExecution.analyzed.canonicalized, s"pqc:$nSub:$nCodes:$iters:$trainN:$d"))(
-      pqEncode(unitCorpus(embeddings, d), bySub, nSub, d).localCheckpoint())
+      pqEncode(unitCorpus(embeddings, d), bySub, nSub, d).boundedCheckpoint())
 
   /** (query_id, qtab) — the per-query ADC lookup tables
     * qtab[sub][code] = dot(q_sub, cb[sub][code]), built on the
@@ -1573,7 +1574,7 @@ object Similarity {
         .join(broadcast(qs), "query_id")
         .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
         .select(col("query_id"), col("vec_id"), col("lvl"), col("cos"))
-        .localCheckpoint()
+        .boundedCheckpoint()
       methodWallMs(method) = (System.nanoTime() - t0) / 1000000L
       out
     }

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CkptOps
 
 /** Deterministic TEXT→VECTOR featurizer — the hash-kernel (signed
   * random projection) document embedding: v_j = Σ_tokens sign_j(t)
@@ -105,7 +106,7 @@ object DocEmbed {
   def chunkEmbedCached(documents: DataFrame): DataFrame =
     ceMemo.getOrElseUpdate(documents.sparkSession,
       documents.queryExecution.analyzed.canonicalized)(
-      chunkEmbed(documents).localCheckpoint())
+      chunkEmbed(documents).boundedCheckpoint())
 
   /** Bench seam itemization (the MediaCodec.prewarm discipline): the
     * chunk-vector table, then the chunk-level semantic-dedup k-means

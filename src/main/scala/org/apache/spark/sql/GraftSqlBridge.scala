@@ -14,6 +14,19 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** A DataFrame over an already-materialized internal-row RDD with NO
+    * carried statistics/constraints — the reset [[graft.Ckpt]] applies
+    * when a checkpoint's origin-plan size estimate has compounded past
+    * any physical meaning (`internalCreateDataFrame` is `private[sql]`,
+    * hence this bridge).
+    */
+  def internalFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
   /** Register a function builder into an EXISTING session's registry
     * (same shape as SparkSessionExtensions.injectFunction, which only
     * applies at session construction).
