@@ -1784,8 +1784,19 @@ object Dedup {
     * corpora (every spec scale) the derived width equals the floor,
     * so the recall gate pins unchanged behavior.
     */
+  /** Corpus-adaptive hyperplane count. Candidate volume for the pair
+    * emitters is n · tables · probes · OCCUPANCY with occupancy =
+    * n / 2^bits, so the target occupancy is the direct cost knob: the
+    * round-13 value (64) left the sf3 corpus emitting ~570M candidate
+    * rows through the bucket join (266 s); 8 cuts that ~6× while the
+    * collision arithmetic keeps true near-dup recall high (cos 0.9 ⇒
+    * per-bit agreement 0.857; at the sf3-derived 15 bits, P[Hamming≤1,
+    * one table] ≈ 0.35 ⇒ ≈ 0.97 across 8 OR-tables — and the exact
+    * re-score keeps precision 1 regardless). Every gate scale
+    * (n ≤ floor·target) stays on floorBits, byte-identical.
+    */
   private[graft] def lshBits(
-      embeddings: DataFrame, floorBits: Int, targetBucket: Long = 64L): Int = {
+      embeddings: DataFrame, floorBits: Int, targetBucket: Long = 8L): Int = {
     val n = semNMemo.getOrElseUpdate(embeddings.sparkSession,
       embeddings.queryExecution.analyzed.canonicalized)(embeddings.count())
     val needed = math.ceil(
