@@ -22,9 +22,16 @@ object Bench {
     // DIVIDE_BY_ZERO text went to stderr, which the driver's bounded
     // tail loses, so naming the error needed a manual repro
     var failureInfo = List.empty[(String, String)]
-    def jesc(s: String): String =
-      s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ")
+    // full JSON string escape (the Verify.q discipline): exception
+    // messages can carry ANY control char — \f, \b, ANSI escapes in
+    // wrapped exception text — and one raw control byte makes the
+    // whole artifact unparseable
+    def jesc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
     def recordFailure(name: String, e: Throwable): Unit = {
       System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       failures ::= name
@@ -137,7 +144,11 @@ object Bench {
     // n_queries counts only SUCCESSFUL timings (total/top5 exclude
     // failures, so the headline counts must describe the same set)
     val nOk = results.count(_._2 >= 0)
-    println(s"""{"metric":"headline","total":${r3(total)},"unit":"sec","fit_sec":${r3(fitSec)},"build_sec":${r3(buildSec)},"n_queries":$nOk,"n_failed":${failures.size},"failures":$fs,"failure_info":$fi,"top5":$top5,"load_avg":$loadAvg,"available_cpus":$cpuCount,"sf":"$sfDir"}""")
+    // failure_info stays OFF the headline: the 300-char-per-failure
+    // messages would outgrow the bounded tail this line exists for —
+    // on a red run the tail must still carry totals + failure NAMES
+    // (the full messages ride the complete line above)
+    println(s"""{"metric":"headline","total":${r3(total)},"unit":"sec","fit_sec":${r3(fitSec)},"build_sec":${r3(buildSec)},"n_queries":$nOk,"n_failed":${failures.size},"failures":$fs,"top5":$top5,"load_avg":$loadAvg,"available_cpus":$cpuCount,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

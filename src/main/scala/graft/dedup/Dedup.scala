@@ -1721,8 +1721,12 @@ object Dedup {
     * of the within-cell tau-graph, so every group lives inside one
     * cell by construction.
     *
-    * Emits one row per vector: (vec_id, cell, cluster_id, n_docs,
-    * centroid_cos, keep). Model-dependent (Lloyd float order) ⇒
+    * Emits one row per RANKABLE vector — zero-norm vectors are
+    * excluded at the family seam ([[graft.sim.Similarity.prepared]]'s
+    * nrm > 0 filter, the round-12 convention: a zero vector has no
+    * cosine to anything and appears in no index or verdict): (vec_id,
+    * cell, cluster_id, n_docs, centroid_cos, keep). Model-dependent
+    * (Lloyd float order) ⇒
     * rows-only gate; SemDedupSpec pins the survivor rule, the
     * one-keep-per-group invariant, within-cell grouping, dropped-doc
     * justification, and that every pair missed vs the global brute
@@ -1857,13 +1861,15 @@ object Dedup {
       embeddings: DataFrame, cents: DataFrame, cells: DataFrame,
       tau: Double): DataFrame = {
     import graft.sim.Similarity
+    // prepared() excludes zero-norm vectors at the family seam (the
+    // round-12 convention: unrankable on every path), so every nrm
+    // here is strictly positive — no guard on the division
     val scored = Similarity.prepared(embeddings)
       .join(cells, "vec_id")
       .join(broadcast(cents), "cell")
       .select(col("vec_id"), col("cell"), col("v"), col("nrm"),
-        Det.r(when(col("nrm") > 0,
-          graft.functions.GraftFunctions.vecDot(col("v"), col("cv")) /
-            (col("nrm") * col("cn"))).otherwise(lit(0.0)), 6).as("centroid_cos"))
+        Det.r(graft.functions.GraftFunctions.vecDot(col("v"), col("cv")) /
+          (col("nrm") * col("cn")), 6).as("centroid_cos"))
       .boundedCheckpoint()
     val cellSizes = scored.groupBy(col("cell"))
       .agg(count(lit(1)).as("cell_rows"))
@@ -1877,7 +1883,7 @@ object Dedup {
     val r = salted.select(col("cell"), col("subcell"), col("vec_id").as("vec_b"),
       col("v").as("vb"), col("nrm").as("nb"))
     val pairs = l.join(r, Seq("cell", "subcell"))
-      .filter(col("vec_a") < col("vec_b") && col("na") > 0 && col("nb") > 0)
+      .filter(col("vec_a") < col("vec_b"))
       .filter(graft.functions.GraftFunctions.vecDot(col("va"), col("vb")) /
         (col("na") * col("nb")) >= tau)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))

@@ -952,8 +952,9 @@ object Corpus {
        |    CAST(CASE WHEN fit = 0 THEN len(loads) + 1 ELSE fit END AS BIGINT)
        |  FROM (
        |    SELECT p.grp, r.rk, p.loads, r.n_tokens,
-       |      list_position(list_transform(p.loads, x -> x + r.n_tokens <= $cap),
-       |        true) AS fit
+       |      coalesce(list_position(
+       |        list_transform(p.loads, x -> x + r.n_tokens <= $cap),
+       |        true), 0) AS fit
        |    FROM pfd p JOIN pbr r ON r.grp = p.grp AND r.rk = p.rk + 1
        |  )
        |), pasn AS (

@@ -19,7 +19,10 @@ object RunQuery {
     val explain = args.contains("--explain")
     val repeat = args.indexOf("--repeat") match {
       case -1 => 1
-      case i => args(i + 1).toInt
+      case i =>
+        require(i + 1 < args.length && args(i + 1).forall(_.isDigit),
+          "--repeat needs a numeric count")
+        args(i + 1).toInt
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()

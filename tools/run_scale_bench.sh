@@ -11,7 +11,13 @@ for pair in "/root/testdata/sf0.1 BENCH_LOCAL_${R}_sf0.1.json" "localdata/sf1 BE
   set -- $pair
   dir=$1; out=$2
   echo "=== bench $dir -> $out ==="
-  SPARK_GRAFT_SF_DIR=$dir SPARK_GRAFT_CPUS=32 java -Xmx100g \
+  # -Xmx matches the sbt-forked run's SPARK_DRIVER_MEM default (8g):
+  # an oversized heap (an earlier capture used 100g) accumulates
+  # enormous young generations between collections and every query
+  # absorbs multi-second GC pauses — a uniform ~10s floor that reads
+  # as fake super-linearity at sf3. Blocks past 8g spill to disk,
+  # which is the honest cluster-like configuration.
+  SPARK_GRAFT_SF_DIR=$dir SPARK_GRAFT_CPUS=32 java -Xmx${SPARK_DRIVER_MEM:-8g} \
     -cp "/opt/spark/jars/*:target/scala-2.13/classes" graft.Bench 2>/dev/null \
     | grep -o '{"metric":"total".*}' | tail -1 > $out
   echo "=== done $out: $(head -c 120 $out)"
