@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class CkptSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Run `body` with `spark.sql.defaultSizeInBytes` forced to the
+    * sentinel maximum, so RDD-backed (stat-less) leaves report
+    * Long.MaxValue and a single self-join's size estimate already
+    * exceeds the Ckpt cap — the cheap way to manufacture the
+    * compounded-stats regime a deep checkpointed chain reaches at
+    * scale.
+    */
+  private def withHugeDefaults[A](body: => A): A = {
+    val key = "spark.sql.defaultSizeInBytes"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, Long.MaxValue.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("bounded checkpoint caps an insane carried estimate and keeps rows identical") {
+    withHugeDefaults {
+      // RDD-backed leaves (no stats) + a join → product of two
+      // Long.MaxValue estimates, far past the cap
+      val base = spark.createDataFrame(
+        spark.sparkContext.parallelize((1L to 100L).map(i => (i, i * 3))),
+      ).toDF("k", "v")
+      val joined = base.join(base.withColumnRenamed("v", "w"), "k")
+      val rawCarry = joined.localCheckpoint().queryExecution.analyzed.stats.sizeInBytes
+      assert(rawCarry > BigInt(Long.MaxValue),
+        s"test setup must manufacture an over-cap estimate, got $rawCarry")
+      val bounded = Ckpt.local(joined)
+      val carried = bounded.queryExecution.analyzed.stats.sizeInBytes
+      assert(carried <= BigInt(Long.MaxValue),
+        s"bounded checkpoint must cap the carry, got $carried")
+      assert(bounded.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+        === joined.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted,
+        "the rebuilt frame must hold exactly the checkpointed rows")
+    }
+  }
+
+  test("bounded checkpoint is a plain checkpoint below the cap — stats carried through") {
+    val df = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+    val ck = Ckpt.local(df)
+    val carried = ck.queryExecution.analyzed.stats.sizeInBytes
+    assert(carried <= BigInt(Long.MaxValue) && carried > 0)
+    assert(ck.queryExecution.analyzed.getClass.getSimpleName == "LogicalRDD",
+      "below the cap the ordinary checkpointed LogicalRDD is returned untouched")
+    assert(ck.count() === df.count())
+  }
+
+  test("a deep chain of bounded checkpoints never overflows stats estimation") {
+    withHugeDefaults {
+      val base = spark.createDataFrame(
+        spark.sparkContext.parallelize((1L to 50L).map(i => (i, i))),
+      ).toDF("k", "v")
+      // each generation joins the previous checkpoint with itself —
+      // raw localCheckpoint compounds the estimate geometrically and
+      // dies around generation ~25; the bounded form must survive
+      var cur = Ckpt.local(base)
+      for (_ <- 1 to 30) {
+        val g = cur.select(col("k"), col("v"))
+          .join(cur.select(col("k"), col("v").as("w")), "k")
+          .select(col("k"), (col("v") + col("w")).as("v"))
+        cur = Ckpt.local(g)
+      }
+      assert(cur.count() === 50L)
+    }
+  }
+}
