@@ -33,7 +33,7 @@ FI_PNG         ?= docs/feature_importance.png
 SBT            ?= sbt -batch
 
 .PHONY: help compile test etl train eval metrics coefs \
-        serve curl_predict curl_batch verify bench \
+        serve curl_predict curl_batch verify bench scale_gate \
         plot_threshold plot_importance pq_index pq_search \
         clean_data clean_model clean_all
 
@@ -145,6 +145,20 @@ verify:
 
 bench:
 	SPARK_GRAFT_SF_DIR=$(RAW_DIR) $(SBT) "runMain graft.Bench"
+
+# The round-close SCALE GATE (round-14 verdict #8: the r13 sf3 deaths
+# shipped because large-sf ran only at capture time). Runs the full
+# bench at sf1 (regenerate localdata/sf1 with
+#   sbt "runMain graft.tools.GenSf /root/testdata/sf0.1 localdata/sf1 10"
+# if absent) and FAILS unless n_failed == 0. Close a round only with
+# this green.
+SCALE_DIR ?= localdata/sf1
+scale_gate: compile
+	@test -d $(SCALE_DIR) || { echo "scale_gate: $(SCALE_DIR) missing - generate it with GenSf first"; exit 1; }
+	SPARK_GRAFT_SF_DIR=$(SCALE_DIR) SPARK_GRAFT_CPUS=32 \
+	  java -Xmx$${SPARK_DRIVER_MEM:-8g} -cp "/opt/spark/jars/*:target/scala-2.13/classes" graft.Bench 2>/dev/null \
+	  | grep -o '{"metric":"total".*}' | tail -1 > /tmp/graft_scale_gate.json
+	@python3 -c "import json,sys; d=json.load(open('/tmp/graft_scale_gate.json')); f=d.get('failures'); print('scale_gate: failures=%s total=%.1fs queries=%d' % (f, d.get('value',-1), len(d.get('queries',{})))); sys.exit(0 if f == [] else 1)"
 
 clean_data:
 	rm -rf $(OUT_DIR)

@@ -31,12 +31,46 @@ import org.apache.spark.sql.DataFrame
 object Ckpt {
   private val MaxCarried = BigInt(Long.MaxValue)
 
+  /** Cap applies on the way OUT of a successful localCheckpoint; the
+    * catch below covers the way IN: when the ORIGIN plan already
+    * carries compounded over-cap stats (a chain of raw
+    * `localCheckpoint`s built outside this module), the overflow
+    * throws inside localCheckpoint's own stats rewrite before any cap
+    * can engage — so the fallback rebuilds the checkpoint by hand
+    * (copy → localCheckpoint → force, the same steps
+    * `Dataset.localCheckpoint(eager = true)` performs) and wraps the
+    * materialized rows in a fresh-stats frame. Chains built entirely
+    * through [[local]] never take this path (every generation's carry
+    * is already bounded).
+    */
   def local(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint()
+    val ck =
+      try df.localCheckpoint()
+      catch {
+        case _: ArithmeticException => return rebuild(df)
+      }
     val carried = ck.queryExecution.analyzed.stats.sizeInBytes
     if (carried <= MaxCarried) ck
     else org.apache.spark.sql.GraftSqlBridge.internalFrame(
       df.sparkSession, ck.queryExecution.toRdd, ck.schema)
+  }
+
+  /** The hand-rolled checkpoint the ArithmeticException catch falls
+    * back to: copy → localCheckpoint → force, the same steps
+    * `Dataset.localCheckpoint(eager = true)` performs, then wrap the
+    * materialized rows in a fresh-stats frame — skipping the stats
+    * REWRITE that threw. Works because the overflow fires computing
+    * the origin plan's own output estimate (the product over its
+    * children), which physical planning never needs — the children's
+    * carried estimates are under the ceiling or their own checkpoints
+    * would have died first.
+    */
+  private[graft] def rebuild(df: DataFrame): DataFrame = {
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count()
+    org.apache.spark.sql.GraftSqlBridge.internalFrame(
+      df.sparkSession, rdd, df.schema)
   }
 
   /** Suffix form, so call sites read like the built-in. */

@@ -296,7 +296,10 @@ object SparkEntry {
     "q_contained_drop" ->
       ((s, dir) => Dedup.containedDrop(Tables.documents(s, dir))),
     // cross-modality agreement: does semantic dedup add anything over
-    // lexical on this corpus? (round-10 addition)
+    // lexical on this corpus? (round-10 addition) Since round 15 the
+    // embedding side is the memoized LSH pair graph — the 100 TB path
+    // (the brute composition is the spec-only gate: subset + recall
+    // floor pinned in DedupSpec) ⇒ rows-only driver gate
     "q_dedup_modality_agreement" ->
       ((s, dir) => Dedup.modalityAgreement(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     // survivor selection: connected components of the pair graph,
@@ -379,7 +382,7 @@ object SparkEntry {
     // the 100 TB path for the same semantics (LSH blocking, exact
     // re-score => precision 1, recall-gated in DedupSpec); approximate
     // recall => rows-only driver gate
-    "q_dedup_embedding_lsh" -> ((s, dir) => Dedup.embeddingPairsLsh(Tables.embeddings(s, dir))),
+    "q_dedup_embedding_lsh" -> ((s, dir) => Dedup.embeddingPairsLshCached(Tables.embeddings(s, dir))),
     // SemDeDup (Abbas et al. 2023): k-means-cluster-scoped semantic
     // dedup keeping the LOWEST-centroid-cosine member per duplicate
     // group — serves from the SAME trained k-means index as
@@ -974,7 +977,9 @@ object SparkEntry {
     "q_dedup_ngram" -> Dedup.sqlNgramPairs(),
     "q_dedup_sweep" -> Dedup.sqlDedupSweep(),
     "q_dedup_containment" -> Dedup.sqlContainmentPairs(),
-    "q_dedup_modality_agreement" -> Dedup.sqlModalityAgreement(),
+    // q_dedup_modality_agreement: rows-only since round 15 — the query
+    // serves the LSH pair graph (approximate recall); the brute
+    // composition sqlModalityAgreement twins stays the spec-scale gate
     "q_contained_drop" -> Dedup.sqlContainedDrop(),
     "q_dedup_incremental" -> Dedup.sqlIncrementalDedup(),
     "q_dedup_incremental_disk" -> Dedup.sqlIncrementalDedup(),

@@ -6,6 +6,8 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.CkptOps
+
 /** Persistence for the NEAR-dup store index — the [[BloomIndex]]
   * discipline applied to the lexical screen (the one asymmetry the
   * round-10 verdict called out: the exact screen served from a
@@ -180,8 +182,9 @@ object ShingleIndex {
     // the count-join explode, the verdict spine) — checkpoint the
     // batch-sized derivation once instead of re-running the
     // tokenize+shingle scan per branch (the decisionFromIndex
-    // discipline)
-    probeSets(spark, Dedup.hashedShingleSets(newDocs).localCheckpoint(), dir, tau)
+    // discipline; boundedCheckpoint so the carried-stats cap applies
+    // here like every other seam)
+    probeSets(spark, Dedup.hashedShingleSets(newDocs).boundedCheckpoint(), dir, tau)
 
   /** [[probe]] over a PREPARED batch set-frame — the seam a caller
     * screening the same batch several ways ([[Dedup.decisionFromIndex]])
@@ -201,7 +204,7 @@ object ShingleIndex {
     * hint) or the plain parquet with the shuffle_hash strategy the
     * in-session screen uses.
     */
-  private def probeIndex(spark: SparkSession, dir: String): DataFrame =
+  private[dedup] def probeIndex(spark: SparkSession, dir: String): DataFrame =
     bucketedTable(dir) match {
       case Some((tbl, nBuckets, loc)) =>
         if (!spark.catalog.tableExists(tbl)) {
@@ -248,7 +251,7 @@ object ShingleIndex {
   def containmentProbe(
       spark: SparkSession, newDocs: DataFrame, dir: String,
       tau: Double = 0.8): DataFrame =
-    containSets(spark, Dedup.hashedShingleSets(newDocs).localCheckpoint(), dir, tau)
+    containSets(spark, Dedup.hashedShingleSets(newDocs).boundedCheckpoint(), dir, tau)
 
   /** [[containmentProbe]] over a prepared batch set-frame (see
     * [[probeSets]]).
@@ -274,7 +277,7 @@ object ShingleIndex {
       new String(Files.readAllBytes(Paths.get(dir, "meta.json")), StandardCharsets.UTF_8))
     val nDocs = meta.get("n_docs").asLong()
     val spark = batchDocs.sparkSession
-    val batchSets = Dedup.hashedShingleSets(batchDocs).localCheckpoint()
+    val batchSets = Dedup.hashedShingleSets(batchDocs).boundedCheckpoint()
     batchSets.write.mode(SaveMode.Append).parquet(s"$dir/sets")
     val batchPostings = batchSets
       .select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))

@@ -26,11 +26,24 @@ import org.apache.spark.sql.functions._
   *     re-evaluates the generator at its SOURCE id). Replication
   *     would give every doc 9 exact cross-copy twins — a pathological
   *     duplicate structure that would quadratically distort the dedup
-  *     families' scaling measurement. Fresh generation preserves the
-  *     observed sf0.1 shape: ~40-word vocab, 8–100 token docs, ~40%
-  *     en / 15% each zh-es-fr-de, 20 uniform sources, ~0.5% exact
-  *     twins, ~4% near-dup plants; embeddings 64-dim uniform floats
-  *     with 10 labels and ~3% perturbed near-dup plants.
+  *     families' scaling measurement. Doc shape: 8–100 token docs,
+  *     ~40% en / 15% each zh-es-fr-de, 20 uniform sources, ~0.5%
+  *     exact twins, ~4% near-dup plants; embeddings 64-dim uniform
+  *     floats with 10 labels and ~3% perturbed near-dup plants.
+  *
+  *     VOCABULARY GROWS WITH THE CORPUS (Heaps' law — the round-14
+  *     verdict's "honest scale corpus" item): each token draws 50/50
+  *     from a fixed 40-word HEAD (the common words every real corpus
+  *     shares, so boilerplate-grade shingles still exist and the
+  *     hot-posting paths stay exercised) or from a TAIL of
+  *     ⌈8·√(total tokens)⌉ synthetic word types (V = K·N^β with
+  *     β = 0.5 — the published Heaps exponent range for web text).
+  *     The pre-round-15 generator drew every token from the fixed 40
+  *     words, so shingle/simhash/minhash candidate mass densified ~n²
+  *     purely as a corpus artifact (SCALING.md's measured exp3 1.78
+  *     on the canonical banded simhash plan); with the Heaps tail,
+  *     candidate sparsity scales the way a real crawl's does and the
+  *     ladder measures the OPERATORS, not the generator.
   *
   * Usage: runMain graft.tools.GenSf <srcSfDir> <outDir> [copies=10]
   */
@@ -108,12 +121,21 @@ object GenSf {
     val nDocsBase = spark.read.parquet(s"$src/documents.parquet").count()
     val nDocs = nDocsBase * copies
     val vocabArr = s"array(${Vocab.map(w => s"'$w'").mkString(", ")})"
+    // Heaps-law tail size: V = ⌈8·√N⌉ over N ≈ nDocs · E[tokens/doc]
+    // (mean of 8 + U{0..92} = 54). Fixed per generated dataset so the
+    // text stays a pure function of (id, j) and planted duplicates
+    // re-evaluate identically.
+    val tailSize = math.max(1000L, math.ceil(8.0 * math.sqrt(nDocs * 54.0)).toLong)
     // base text of ANY id column — re-evaluated at the source id for
-    // planted duplicates, so no join materializes
+    // planted duplicates, so no join materializes. Token draw: 50%
+    // head word (fixed 40), 50% Heaps-tail word.
     def baseText(idCol: String): String = {
       val n = s"(8 + pmod(xxhash64($idCol, 1), 93))"
+      val headWord =
+        s"element_at($vocabArr, int(pmod(xxhash64($idCol, j + 1), ${Vocab.size})) + 1)"
+      val tailWord = s"concat('t', pmod(xxhash64($idCol, j + 301), ${tailSize}L))"
       s"concat_ws(' ', transform(sequence(1, int($n)), " +
-        s"j -> element_at($vocabArr, int(pmod(xxhash64($idCol, j + 1), ${Vocab.size})) + 1)))"
+        s"j -> if(pmod(xxhash64($idCol, j + 201), 2) = 0, $headWord, $tailWord)))"
     }
     spark.range(nDocs)
       .withColumn("kind", pmod(xxhash64(col("id"), lit(0)), lit(1000)))

@@ -54,6 +54,27 @@ class CkptSpec extends SparkSpec {
     assert(ck.count() === df.count())
   }
 
+  test("the ArithmeticException fallback rebuilds the same rows with fresh bounded stats") {
+    // the catch body (Ckpt.rebuild) is exercised directly: driving a
+    // REAL raw-chain overflow requires grinding ~2^30-bit BigInteger
+    // products for minutes (the magnitudes just below the BigInteger
+    // ceiling), so the glue `catch ArithmeticException => rebuild` is
+    // read-verified and the fallback itself is behavior-verified here
+    withHugeDefaults {
+      val base = spark.createDataFrame(
+        spark.sparkContext.parallelize((1L to 100L).map(i => (i, i * 3))),
+      ).toDF("k", "v")
+      val joined = base.join(base.withColumnRenamed("v", "w"), "k")
+      val rebuilt = Ckpt.rebuild(joined)
+      assert(rebuilt.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+        === joined.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted,
+        "the fallback must materialize exactly the origin's rows")
+      assert(rebuilt.queryExecution.analyzed.stats.sizeInBytes <= BigInt(Long.MaxValue),
+        "the fallback frame must carry fresh bounded stats")
+      assert(rebuilt.queryExecution.analyzed.getClass.getSimpleName == "LogicalRDD")
+    }
+  }
+
   test("a deep chain of bounded checkpoints never overflows stats estimation") {
     withHugeDefaults {
       val base = spark.createDataFrame(

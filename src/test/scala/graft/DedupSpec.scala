@@ -365,11 +365,21 @@ class DedupSpec extends SparkSpec {
     assert(Memo.missCount === afterEval,
       "ngramPairs must reuse the family's shingle-set materialization")
     // the incremental screen reads the SAME seam for BOTH its screens
-    // (the md5 content hash rides setsCached), so it adds no misses
-    // and no second corpus scan
+    // (the md5 content hash rides setsCached) and pays exactly ONE new
+    // materialization: the shared intersection-counts table
     Dedup.incrementalDedup(docs, batchMod = 2).collect()
-    assert(Memo.missCount === afterEval,
-      "incrementalDedup must feed both screens from the shared shingle+hash seam")
+    val afterIncr = Memo.missCount
+    assert(afterIncr - afterEval === 1L,
+      "incrementalDedup must pay only the shared counts seam over setsCached")
+    // a repeat hits the counts memo outright
+    Dedup.incrementalDedup(docs, batchMod = 2).collect()
+    assert(Memo.missCount === afterIncr,
+      "repeated incrementalDedup must hit the counts memo")
+    // the full ingest decision's store AND containment screens ride
+    // the SAME counts entry (alpha = min(tau, tauContain) = tau here)
+    Dedup.ingestDecision(docs, batchMod = 2).collect()
+    assert(Memo.missCount === afterIncr,
+      "ingestDecision's two store-facing screens must share incrementalDedup's counts entry")
   }
 
   test("incrementalDedup: hand-built batch vs existing — exact twin, near-dup, unique, batch-internal ignored") {
@@ -397,6 +407,41 @@ class DedupSpec extends SparkSpec {
     assert(got(10L) === ((0L, 1L, 0L)), "near-dup of existing doc 2 only")
     assert(got(20L) === ((0L, 0L, 1L)), "unique batch doc keeps")
     assert(got(30L) === ((0L, 0L, 1L)), "batch-internal near-dup must NOT flag")
+  }
+
+  test("screen candidates: a corpus-wide boilerplate shingle does NOT fan the candidate join out to batch x store") {
+    import spark.implicits._
+    // every doc = 10 tokens unique to it + the SAME 5-token boilerplate
+    // footer (every real crawl has one). Under the round-14
+    // unrestricted count-join the footer's posting list alone joins
+    // every batch doc to every store doc (|batch| x |store| aggregate
+    // input rows); under the df-ordered prefix the footer shingles
+    // carry MAXIMAL df, sort last in every doc's order, and never
+    // probe — candidates must be exactly the planted near-dup pair.
+    val footer = "visit the common footer boilerplate"
+    val base = (0L until 60L).map(i =>
+      (i, (0 until 10).map(j => s"w${i}x$j").mkString(" ") + " " + footer))
+    // batch doc 20 is a verbatim copy of store doc 7 (the one true pair)
+    val planted = base.map { case (i, t) =>
+      if (i == 20L) (i, base.find(_._1 == 7L).get._2) else (i, t)
+    }
+    val docsDf = planted.toDF("doc_id", "text")
+    val sets = Dedup.setsCached(docsDf)
+    val isBatch = pmod(col("doc_id"), lit(10L)) === 0
+    val exIndex = sets.filter(!isBatch)
+      .select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
+    val cands = Dedup.screenCandidates(sets.filter(isBatch), exIndex, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cands.toSet === Set((20L, 7L)),
+      s"boilerplate must stay out of every prefix: got ${cands.length} candidate pairs " +
+        s"(|batch| x |store| would be ${6 * 54})")
+    // and the verdicts with the plant are still exact: 20 is the only
+    // non-keeper in the batch (exact twin of 7), everything else keeps
+    val got = Dedup.incrementalDedup(docsDf, batchMod = 10, tau = 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(20L) === ((1L, 1L, 0L)), "planted twin must flag exact + near and drop")
+    assert(got.filter(_._1 != 20L).values.forall(_ == ((0L, 0L, 1L))),
+      "boilerplate alone must never flag a batch doc")
   }
 
   test("incrementalDedup: one-sided prefix probe equals the brute cross comparison on a fixed-seed corpus") {
@@ -1119,10 +1164,12 @@ class DedupSpec extends SparkSpec {
     assert(real === expect)
   }
 
-  test("modalityAgreement: counts tie out against the two pair operators it composes") {
+  test("modalityAgreement: brute form ties out exactly; the served LSH form is a recall-floored subset of it") {
     val docsDf = Tables.documents(spark, sf)
     val emb = Tables.embeddings(spark, sf)
-    val r = Dedup.modalityAgreement(docsDf, emb).collect()
+    // ---- the brute composition (the gate-only exact form): counts
+    // tie out against the two pair operators it composes
+    val r = Dedup.modalityAgreement(docsDf, emb, useLsh = false).collect()
     assert(r.length === 1)
     val row = r.head
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
@@ -1136,6 +1183,19 @@ class DedupSpec extends SparkSpec {
     val expJac = if (union > 0) math.floor((t & e).size.toDouble / union * 1e6 + 0.5) / 1e6 else 0.0
     assert(row.getDouble(3) === expJac)
     assert(t.nonEmpty && e.nonEmpty, "both modalities must find pairs on the test corpus")
+    // ---- the SERVED form (useLsh default): the embedding side is the
+    // LSH graph — exact-rescored, so a SUBSET of brute on both counts,
+    // the text side identical, and recall stays usable (the
+    // embedIncremental/embedDedupBest floor)
+    val lshRow = Dedup.modalityAgreement(docsDf, emb).collect().head
+    assert(lshRow.getLong(0) === t.size.toLong, "text side must be identical in both forms")
+    assert(lshRow.getLong(1) <= row.getLong(1), "LSH embed pairs must never overcount brute")
+    assert(lshRow.getLong(2) <= row.getLong(2), "LSH intersection must never overcount brute")
+    assert(lshRow.getLong(1) >= (0.3 * row.getLong(1)).toLong,
+      s"LSH embed-pair recall collapsed: ${lshRow.getLong(1)} of ${row.getLong(1)}")
+    // and the served pairs really are a subset (not just count-bounded)
+    val eLsh = pairs(Dedup.embeddingPairsLshCached(emb).select("vec_a", "vec_b"))
+    assert(eLsh.subsetOf(e), "exact-rescored LSH pairs must be a subset of the brute graph")
   }
 
   test("dedupReport: one-row dashboard agrees with the operators it summarizes") {
@@ -1447,6 +1507,16 @@ class DedupSpec extends SparkSpec {
     if (docId % 4 == 0) boilerA +: body
     else if (docId % 4 == 2) body :+ boilerB
     else body
+  }
+
+  test("line dedup: an out-of-range doc_id fails loudly instead of corrupting the packed winner key") {
+    import spark.implicits._
+    val bad = Seq(((1L << 43), "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val ex = intercept[Exception] { Dedup.lineDedup(bad).collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("lineDedup winner-key packing")),
+      s"expected the packing-contract error, got: ${ex.getMessage}")
   }
 
   test("line dedup: keep-first on a hand-built corpus, boilerplate removed everywhere but its first carrier") {

@@ -5,8 +5,12 @@
 #   sbt "runMain graft.tools.GenSf /root/testdata/sf0.1 localdata/sf3 30"
 # Round suffix via $1 (default r14).
 cd /root/repo
-R=${1:-r14}
+R=${1:-r15}
 set -x
+# compile first: the capture loop runs java straight against
+# target/scala-2.13/classes, so stale or missing classes would
+# otherwise be benched silently as if current
+sbt -batch compile || exit 1
 for pair in "/root/testdata/sf0.1 BENCH_LOCAL_${R}_sf0.1.json" "localdata/sf1 BENCH_LOCAL_${R}_sf1.json" "localdata/sf3 BENCH_LOCAL_${R}_sf3.json"; do
   set -- $pair
   dir=$1; out=$2
