@@ -117,23 +117,14 @@ object DocEmbed {
     val t0 = System.nanoTime()
     chunkEmbedCached(documents)
     val t1 = System.nanoTime()
-    graft.dedup.Dedup.semPrewarm(semChunkVecs(documents))
+    // ONE index warms the whole chunk family since round 15: the
+    // semdedup and the ANN search share the annChunkEmb frame and the
+    // semCells-adaptive kmeans/assignment memo keys
+    graft.dedup.Dedup.semPrewarm(annChunkEmb(documents))
     val t2 = System.nanoTime()
-    // the ANN read path's index at its defaults (kmeansCached 16:5
-    // over the zero-norm-filtered frame — chunkSearchAnn's memo keys)
-    locally {
-      import graft.sim.Similarity
-      val emb = annChunkEmb(documents)
-      val cents = Similarity.kmeansCached(emb, 16, 5)
-        .select(col("cell"), col("cv"), lit(1.0).as("cn"))
-      Similarity.assignCellsCached(emb, cents, "kmeans:16:5")
-      ()
-    }
-    val t3 = System.nanoTime()
     Seq(
       "text_chunk_embed" -> ((t1 - t0) / 1e9),
-      "text_chunk_sem_index" -> ((t2 - t1) / 1e9),
-      "text_chunk_ann_index" -> ((t3 - t2) / 1e9))
+      "text_chunk_index" -> ((t2 - t1) / 1e9))
   }
 
   def sqlChunkEmbed(chunkTokens: Int = 64, stride: Int = 32): String = {
@@ -216,13 +207,11 @@ object DocEmbed {
         col("cosine"))
   }
 
-  /** Chunk-id span reserved per doc when packing (doc_id, chunk_id)
-    * into one synthetic vec_id: chunk_id = tokenStart/stride, so a
-    * doc would need >2^20 stride-32 windows (~33M tokens) to overflow.
-    */
-  private val ChunkSpan = 1L << 20
-
-  /** Chunk-id-major vec_id packing for operators that SEED by low
+  /** Chunk-id-major vec_id packing for the chunk-vector corpus —
+    * shared by BOTH chunk-index consumers (the ANN search and the
+    * chunk semdedup) since round 15, so one trained k-means index
+    * serves the family (the q_semdedup ↔ q_ann_ivf_kmeans discipline
+    * at chunk granularity). Chunk-major because operators SEED by low
     * vec_id ([[graft.sim.Similarity.kmeansCentroids]] seeds cells from
     * vec_id < nCells): chunk_id·2^40 + doc_id puts the first nCells
     * DOCS' first chunks in the seed set (a spread across documents)
@@ -262,15 +251,15 @@ object DocEmbed {
     * size, the graph stays subcritical, and only near-identical token
     * multisets (true passage copies) cluster.
     */
-  /** The chunk-vector table in [[chunkSearchAnn]]'s index shape
-    * (ChunkSpan vec_id packing, columns carried for the re-score
-    * join) — extracted so the bench prewarm warms the SAME
-    * canonicalized plan the query keys its memoized k-means on.
+  /** The chunk-vector table in the family's index shape ([[SemChunkSpan]]
+    * vec_id packing, columns carried for the re-score join) —
+    * extracted so the bench prewarm warms the SAME canonicalized plan
+    * the queries key their memoized k-means on.
     */
   private[graft] def annChunkVecs(documents: DataFrame): DataFrame =
     chunkEmbedCached(documents)
       .select(col("doc_id"), col("chunk_id"),
-        (col("doc_id") * lit(ChunkSpan) + col("chunk_id")).as("vec_id"),
+        (col("chunk_id") * lit(SemChunkSpan) + col("doc_id")).as("vec_id"),
         array((0 until dims).map(j => col(s"e$j").cast("double")): _*)
           .as("embedding"))
 
@@ -290,27 +279,18 @@ object DocEmbed {
       .filter(vdot(col("embedding"), col("embedding")) > 0.0)
   }
 
-  /** The chunk-vector table in [[graft.dedup.Dedup.semDedup]]'s input
-    * shape (SemChunkSpan vec_id packing) — extracted so the bench
-    * prewarm warms the SAME canonicalized plan the query keys its
-    * memoized k-means on.
-    */
-  private[graft] def semChunkVecs(documents: DataFrame): DataFrame =
-    chunkEmbedCached(documents).select(
-      (col("chunk_id") * lit(SemChunkSpan) + col("doc_id")).as("vec_id"),
-      array((0 until dims).map(j => col(s"e$j").cast("double")): _*)
-        .as("embedding"))
-
   def semDedupChunks(
       documents: DataFrame, nCells: Int = 16, iters: Int = 5,
-      tau: Double = 0.99): DataFrame = {
-    val chunkVecs = semChunkVecs(documents)
-    graft.dedup.Dedup.semDedup(chunkVecs, nCells, iters, tau)
+      tau: Double = 0.99): DataFrame =
+    // the UNIFIED chunk frame ([[annChunkEmb]] — the same canonicalized
+    // plan q_chunk_search_ann builds its IVF index over), so the chunk
+    // family trains ONE k-means index per session for both the dedup
+    // and the search path
+    graft.dedup.Dedup.semDedup(annChunkEmb(documents), nCells, iters, tau)
       .select(pmod(col("vec_id"), lit(SemChunkSpan)).as("doc_id"),
         expr(s"vec_id DIV ${SemChunkSpan}L").as("chunk_id"),
         col("cell"), col("cluster_id"), col("n_docs").as("n_chunks"),
         col("centroid_cos"), col("keep"))
-  }
 
   /** q168: ANN-SERVED chunk retrieval — the 100 TB shape of #167 (the
     * VERDICT's top item: the brute scan was the only baseline in the
@@ -340,10 +320,14 @@ object DocEmbed {
     val vdot = graft.functions.GraftFunctions.vecDot _
     val chunkVecs = annChunkVecs(documents)
     val embFrame = annChunkEmb(documents)
-    val cents = Similarity.kmeansCached(embFrame, nCells, iters)
+    // corpus-adaptive cell count under the SAME memo keys as the chunk
+    // semdedup (Dedup.semCells — identical frame, identical tag), so
+    // search and dedup serve from one trained index at every scale
+    val cells0 = graft.dedup.Dedup.semCells(embFrame, nCells)
+    val cents = Similarity.kmeansCached(embFrame, cells0, iters)
       .select(col("cell"), col("cv"), lit(1.0).as("cn"))
     val assigned =
-      Similarity.assignCellsCached(embFrame, cents, s"kmeans:$nCells:$iters")
+      Similarity.assignCellsCached(embFrame, cents, s"kmeans:$cells0:$iters")
     // queries: the #164 doc embeddings, unit-prepared; zero-norm
     // excluded (no direction), bounded at nQueries rows
     val queries = docEmbed(documents)
