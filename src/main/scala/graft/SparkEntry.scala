@@ -266,6 +266,15 @@ object SparkEntry {
     // canonical), twin replays the planting (round-13 addition)
     "q_dedup_normalized" -> ((s, dir) =>
       Dedup.exactNormalized(Tables.documents(s, dir))),
+    // URL canonicalization + keep-first url dedup — the FIRST screen
+    // of every crawl pipeline (drop a re-crawled page on its address
+    // before touching its bytes): scan-side canonicalization (host
+    // case, fragment, trailing slash, utm strip, param sort) + one
+    // groupBy(canonical) keep-first; urls planted from doc_id
+    // arithmetic (the q_dedup_normalized planting discipline), twin
+    // replays planting + every rule (round-15 addition)
+    "q_url_dedup" -> ((s, dir) =>
+      graft.dedup.UrlDedup.urlDedup(Tables.documents(s, dir))),
     // LINE-level exact dedup, keep-first corpus-wide: the sub-document
     // screen (C4/RefinedWeb repeated-line removal) between whole-doc
     // exact dedup and span scrubbing; boilerplate lines planted from
@@ -970,6 +979,7 @@ object SparkEntry {
     // models => rows-only, monotone-recall-pinned in DedupSpec).
     "q_dedup_exact" -> Dedup.sqlExact,
     "q_dedup_normalized" -> Dedup.sqlExactNormalized,
+    "q_url_dedup" -> graft.dedup.UrlDedup.sqlUrlDedup,
     "q_dedup_lines" -> Dedup.sqlLineDedup,
     "q_dup_spans" -> Dedup.sqlDupSpans(),
     "q_dup_span_scrub" -> Dedup.sqlDupSpanScrub(),
