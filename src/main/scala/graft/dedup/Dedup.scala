@@ -1633,28 +1633,47 @@ object Dedup {
       dims: Int = -1): DataFrame = {
     // corpus-adaptive width (floorBits is the floor) — see [[lshBits]]
     val bits = lshBits(embeddings, floorBits)
-    // referenced by the left/right candidate sides AND both re-score
-    // joins (4 consumers, all corpus-sized) — checkpoint so the scan +
-    // bucket projection run once instead of four times
+    // both collision sides read the bucket projection — checkpoint so
+    // the scan + hyperplane hashing run once
     val e = graft.sim.Similarity.bucketedCorpus(embeddings, tables, bits, dims).boundedCheckpoint()
-    val left = e.select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bkt")))
+    // SCORE AT THE JOIN (round 15): both sides carry their vector
+    // through the bucket shuffle and every collision is scored +
+    // τ-filtered INSIDE the join stage, so only true near-dup pairs
+    // ever shuffle again (the final distinct over survivors). The
+    // round-14 shape was candidates-then-verify: a candidate-scale
+    // distinct over the raw collision pairs, then TWO corpus joins
+    // re-attaching both vectors — the intermediate (pairs + first
+    // vector) re-shuffled dims·8 bytes per CANDIDATE by vec_b, and
+    // the collision-pair distinct was the sf3 ladder's biggest spill
+    // source (57 s / exp3 2.25). Carrying vectors through the bucket
+    // shuffle is the standard distributed LSH-join layout: shuffle
+    // volume is n·tables·(1+bits)·dims — linear in the corpus at
+    // bounded occupancy — duplicate collisions re-score (identical
+    // IEEE arithmetic ⇒ identical 6-dp value, so the survivor
+    // distinct collapses them exactly), and nothing candidate-scale
+    // is ever aggregated or re-shuffled.
+    val left = e.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(col("buckets")).as(Seq("t", "bkt")))
     val right = e
-      .select(col("vec_id").as("vid_b"), posexplode(col("buckets")).as(Seq("t", "qbkt")))
-      .select(col("vid_b"), col("t"),
+      .select(col("vec_id").as("vid_b"), col("v").as("vb"), col("nrm").as("nb"),
+        posexplode(col("buckets")).as(Seq("t", "qbkt")))
+      .select(col("vid_b"), col("vb"), col("nb"), col("t"),
         explode(expr(
           s"transform(sequence(-1, ${bits - 1}), j -> if(j < 0, qbkt, qbkt ^ shiftleft(1L, j)))"))
           .as("bkt"))
-    val cands = left.join(right, Seq("t", "bkt"))
+    // NO join-strategy hint: both sides are corpus-scale and carry
+    // vectors, so the safe strategy is the planner's spillable
+    // sort-merge (a forced shuffle-hash build of the multi-probe side
+    // is gigabytes of unspillable hash map — it OOMed the sf3 bench
+    // under the session's pinned memo blocks)
+    left.join(right, Seq("t", "bkt"))
       .filter(col("vec_id") < col("vid_b"))
-      .select(col("vec_id").as("vec_a"), col("vid_b").as("vec_b"))
-      .distinct()
-    val side = e.select(col("vec_id"), col("v"), col("nrm"))
-    cands
-      .join(side.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
-      .join(side.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
-      .withColumn("cos", graft.sim.Similarity.cosineExpr("va", "vb") / (col("na") * col("nb")))
+      .withColumn("cos",
+        graft.sim.Similarity.cosineExpr("v", "vb") / (col("nrm") * col("nb")))
       .filter(col("cos") >= tau)
-      .select(col("vec_a"), col("vec_b"), Det.r(col("cos"), 6).as("cosine"))
+      .select(col("vec_id").as("vec_a"), col("vid_b").as("vec_b"),
+        Det.r(col("cos"), 6).as("cosine"))
+      .distinct()
   }
 
   /** Memoized, materialized [[embeddingPairsLsh]] at its query

@@ -80,7 +80,15 @@ object GenSf {
       val shifted = shifts.foldLeft(outDf) { case (df, (c, max)) =>
         df.withColumn(c, col(c) + col("__copy") * lit(max))
       }
+      // the source sf0.1 tables arrive in 1-2 files, and crossJoin
+      // inherits that partitioning — an 18M-row sf3 lineitem written
+      // as TWO files caps every downstream scan at ~2-way parallelism
+      // (a layout no real warehouse has; measured: q_pricing_summary
+      // spent its whole 18 s in a near-serial scan). Write the scaled
+      // tables in session-parallelism file counts like any real
+      // ingest job would.
       shifted.drop("__copy")
+        .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
       println(s"[gensf] $name: ${base.count()} x $copies")
     }
@@ -113,6 +121,7 @@ object GenSf {
         .withColumn("event_id", col("event_id") + col("__copy") * lit(maxEvId))
         .withColumn("user_id", col("user_id") + col("__copy") * lit(maxUser))
         .drop("__copy")
+        .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
       println(s"[gensf] events: ${ev.count()} x $copies")
     }
