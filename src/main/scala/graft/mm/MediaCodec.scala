@@ -1147,18 +1147,77 @@ object MediaCodec {
         col("band.bi").as("bi"), col("band.bv").as("bv"))
   }
 
-  def imageDedup(documents: DataFrame, tau: Int = 2): DataFrame = {
+  /** DISTINCT-HASH collapse (round 15): one row per distinct dHash
+    * value with its representative (min doc_id — unique per hash, so
+    * it doubles as the hash's id). Re-encoded/re-crawled images
+    * duplicate heavily at EXACT hash equality (this corpus: 142k
+    * decodable sf3 images → 1,233 distinct hashes), so everything
+    * pairwise runs at DISTINCT-HASH cardinality and image-level
+    * results EXPAND from group membership — the candidate band join
+    * stops being quadratic in the duplication factor (a hot band
+    * value shared by a 5k-image pile is one rep-level row), which
+    * was q_image_dedup/q_image_drop's exp3 1.7/1.5 ladder tail.
+    */
+  private[mm] def hashGroups(ph: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val ub = bandUnpivot(phashCached(documents))
-    val l = ub.toDF("a", "a0", "a1", "a2", "a3", "bi", "bv")
-    val r = ub.toDF("b", "c0", "c1", "c2", "c3", "bi", "bv")
-    val cands = l.join(r, Seq("bi", "bv")).filter(col("a") < col("b"))
-      .select("a", "b", "a0", "a1", "a2", "a3", "c0", "c1", "c2", "c3")
-      .distinct()
+    ph.filter(col("err") === "")
+      .groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
+      .agg(min(col("doc_id")).as("rep"))
+  }
+
+  /** (doc_id, rep) membership: every decodable image tagged with its
+    * hash group's representative.
+    */
+  private[mm] def hashMembers(ph: DataFrame, groups: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ph.filter(col("err") === "")
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"))
+      .join(groups, Seq("b0", "b1", "b2", "b3"))
+      .select(col("doc_id"), col("rep"))
+  }
+
+  /** Rep-level Hamming-≤tau pairs over the DISTINCT hashes: the banded
+    * self-join at distinct-hash cardinality (lossless for tau ≤ 3 —
+    * ≤ 3 flipped bits leave ≥ 1 of the 4 bands intact).
+    */
+  private[mm] def repPairs(groups: DataFrame, tau: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gb = groups.select(col("rep"), col("b0"), col("b1"), col("b2"), col("b3"),
+      explode(array((0 to 3).map(i =>
+        struct(lit(i).as("bi"), col(s"b$i").as("bv"))): _*)).as("band"))
+      .select(col("rep"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("band.bi").as("bi"), col("band.bv").as("bv"))
+    val l = gb.toDF("ra", "a0", "a1", "a2", "a3", "bi", "bv")
+    val r = gb.toDF("rb", "c0", "c1", "c2", "c3", "bi", "bv")
     val hamming = (0 to 3).map(i =>
       bit_count(col(s"a$i").bitwiseXOR(col(s"c$i")))).reduce(_ + _).cast("long")
-    cands.select(col("a"), col("b"), hamming.as("hamming"))
+    l.join(r, Seq("bi", "bv")).filter(col("ra") < col("rb"))
+      .select("ra", "rb", "a0", "a1", "a2", "a3", "c0", "c1", "c2", "c3")
+      .distinct()
+      .select(col("ra"), col("rb"), hamming.as("hamming"))
       .filter(col("hamming") <= tau)
+  }
+
+  def imageDedup(documents: DataFrame, tau: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ph = phashCached(documents)
+    val groups = hashGroups(ph).localCheckpoint()
+    val memb = hashMembers(ph, groups)
+    // image pairs EXPAND from the rep-level graph: identical-hash
+    // pairs are Hamming 0 by definition (the within-group self-join
+    // is output-sized — those pairs are in the result), cross-group
+    // pairs inherit their reps' Hamming (the distance depends only on
+    // the hash values). Join INPUT is corpus-sized + rep-graph-sized;
+    // nothing quadratic in the duplication factor ever enters a join.
+    val within = memb.toDF("da", "rep").join(memb.toDF("db", "rep"), Seq("rep"))
+      .filter(col("da") < col("db"))
+      .select(col("da").as("a"), col("db").as("b"), lit(0L).as("hamming"))
+    val cross = repPairs(groups, tau)
+      .join(memb.toDF("da", "ra"), Seq("ra"))
+      .join(memb.toDF("db", "rb"), Seq("rb"))
+      .select(least(col("da"), col("db")).as("a"),
+        greatest(col("da"), col("db")).as("b"), col("hamming"))
+    within.unionAll(cross)
   }
 
   /** DuckDB twin of [[imageDedup]]: the [[sqlPhashCtes]] bands pushed
@@ -1312,13 +1371,25 @@ object MediaCodec {
     */
   def imageDrop(documents: DataFrame, tau: Int = 2): DataFrame = {
     import org.apache.spark.sql.functions._
-    val ph = phashCached(documents).filter(col("err") === "").select("doc_id")
-    val pairs = imageDedup(documents, tau)
-      .select(col("a").as("doc_a"), col("b").as("doc_b"))
-    val labels = graft.dedup.Dedup.clusters(pairs).localCheckpoint()
-    ph.join(labels, Seq("doc_id"), "left")
+    // connected components run at DISTINCT-HASH cardinality (round
+    // 15): images with identical hash are pairwise Hamming 0, so the
+    // image-level component structure IS the rep-level structure
+    // expanded through group membership, and each rep is already its
+    // group's min doc_id — the min-label CC over reps yields exactly
+    // the image component's min doc_id. The pre-round-15 form ran CC
+    // label propagation over the EXPANDED image pair graph — millions
+    // of pairs re-scanned per CC round on a corpus that collapses to
+    // ~1k distinct hashes.
+    val ph = phashCached(documents)
+    val groups = hashGroups(ph).localCheckpoint()
+    val memb = hashMembers(ph, groups)
+    val labels = graft.dedup.Dedup.clusters(
+      repPairs(groups, tau).select(col("ra").as("doc_a"), col("rb").as("doc_b")))
+      .withColumnRenamed("doc_id", "rep")
+      .localCheckpoint()
+    memb.join(labels, Seq("rep"), "left")
       .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
       .withColumn("keep", col("cluster_id") === col("doc_id"))
   }
 
