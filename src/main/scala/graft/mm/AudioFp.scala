@@ -141,7 +141,7 @@ object AudioFp {
     bands
   }
 
-  private final case class FpRow(
+  private[mm] final case class FpRow(
       doc_id: Long, n_frames: Long,
       b0: Long, b1: Long, b2: Long, b3: Long, err: String)
 

@@ -79,7 +79,7 @@ object GifDedup {
   private[graft] def gdSig(g: Long, cid: Long): Long =
     (0 until 8).map(j => gdByte(g, cid, j).toLong << (8 * j)).sum
 
-  private final case class GifFrameRow(
+  private[mm] final case class GifFrameRow(
       doc_id: Long, frame_pos: Long, frame_sig: Long, err: String)
 
   /** q173: the per-(doc, frame) signature table from the REAL walk. */

@@ -323,7 +323,7 @@ object MediaCodec {
     }
   }
 
-  private final case class DecodedHeader(
+  private[mm] final case class DecodedHeader(
       doc_id: Long, container: String, width: Long, height: Long, err: String)
 
   /** q138: real header decode over planted real-format bytes — the
@@ -360,7 +360,7 @@ object MediaCodec {
     math.floorMod(x * 3L + y * 5L + 2L * docId, 256L).toInt,
     math.floorMod(x + y + 3L * docId, 256L).toInt)
 
-  private final case class DecodedPixels(
+  private[mm] final case class DecodedPixels(
       doc_id: Long, width: Long, height: Long,
       sum_r: Long, sum_g: Long, sum_b: Long, err: String)
 
@@ -580,7 +580,7 @@ object MediaCodec {
   private[mm] def wavSample(docId: Long, frame: Int, ch: Int): Int =
     (math.floorMod(docId * 31L + frame * 17L + ch * 1009L, 65536L) - 32768L).toInt
 
-  private final case class DecodedWav(
+  private[mm] final case class DecodedWav(
       doc_id: Long, channels: Long, sample_rate_hz: Long, n_frames: Long,
       duration_ms: Long, sum_abs: Long, peak_abs: Long, err: String)
 
@@ -841,7 +841,7 @@ object MediaCodec {
   private[mm] def gifFrameH(docId: Long, f: Int): Long =
     1L + math.floorMod(docId * 11L + f * 5L, 48L)
 
-  private final case class DecodedGif(
+  private[mm] final case class DecodedGif(
       doc_id: Long, screen_w: Long, screen_h: Long, n_frames: Long,
       total_delay_cs: Long, max_frame_w: Long, max_frame_h: Long, err: String)
 
@@ -992,7 +992,7 @@ object MediaCodec {
     bands
   }
 
-  private final case class PhashRow(
+  private[mm] final case class PhashRow(
       doc_id: Long, width: Long, height: Long,
       b0: Long, b1: Long, b2: Long, b3: Long, err: String)
 

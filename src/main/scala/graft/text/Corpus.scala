@@ -868,7 +868,7 @@ object Corpus {
        |  start_off % $seqLen AS seq_offset
        |FROM pc""".stripMargin
 
-  private final case class PackBinRow(
+  private[text] final case class PackBinRow(
       doc_id: Long, n_tokens: Long, bin_id: Long, bin_offset: Long)
 
   /** q175: FIXED-BIN whole-document packing — first-fit-decreasing
