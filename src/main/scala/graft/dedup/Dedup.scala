@@ -678,11 +678,17 @@ object Dedup {
     require(batchMod >= 2, "batchMod must split the corpus into batch and existing")
     val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
     val sets = setsCached(documents)
+    // candidate alphaFrac at the FAMILY floor, not this screen's tau:
+    // containSetsFromCounts is exact under any candidate alphaFrac
+    // ≤ tau (supersets only add rows the C ≥ τ filter rejects), and
+    // probing at min(tau, near default) makes this the SAME memo entry
+    // q_dedup_incremental / q_ingest_decision derive — one store-facing
+    // counts materialization per session instead of one per threshold
     containSetsFromCounts(sets.filter(isBatch),
       interCountsCached(sets.filter(isBatch),
         sets.filter(!isBatch).select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
           .hint("shuffle_hash"),
-        tau),
+        math.min(tau, ScreenAlphaDefault)),
       tau)
   }
 
@@ -2873,6 +2879,15 @@ object Dedup {
     * shorten the prefix below the losslessness bound; under-ceiling
     * only admits extra candidates.
     */
+  /** The incremental family's default near-screen threshold — the
+    * candidate-stage floor the memoized counts entries share: every
+    * store-facing screen at a threshold ≥ this probes at this
+    * alphaFrac (lossless — candidate supersets only add rows the
+    * verdict filters reject) so the family derives ONE counts table
+    * per (batch, store) per session.
+    */
+  private[dedup] val ScreenAlphaDefault = 0.5
+
   private[graft] def screenCandidates(
       batchSets: DataFrame, exIndex: DataFrame, alphaFrac: Double): DataFrame = {
     require(alphaFrac > 0 && alphaFrac <= 1, s"alphaFrac must be in (0,1], got $alphaFrac")
@@ -2930,7 +2945,14 @@ object Dedup {
     */
   private[dedup] def interCountsBounded(
       batchSets: DataFrame, exIndex: DataFrame, alphaFrac: Double): DataFrame =
-    interCountsFor(batchSets, exIndex, screenCandidates(batchSets, exIndex, alphaFrac))
+    // checkpoint the candidate pairs: [[interCountsFor]] consumes them
+    // TWICE (the broadcast ex_id semi-join AND the pair-restriction
+    // join land on different exchanges, so ReuseExchange cannot merge
+    // them) — without the seam the whole multi-exchange probe subtree
+    // executes twice per counts derivation. The pair set is slim
+    // (16 B/row) and candidate-bounded by the prefix argument.
+    interCountsFor(batchSets, exIndex,
+      screenCandidates(batchSets, exIndex, alphaFrac).boundedCheckpoint())
 
   /** Session-scoped memo of the MATERIALIZED counts table — the
     * setsCached discipline applied to the screen aggregate: the
@@ -3144,7 +3166,7 @@ object Dedup {
     decisionFromCounts(batchSets, ShingleIndex.readSets(spark, dir),
       interCountsCached(batchSets, ShingleIndex.probeIndex(spark, dir),
         math.min(tau, tauContain)),
-      tau, tauContain)
+      tau, tauContain, memoSelf = true)
   }
 
   /** DuckDB twin of [[incrementalDedup]]: brute batch × existing cross
@@ -3204,7 +3226,10 @@ object Dedup {
       documents: DataFrame, batchMod: Long = 10, tau: Double = 0.5): DataFrame = {
     require(batchMod >= 2, "batchMod must carve a batch slice out of the corpus")
     val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
-    selfScreenSets(setsCached(documents).filter(isBatch), tau)
+    val sets = setsCached(documents).filter(isBatch)
+    // memoized self-counts: q_ingest_decision(+_disk) compose the
+    // identical batch self-screen — one batch×batch aggregate/session
+    selfScreenFromCounts(sets, selfCountsCached(sets, tau), tau)
   }
 
   /** The first-wins self-screen core over a prepared (doc_id, sh, ch)
@@ -3212,26 +3237,59 @@ object Dedup {
     * the mod-split query and the per-micro-batch streaming ingest
     * ([[graft.streaming.Events.ingestStream]]) run the identical plan.
     */
-  private[graft] def selfScreenSets(sets: DataFrame, tau: Double): DataFrame = {
+  private[graft] def selfScreenSets(sets: DataFrame, tau: Double): DataFrame =
+    selfScreenFromCounts(sets, selfCounts(sets, tau), tau)
+
+  /** The first-wins self-screen's COUNTS derivation — the store-screen
+    * machinery pointed at the batch's own inverted index: df-ordered
+    * prefix probe (bounded under batch-internal boilerplate exactly as
+    * the store screen is), candidates restricted to earlier-only
+    * BEFORE the count-join so each unordered pair is counted once,
+    * credited to the LATER doc (whose prefix the losslessness bound
+    * covers — the probe side is every batch doc, so pair (e, a) with
+    * e < a surfaces via a's probe).
+    */
+  private def selfCounts(sets: DataFrame, tau: Double): DataFrame = {
+    val exIndex = sets.select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
+      .hint("shuffle_hash")
+    // checkpointed for the same double-consumption reason as
+    // [[interCountsBounded]]
+    val cands = screenCandidates(sets, exIndex, tau)
+      .filter(col("ex_id") < col("doc_id"))
+      .boundedCheckpoint()
+    interCountsFor(sets, exIndex, cands)
+  }
+
+  /** Session-scoped memo of the MATERIALIZED self-screen counts — the
+    * [[interCountsCached]] discipline applied to the batch-internal
+    * screen: q_dedup_batch, q_ingest_decision AND q_ingest_decision_disk
+    * all run the identical first-wins self-screen over the identical
+    * batch slice (the disk twins differ only in the STORE side), so the
+    * batch×batch candidate probe + count-join materializes once per
+    * session instead of once per query. The per-micro-batch STREAMING
+    * ingest deliberately bypasses this memo (fresh plan per
+    * micro-batch — entries would only accumulate dead) via the inline
+    * [[selfScreenSets]] entry.
+    */
+  private val selfMemo = graft.Memo[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long), DataFrame]()
+
+  private def selfCountsCached(sets: DataFrame, tau: Double): DataFrame =
+    selfMemo.getOrElseUpdate(sets.sparkSession,
+      (sets.queryExecution.analyzed.canonicalized, math.round(tau * 1e6)))(
+      selfCounts(sets, tau).boundedCheckpoint())
+
+  /** The first-wins verdict from a prepared self-counts table: exact
+    * screen + the shared size-ratio + exact-Jaccard rollup over slim
+    * count rows — no shingle array is ever re-attached.
+    */
+  private def selfScreenFromCounts(
+      sets: DataFrame, counts: DataFrame, tau: Double): DataFrame = {
     // ---- exact screen: an earlier batch doc with the same md5
     val exactDups = sets.as("a")
       .join(sets.as("e").hint("shuffle_hash"),
         col("a.ch") === col("e.ch") && col("e.doc_id") < col("a.doc_id"), "left_semi")
       .select(col("a.doc_id").as("doc_id"))
-    // ---- near screen: the store-screen machinery pointed at the
-    // batch's own inverted index — df-ordered prefix probe (bounded
-    // under batch-internal boilerplate exactly as the store screen
-    // is), candidates restricted to earlier-only BEFORE the count-join
-    // so each unordered pair is counted once, credited to the LATER
-    // doc (whose prefix the losslessness bound covers — the probe side
-    // is every batch doc, so pair (e, a) with e < a surfaces via a's
-    // probe), then the shared size-ratio + exact-Jaccard rollup over
-    // slim count rows — no shingle array is ever re-attached.
-    val exIndex = sets.select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
-      .hint("shuffle_hash")
-    val cands = screenCandidates(sets, exIndex, tau)
-      .filter(col("ex_id") < col("doc_id"))
-    val counts = interCountsFor(sets, exIndex, cands)
     val exSizes = sets.select(col("doc_id").as("ex_id"), size(col("sh")).as("n_b"))
     val bSizes = sets.select(col("doc_id"), size(col("sh")).as("n_a"))
     val near = nearCountsRollup(counts, exSizes, bSizes, tau)
@@ -3271,7 +3329,7 @@ object Dedup {
         sets.filter(!isBatch).select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
           .hint("shuffle_hash"),
         math.min(tau, tauContain)),
-      tau, tauContain)
+      tau, tauContain, memoSelf = true)
   }
 
   /** The decision core over prepared set-frames — all three screens
@@ -3306,10 +3364,16 @@ object Dedup {
     */
   private def decisionFromCounts(
       batchSets: DataFrame, exSets: DataFrame, counts: DataFrame,
-      tau: Double, tauContain: Double): DataFrame = {
+      tau: Double, tauContain: Double,
+      memoSelf: Boolean = false): DataFrame = {
     val store = screenSetsFromCounts(batchSets, exSets, counts, tau)
       .select(col("doc_id"), col("keep").as("store_keep"))
-    val intra = selfScreenSets(batchSets, tau)
+    // memoSelf: the mod-split queries share the batch self-screen's
+    // counts session-wide (q_dedup_batch runs the identical screen);
+    // the per-micro-batch streaming entries keep the inline derivation
+    val intra = selfScreenFromCounts(batchSets,
+        if (memoSelf) selfCountsCached(batchSets, tau) else selfCounts(batchSets, tau),
+        tau)
       .select(col("doc_id"), col("keep").as("batch_keep"))
     val contain = containSetsFromCounts(batchSets, counts, tauContain)
       .select(col("doc_id"), col("keep").as("contain_keep"))

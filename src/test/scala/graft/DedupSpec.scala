@@ -376,10 +376,22 @@ class DedupSpec extends SparkSpec {
     assert(Memo.missCount === afterIncr,
       "repeated incrementalDedup must hit the counts memo")
     // the full ingest decision's store AND containment screens ride
-    // the SAME counts entry (alpha = min(tau, tauContain) = tau here)
+    // the SAME counts entry (alpha = min(tau, tauContain) = tau here);
+    // its batch self-screen pays the family's ONE self-counts seam
     Dedup.ingestDecision(docs, batchMod = 2).collect()
-    assert(Memo.missCount === afterIncr,
-      "ingestDecision's two store-facing screens must share incrementalDedup's counts entry")
+    val afterIngest = Memo.missCount
+    assert(afterIngest - afterIncr === 1L,
+      "ingestDecision's store-facing screens must share incrementalDedup's counts entry, " +
+        "adding only the batch self-screen's counts seam")
+    // batchDedup runs the identical self-screen — a pure memo hit
+    Dedup.batchDedup(docs, batchMod = 2).collect()
+    assert(Memo.missCount === afterIngest,
+      "batchDedup must hit the self-counts entry ingestDecision materialized")
+    // and the containment screen probes at the family alpha floor, so
+    // it rides the SAME store-facing counts entry too
+    Dedup.containedIncremental(docs, batchMod = 2).collect()
+    assert(Memo.missCount === afterIngest,
+      "containedIncremental must share the family's store-facing counts entry")
   }
 
   test("incrementalDedup: hand-built batch vs existing — exact twin, near-dup, unique, batch-internal ignored") {
