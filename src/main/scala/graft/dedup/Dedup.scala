@@ -624,9 +624,9 @@ object Dedup {
     */
   private[dedup] def containSetsWithIndex(
       batchSets: DataFrame, exSets: DataFrame, exIndex: DataFrame,
-      tau: Double): DataFrame =
+      tau: Double, dfT: Option[DataFrame] = None): DataFrame =
     containSetsFromCounts(batchSets,
-      interCountsBounded(batchSets, exIndex, tau), tau)
+      interCountsBounded(batchSets, exSets, exIndex, tau, dfT), tau)
 
   /** The containment verdict from a prepared counts table —
     * C(A→B) = |A∩B| / |A| needs only the intersection COUNT and the
@@ -641,11 +641,10 @@ object Dedup {
   private[dedup] def containSetsFromCounts(
       batchSets: DataFrame, counts: DataFrame, tau: Double): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
-    val bSizes = batchSets.select(col("doc_id"), size(col("sh")).as("n_a"))
     val contained = counts
-      .join(broadcast(bSizes), Seq("doc_id"))
       // identical arithmetic to the round-11 array walk: double count
-      // over double batch size (both exact integers)
+      // over double batch size (both exact integers; n_a rides the
+      // counts rows — no size-attach join)
       .filter(col("inter").cast("double") / col("n_a").cast("double") >= tau)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_containers"))
@@ -665,9 +664,10 @@ object Dedup {
   def containmentAgainst(
       newDocs: DataFrame, existingDocs: DataFrame, tau: Double = 0.8): DataFrame = {
     val exSets = setsCached(existingDocs)
-    containSetsWithIndex(hashedShingleSets(newDocs), exSets,
-      exSets.select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
-        .hint("shuffle_hash"), tau)
+    val exIndex = storeIndex(exSets)
+    // static store by contract: the memoized df is the right source
+    containSetsWithIndex(hashedShingleSets(newDocs), exSets, exIndex,
+      tau, Some(storeDfCached(exIndex)))
   }
 
   /** q139: [[containmentAgainst]] in the mod-split batch convention
@@ -685,9 +685,8 @@ object Dedup {
     // q_dedup_incremental / q_ingest_decision derive — one store-facing
     // counts materialization per session instead of one per threshold
     containSetsFromCounts(sets.filter(isBatch),
-      interCountsCached(sets.filter(isBatch),
-        sets.filter(!isBatch).select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
-          .hint("shuffle_hash"),
+      interCountsCached(sets.filter(isBatch), sets.filter(!isBatch),
+        storeIndex(sets.filter(!isBatch)),
         math.min(tau, ScreenAlphaDefault)),
       tau)
   }
@@ -2832,10 +2831,8 @@ object Dedup {
     // memoized counts: q_ingest_decision's store screen derives the
     // identical (batch, index, tau) aggregate — one screen per session
     screenSetsFromCounts(sets.filter(isBatch), sets.filter(!isBatch),
-      interCountsCached(sets.filter(isBatch),
-        sets.filter(!isBatch).select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
-          .hint("shuffle_hash"),
-        tau),
+      interCountsCached(sets.filter(isBatch), sets.filter(!isBatch),
+        storeIndex(sets.filter(!isBatch)), tau),
       tau)
   }
 
@@ -2847,10 +2844,22 @@ object Dedup {
     * IDENTICAL plan: exact screen on `ch`, one-sided prefix probe into
     * the store's inverted index, exact Jaccard verification.
     */
-  private def screenSets(batchSets: DataFrame, exSets: DataFrame, tau: Double): DataFrame =
-    screenSetsWithIndex(batchSets, exSets,
-      exSets.select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
-        .hint("shuffle_hash"), tau)
+  private def screenSets(batchSets: DataFrame, exSets: DataFrame, tau: Double): DataFrame = {
+    val exIndex = storeIndex(exSets)
+    // [[screenAgainst]]'s store is static by contract (the streaming
+    // form screens every micro-batch against the SAME store), so the
+    // memoized df is the right source here
+    screenSetsWithIndex(batchSets, exSets, exIndex, tau, Some(storeDfCached(exIndex)))
+  }
+
+  /** The store's inverted index derived from a prepared set-frame —
+    * ONE canonical expression shared by every in-session screen, so
+    * the df/counts memo keys (canonicalized index plans) line up
+    * across queries instead of near-missing on formulation drift.
+    */
+  private[dedup] def storeIndex(exSets: DataFrame): DataFrame =
+    exSets.select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
+      .hint("shuffle_hash")
 
   /** CANDIDATE stage of the store screens: the lossless one-sided
     * prefix probe, DF-ORDERED. For any pair with |A∩B| ≥ α :=
@@ -2888,12 +2897,41 @@ object Dedup {
     */
   private[dedup] val ScreenAlphaDefault = 0.5
 
+  /** The store's per-hash document frequency (h, df) — the prefix
+    * probe's ordering key. df is a STORE-ONLY property, so deriving it
+    * inside every candidate stage re-aggregated the store's full
+    * posting list once per screen (the round-15 baseline's largest
+    * fixed cost at bench scale). Derivations now come from one of
+    * three places, cheapest available first: the PERSISTED df table a
+    * [[ShingleIndex]] writes at build time, this session memo for
+    * in-session stores (one aggregate per store per session), or the
+    * inline aggregate for the growing-store streaming path (a fresh
+    * union plan per micro-batch would only pile up dead memo entries).
+    *
+    * Correctness does not depend on WHICH df the order uses: the
+    * prefix bound holds under ANY fixed total order on the hash
+    * universe (see [[screenCandidates]]), so a stale df — e.g. after
+    * an index [[ShingleIndex.append]] — only shifts candidate volume,
+    * never a verdict (candidate supersets are filtered exactly).
+    */
+  private[dedup] def inlineDf(exIndex: DataFrame): DataFrame =
+    exIndex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+
+  private val dfMemo = graft.Memo[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
+
+  private[dedup] def storeDfCached(exIndex: DataFrame): DataFrame =
+    dfMemo.getOrElseUpdate(exIndex.sparkSession,
+      exIndex.queryExecution.analyzed.canonicalized)(
+      inlineDf(exIndex).boundedCheckpoint())
+
   private[graft] def screenCandidates(
-      batchSets: DataFrame, exIndex: DataFrame, alphaFrac: Double): DataFrame = {
+      batchSets: DataFrame, exIndex: DataFrame, alphaFrac: Double,
+      dfT: Option[DataFrame] = None): DataFrame = {
     require(alphaFrac > 0 && alphaFrac <= 1, s"alphaFrac must be in (0,1], got $alphaFrac")
     val inv = batchSets
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("h"))
-    val dfreq = exIndex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val dfreq = dfT.getOrElse(inlineDf(exIndex))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h").asc)
     val prefix = inv
       .join(dfreq.hint("shuffle_hash"), Seq("h"), "left")
@@ -2907,52 +2945,55 @@ object Dedup {
       .distinct()
   }
 
-  /** COUNT stage over a prepared candidate pair set: exact
-    * per-(batch doc, store doc) shingle-intersection sizes via the
-    * pair-restricted inverted-index COUNT-JOIN. |A∩B| is a COUNT of
-    * co-occurring hashes (the sets are distinct by construction), so
-    * Jaccard and containment both derive from this one aggregate plus
-    * the two set SIZES — no row in the screen ever carries a shingle
-    * ARRAY (the round-13 lesson: re-attaching arrays to candidates
-    * shuffled 21 GB at sf3), and since round 15 no row outside the
-    * candidate pair set materializes either (the round-14 lesson: the
-    * unrestricted count-join's output is Σ_h df_batch·df_store —
-    * df-squared on a boilerplate shingle).
+  /** SCORING stage over a prepared candidate pair set: exact
+    * per-(batch doc, store doc) shingle-intersection sizes, plus both
+    * set sizes, by re-attaching the two SORTED-DISTINCT shingle arrays
+    * to each candidate pair and intersecting them in one codegen
+    * expression. |A∩B| = size(array_intersect(A, B)) exactly (both
+    * arrays are distinct by construction), and carrying n_a/n_b here
+    * means every downstream verdict is a pure filter+rollup over this
+    * one slim table — no size-attach joins remain in the family.
     *
-    * Shape: the store postings first shrink to the candidate store
-    * docs' rows via a BROADCAST left-semi (candidate ex_ids are
-    * bounded by the candidate pair set — batch-proportional by the
-    * prefix bound — and 8 bytes each; the store itself is scanned
-    * once, never shuffled), then the batch's exploded hashes,
-    * pair-tagged by the candidate join, equi-join those postings on
-    * (ex_id, h): the join OUTPUT is exactly the intersection rows of
-    * candidate pairs, collapsed by a map-side-partial aggregate.
+    * Why arrays are safe HERE when the round-13 lesson banned them:
+    * that regression re-attached arrays to the UNRESTRICTED candidate
+    * set (|batch|×|store| under a dense corpus — 21 GB shuffled at
+    * sf3); this stage runs strictly AFTER the lossless prefix probe,
+    * so rows are candidate-bounded (∝ true near-dup pairs by the
+    * prefix argument) and the shuffled bytes are Σ_cand(|A|+|B|) —
+    * the same order as the count-join's exploded intersection rows,
+    * in far fewer rows and two fewer exchanges (measured 3.5 s → 1.6 s
+    * per derivation at bench scale). The store side still shrinks to
+    * candidate docs via a BROADCAST left-semi before its arrays move
+    * (candidate ex_ids are batch-proportional and 8 bytes each; the
+    * store is scanned, never shuffled in full).
     */
   private[dedup] def interCountsFor(
-      batchSets: DataFrame, exIndex: DataFrame, cands: DataFrame): DataFrame = {
-    val candIdx = exIndex
+      batchSets: DataFrame, exSets: DataFrame, cands: DataFrame): DataFrame = {
+    val bArr = batchSets.select(col("doc_id"), col("sh").as("sh_a"))
+    val eArr = exSets.select(col("doc_id").as("ex_id"), col("sh").as("sh_b"))
       .join(broadcast(cands.select(col("ex_id")).distinct()), Seq("ex_id"), "left_semi")
-    batchSets
-      .select(col("doc_id"), explode(col("sh")).as("h"))
-      .join(cands, Seq("doc_id"))
-      .join(candIdx.hint("shuffle_hash"), Seq("ex_id", "h"))
-      .groupBy(col("doc_id"), col("ex_id"))
-      .agg(count(lit(1)).as("inter"))
+    cands
+      .join(bArr.hint("shuffle_hash"), Seq("doc_id"))
+      .join(eArr.hint("shuffle_hash"), Seq("ex_id"))
+      .select(col("doc_id"), col("ex_id"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
   }
 
   /** [[screenCandidates]] → [[interCountsFor]]: the full bounded
     * two-stage counts derivation at one threshold.
     */
   private[dedup] def interCountsBounded(
-      batchSets: DataFrame, exIndex: DataFrame, alphaFrac: Double): DataFrame =
+      batchSets: DataFrame, exSets: DataFrame, exIndex: DataFrame,
+      alphaFrac: Double, dfT: Option[DataFrame] = None): DataFrame =
     // checkpoint the candidate pairs: [[interCountsFor]] consumes them
     // TWICE (the broadcast ex_id semi-join AND the pair-restriction
     // join land on different exchanges, so ReuseExchange cannot merge
     // them) — without the seam the whole multi-exchange probe subtree
     // executes twice per counts derivation. The pair set is slim
     // (16 B/row) and candidate-bounded by the prefix argument.
-    interCountsFor(batchSets, exIndex,
-      screenCandidates(batchSets, exIndex, alphaFrac).boundedCheckpoint())
+    interCountsFor(batchSets, exSets,
+      screenCandidates(batchSets, exIndex, alphaFrac, dfT).boundedCheckpoint())
 
   /** Session-scoped memo of the MATERIALIZED counts table — the
     * setsCached discipline applied to the screen aggregate: the
@@ -2971,27 +3012,26 @@ object Dedup {
      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long), DataFrame]()
 
   private[dedup] def interCountsCached(
-      batchSets: DataFrame, exIndex: DataFrame, alphaFrac: Double): DataFrame =
+      batchSets: DataFrame, exSets: DataFrame, exIndex: DataFrame,
+      alphaFrac: Double, dfT: Option[DataFrame] = None): DataFrame =
     interMemo.getOrElseUpdate(batchSets.sparkSession,
       (batchSets.queryExecution.analyzed.canonicalized,
         exIndex.queryExecution.analyzed.canonicalized,
         math.round(alphaFrac * 1e6)))(
-      interCountsBounded(batchSets, exIndex, alphaFrac).boundedCheckpoint())
+      interCountsBounded(batchSets, exSets, exIndex, alphaFrac,
+        dfT.orElse(Some(storeDfCached(exIndex)))).boundedCheckpoint())
 
   /** The near-dup rollup from a prepared counts table: (doc_id,
     * n_near_dups) for batch docs with ≥ 1 store doc at jac ≥ tau.
-    * Store sizes are a store-sized SLIM projection (16 B/doc) joined
-    * by ex_id; batch sizes BROADCAST (bounded by the incremental
-    * contract, and slim regardless of document length). `counts` must
-    * come from a candidate stage at alphaFrac ≤ tau (candidate
-    * SUPERSETS only ever add rows the filters below reject — the
-    * verdict is threshold-determined, not candidate-determined).
+    * Set sizes ride the counts rows ([[interCountsFor]] carries
+    * n_a/n_b), so the rollup is a pure filter + per-doc aggregate —
+    * no join. `counts` must come from a candidate stage at
+    * alphaFrac ≤ tau (candidate SUPERSETS only ever add rows the
+    * filters below reject — the verdict is threshold-determined, not
+    * candidate-determined).
     */
-  private def nearCountsRollup(
-      counts: DataFrame, exSizes: DataFrame, bSizes: DataFrame, tau: Double): DataFrame =
+  private def nearCountsRollup(counts: DataFrame, tau: Double): DataFrame =
     counts
-      .join(exSizes.hint("shuffle_hash"), Seq("ex_id"))
-      .join(broadcast(bSizes), Seq("doc_id"))
       // the same size-ratio prune as ngramPairs (epsilon toward
       // keeping: only ever admits extra pairs to the jac test)
       .filter(col("n_a").cast("double") >= lit(tau) * col("n_b").cast("double") - lit(1e-9) &&
@@ -3017,9 +3057,7 @@ object Dedup {
     val exactDups = batchSets.select(col("doc_id"), col("ch"))
       .join(exSets.select(col("ch")).distinct(), Seq("ch"), "left_semi")
       .select(col("doc_id"))
-    val exSizes = exSets.select(col("doc_id").as("ex_id"), size(col("sh")).as("n_b"))
-    val bSizes = batchSets.select(col("doc_id"), size(col("sh")).as("n_a"))
-    val near = nearCountsRollup(counts, exSizes, bSizes, tau)
+    val near = nearCountsRollup(counts, tau)
     batchSets.select(col("doc_id"))
       .join(exactDups.withColumn("e", lit(1L)), Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
@@ -3043,9 +3081,9 @@ object Dedup {
     */
   private[dedup] def screenSetsWithIndex(
       batchSets: DataFrame, exSets: DataFrame, exIndex: DataFrame,
-      tau: Double): DataFrame =
+      tau: Double, dfT: Option[DataFrame] = None): DataFrame =
     screenSetsFromCounts(batchSets, exSets,
-      interCountsBounded(batchSets, exIndex, tau), tau)
+      interCountsBounded(batchSets, exSets, exIndex, tau, dfT), tau)
 
   /** Screen ARBITRARY new documents against an ARBITRARY existing
     * store — the [[incrementalDedup]] contract without the mod-split
@@ -3110,7 +3148,10 @@ object Dedup {
     val spark = documents.sparkSession
     val batchSets = setsCached(documents).filter(isBatch)
     screenSetsFromCounts(batchSets, ShingleIndex.readSets(spark, dir),
-      interCountsCached(batchSets, ShingleIndex.probeIndex(spark, dir), tau), tau)
+      interCountsCached(batchSets, ShingleIndex.readSets(spark, dir),
+        ShingleIndex.probeIndex(spark, dir), tau,
+        Some(ShingleIndex.dfTable(spark, dir))),
+      tau)
   }
 
   /** The FULL ingest decision served from the persisted store index —
@@ -3144,8 +3185,10 @@ object Dedup {
     // store-facing screens (inline checkpoint: this entry serves the
     // per-micro-batch streaming ingest, so no memo — see decisionSets)
     decisionFromCounts(batchSets, ShingleIndex.readSets(spark, dir),
-      interCountsBounded(batchSets, ShingleIndex.probeIndex(spark, dir),
-        math.min(tau, tauContain)).boundedCheckpoint(),
+      interCountsBounded(batchSets, ShingleIndex.readSets(spark, dir),
+        ShingleIndex.probeIndex(spark, dir),
+        math.min(tau, tauContain),
+        Some(ShingleIndex.dfTable(spark, dir))).boundedCheckpoint(),
       tau, tauContain)
 
   /** q141: [[ingestDecision]] in its disk-served form (the #137/#140
@@ -3164,8 +3207,10 @@ object Dedup {
     val spark = documents.sparkSession
     val batchSets = setsCached(documents).filter(isBatch)
     decisionFromCounts(batchSets, ShingleIndex.readSets(spark, dir),
-      interCountsCached(batchSets, ShingleIndex.probeIndex(spark, dir),
-        math.min(tau, tauContain)),
+      interCountsCached(batchSets, ShingleIndex.readSets(spark, dir),
+        ShingleIndex.probeIndex(spark, dir),
+        math.min(tau, tauContain),
+        Some(ShingleIndex.dfTable(spark, dir))),
       tau, tauContain, memoSelf = true)
   }
 
@@ -3250,14 +3295,15 @@ object Dedup {
     * e < a surfaces via a's probe).
     */
   private def selfCounts(sets: DataFrame, tau: Double): DataFrame = {
-    val exIndex = sets.select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
-      .hint("shuffle_hash")
+    val exIndex = storeIndex(sets)
     // checkpointed for the same double-consumption reason as
-    // [[interCountsBounded]]
+    // [[interCountsBounded]]; inline df — the batch side is fresh per
+    // screen by nature (and per micro-batch in the streaming form), so
+    // there is no cross-query reuse for a memo to capture
     val cands = screenCandidates(sets, exIndex, tau)
       .filter(col("ex_id") < col("doc_id"))
       .boundedCheckpoint()
-    interCountsFor(sets, exIndex, cands)
+    interCountsFor(sets, sets, cands)
   }
 
   /** Session-scoped memo of the MATERIALIZED self-screen counts — the
@@ -3290,9 +3336,7 @@ object Dedup {
       .join(sets.as("e").hint("shuffle_hash"),
         col("a.ch") === col("e.ch") && col("e.doc_id") < col("a.doc_id"), "left_semi")
       .select(col("a.doc_id").as("doc_id"))
-    val exSizes = sets.select(col("doc_id").as("ex_id"), size(col("sh")).as("n_b"))
-    val bSizes = sets.select(col("doc_id"), size(col("sh")).as("n_a"))
-    val near = nearCountsRollup(counts, exSizes, bSizes, tau)
+    val near = nearCountsRollup(counts, tau)
     sets.select(col("doc_id"))
       .join(exactDups.withColumn("e", lit(1L)), Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
@@ -3325,9 +3369,8 @@ object Dedup {
     // derives, so the decision's two store-facing screens ride one
     // session-wide aggregate
     decisionFromCounts(sets.filter(isBatch), sets.filter(!isBatch),
-      interCountsCached(sets.filter(isBatch),
-        sets.filter(!isBatch).select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
-          .hint("shuffle_hash"),
+      interCountsCached(sets.filter(isBatch), sets.filter(!isBatch),
+        storeIndex(sets.filter(!isBatch)),
         math.min(tau, tauContain)),
       tau, tauContain, memoSelf = true)
   }
@@ -3347,9 +3390,10 @@ object Dedup {
     // streaming-safe entry: per-micro-batch plans would only pile up
     // dead memo entries, so the shared counts checkpoint inline here
     decisionFromCounts(batchSets, exSets,
-      interCountsBounded(batchSets,
-        exSets.select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
-          .hint("shuffle_hash"),
+      // inline df: this entry serves the GROWING-store streaming
+      // ingest (a fresh union plan per micro-batch), where a memoized
+      // df would only pile up dead entries
+      interCountsBounded(batchSets, exSets, storeIndex(exSets),
         math.min(tau, tauContain)).boundedCheckpoint(),
       tau, tauContain)
 

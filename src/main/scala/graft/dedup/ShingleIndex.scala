@@ -60,6 +60,13 @@ object ShingleIndex {
     persisted
       .select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
+    // the per-hash document frequency is a STORE property: persist it
+    // beside the postings so every probe's candidate stage reads a
+    // two-long columnar scan instead of re-aggregating the store's
+    // full posting list once per ingest session (the round-15
+    // baseline's largest fixed screen cost)
+    Dedup.inlineDf(spark.read.parquet(s"$dir/postings"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/df")
     val n = persisted.count()
     Files.createDirectories(Paths.get(dir))
     Files.write(Paths.get(dir, "meta.json"),
@@ -159,6 +166,19 @@ object ShingleIndex {
     postings
   }
 
+  /** The store's per-hash document frequency (h, df) — the candidate
+    * stage's prefix-ordering key, served from the persisted `df/`
+    * table when the layout carries one, else from the session-memoized
+    * aggregate over the postings ([[Dedup.storeDfCached]] — layouts
+    * written before df/ existed). Correctness never depends on which
+    * source answers: the prefix bound holds under ANY fixed total
+    * order on the hash universe, so even a stale df only shifts
+    * candidate volume, never a verdict.
+    */
+  private[graft] def dfTable(spark: SparkSession, dir: String): DataFrame =
+    if (Files.exists(Paths.get(dir, "df"))) spark.read.parquet(s"$dir/df")
+    else Dedup.storeDfCached(probeIndex(spark, dir))
+
   private def requireLayout(dir: String): Unit = {
     require(Files.exists(Paths.get(dir, "meta.json")),
       s"no shingle index at $dir: meta.json missing")
@@ -196,7 +216,7 @@ object ShingleIndex {
       batchSets,
       readSets(spark, dir),
       probeIndex(spark, dir),
-      tau)
+      tau, Some(dfTable(spark, dir)))
 
   /** The postings side of a probe, in whichever layout the index was
     * written: the BUCKETED catalog table when meta records one (its
@@ -204,7 +224,7 @@ object ShingleIndex {
     * hint) or the plain parquet with the shuffle_hash strategy the
     * in-session screen uses.
     */
-  private[dedup] def probeIndex(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def probeIndex(spark: SparkSession, dir: String): DataFrame =
     bucketedTable(dir) match {
       case Some((tbl, nBuckets, loc)) =>
         if (!spark.catalog.tableExists(tbl)) {
@@ -262,7 +282,7 @@ object ShingleIndex {
       batchSets,
       readSets(spark, dir),
       probeIndex(spark, dir),
-      tau)
+      tau, Some(dfTable(spark, dir)))
 
   /** Append a landed batch to the store index — the no-rebuild append:
     * the batch's sets+postings rows land beside the store's (an
@@ -282,6 +302,16 @@ object ShingleIndex {
     val batchPostings = batchSets
       .select(col("doc_id").as("ex_id"), explode(col("sh")).as("h"))
     batchPostings.write.mode(SaveMode.Append).parquet(s"$dir/postings")
+    // merge the batch's df into the persisted table (df-table-sized +
+    // batch-sized work — never a store re-aggregate); materialize via
+    // the checkpoint seam BEFORE overwriting the parquet it reads from
+    if (Files.exists(Paths.get(dir, "df"))) {
+      val merged = spark.read.parquet(s"$dir/df")
+        .unionByName(Dedup.inlineDf(batchPostings))
+        .groupBy(col("h")).agg(sum(col("df")).as("df"))
+        .boundedCheckpoint()
+      merged.write.mode(SaveMode.Overwrite).parquet(s"$dir/df")
+    }
     // a bucketed layout appends THROUGH the bucket spec (new per-bucket
     // files; the join stays Exchange-free on the store side — the
     // per-bucket single-file sort guarantee relaxes to a re-Sort)

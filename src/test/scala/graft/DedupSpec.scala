@@ -365,12 +365,14 @@ class DedupSpec extends SparkSpec {
     assert(Memo.missCount === afterEval,
       "ngramPairs must reuse the family's shingle-set materialization")
     // the incremental screen reads the SAME seam for BOTH its screens
-    // (the md5 content hash rides setsCached) and pays exactly ONE new
-    // materialization: the shared intersection-counts table
+    // (the md5 content hash rides setsCached) and pays exactly TWO new
+    // materializations: the store's df table (a store-side property,
+    // one per store per session) and the shared intersection-counts
+    // table
     Dedup.incrementalDedup(docs, batchMod = 2).collect()
     val afterIncr = Memo.missCount
-    assert(afterIncr - afterEval === 1L,
-      "incrementalDedup must pay only the shared counts seam over setsCached")
+    assert(afterIncr - afterEval === 2L,
+      "incrementalDedup must pay only the store-df and shared counts seams over setsCached")
     // a repeat hits the counts memo outright
     Dedup.incrementalDedup(docs, batchMod = 2).collect()
     assert(Memo.missCount === afterIncr,
@@ -992,12 +994,20 @@ class DedupSpec extends SparkSpec {
       // with broadcast off (the large-crawl-drop shape the layout
       // serves), the parquet path shuffles BOTH probe-join sides; the
       // bucketed scan IS the h-distribution, so the bucketed plan
-      // carries strictly fewer Exchanges
+      // carries strictly fewer Exchanges. Since round 15 the postings
+      // index is joined ONLY inside the candidate stage (the scoring
+      // stage re-attaches arrays from sets/, and the candidate table
+      // is checkpointed before it), so that is where the layout's
+      // Exchange saving lives — assert on the candidate-stage plan.
       withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
         def exchanges(df: org.apache.spark.sql.DataFrame): Int =
           "Exchange".r.findAllIn(planOf(df)).length
-        val ep = exchanges(graft.dedup.ShingleIndex.probe(spark, batch, plain))
-        val eb = exchanges(graft.dedup.ShingleIndex.probe(spark, batch, bucketed))
+        val batchSets = Dedup.hashedShingleSets(batch)
+        def candPlan(dir: String) = Dedup.screenCandidates(
+          batchSets, graft.dedup.ShingleIndex.probeIndex(spark, dir), 0.5,
+          Some(graft.dedup.ShingleIndex.dfTable(spark, dir)))
+        val ep = exchanges(candPlan(plain))
+        val eb = exchanges(candPlan(bucketed))
         assert(eb < ep, s"bucketed layout did not remove the store-side shuffle: $eb vs $ep")
       }
       // containment probe routes through the same bucketed layout
