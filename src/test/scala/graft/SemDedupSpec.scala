@@ -153,4 +153,28 @@ class SemDedupSpec extends SparkSpec {
     assert(keepers === Set(0L, 1L, 2L),
       s"one keeper per sub-cell residue class, got $keepers")
   }
+
+  test("groupedComponents equals the iterative clusters() on a group-keyed pair graph") {
+    import spark.implicits._
+    // randomized fixed-seed graph whose edges never cross a (g1, g2)
+    // group — the semdedup emitter's invariant. The one-pass grouped
+    // union-find must produce byte-identical labels to the global
+    // label-propagation loop (the round-15 replacement's contract).
+    val rnd = new scala.util.Random(20260819L)
+    val pairs = (0 until 400).map { _ =>
+      val g1 = rnd.nextInt(5).toLong
+      val g2 = rnd.nextInt(3).toLong
+      // node ids disjoint across groups (as vec_ids are: one cell each)
+      val base = (g1 * 3 + g2) * 1000L
+      val a = base + rnd.nextInt(40)
+      val b = base + rnd.nextInt(40)
+      (g1, g2, math.min(a, b), math.max(a, b))
+    }.filter { case (_, _, a, b) => a != b }
+      .toDF("cell", "subcell", "doc_a", "doc_b")
+    val grouped = Dedup.groupedComponents(pairs, Seq("cell", "subcell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val iterative = Dedup.clusters(pairs.select("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(grouped === iterative)
+  }
 }
