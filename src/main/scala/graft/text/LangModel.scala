@@ -442,7 +442,10 @@ object LangModel {
         (col("cnt").cast("double") / col("n_total").cast("double")).as("p2"))
     val p = lit(lambda) * (col("c12").cast("double") / col("c1").cast("double")) +
       lit(1.0 - lambda) * col("p2")
-    bf.join(big, Seq("w1", "w2")).join(u1, "w1").join(u2, "w2")
+    // same shape as the trigram scorer: stats ride the distinct-bigram
+    // table, the doc-level table shuffles once
+    val bigP = big.join(u1, "w1").join(u2, "w2")
+    bf.join(bigP, Seq("w1", "w2"))
       .withColumn("micro_nats",
         floor(col("bf").cast("double") * -log(p) * lit(1000000.0) + lit(0.5)).cast("long"))
       .groupBy(col("doc_id"))
@@ -500,8 +503,16 @@ object LangModel {
     val p = lit(l1) * (col("c123").cast("double") / col("c12").cast("double")) +
       lit(l2) * (col("c23").cast("double") / col("c2").cast("double")) +
       lit(l3) * col("p3")
-    tf3.join(tri, Seq("w1", "w2", "w3")).join(ctx12, Seq("w1", "w2"))
+    // attach every count table to the DISTINCT-trigram side first and
+    // join the doc-level table ONCE: the previous shape re-shuffled
+    // the (doc, trigram) table through five consecutive join keys
+    // ((w1,w2,w3), (w1,w2), (w2,w3), w2, w3); the model tables are
+    // vocabulary-sized, the doc table is corpus-sized (guide §2.3 —
+    // shuffle the small proxy, not the payload). Same five counts meet
+    // the same p expression, so values are bit-identical.
+    val triP = tri.join(ctx12, Seq("w1", "w2"))
       .join(suf23, Seq("w2", "w3")).join(mid2, "w2").join(p3, "w3")
+    tf3.join(triP, Seq("w1", "w2", "w3"))
       .withColumn("micro_nats",
         floor(col("tf").cast("double") * -log(p) * lit(1000000.0) + lit(0.5)).cast("long"))
       .groupBy(col("doc_id"))
