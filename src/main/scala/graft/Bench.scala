@@ -81,7 +81,8 @@ object Bench {
         graft.mm.MediaCodec.prewarm(Tables.documents(spark, sfDir)) ++
         graft.mm.AudioFp.prewarm(Tables.documents(spark, sfDir)) ++
         graft.mm.GifDedup.prewarm(Tables.documents(spark, sfDir)) ++
-        graft.text.Unigram.prewarm(Tables.documents(spark, sfDir))
+        graft.text.Unigram.prewarm(Tables.documents(spark, sfDir)) ++
+        graft.text.Bpe.prewarm(Tables.documents(spark, sfDir))
     catch { case e: Throwable =>
       System.err.println(s"[bench] prewarm failed (queries will pay builds inline): ${e.getMessage}")
     }

@@ -896,6 +896,30 @@ object Dedup {
     labels
   }
 
+  /** Session-scoped memo of the MATERIALIZED component labels — the
+    * setsCached discipline applied to [[clusters]]: the exact ngram
+    * pair graph's labels are consumed by FIVE driver-gated queries
+    * (q_dedup_clusters, q_dedup_best, q_dedup_report,
+    * q_curation_verdicts, q_corpus_curation), and each used to re-run
+    * the whole iterative label propagation (contraction pass + 1-2
+    * pointer-jumping rounds, each with a checkpoint and a driver
+    * convergence read) over the identical memoized pairs. Labels are
+    * deterministic (min doc_id per component), so sharing the
+    * materialization cannot move a verdict. Keyed on the canonicalized
+    * pairs plan — a different graph (embedding, audio, image) gets its
+    * own entry. Memoizing also closes a block leak: every un-memoized
+    * call left its final round's checkpoint blocks persisted.
+    */
+  private val clustersMemo = graft.Memo[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
+
+  def clustersCached(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    clustersMemo.getOrElseUpdate(pairs.sparkSession,
+      pairs.queryExecution.analyzed.canonicalized)(
+      // clusters() already returns a projection over its final
+      // checkpointed round — stable blocks, no extra copy needed
+      clusters(pairs, maxIters))
+
   /** Connected components of a pair graph whose edges never cross a
     * bounded GROUP — the semdedup within-(cell, subcell) case: the
     * pair emitter is an equi-join on the group key, so a component
@@ -952,7 +976,7 @@ object Dedup {
     * cheap.
     */
   def clustersQuery(documents: DataFrame, tau: Double = 0.5): DataFrame =
-    clusters(pairsCached(documents, tau).select(col("doc_a"), col("doc_b")))
+    clustersCached(pairsCached(documents, tau).select(col("doc_a"), col("doc_b")))
 
   /** All oracle CTEs through `labels` (doc_id, cluster_id) — exposed
     * so composed oracles (corpus curation) reuse the exact same
@@ -994,7 +1018,9 @@ object Dedup {
     // checkpoint: labels feed the member prune AND the final join —
     // without it the whole iterative clustering would re-run per
     // consumer
-    survivorsFromLabels(documents, clustersQuery(documents, tau).boundedCheckpoint())
+    // labels come memoized + materialized from clustersCached — the
+    // double consumption below reads stable checkpoint blocks
+    survivorsFromLabels(documents, clustersQuery(documents, tau))
 
   /** The survivor tail shared by [[bestSurvivors]] (ngram clusters)
     * and [[embedDedupBest]] (embedding clusters): quality-score ONLY
@@ -1799,7 +1825,7 @@ object Dedup {
       (if (useLsh) embeddingPairsLshCached(embeddings, tau)
        else embeddingPairsCached(embeddings, tau))
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    survivorsFromLabels(documents, clusters(pairs).boundedCheckpoint())
+    survivorsFromLabels(documents, clustersCached(pairs))
   }
 
   /** Oracle: recursive transitive closure over the brute cosine pair
@@ -2223,6 +2249,12 @@ object Dedup {
     timed("dedup_minhash_sigs") { sigsCached(documents); () }
     timed("dedup_simhash_table") { simhashCached(documents); () }
     timed("dedup_ngram_pairs") { pairsCached(documents); () }
+    // the ngram graph's component LABELS — five driver-gated queries
+    // consume them (see clustersCached); the construction mirrors
+    // clustersQuery's exactly so the memo key matches
+    timed("dedup_ngram_clusters") {
+      clustersCached(pairsCached(documents).select(col("doc_a"), col("doc_b"))); ()
+    }
     timed("dedup_containment_pairs") { containmentCached(documents); () }
     timed("dedup_span_windows") { winsCached(documents); () }
     timed("dedup_embedding_pairs") { embeddingPairsCached(embeddings); () }
@@ -2237,6 +2269,38 @@ object Dedup {
       semIndexDirCached(embeddings, semCells(embeddings, 16), 5); ()
     }
     timed("dedup_sem_kmeans") { semPrewarm(embeddings); () }
+    // The round-15 screen-family memos — the exact entries the
+    // mod-split screen queries share (q_dedup_incremental,
+    // q_contained_incremental, q_ingest_decision read ONE in-session
+    // counts aggregate; the _disk twins one postings-served aggregate;
+    // q_dedup_batch + both ingest decisions one self-screen aggregate).
+    // Without these the FIRST family member paid the shared build
+    // inline (memo_misses named q_contained_incremental with 2,
+    // q_dedup_batch and q_dedup_incremental_disk with 1 each).
+    val isBatch = pmod(col("doc_id"), lit(10L)) === 0
+    timed("dedup_screen_counts") {
+      val sets = setsCached(documents)
+      interCountsCached(sets.filter(isBatch), sets.filter(!isBatch),
+        storeIndex(sets.filter(!isBatch)), ScreenAlphaDefault); ()
+    }
+    timed("dedup_screen_counts_disk") {
+      val spark = documents.sparkSession
+      val dir = shingleIndexDirCached(documents.filter(!isBatch))
+      val batchSets = setsCached(documents).filter(isBatch)
+      interCountsCached(batchSets, ShingleIndex.readSets(spark, dir),
+        ShingleIndex.probeIndex(spark, dir), ScreenAlphaDefault,
+        Some(ShingleIndex.dfTable(spark, dir))); ()
+    }
+    timed("dedup_self_counts") {
+      selfCountsCached(setsCached(documents).filter(isBatch), ScreenAlphaDefault); ()
+    }
+    // the memoized LSH pair graph (q_dedup_embedding_lsh + the
+    // modality-agreement audit) and the store-slice count behind the
+    // adaptive LSH width (q_embed_incremental_lsh)
+    timed("dedup_embedding_pairs_lsh") { embeddingPairsLshCached(embeddings); () }
+    timed("dedup_store_vec_count") {
+      lshBits(embeddings.filter(!(pmod(col("vec_id"), lit(10L)) === 0)), 8); ()
+    }
     out.toSeq
   }
 

@@ -450,4 +450,16 @@ object Bpe {
        |  END AS compression,
        |  md5(mg) AS bpe_md5
        |FROM t""".stripMargin
+
+  /** Bench seam itemization (the [[graft.text.Unigram.prewarm]]
+    * discipline): the trained merges table is shared by q_bpe_train
+    * and the train→apply composition, so its 16-round training loop
+    * belongs in the bench's build line, not whichever query runs
+    * first (memo_misses named q_bpe_train paying it inline).
+    */
+  def prewarm(documents: DataFrame): Seq[(String, Double)] = {
+    val t0 = System.nanoTime()
+    trainMergesCached(documents, defaultTrainRounds)
+    Seq("text_bpe_merges" -> ((System.nanoTime() - t0) / 1e9))
+  }
 }

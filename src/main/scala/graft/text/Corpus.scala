@@ -604,7 +604,7 @@ object Corpus {
       dedupTau: Double = 0.5): DataFrame = {
     import graft.dedup.Dedup
     val losers = Dedup
-      .clusters(Dedup.pairsCached(documents, dedupTau).select(col("doc_a"), col("doc_b")))
+      .clustersCached(Dedup.pairsCached(documents, dedupTau).select(col("doc_a"), col("doc_b")))
       .filter(col("cluster_id") =!= col("doc_id"))
       .select(col("doc_id"))
     val rate = mix.foldLeft(lit(defaultPct): Column) { case (acc, (l, r)) =>
