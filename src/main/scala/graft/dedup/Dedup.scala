@@ -140,7 +140,7 @@ object Dedup {
     */
   def exactNormalized(documents: DataFrame): DataFrame = {
     val enc = reencoded(col("text"), col("doc_id"))
-    documents
+    spread(documents)
       .select(col("doc_id"),
         md5(enc.cast("binary")).as("raw_hash"),
         md5(normText(enc).cast("binary")).as("norm_hash"))
@@ -805,7 +805,8 @@ object Dedup {
   // every doc that appears in a pair; singletons are trivially their
   // own cluster and are not emitted.
   // ------------------------------------------------------------------
-  def clusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def clusters(pairs: DataFrame, maxIters: Int = 50,
+      contractWidth: Option[Int] = None): DataFrame = {
     val session = pairs.sparkSession
     import session.implicits._
     // Phase 1 (round 15): partition-LOCAL union-find contraction —
@@ -817,7 +818,25 @@ object Dedup {
     // not ∝ the raw graph diameter (measured: the tau=0.35 embedding
     // pair graph's chains cost 4+ rounds ≈ 2.5 s at bench scale;
     // contracted, the loop converges in 1-2).
-    val stars = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+    // Materialize the slim (16 B/row) edge list once: it feeds the
+    // contraction pass AND the star union below (which otherwise
+    // recomputes the pair derivation per union branch), and its exact
+    // count sizes the contraction width SCALE-ADAPTIVELY — one
+    // union-find task per ~4M edges (≈64 MB), so a bench-scale graph
+    // contracts in ONE task (the local pass IS the full component
+    // resolution and the loop below converges on its first check),
+    // while a 100 TB pair graph keeps its parallel width. Contracting
+    // any edge subset first is a valid CC prefix, so the width only
+    // moves WORK, never a label.
+    val slim = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .boundedCheckpoint()
+    val nEdges = slim.count()
+    // contractWidth overrides the adaptive sizing (tests use it to
+    // keep a chain spread across tasks so the iterative phase — and
+    // its maxIters guard — stays exercisable at spec scale)
+    val width = contractWidth.getOrElse(math.max(1L, math.min(
+      slim.rdd.getNumPartitions.toLong, (nEdges + 3999999L) / 4000000L)).toInt)
+    val stars = slim.coalesce(width)
       .as[(Long, Long)]
       .mapPartitions { it =>
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -2379,7 +2398,10 @@ object Dedup {
       .agg(collect_set(col("pos")).as("ps"))
       .select(col("doc_id"),
         expr(s"array_distinct(flatten(transform(ps, p -> sequence(p, p + ${k - 1}))))").as("cut0"))
-    documents
+    // spread BEFORE the join: cutLists is duplicates-sized and
+    // broadcasts, so without it the tokenize+scrub transform below
+    // runs on the raw scan's task layout
+    spread(documents)
       .join(cutLists, Seq("doc_id"), "left")
       .withColumn("toks", Text.tokens(col("text")))
       .withColumn("cut", coalesce(col("cut0"), expr("array()")))

@@ -101,7 +101,8 @@ object UrlDedup {
   /** q189 query entry: the screen over the planted urls. */
   def urlDedup(documents: DataFrame): DataFrame =
     urlScreen(
-      documents.select(col("doc_id"), plantedUrl(col("doc_id")).as("url")),
+      graft.Spread(documents)
+        .select(col("doc_id"), plantedUrl(col("doc_id")).as("url")),
       "doc_id", "url")
 
   /** DuckDB twin: the planting and every canonicalization rule

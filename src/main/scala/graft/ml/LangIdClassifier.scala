@@ -90,10 +90,13 @@ object LangIdClassifier {
     val langs = labelIndex(documents)
     if (langs.isEmpty) return emptyResult(documents)
     val feats = featFrame(documents, langs, numFeatures, holdMod)
+    // train side right-sized for the ~20-iteration L-BFGS rescan
+    // (IterSized: narrow coalesce, scale-adaptive no-op on big data);
+    // scoring keeps the full checkpoint width — it is one pass
     val model = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)
       .setFeaturesCol("features").setLabelCol("label")
-      .fit(feats.filter(!col("held")))
+      .fit(IterSized(feats.filter(!col("held"))))
     scoreFeats(model, feats, langs)
   }
 
@@ -110,10 +113,12 @@ object LangIdClassifier {
     val langs = labelIndex(documents)
     require(langs.nonEmpty, "cannot train a language identifier on an empty corpus")
     val feats = featFrame(documents, langs, numFeatures, holdMod)
+    // IterSized matches trainScore's fit exactly — the read-back
+    // model must be coefficient-identical to the in-session one
     new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)
       .setFeaturesCol("features").setLabelCol("label")
-      .fit(feats.filter(!col("held")))
+      .fit(IterSized(feats.filter(!col("held"))))
       .write.overwrite().save(s"$dir/model")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()

@@ -72,10 +72,13 @@ object QualityFilter {
       maxIter: Int = 40,
       regParam: Double = 1e-3): DataFrame = {
     val feats = featFrame(documents, numFeatures, labelTau)
+    // train side right-sized for the ~20-iteration L-BFGS rescan
+    // (IterSized: narrow coalesce, scale-adaptive no-op on big data);
+    // scoring keeps the full checkpoint width — it is one pass
     val model = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)
       .setFeaturesCol("features").setLabelCol("label")
-      .fit(feats)
+      .fit(IterSized(feats))
     scoreFeats(model, feats)
   }
 
@@ -92,10 +95,12 @@ object QualityFilter {
       numFeatures: Int = 1024, labelTau: Double = 0.64,
       maxIter: Int = 40, regParam: Double = 1e-3): Unit = {
     val feats = featFrame(documents, numFeatures, labelTau)
+    // IterSized matches trainScore's fit exactly — the read-back
+    // model must be coefficient-identical to the in-session one
     new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)
       .setFeaturesCol("features").setLabelCol("label")
-      .fit(feats)
+      .fit(IterSized(feats))
       .write.overwrite().save(dir)
   }
 

@@ -31,7 +31,7 @@ object Corpus {
     * remains the single-aggregation sketch alternative.
     */
   def stats(documents: DataFrame): DataFrame = {
-    val rollup = documents
+    val rollup = graft.Spread(documents)
       .withColumn("toks", Text.tokens(col("text")))
       .select(col("lang"),
         size(col("toks")).cast("long").as("n_tokens"),
@@ -99,7 +99,7 @@ object Corpus {
     * sequence over exact integers, identical in DuckDB.
     */
   def tokenEntropy(documents: DataFrame): DataFrame =
-    documents
+    graft.Spread(documents)
       .withColumn("toks", Text.tokens(col("text")))
       .select(col("lang"), explode(col("toks")).as("token"))
       .groupBy(col("lang"), col("token"))
@@ -153,7 +153,7 @@ object Corpus {
     */
   def sourceProfile(documents: DataFrame): DataFrame = {
     val q = Text.qualityColumns(col("toks"), col("text"))
-    val base = documents.withColumn("toks", Text.tokens(col("text")))
+    val base = graft.Spread(documents).withColumn("toks", Text.tokens(col("text")))
       .select(col("doc_id"), col("source"),
         q.nTokens.as("n_tokens"), q.score.as("quality_score"),
         md5(col("text").cast("binary")).as("h"))
@@ -255,7 +255,7 @@ object Corpus {
     * exact variant.
     */
   def statsApprox(documents: DataFrame): DataFrame =
-    documents
+    graft.Spread(documents)
       .withColumn("toks", Text.tokens(col("text")))
       .select(col("lang"),
         size(col("toks")).cast("long").as("n_tokens"),
@@ -321,7 +321,7 @@ object Corpus {
     val budget = budgetByLang.foldLeft(lit(defaultBudget): Column) { case (acc, (l, b)) =>
       when(col("lang") === l, lit(b)).otherwise(acc)
     }
-    val rates = documents
+    val rates = graft.Spread(documents)
       .withColumn("toks", Text.tokens(col("text")))
       .groupBy(col("lang"))
       .agg(sum(size(col("toks")).cast("long")).as("total_tokens"))
@@ -330,7 +330,7 @@ object Corpus {
         least(lit(granularity.toLong),
           expr(s"(budget * CAST($granularity AS BIGINT)) DIV total_tokens")))
       .select(col("lang"), col("keep_q"))
-    documents
+    graft.Spread(documents)
       .join(broadcast(rates), Seq("lang"))
       .filter(pmod(col("doc_id"), lit(granularity.toLong)) < col("keep_q"))
       .withColumn("toks", Text.tokens(col("text")))
@@ -370,7 +370,7 @@ object Corpus {
     require(temperature > 0 && budgetTokens > 0 && granularity > 0)
     val alpha = 1.0 / temperature
     val w = Window.partitionBy(Det.constKey(col("lang")))
-    val rates = documents
+    val rates = graft.Spread(documents)
       .withColumn("toks", Text.tokens(col("text")))
       .groupBy(col("lang"))
       .agg(sum(size(col("toks")).cast("long")).as("n_l"))
@@ -390,7 +390,7 @@ object Corpus {
           expr(s"(CAST($budgetTokens AS DECIMAL(38,0)) * w_int * $granularity) DIV " +
             "(CAST(sum_w AS DECIMAL(38,0)) * n_l)")))
       .select(col("lang"), col("keep_q"))
-    documents
+    graft.Spread(documents)
       .join(broadcast(rates), Seq("lang"))
       .filter(pmod(col("doc_id"), lit(granularity.toLong)) < col("keep_q"))
       .withColumn("toks", Text.tokens(col("text")))
@@ -428,7 +428,7 @@ object Corpus {
     require(temperature > 0 && budgetTokens > 0 && maxEpochs > 0)
     val alpha = 1.0 / temperature
     val w = Window.partitionBy(Det.constKey(col("lang")))
-    documents
+    graft.Spread(documents)
       .withColumn("toks", Text.tokens(col("text")))
       .groupBy(col("lang"))
       .agg(sum(size(col("toks")).cast("long")).as("n_avail"))
@@ -553,6 +553,9 @@ object Corpus {
     */
   def qualityWeightedSample(documents: DataFrame): DataFrame = {
     val q = Text.qualityColumns(col("toks"), col("text"))
+    // deliberately NOT Spread: the zero-Exchange scan-side plan is
+    // this operator's pinned contract (CorpusSpec) — the draw must
+    // compose into other scans without forcing a shuffle
     documents
       .withColumn("toks", Text.tokens(col("text")))
       .select(col("doc_id"), col("lang"), q.score.as("quality_score"))
@@ -611,7 +614,7 @@ object Corpus {
       when(col("lang") === l, lit(r)).otherwise(acc)
     }
     val q = Text.qualityColumns(col("toks"), col("text"))
-    documents
+    graft.Spread(documents)
       .filter(col("lang").isInCollection(allowedLangs) && pmod(col("doc_id"), lit(100)) < rate)
       .withColumn("toks", Text.tokens(col("text")))
       .select(col("doc_id"), col("lang"),
@@ -645,7 +648,7 @@ object Corpus {
     import graft.dedup.Dedup
     import graft.text.LangModel
     val q = Text.qualityColumns(col("toks"), col("text"))
-    val base = documents
+    val base = graft.Spread(documents)
       .withColumn("toks", Text.tokens(col("text")))
       .select(col("doc_id"),
         when(q.score >= lit(qualityTau), lit(1L)).otherwise(lit(0L)).as("keep_quality"))
@@ -740,7 +743,7 @@ object Corpus {
       seqLen: Long = 2048,
       blockSize: Long = 65536): DataFrame =
     packByCounts(
-      documents
+      graft.Spread(documents)
         .withColumn("toks", Text.tokens(col("text")))
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens")),
       seqLen, blockSize)
@@ -785,7 +788,7 @@ object Corpus {
     */
   def packSequencesShuffled(
       documents: DataFrame, seqLen: Long = 2048): DataFrame = {
-    val counts = documents
+    val counts = graft.Spread(documents)
       .withColumn("toks", Text.tokens(col("text")))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         md5(col("doc_id").cast("string").cast("binary")).as("okey"))
@@ -904,7 +907,7 @@ object Corpus {
     require(cap > 0 && groupSize > 0, "cap and groupSize must be positive")
     val spark = documents.sparkSession
     import spark.implicits._
-    documents
+    graft.Spread(documents)
       .withColumn("toks", Text.tokens(col("text")))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
       .filter(col("n_tokens") >= 1)
@@ -996,7 +999,7 @@ object Corpus {
       targetTokens: Long = 4096,
       blockSize: Long = 65536): DataFrame = {
     require(targetTokens > 0, "targetTokens must be positive")
-    val counts = documents
+    val counts = graft.Spread(documents)
       .withColumn("toks", Text.tokens(col("text")))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars"),
@@ -1068,7 +1071,7 @@ object Corpus {
     * two exact longs + 6-dp rounding ⇒ hash-exact.
     */
   def lengthBuckets(documents: DataFrame): DataFrame =
-    documents
+    graft.Spread(documents)
       .withColumn("toks", Text.tokens(col("text")))
       .select(size(col("toks")).cast("long").as("n_tokens"))
       .filter(col("n_tokens") >= 1)
@@ -1166,7 +1169,7 @@ object Corpus {
     * Integer masses + one IEEE divide + 6-dp ⇒ hash-exact.
     */
   def vocabCoverage(documents: DataFrame): DataFrame = {
-    val hist = documents
+    val hist = graft.Spread(documents)
       .withColumn("toks", Text.tokens(col("text")))
       .select(explode(col("toks")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
@@ -1316,7 +1319,7 @@ object Corpus {
   def heavyHitters(documents: DataFrame, t: Int = 200, k: Int = 400): DataFrame = {
     require(k + 1 >= t,
       s"k=$k counters cannot guarantee freq > n/$t heavy hitters (need k+1 >= t)")
-    val tokens = documents
+    val tokens = graft.Spread(documents)
       .withColumn("toks", Text.tokens(col("text")))
       .select(explode(col("toks")).as("token"))
     val sketch = tokens.agg(

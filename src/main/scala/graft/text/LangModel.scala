@@ -33,7 +33,11 @@ object LangModel {
     // tf feeds both the vocabulary rollup and the scoring join —
     // checkpoint so the tokenize+explode scan and the (doc, token)
     // shuffle run once (the ngramPairs lesson)
-    val tf = documents
+    // Spread: the raw scan is one task per 128 MB of input — on a
+    // compact bench table that serializes the tokenize+explode work;
+    // on a well-split production table it is a no-op. Counts are
+    // exact integer aggregations, so partitioning never moves a value.
+    val tf = graft.Spread(documents)
       .withColumn("toks", Text.tokens(col("text")))
       .select(col("doc_id"), explode(col("toks")).as("token"))
       .groupBy(col("doc_id"), col("token"))
@@ -264,7 +268,7 @@ object LangModel {
         when(col("micro") <= lit(t2), lit(1L)).otherwise(lit(0L)).as("keep"))
   }
 
-  private[text] def lmTf(slice: DataFrame): DataFrame = slice
+  private[text] def lmTf(slice: DataFrame): DataFrame = graft.Spread(slice)
     .withColumn("toks", Text.tokens(col("text")))
     .select(col("doc_id"), explode(col("toks")).as("token"))
     .groupBy(col("doc_id"), col("token"))
@@ -421,7 +425,9 @@ object LangModel {
     */
   def surprisalBigram(documents: DataFrame, lambda: Double = 0.75): DataFrame = {
     require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
-    val toks = documents.withColumn("toks", Text.tokens(col("text")))
+    // Spread: see surprisal() — the tokenize work behind BOTH rollups
+    // otherwise runs on the raw scan's (single at bench scale) tasks
+    val toks = graft.Spread(documents).withColumn("toks", Text.tokens(col("text")))
     val uni = toks.select(explode(col("toks")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
@@ -480,7 +486,8 @@ object LangModel {
       documents: DataFrame, l1: Double = 0.5, l2: Double = 0.3): DataFrame = {
     require(l1 > 0 && l2 > 0 && l1 + l2 < 1, s"lambdas must be positive and sum below 1")
     val l3 = 1.0 - l1 - l2
-    val tf3 = documents.withColumn("toks", Text.tokens(col("text")))
+    // Spread: see surprisal() — parallelize the tokenize+explode scan
+    val tf3 = graft.Spread(documents).withColumn("toks", Text.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 2), " +

@@ -133,7 +133,7 @@ object Pii {
     val scrubbed = trim(regexp_replace(regexp_replace(regexp_replace(
       regexp_replace(p, Text.emailRe, "<email>"),
       ipv4Re, "<ip>"), cardRe, "<card>"), phoneRe, "<phone>"))
-    documents.select(
+    graft.Spread(documents).select(
       col("doc_id"),
       size(regexp_extract_all(p, lit(Text.emailRe), lit(0))).cast("long").as("n_emails"),
       size(regexp_extract_all(p, lit(phoneRe), lit(0))).cast("long").as("n_phones"),

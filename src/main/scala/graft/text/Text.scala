@@ -46,7 +46,7 @@ object Text {
   def tokenStats(documents: DataFrame): DataFrame =
     // toks materialized once — the expression is referenced three
     // times below and an inlined regex split would run per reference
-    documents.withColumn("toks", tokens(col("text"))).select(
+    graft.Spread(documents).withColumn("toks", tokens(col("text"))).select(
       col("doc_id"),
       size(col("toks")).cast("long").as("n_tokens"),
       size(bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"),
@@ -103,7 +103,7 @@ object Text {
 
   def quality(documents: DataFrame): DataFrame = {
     val q = qualityColumns(col("toks"), col("text"))
-    documents.withColumn("toks", tokens(col("text"))).select(
+    graft.Spread(documents).withColumn("toks", tokens(col("text"))).select(
       col("doc_id"),
       q.nTokens.as("n_tokens"),
       q.stopwordRatio.as("stopword_ratio"),
@@ -152,7 +152,7 @@ object Text {
     val q = qualityColumns(col("toks"), col("text"))
     val wAll = Window.partitionBy(Det.constKey(col("th_step")))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    documents
+    graft.Spread(documents)
       .withColumn("toks", tokens(col("text")))
       .select(q.nTokens.as("n_tokens"), q.score.as("score"))
       .select(col("n_tokens"),
@@ -231,7 +231,7 @@ object Text {
       minWords: Long = 50L, maxWords: Long = 100000L,
       minStopwords: Long = 2L): DataFrame = {
     val toks = col("toks")
-    documents.withColumn("toks", tokens(col("text"))).select(
+    graft.Spread(documents).withColumn("toks", tokens(col("text"))).select(
       col("doc_id"),
       size(toks).cast("long").as("n_words"),
       length(concat_ws("", toks)).cast("long").as("sum_word_chars"),
@@ -318,7 +318,7 @@ object Text {
       enforceTerminal: Boolean = true,
       enforceSentences: Boolean = true): DataFrame = {
     val low = col("low_toks")
-    val base = documents
+    val base = graft.Spread(documents)
       .withColumn("low_toks", tokens(lower(col("text"))))
       .select(
         col("doc_id"),
@@ -433,7 +433,7 @@ object Text {
       struct(hits.head._2.as("h"), lit(hits.head._1).as("l"))) { case (acc, (lang, h)) =>
       when(h > acc.getField("h"), struct(h.as("h"), lit(lang).as("l"))).otherwise(acc)
     }
-    documents.withColumn("toks", tokens(col("text"))).select(
+    graft.Spread(documents).withColumn("toks", tokens(col("text"))).select(
       col("doc_id"),
       col("lang").as("declared_lang"),
       best.getField("l").as("predicted_lang"),
@@ -503,7 +503,7 @@ object Text {
     val scrubbed = trim(regexp_replace(
       regexp_replace(regexp_replace(lowered, emailRe, "<email>"), urlRe, "<url>"),
       """\s+""", " "))
-    documents.select(
+    graft.Spread(documents).select(
       col("doc_id"),
       size(regexp_extract_all(lowered, lit(emailRe), lit(0))).cast("long").as("n_emails"),
       size(regexp_extract_all(lowered, lit(urlRe), lit(0))).cast("long").as("n_urls"),
@@ -593,7 +593,7 @@ object Text {
   }
 
   def fingerprint(documents: DataFrame): DataFrame =
-    documents
+    graft.Spread(documents)
       .withColumn("toks", tokens(col("text")))
       .withColumn("sh", shinglesFrom(col("toks"), col("text")))
       .select(

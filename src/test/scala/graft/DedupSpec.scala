@@ -169,7 +169,11 @@ class DedupSpec extends SparkSpec {
 
   test("clusters throws on iteration exhaustion instead of returning wrong labels") {
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    assertThrows[IllegalStateException](Dedup.clusters(chain, maxIters = 1))
+    // pin the contraction width: the adaptive sizing collapses a
+    // spec-scale graph into one union-find task (no iterative rounds
+    // left to exhaust), so the guard needs the chain kept spread
+    assertThrows[IllegalStateException](
+      Dedup.clusters(chain, maxIters = 1, contractWidth = Some(8)))
   }
 
   test("clusters on real near-dup pairs: endpoints co-labelled, keeper is the min member") {
