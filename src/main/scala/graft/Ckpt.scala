@@ -73,8 +73,30 @@ object Ckpt {
       df.sparkSession, rdd, df.schema)
   }
 
+  /** ACTUALLY release a checkpointed frame's blocks. `Dataset
+    * .unpersist()` routes through the CacheManager, which only knows
+    * `.persist()`-ed plans — on a localCheckpoint'd frame it is a
+    * silent NO-OP (verified empirically on Spark 4.1: the persistent
+    * RDD count does not move), so every "unpersist the previous
+    * round" call on a checkpoint leaked its blocks until RDD GC.
+    * This walks the plan's LogicalRDD leaves and unpersists the
+    * underlying RDDs directly (non-blocking).
+    *
+    * Only for frames this module produced and whose blocks the caller
+    * KNOWS are dead: a localCheckpoint has no lineage, so dropping
+    * blocks that something still reads is unrecoverable, not a
+    * recompute.
+    */
+  def drop(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   /** Suffix form, so call sites read like the built-in. */
   implicit class CkptOps(private val df: DataFrame) extends AnyVal {
     def boundedCheckpoint(): DataFrame = Ckpt.local(df)
+    def dropCheckpoint(): Unit = Ckpt.drop(df)
   }
 }

@@ -21,5 +21,14 @@ object GraftSession {
       // empty/null arrays on its own
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // AQE coalescing stays at Spark's parallelism-first default:
+      // round 16 MEASURED size-based coalescing
+      // (coalescePartitions.parallelismFirst=false, 64m advisory) and
+      // the bench total REGRESSED 248->273 s — the CPU-heavy
+      // post-shuffle stages (ANN rescoring, skew profiling, MMR) all
+      // collapse to one ~small-MB partition and serialize. The
+      // over-parallelization fix lives in Spread's size-derived
+      // repartition target instead (explicit repartitions are the one
+      // shuffle class AQE cannot coalesce).
       .config("spark.ui.enabled", "false")
 }

@@ -4,11 +4,26 @@ import org.apache.spark.network.util.JavaUtils
 import org.apache.spark.sql.DataFrame
 
 /** Spread a (possibly single-file, hence single-partition) scan across
-  * the session's shuffle parallelism before heavy per-row expression
-  * work — the raw-row shuffle is narrow and the expression work behind
-  * it is the expensive part. On a well-split 100 TB input the
-  * partition count already exceeds the target and this is a true
-  * no-op.
+  * enough tasks for its per-row expression work — the raw-row shuffle
+  * is narrow and the expression work behind it is the expensive part.
+  * On a well-split 100 TB input the partition count already exceeds
+  * the target and this is a true no-op.
+  *
+  * The TARGET is input-size-derived (round 16): ceil(input bytes /
+  * `spark.graft.spread.bytesPerTask`), floored at 2 and capped at
+  * `spark.sql.shuffle.partitions` — NOT a blanket repartition to the
+  * session's shuffle parallelism, which at bench scale forced 32-task
+  * shuffles of sub-MB inputs whose per-task scheduling cost more than
+  * the parallelism saved (the round-15 driver bench measured the
+  * 32-core total SLOWER than the 8-core one, and an explicit
+  * repartition is exempt from AQE coalescing, so nothing downstream
+  * could undo it). bytesPerTask defaults to 64k of PARQUET bytes per
+  * task: text columns compress ~5-10x and the expression work behind a
+  * Spread site (tokenize / regex scans) runs at microseconds per raw
+  * byte, so 64k of stored input is ~100-300 ms of task work — wide
+  * enough to matter, coarse enough that scheduling stays noise. The
+  * knob is a conf so a cluster profile can re-derive it; the decision
+  * stays scale-adaptive either way (both inputs grow with data size).
   *
   * The decision uses the OPTIMIZED-PLAN SIZE STATISTIC (catalog/file
   * -index bytes ÷ `spark.sql.files.maxPartitionBytes`, the same
@@ -24,9 +39,10 @@ import org.apache.spark.sql.DataFrame
   * unless CBO is tuned), which would read as "plenty of partitions"
   * and silently turn Spread into a no-op exactly where a
   * single-partition source is most likely — so the sentinel falls
-  * through to an unconditional repartition. That errs toward one
-  * narrow raw-row shuffle on stat-less inputs (bounded: such frames
-  * are never the 100 TB scan, which always carries file-index stats).
+  * through to an unconditional repartition to the session parallelism
+  * (bytes are unknown, so the size-derived target cannot be computed;
+  * erring wide is bounded: such frames are never the 100 TB scan,
+  * which always carries file-index stats).
   *
   * SCOPE of the stat-less branch (deliberate, recorded here so the
   * coverage claim is honest): every DRIVER-GATED query reads parquet
@@ -39,20 +55,29 @@ import org.apache.spark.sql.DataFrame
   * branch runs in nearly every suite, pinned in SpreadSpec) would
   * otherwise run the per-row expression work of a whole operator on
   * one thread. Library-surface-only, test-observed; not artifact-
-  * observable by construction.
+  * observable by construction. LocalRelations DO carry real stats
+  * (their in-memory size), so tiny literal frames take the sized
+  * branch and get the 2-task floor, not the full session width.
   */
 object Spread {
+  private val BytesPerTaskConf = "spark.graft.spread.bytesPerTask"
+
   def apply(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.conf
-    val target = conf.get("spark.sql.shuffle.partitions").toInt
+    val cap = conf.get("spark.sql.shuffle.partitions").toInt
     val maxPartitionBytes = JavaUtils.byteStringAsBytes(
       conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val bytesPerTask = JavaUtils.byteStringAsBytes(
+      conf.get(BytesPerTaskConf, "64k")).max(1L)
     val sizeInBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val noRealStats =
       sizeInBytes == BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    if (noRealStats) return df.repartition(cap)
     val estimatedScanPartitions =
       ((sizeInBytes + maxPartitionBytes - 1) / maxPartitionBytes).max(1)
-    if (!noRealStats && estimatedScanPartitions >= target) df
+    val target = ((sizeInBytes + bytesPerTask - 1) / bytesPerTask)
+      .max(2).min(cap).toInt
+    if (estimatedScanPartitions >= target) df
     else df.repartition(target)
   }
 }

@@ -685,9 +685,7 @@ object Dedup {
     // q_dedup_incremental / q_ingest_decision derive — one store-facing
     // counts materialization per session instead of one per threshold
     containSetsFromCounts(sets.filter(isBatch),
-      interCountsCached(sets.filter(isBatch), sets.filter(!isBatch),
-        storeIndex(sets.filter(!isBatch)),
-        math.min(tau, ScreenAlphaDefault)),
+      storeCountsSeam(documents, batchMod, math.min(tau, ScreenAlphaDefault)),
       tau)
   }
 
@@ -874,6 +872,10 @@ object Dedup {
       .groupBy(col("src").as("doc_id"))
       .agg(min(least(col("src"), col("dst"))).as("cluster_id"))
       .boundedCheckpoint()
+    // edges' persist was just materialized by the aggregate above, so
+    // slim's checkpoint blocks are dead weight from here (edges is
+    // MEMORY_AND_DISK: eviction spills, never recomputes through slim)
+    slim.dropCheckpoint()
     var labels = ckpt
     var converged = false
     var i = 0
@@ -900,7 +902,10 @@ object Dedup {
             .cast("long").as("chg"))
         .boundedCheckpoint()
       val changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
-      ckpt.unpersist()
+      // Ckpt.drop, not Dataset.unpersist: the latter only knows
+      // CacheManager entries and silently leaked every round's
+      // checkpoint blocks (round 16 fix, verified in CkptSpec)
+      ckpt.dropCheckpoint()
       ckpt = next
       labels = next.select(col("doc_id"), col("new_label").as("cluster_id"))
       converged = changed == 0L
@@ -932,12 +937,15 @@ object Dedup {
   private val clustersMemo = graft.Memo[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
 
-  def clustersCached(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+  // no maxIters parameter: the memo key is the pairs plan alone, so a
+  // caller-specific iteration guard would silently not apply on a memo
+  // hit — every consumer gets clusters()' default
+  def clustersCached(pairs: DataFrame): DataFrame =
     clustersMemo.getOrElseUpdate(pairs.sparkSession,
       pairs.queryExecution.analyzed.canonicalized)(
       // clusters() already returns a projection over its final
       // checkpointed round — stable blocks, no extra copy needed
-      clusters(pairs, maxIters))
+      clusters(pairs))
 
   /** Connected components of a pair graph whose edges never cross a
     * bounded GROUP — the semdedup within-(cell, subcell) case: the
@@ -2296,23 +2304,13 @@ object Dedup {
     // Without these the FIRST family member paid the shared build
     // inline (memo_misses named q_contained_incremental with 2,
     // q_dedup_batch and q_dedup_incremental_disk with 1 each).
-    val isBatch = pmod(col("doc_id"), lit(10L)) === 0
-    timed("dedup_screen_counts") {
-      val sets = setsCached(documents)
-      interCountsCached(sets.filter(isBatch), sets.filter(!isBatch),
-        storeIndex(sets.filter(!isBatch)), ScreenAlphaDefault); ()
-    }
-    timed("dedup_screen_counts_disk") {
-      val spark = documents.sparkSession
-      val dir = shingleIndexDirCached(documents.filter(!isBatch))
-      val batchSets = setsCached(documents).filter(isBatch)
-      interCountsCached(batchSets, ShingleIndex.readSets(spark, dir),
-        ShingleIndex.probeIndex(spark, dir), ScreenAlphaDefault,
-        Some(ShingleIndex.dfTable(spark, dir))); ()
-    }
-    timed("dedup_self_counts") {
-      selfCountsCached(setsCached(documents).filter(isBatch), ScreenAlphaDefault); ()
-    }
+    // the seam helpers ARE the query-side constructions (storeCountsSeam
+    // / diskCountsSeam / selfCountsSeam), so the memo keys match
+    // structurally — drift in a query's construction cannot silently
+    // orphan a prewarm entry
+    timed("dedup_screen_counts") { storeCountsSeam(documents); () }
+    timed("dedup_screen_counts_disk") { diskCountsSeam(documents); () }
+    timed("dedup_self_counts") { selfCountsSeam(documents); () }
     // the memoized LSH pair graph (q_dedup_embedding_lsh + the
     // modality-agreement audit) and the store-slice count behind the
     // adaptive LSH width (q_embed_incremental_lsh)
@@ -3002,10 +3000,51 @@ object Dedup {
     // memoized counts: q_ingest_decision's store screen derives the
     // identical (batch, index, tau) aggregate — one screen per session
     screenSetsFromCounts(sets.filter(isBatch), sets.filter(!isBatch),
-      interCountsCached(sets.filter(isBatch), sets.filter(!isBatch),
-        storeIndex(sets.filter(!isBatch)), tau),
+      storeCountsSeam(documents, batchMod, tau),
       tau)
   }
+
+  /** The family-shared STORE-FACING counts seam over the mod-split
+    * corpus at a candidate alpha — ONE construction used by the
+    * screen queries AND Bench's prewarm, so the interCounts memo keys
+    * match STRUCTURALLY (round 16, ADVICE item: the prewarm previously
+    * rebuilt the split + index shape inline, and any drift in the
+    * query-side construction would have silently turned the prewarm
+    * into a wasted build plus an inline rebuild in the first query).
+    */
+  private[graft] def storeCountsSeam(
+      documents: DataFrame, batchMod: Long = 10,
+      alphaFrac: Double = ScreenAlphaDefault): DataFrame = {
+    val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
+    val sets = setsCached(documents)
+    interCountsCached(sets.filter(isBatch), sets.filter(!isBatch),
+      storeIndex(sets.filter(!isBatch)), alphaFrac)
+  }
+
+  /** [[storeCountsSeam]]'s disk-served twin: the counts aggregate over
+    * the PERSISTED postings layout — shared by q_dedup_incremental_disk,
+    * q_ingest_decision_disk and the prewarm.
+    */
+  private[graft] def diskCountsSeam(
+      documents: DataFrame, batchMod: Long = 10,
+      alphaFrac: Double = ScreenAlphaDefault): DataFrame = {
+    val spark = documents.sparkSession
+    val isBatch = pmod(col("doc_id"), lit(batchMod)) === 0
+    val dir = shingleIndexDirCached(documents.filter(!isBatch))
+    val batchSets = setsCached(documents).filter(isBatch)
+    interCountsCached(batchSets, ShingleIndex.readSets(spark, dir),
+      ShingleIndex.probeIndex(spark, dir), alphaFrac,
+      Some(ShingleIndex.dfTable(spark, dir)))
+  }
+
+  /** The batch SELF-screen counts seam at the family defaults — shared
+    * by q_dedup_batch, both ingest decisions and the prewarm.
+    */
+  private[graft] def selfCountsSeam(
+      documents: DataFrame, batchMod: Long = 10,
+      alphaFrac: Double = ScreenAlphaDefault): DataFrame =
+    selfCountsCached(
+      setsCached(documents).filter(pmod(col("doc_id"), lit(batchMod)) === 0), alphaFrac)
 
   /** The screen core over prepared (doc_id, sh, ch) set-frames — the
     * [[incrementalDedup]] semantics with the batch/store split made
@@ -3319,9 +3358,7 @@ object Dedup {
     val spark = documents.sparkSession
     val batchSets = setsCached(documents).filter(isBatch)
     screenSetsFromCounts(batchSets, ShingleIndex.readSets(spark, dir),
-      interCountsCached(batchSets, ShingleIndex.readSets(spark, dir),
-        ShingleIndex.probeIndex(spark, dir), tau,
-        Some(ShingleIndex.dfTable(spark, dir))),
+      diskCountsSeam(documents, batchMod, tau),
       tau)
   }
 
@@ -3378,10 +3415,7 @@ object Dedup {
     val spark = documents.sparkSession
     val batchSets = setsCached(documents).filter(isBatch)
     decisionFromCounts(batchSets, ShingleIndex.readSets(spark, dir),
-      interCountsCached(batchSets, ShingleIndex.readSets(spark, dir),
-        ShingleIndex.probeIndex(spark, dir),
-        math.min(tau, tauContain),
-        Some(ShingleIndex.dfTable(spark, dir))),
+      diskCountsSeam(documents, batchMod, math.min(tau, tauContain)),
       tau, tauContain, memoSelf = true)
   }
 
@@ -3445,7 +3479,7 @@ object Dedup {
     val sets = setsCached(documents).filter(isBatch)
     // memoized self-counts: q_ingest_decision(+_disk) compose the
     // identical batch self-screen — one batch×batch aggregate/session
-    selfScreenFromCounts(sets, selfCountsCached(sets, tau), tau)
+    selfScreenFromCounts(sets, selfCountsSeam(documents, batchMod, tau), tau)
   }
 
   /** The first-wins self-screen core over a prepared (doc_id, sh, ch)
@@ -3540,9 +3574,7 @@ object Dedup {
     // derives, so the decision's two store-facing screens ride one
     // session-wide aggregate
     decisionFromCounts(sets.filter(isBatch), sets.filter(!isBatch),
-      interCountsCached(sets.filter(isBatch), sets.filter(!isBatch),
-        storeIndex(sets.filter(!isBatch)),
-        math.min(tau, tauContain)),
+      storeCountsSeam(documents, batchMod, math.min(tau, tauContain)),
       tau, tauContain, memoSelf = true)
   }
 

@@ -90,13 +90,24 @@ object Churn {
   private def sessionKey(spark: SparkSession, dir: String): String =
     System.identityHashCode(spark) + "@" + dir
 
-  private val featureCache = TrieMap.empty[String, DataFrame]
+  // value = (persisted inner frame — what clearCaches must unpersist,
+  // right-sized consumer view). The view is IterSized over the cached
+  // blocks: the feature table is customers-sized (tiny at bench scale,
+  // one task per 50k rows at any scale), but its natural partitioning
+  // is the build join's shuffle width — so every one of the 5+ ML
+  // consumers paid a full width of ~5 ms/task scheduling per scan
+  // (measured: q_predict_batch's single job 182 ms @32c vs 68 ms @8c
+  // for identical work). Values are partition-independent by the
+  // engine's determinism policy, so the view changes no query result.
+  private val featureCache = TrieMap.empty[String, (DataFrame, DataFrame)]
 
   def featuresWithSplit(spark: SparkSession, dir: String): DataFrame =
-    featureCache.getOrElseUpdate(sessionKey(spark, dir),
-      Retention.withSplit(
+    featureCache.getOrElseUpdate(sessionKey(spark, dir), {
+      val inner = Retention.withSplit(
         Retention.customerFeatures(Tables.orders(spark, dir), Tables.lineitem(spark, dir)))
-        .persist())
+        .persist()
+      (inner, IterSized(inner))
+    })._2
 
   def split(spark: SparkSession, dir: String, name: String): DataFrame =
     featuresWithSplit(spark, dir).filter(col("split") === name).drop("split")
@@ -112,7 +123,14 @@ object Churn {
   def fitted(spark: SparkSession, dir: String): PipelineModel =
     modelCache.getOrElseUpdate(dir, {
       val train = Retention.withClassWeights(split(spark, dir, "train")).cache()
-      try buildPipeline()._1.fit(train)
+      // IterSized: the L-BFGS loop (maxIter 80) re-scans its instance
+      // cache once per iteration, so the train frame's task count is
+      // paid ~80x — right-size it to one task per 50k rows (narrow
+      // coalesce, scale-adaptive no-op on big data). Model-dependent
+      // consumers are all rows-only (float accumulation order moves
+      // under coalescing); the hashed feature queries sit UPSTREAM of
+      // the fit and are untouched.
+      try buildPipeline()._1.fit(IterSized(train))
       finally train.unpersist()
     })
 
@@ -120,7 +138,10 @@ object Churn {
   def save(model: PipelineModel, path: String): Unit = model.write.overwrite().save(path)
   def load(path: String): PipelineModel = PipelineModel.load(path)
 
-  private val predictionCache = TrieMap.empty[(String, String), DataFrame]
+  // (persisted inner, right-sized view) — the featureCache discipline:
+  // scored rows are split-sized, and the sweep/confusion/AUC/batch
+  // queries re-scan them many times per bench run
+  private val predictionCache = TrieMap.empty[(String, String), (DataFrame, DataFrame)]
 
   /** (custkey, label, p1) scored rows for one split; persisted because
     * the sweep, confusion, and AUC queries all re-read them.
@@ -128,11 +149,12 @@ object Churn {
   def predictions(spark: SparkSession, dir: String, splitName: String): DataFrame =
     predictionCache.getOrElseUpdate((sessionKey(spark, dir), splitName), {
       val m = fitted(spark, dir)
-      m.transform(split(spark, dir, splitName))
+      val inner = m.transform(split(spark, dir, splitName))
         .select(col("custkey"), col("label"),
           vector_to_array(col("probability")).getItem(1).as("p1"))
         .persist()
-    })
+      (inner, IterSized(inner))
+    })._2
 
   // ------------------------------------------------------------------
   // q13: coefficient table (reference train.py:110-122) — feature,
@@ -183,10 +205,14 @@ object Churn {
     val full = spark.range(0, 101).select(col("id").cast("int").as("bucket"))
     // constant-partition windows: the input is exactly 101 rows at any
     // data size; Det.constKey (not a foldable lit) keeps Spark off its
-    // "no partition defined" single-partition warning path
-    val wDesc = Window.partitionBy(Det.constKey(col("bucket"))).orderBy(col("bucket").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(Det.constKey(col("bucket")))
+    // "no partition defined" single-partition warning path.
+    // ONE window spec (round 16): the totals ride the SAME desc sort
+    // as the suffix sums via an unbounded frame — same integer sums,
+    // one Window node + one Sort in the plan instead of two of each
+    // (cold planning/codegen is the bench cost of this bounded query).
+    val wSpec = Window.partitionBy(Det.constKey(col("bucket"))).orderBy(col("bucket").desc)
+    val wDesc = wSpec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = wSpec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = full.join(hist, Seq("bucket"), "left")
       .na.fill(0L, Seq("pos", "n"))
       .withColumn("tp", sum(col("pos")).over(wDesc))
@@ -310,49 +336,60 @@ object Churn {
     // (Det.constKey) so the (bounded, constant-cardinality) single
     // partition is explicit and Spark's "no partition defined" path is
     // never taken.
-    val wBktAsc = Window.partitionBy(Det.constKey(col("bkt"))).orderBy(col("bkt").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wBktDesc = Window.partitionBy(Det.constKey(col("bkt"))).orderBy(col("bkt").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wBktAll = Window.partitionBy(Det.constKey(col("bkt")))
+    // ONE bucket-level window spec (round 16): the asc prefix, the
+    // desc prefixes and the partition totals are all frames of the
+    // SAME (constKey, bkt desc) sort — below-sum = total − inclusive
+    // desc-sum, totals = the unbounded frame. Same exact integer sums,
+    // but ONE Window node + ONE Sort in the plan where there were
+    // three of each (this query's bench cost is cold planning/codegen
+    // of the cascade, not execution — the tables are ≤1001 rows).
+    val wBkt = Window.partitionBy(Det.constKey(col("bkt"))).orderBy(col("bkt").desc)
+    val wBktAbove = wBkt.rowsBetween(Window.unboundedPreceding, -1)
+    val wBktIncl = wBkt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBktFull = wBkt.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val bktPrefix = byScore
       .groupBy(col("bkt"))
       .agg(sum(col("pos")).as("bpos"), sum(col("neg")).as("bneg"), sum(col("n")).as("bn"))
-      .withColumn("bkt_neg_below", coalesce(sum(col("bneg")).over(wBktAsc), lit(0L)))
-      .withColumn("bkt_pos_above", coalesce(sum(col("bpos")).over(wBktDesc), lit(0L)))
-      .withColumn("bkt_n_above", coalesce(sum(col("bn")).over(wBktDesc), lit(0L)))
-      .withColumn("p_tot", sum(col("bpos")).over(wBktAll))
-      .withColumn("n_tot", sum(col("bneg")).over(wBktAll))
-      .select("bkt", "bkt_neg_below", "bkt_pos_above", "bkt_n_above", "p_tot", "n_tot")
+      .withColumn("bkt_pos_above", coalesce(sum(col("bpos")).over(wBktAbove), lit(0L)))
+      .withColumn("bkt_n_above", coalesce(sum(col("bn")).over(wBktAbove), lit(0L)))
+      .withColumn("p_tot", sum(col("bpos")).over(wBktFull))
+      .withColumn("n_tot", sum(col("bneg")).over(wBktFull))
+      .withColumn("bkt_neg_below", col("n_tot") - sum(col("bneg")).over(wBktIncl))
+      .select("bkt", "bneg", "bkt_neg_below", "bkt_pos_above", "bkt_n_above", "p_tot", "n_tot")
     // Within-bucket cumulative sums; boundary values come from the
     // broadcast bucket prefix, so cross-bucket state never crosses a
     // window partition. The previous PR-curve point for a bucket's
     // highest score is the bucket-above cumulative (recall 0 /
     // precision 1 when nothing is above).
-    val wInAsc = Window.partitionBy(col("bkt")).orderBy(col("p1").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wInDesc = Window.partitionBy(col("bkt")).orderBy(col("p1").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wInLag = Window.partitionBy(col("bkt")).orderBy(col("p1").desc)
+    // ONE within-bucket spec too (round 16): the asc neg-prefix is
+    // bucket-total − inclusive desc-sum (bneg rides the broadcast),
+    // and the lag() of the PR point is recomputed from the exclusive
+    // desc frame — the same integers through the same divides, so the
+    // doubles are bit-identical, with the window count 3 → 1.
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("p1").desc)
+    val wInAbove = wIn.rowsBetween(Window.unboundedPreceding, -1)
+    val wInIncl = wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val scored = byScore
       .join(broadcast(bktPrefix), "bkt")
       .withColumn("neg_below",
-        col("bkt_neg_below") + coalesce(sum(col("neg")).over(wInAsc), lit(0L)))
-      .withColumn("cum_pos", col("bkt_pos_above") + sum(col("pos")).over(wInDesc))
-      .withColumn("cum_n", col("bkt_n_above") + sum(col("n")).over(wInDesc))
+        col("bkt_neg_below") + col("bneg") - sum(col("neg")).over(wInIncl))
+      .withColumn("cum_pos", col("bkt_pos_above") + sum(col("pos")).over(wInIncl))
+      .withColumn("cum_n", col("bkt_n_above") + sum(col("n")).over(wInIncl))
+      .withColumn("cum_pos_prev",
+        col("bkt_pos_above") + coalesce(sum(col("pos")).over(wInAbove), lit(0L)))
+      .withColumn("cum_n_prev",
+        col("bkt_n_above") + coalesce(sum(col("n")).over(wInAbove), lit(0L)))
       .withColumn("roc_contrib",
         col("pos").cast("double") *
           (col("neg_below").cast("double") + col("neg").cast("double") / 2.0))
       .withColumn("recall", col("cum_pos").cast("double") / greatest(col("p_tot"), lit(1L)).cast("double"))
       .withColumn("prec", col("cum_pos").cast("double") / col("cum_n").cast("double"))
       .withColumn("recall_prev",
-        coalesce(lag(col("recall"), 1).over(wInLag),
-          col("bkt_pos_above").cast("double") / greatest(col("p_tot"), lit(1L)).cast("double")))
+        col("cum_pos_prev").cast("double") / greatest(col("p_tot"), lit(1L)).cast("double"))
       .withColumn("prec_prev",
-        coalesce(lag(col("prec"), 1).over(wInLag),
-          when(col("bkt_n_above") > 0,
-            col("bkt_pos_above").cast("double") / col("bkt_n_above").cast("double"))
-            .otherwise(lit(1.0))))
+        when(col("cum_n_prev") > 0,
+          col("cum_pos_prev").cast("double") / col("cum_n_prev").cast("double"))
+          .otherwise(lit(1.0)))
       .withColumn("pr_contrib",
         (col("recall") - col("recall_prev")) * (col("prec") + col("prec_prev")) / 2.0)
     scored.agg(
@@ -529,9 +566,11 @@ object Churn {
     * sessions that move between data directories.
     */
   def clearCaches(): Unit = {
-    featureCache.values.foreach(_.unpersist())
+    // unpersist the INNER persisted frames — Dataset.unpersist on the
+    // IterSized coalesce view would not match the cache entry
+    featureCache.values.foreach(_._1.unpersist())
     featureCache.clear()
-    predictionCache.values.foreach(_.unpersist())
+    predictionCache.values.foreach(_._1.unpersist())
     predictionCache.clear()
     modelCache.clear()
   }

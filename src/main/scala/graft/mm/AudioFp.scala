@@ -215,7 +215,9 @@ object AudioFp {
     val fp = fpCached(documents).filter(col("err") === "").select("doc_id")
     val pairs = audioDedup(documents, tau)
       .select(col("a").as("doc_a"), col("b").as("doc_b"))
-    val labels = graft.dedup.Dedup.clusters(pairs).localCheckpoint()
+    // clustersCached, not clusters(): memoized stable blocks — no
+    // extra checkpoint copy, no per-invocation labels leak (round 16)
+    val labels = graft.dedup.Dedup.clustersCached(pairs)
     fp.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))

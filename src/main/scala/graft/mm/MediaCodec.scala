@@ -1383,10 +1383,13 @@ object MediaCodec {
     val ph = phashCached(documents)
     val groups = hashGroups(ph).localCheckpoint()
     val memb = hashMembers(ph, groups)
-    val labels = graft.dedup.Dedup.clusters(
+    // clustersCached, not clusters(): the memoized labels ARE stable
+    // materialized checkpoint blocks (no extra localCheckpoint copy),
+    // and repeated invocations reuse one derivation per pair graph
+    // instead of leaking one labels copy each (round 16, ADVICE item)
+    val labels = graft.dedup.Dedup.clustersCached(
       repPairs(groups, tau).select(col("ra").as("doc_a"), col("rb").as("doc_b")))
       .withColumnRenamed("doc_id", "rep")
-      .localCheckpoint()
     memb.join(labels, Seq("rep"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("rep")).as("cluster_id"))

@@ -332,9 +332,12 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
       .withColumn("bucket", expr(s"cents DIV $bucketCents"))
       .localCheckpoint()
-    val wB = Window.partitionBy(Det.constKey(col("bucket")))
-      .orderBy(col("bucket").asc).rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy(Det.constKey(col("bucket")))
+    // ONE window spec (round 16): the total rides the SAME asc sort as
+    // the prefix via an unbounded frame — same exact integer sums, one
+    // Window node + one Sort in the plan instead of two of each
+    val wSpec = Window.partitionBy(Det.constKey(col("bucket"))).orderBy(col("bucket").asc)
+    val wB = wSpec.rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = wSpec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offsets = vals
       .groupBy(col("bucket")).agg(sum(col("cnt")).as("btot"))
       .withColumn("offset", coalesce(sum(col("btot")).over(wB), lit(0L)))

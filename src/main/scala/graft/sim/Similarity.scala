@@ -392,7 +392,11 @@ object Similarity {
       cents = lloydStep(u, cents, d)
         .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
     }
-    u.unpersist()
+    // Ckpt.drop, not Dataset.unpersist: u is a localCheckpoint, whose
+    // blocks Dataset.unpersist does not release (it only knows
+    // CacheManager entries) — every kmeansCentroids call leaked its
+    // unit-vector table until round 16
+    graft.Ckpt.drop(u)
     cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "cv")
   }
 

@@ -38,9 +38,12 @@ object Corpus {
         length(col("text")).cast("long").as("n_chars"))
       .groupBy(col("lang"), col("n_tokens"))
       .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
-    val wCum = Window.partitionBy(col("lang")).orderBy(col("n_tokens").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wLang = Window.partitionBy(col("lang"))
+    // ONE window spec (round 16): the per-language total rides the
+    // SAME asc sort as the cumulative via an unbounded frame — same
+    // exact integer sums, one Window node + one Sort instead of two
+    val wSpec = Window.partitionBy(col("lang")).orderBy(col("n_tokens").asc)
+    val wCum = wSpec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLang = wSpec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = rollup
       .withColumn("cum", sum(col("cnt")).over(wCum))
       .withColumn("n", sum(col("cnt")).over(wLang))
@@ -99,7 +102,11 @@ object Corpus {
     * sequence over exact integers, identical in DuckDB.
     */
   def tokenEntropy(documents: DataFrame): DataFrame =
-    graft.Spread(documents)
+    // NOT Spread (round 16): tokenize + explode feed a keyed count
+    // whose map-side partial agg already runs inside the scan stage —
+    // per-row work too light for a repartition exchange (driver bench
+    // r15: the Spread'd form was 2.1x slower at bench scale)
+    documents
       .withColumn("toks", Text.tokens(col("text")))
       .select(col("lang"), explode(col("toks")).as("token"))
       .groupBy(col("lang"), col("token"))
@@ -153,7 +160,11 @@ object Corpus {
     */
   def sourceProfile(documents: DataFrame): DataFrame = {
     val q = Text.qualityColumns(col("toks"), col("text"))
-    val base = graft.Spread(documents).withColumn("toks", Text.tokens(col("text")))
+    // NOT Spread (round 16): base is consumed TWICE (groupBy + join
+    // back), so a repartition exchange would run twice per query for
+    // per-row work (tokenize + quality + md5) that the driver bench
+    // measured as too light to pay for it (r15: 1.6x slower Spread'd)
+    val base = documents.withColumn("toks", Text.tokens(col("text")))
       .select(col("doc_id"), col("source"),
         q.nTokens.as("n_tokens"), q.score.as("quality_score"),
         md5(col("text").cast("binary")).as("h"))
@@ -321,7 +332,10 @@ object Corpus {
     val budget = budgetByLang.foldLeft(lit(defaultBudget): Column) { case (acc, (l, b)) =>
       when(col("lang") === l, lit(b)).otherwise(acc)
     }
-    val rates = graft.Spread(documents)
+    // NOT Spread (round 16): both passes are tokenize + size() into a
+    // keyed/scan-side consumer — per-row work too light for the
+    // repartition exchange (driver bench r15: 1.7x slower Spread'd)
+    val rates = documents
       .withColumn("toks", Text.tokens(col("text")))
       .groupBy(col("lang"))
       .agg(sum(size(col("toks")).cast("long")).as("total_tokens"))
@@ -330,7 +344,7 @@ object Corpus {
         least(lit(granularity.toLong),
           expr(s"(budget * CAST($granularity AS BIGINT)) DIV total_tokens")))
       .select(col("lang"), col("keep_q"))
-    graft.Spread(documents)
+    documents
       .join(broadcast(rates), Seq("lang"))
       .filter(pmod(col("doc_id"), lit(granularity.toLong)) < col("keep_q"))
       .withColumn("toks", Text.tokens(col("text")))
@@ -1174,17 +1188,21 @@ object Corpus {
       .select(explode(col("toks")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
       .groupBy(col("c")).agg(count(lit(1)).as("n_types"))
-    val w = Window.partitionBy(Det.constKey(col("c"))).orderBy(col("c").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy(Det.constKey(col("c")))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // ONE window spec (round 16): the totals are full-frame SUMS of the
+    // base columns over the SAME desc sort (= the max of the cumulative
+    // they replaced — equal by exact integer algebra), so the four
+    // window expressions share one Window node + one Sort instead of
+    // two dependent nodes with separate sorts
+    val wSpec = Window.partitionBy(Det.constKey(col("c"))).orderBy(col("c").desc)
+    val w = wSpec.rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = wSpec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = hist
       .withColumn("ctb", coalesce(sum(col("n_types")).over(w), lit(0L)))
       .withColumn("mtb", coalesce(sum(col("n_types") * col("c")).over(w), lit(0L)))
       .withColumn("ct", col("ctb") + col("n_types"))
       .withColumn("mt", col("mtb") + col("n_types") * col("c"))
-      .withColumn("v_total", max(col("ctb") + col("n_types")).over(wAll))
-      .withColumn("m_total", max(col("mtb") + col("n_types") * col("c")).over(wAll))
+      .withColumn("v_total", sum(col("n_types")).over(wAll))
+      .withColumn("m_total", sum(col("n_types") * col("c")).over(wAll))
     val pow2 = (c: String) => expr(s"shiftleft(1L, CAST($c AS INT))")
     val rungs = cum
       .withColumn("jmin",

@@ -134,9 +134,12 @@ object LangModel {
     val vals = m.groupBy(col("micro")).agg(count(lit(1)).as("cnt"))
       .withColumn("bucket", expr(s"micro DIV $bucketMicros"))
       .localCheckpoint()
-    val wB = Window.partitionBy(Det.constKey(col("bucket")))
-      .orderBy(col("bucket").asc).rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy(Det.constKey(col("bucket")))
+    // ONE window spec (round 16, the priceQuantiles merge): the total
+    // rides the SAME asc sort as the prefix via an unbounded frame —
+    // same integer sums, one Window node + one Sort instead of two
+    val wSpec = Window.partitionBy(Det.constKey(col("bucket"))).orderBy(col("bucket").asc)
+    val wB = wSpec.rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = wSpec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offsets = vals
       .groupBy(col("bucket")).agg(sum(col("cnt")).as("btot"))
       .withColumn("offset", coalesce(sum(col("btot")).over(wB), lit(0L)))

@@ -45,8 +45,13 @@ object Text {
     */
   def tokenStats(documents: DataFrame): DataFrame =
     // toks materialized once — the expression is referenced three
-    // times below and an inlined regex split would run per reference
-    graft.Spread(documents).withColumn("toks", tokens(col("text"))).select(
+    // times below and an inlined regex split would run per reference.
+    // NOT Spread (round 16): one whitespace split + size() per row is
+    // too light to pay for a repartition exchange — the round-15
+    // driver bench measured the Spread'd form 1.5x SLOWER at bench
+    // scale, and a well-split production scan parallelizes the map-
+    // side partial agg anyway.
+    documents.withColumn("toks", tokens(col("text"))).select(
       col("doc_id"),
       size(col("toks")).cast("long").as("n_tokens"),
       size(bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"),
@@ -425,19 +430,29 @@ object Text {
        |FROM c""".stripMargin
 
   def langId(documents: DataFrame): DataFrame = {
-    val toks = col("toks") // materialized below; referenced per language
-    val hits = langMarkers.map { case (lang, ws) =>
-      lang -> size(filter(toks, t => t.isInCollection(ws)))
+    // The hit counts are MATERIALIZED as columns before the argmax
+    // fold (round 16): folding over the count EXPRESSIONS expanded
+    // each size(filter(...)) combinatorially inside the nested CASE —
+    // a ~30 KB expression tree per output column (slow analysis +
+    // codegen, and interpreted fallback risk), where folding over
+    // column REFERENCES keeps the tree ~100 nodes. Values are
+    // identical: same counts, same strictly-greater fold.
+    val hitCols = langMarkers.map { case (lang, ws) =>
+      size(filter(col("toks"), t => t.isInCollection(ws))).as(s"h_$lang")
     }
-    val best = hits.tail.foldLeft(
-      struct(hits.head._2.as("h"), lit(hits.head._1).as("l"))) { case (acc, (lang, h)) =>
-      when(h > acc.getField("h"), struct(h.as("h"), lit(lang).as("l"))).otherwise(acc)
+    val best = langMarkers.tail.foldLeft(
+      struct(col(s"h_${langMarkers.head._1}").as("h"), lit(langMarkers.head._1).as("l"))) {
+      case (acc, (lang, _)) =>
+        when(col(s"h_$lang") > acc.getField("h"),
+          struct(col(s"h_$lang").as("h"), lit(lang).as("l"))).otherwise(acc)
     }
-    graft.Spread(documents).withColumn("toks", tokens(col("text"))).select(
-      col("doc_id"),
-      col("lang").as("declared_lang"),
-      best.getField("l").as("predicted_lang"),
-      best.getField("h").cast("long").as("marker_hits"))
+    graft.Spread(documents).withColumn("toks", tokens(col("text")))
+      .select(col("doc_id") +: col("lang") +: hitCols: _*)
+      .select(
+        col("doc_id"),
+        col("lang").as("declared_lang"),
+        best.getField("l").as("predicted_lang"),
+        best.getField("h").cast("long").as("marker_hits"))
   }
 
   def sqlLangId: String = {

@@ -29,12 +29,17 @@ object ProbeQuery {
         var stages: Int = 0, var tasks: Int = 0, var taskMs: Long = 0L,
         var desc: String = "")
     val jobs = mutable.LinkedHashMap.empty[Int, JobRec]
+    // stage -> job map from JobStart: broadcast-exchange jobs overlap
+    // the main job even in local mode, so attributing a task to the
+    // "most recent unfinished job" mis-charged concurrent jobs' tasks
+    val stageToJob = mutable.HashMap.empty[Int, Int]
     @volatile var record = false
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = if (record) {
         val r = jobs.getOrElseUpdate(j.jobId, JobRec(j.jobId))
         r.start = j.time
         r.stages = j.stageInfos.size
+        j.stageInfos.foreach(si => stageToJob(si.stageId) = j.jobId)
         r.desc = Option(j.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
       }
@@ -42,10 +47,8 @@ object ProbeQuery {
         jobs.get(j.jobId).foreach(_.end = j.time)
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = if (record) {
-        // attribute the task to the most recent unfinished job (local
-        // mode runs jobs sequentially here, so this is unambiguous)
-        jobs.values.lastOption.foreach { r =>
-          if (r.end == 0L) { r.tasks += 1; r.taskMs += t.taskInfo.duration }
+        stageToJob.get(t.stageId).flatMap(jobs.get).foreach { r =>
+          r.tasks += 1; r.taskMs += t.taskInfo.duration
         }
       }
     }

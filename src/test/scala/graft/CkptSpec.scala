@@ -75,6 +75,25 @@ class CkptSpec extends SparkSpec {
     }
   }
 
+  test("Ckpt.drop releases a checkpoint's blocks where Dataset.unpersist silently cannot") {
+    import spark.implicits._
+    val ck = Ckpt.local(Seq(1L, 2L, 3L).toDF("x"))
+    // track the specific checkpointed RDD id (concurrency-safe: other
+    // suites may persist their own RDDs in the shared session)
+    val ids = ck.queryExecution.analyzed.collectLeaves().collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+    assert(ids.nonEmpty && ids.forall(spark.sparkContext.getPersistentRDDs.contains),
+      "a local checkpoint must register its RDD as persistent")
+    ck.unpersist()
+    assert(ids.forall(spark.sparkContext.getPersistentRDDs.contains),
+      "Dataset.unpersist is a CacheManager call and must NOT touch checkpoint " +
+        "blocks (if this starts failing, Spark fixed it and Ckpt.drop can retire)")
+    Ckpt.drop(ck)
+    assert(!ids.exists(spark.sparkContext.getPersistentRDDs.contains),
+      "Ckpt.drop must unpersist the checkpointed RDD itself")
+  }
+
   test("a deep chain of bounded checkpoints never overflows stats estimation") {
     withHugeDefaults {
       val base = spark.createDataFrame(
