@@ -993,9 +993,12 @@ object SparkEntry {
     "q_dedup_ngram" -> Dedup.sqlNgramPairs(),
     "q_dedup_sweep" -> Dedup.sqlDedupSweep(),
     "q_dedup_containment" -> Dedup.sqlContainmentPairs(),
-    // q_dedup_modality_agreement: rows-only since round 15 — the query
-    // serves the LSH pair graph (approximate recall); the brute
-    // composition sqlModalityAgreement twins stays the spec-scale gate
+    // q_dedup_modality_agreement: hash gate RESTORED in round 16 — the
+    // LSH bucketing is deterministic integer hashing, so the twin
+    // replays it exactly (plane hashes, sign buckets, 1-bit-flip
+    // probes, exact rescoring); the brute sqlModalityAgreement stays
+    // the spec-scale subset gate
+    "q_dedup_modality_agreement" -> Dedup.sqlModalityAgreementLsh(),
     "q_contained_drop" -> Dedup.sqlContainedDrop(),
     "q_dedup_incremental" -> Dedup.sqlIncrementalDedup(),
     "q_dedup_incremental_disk" -> Dedup.sqlIncrementalDedup(),

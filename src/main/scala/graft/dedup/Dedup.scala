@@ -2168,8 +2168,107 @@ object Dedup {
         .otherwise(lit(0.0)).as("pair_jaccard"))
   }
 
-  /** DuckDB twin of [[modalityAgreement]]: the two pair oracles
-    * composed as CTEs, intersected on the ordered pair key.
+  /** DuckDB twin of [[modalityAgreement]] at its QUERY DEFAULTS
+    * (useLsh = true) — restores the hash gate the round-15
+    * re-declaration dropped: the hyperplane-LSH blocking is
+    * deterministic integer hashing, so the oracle replays it exactly.
+    *
+    *   - bits: [[lshBits]]'s min(24, max(8, ceil(log2(n/8)))) from
+    *     count(embeddings) (the gated SFs sit at the floor, so the
+    *     ln-boundary ulp risk is theoretical there);
+    *   - planes: `XXH64.hashInt(t*1000003 + b*1009 + j, 42)` replayed
+    *     in pure SQL over HUGEINT — 64-bit wrapping multiply as a
+    *     32×64 split, rotl as shift-halves added (disjoint bits), the
+    *     final signed reinterpretation, `/ 2^63` — verified term-equal
+    *     to Spark's XXH64 on reference values;
+    *   - buckets: sign of the j-ORDERED dot (list order = the
+    *     HyperplaneBuckets accumulation order), bit (bits-1-b);
+    *   - candidates: exact bucket × (exact + all 1-bit flips), scored
+    *     with the ordered-dot cosine ≥ tauCos, DISTINCT pairs.
+    *
+    * Plane generation caps: 24 bits (lshBits' own cap) and 8192 dims
+    * (range() in FROM needs constants; raise alongside any corpus with
+    * wider embeddings).
+    */
+  def sqlModalityAgreementLsh(
+      tauText: Double = 0.5, tauCos: Double = 0.35): String = {
+    val (ngramCtes, ngramSelect) = sqlNgramCtes(tauText)
+    // XXH64 primes; H0 = seed 42 + PRIME64_5 + 4 (the int-input path)
+    val P1 = java.lang.Long.toUnsignedString(0x9E3779B185EBCA87L)
+    val P2 = java.lang.Long.toUnsignedString(0xC2B2AE3D27D4EB4FL)
+    val P3 = java.lang.Long.toUnsignedString(0x165667B19E3779F9L)
+    val H0 = java.lang.Long.toUnsignedString(42L + 0x27D4EB2F165667C5L + 4L)
+    val M64 = "18446744073709551616"
+    def mul64(a: String, b: String) =
+      s"( (($a) // 4294967296 * $b) % 4294967296 * 4294967296 + (($a) % 4294967296) * $b ) % $M64"
+    val dotAB =
+      "list_sum(list_transform(range(1, len(la.v) + 1), k -> la.v[k] * rb.v[k]))"
+    s"""WITH $ngramCtes, ma_t AS (
+       |  SELECT doc_a, doc_b FROM ($ngramSelect)
+       |), ma2_n AS (SELECT count(*) AS n FROM embeddings),
+       |ma2_bits AS (SELECT least(24, greatest(8,
+       |    CAST(ceil(ln(greatest(1.0, CAST(n AS DOUBLE) / 8.0)) / ln(2.0)) AS INT))) AS bits FROM ma2_n),
+       |ma2_p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |ma2_dim AS (SELECT coalesce((SELECT d FROM (
+       |    SELECT len(v) AS d, count(*) AS cnt FROM ma2_p WHERE len(v) > 0 GROUP BY 1)
+       |    ORDER BY cnt DESC, d ASC LIMIT 1), 0) AS d),
+       |ma2_prep AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM ma2_p, ma2_dim
+       |  WHERE len(v) = d AND len(list_filter(v, x -> x IS NULL)) = 0
+       |    AND sqrt(list_sum(list_transform(v, x -> x * x))) > 0),
+       |ma2_h0 AS (
+       |  SELECT t, b, j, CAST($H0 AS HUGEINT) AS h0,
+       |    CAST(t * 1000003 + b * 1009 + j AS HUGEINT) AS k1
+       |  FROM range(0, 8) tt(t), range(0, 24) bb(b), range(0, 8192) jj(j), ma2_bits, ma2_dim
+       |  WHERE b < bits AND j < d),
+       |ma2_h1 AS (SELECT t, b, j, xor(h0, ${mul64("k1", P1)}) AS h1 FROM ma2_h0),
+       |ma2_h2 AS (SELECT t, b, j, ((h1 * 8388608) % $M64 + h1 // 2199023255552) AS hr FROM ma2_h1),
+       |ma2_h3 AS (SELECT t, b, j, (${mul64("hr", P2)} + $P3) % $M64 AS h2 FROM ma2_h2),
+       |ma2_f1 AS (SELECT t, b, j, xor(h2, h2 // 8589934592) AS fa FROM ma2_h3),
+       |ma2_f2 AS (SELECT t, b, j, ${mul64("fa", P2)} AS fb FROM ma2_f1),
+       |ma2_f3 AS (SELECT t, b, j, xor(fb, fb // 536870912) AS fc FROM ma2_f2),
+       |ma2_f4 AS (SELECT t, b, j, ${mul64("fc", P3)} AS fd FROM ma2_f3),
+       |ma2_f5 AS (SELECT t, b, j, xor(fd, fd // 4294967296) AS u FROM ma2_f4),
+       |ma2_planes AS (
+       |  SELECT t, b, list(CAST(CASE WHEN u >= 9223372036854775808 THEN u - $M64 ELSE u END AS DOUBLE)
+       |                    / 9.223372036854776e18 ORDER BY j) AS pl
+       |  FROM ma2_f5 GROUP BY t, b),
+       |ma2_bkt AS (
+       |  SELECT e.vec_id, p.t,
+       |    sum(CASE WHEN list_sum(list_transform(range(1, len(e.v) + 1), k -> e.v[k] * p.pl[k])) > 0.0
+       |        THEN (CAST(1 AS BIGINT) << (bits - 1 - CAST(p.b AS INT))) ELSE 0 END) AS bkt
+       |  FROM ma2_prep e, ma2_planes p, ma2_bits
+       |  GROUP BY 1, 2),
+       |ma2_right AS (
+       |  SELECT b.vec_id, b.t,
+       |    CASE WHEN f.j < 0 THEN b.bkt ELSE xor(b.bkt, CAST(1 AS BIGINT) << CAST(f.j AS INT)) END AS probe
+       |  FROM ma2_bkt b, range(-1, 24) f(j), ma2_bits WHERE f.j < bits),
+       |ma_e AS (
+       |  SELECT DISTINCT l.vec_id AS doc_a, r.vec_id AS doc_b
+       |  FROM ma2_bkt l
+       |  JOIN ma2_right r ON l.t = r.t AND l.bkt = r.probe AND l.vec_id < r.vec_id
+       |  JOIN ma2_prep la ON la.vec_id = l.vec_id
+       |  JOIN ma2_prep rb ON rb.vec_id = r.vec_id
+       |  WHERE ($dotAB) / (la.nrm * rb.nrm) >= $tauCos),
+       |ma_b AS (
+       |  SELECT count(*) AS n_both FROM ma_t JOIN ma_e USING (doc_a, doc_b)
+       |)
+       |SELECT CAST((SELECT count(*) FROM ma_t) AS BIGINT) AS n_text_pairs,
+       |  CAST((SELECT count(*) FROM ma_e) AS BIGINT) AS n_embed_pairs,
+       |  CAST(ma_b.n_both AS BIGINT) AS n_both,
+       |  CASE WHEN (SELECT count(*) FROM ma_t) + (SELECT count(*) FROM ma_e) - ma_b.n_both > 0
+       |       THEN floor(CAST(ma_b.n_both AS DOUBLE)
+       |         / CAST((SELECT count(*) FROM ma_t) + (SELECT count(*) FROM ma_e) - ma_b.n_both AS DOUBLE)
+       |         * 1000000.0 + 0.5) / 1000000.0
+       |       ELSE 0.0 END AS pair_jaccard
+       |FROM ma_b""".stripMargin
+  }
+
+  /** DuckDB twin of [[modalityAgreement]] with the BRUTE embedding
+    * side (useLsh = false): the two pair oracles composed as CTEs,
+    * intersected on the ordered pair key — the spec-scale gate for the
+    * LSH twin's subset relation.
     */
   def sqlModalityAgreement(tauText: Double = 0.5, tauCos: Double = 0.35): String = {
     val (ngramCtes, ngramSelect) = sqlNgramCtes(tauText)

@@ -36,6 +36,7 @@ object Avro {
     */
   def lineitemViaAvro(spark: SparkSession, dir: String): DataFrame =
     readLineitem(spark, Scratch.materialize("avro_lineitem", dir) { out =>
-      writeLineitem(graft.Tables.lineitem(spark, dir), out)
+      // Spread: parallel encode for a single-file source (round 16)
+      writeLineitem(graft.Spread(graft.Tables.lineitem(spark, dir)), out)
     })
 }

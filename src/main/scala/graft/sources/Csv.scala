@@ -80,6 +80,9 @@ object Csv {
     */
   def lineitemViaCsv(spark: SparkSession, dir: String): DataFrame =
     readLineitem(spark, Scratch.materialize("csv_lineitem", dir) { out =>
-      writeRawLineitem(graft.Tables.lineitem(spark, dir), out)
+      // Spread: the string-formatting encode of a single-file source
+      // would otherwise run on one thread (round 16; q_csv_clean's
+      // values are per-row, order-free under the sorted oracle compare)
+      writeRawLineitem(graft.Spread(graft.Tables.lineitem(spark, dir)), out)
     })
 }

@@ -67,6 +67,7 @@ object Jsonl {
     */
   def documentsViaJsonl(spark: SparkSession, dir: String): DataFrame =
     readDocuments(spark, Scratch.materialize("jsonl_documents", dir) { out =>
-      writeDocuments(graft.Tables.documents(spark, dir), out)
+      // Spread: parallel encode for a single-file source (round 16)
+      writeDocuments(graft.Spread(graft.Tables.documents(spark, dir)), out)
     })
 }

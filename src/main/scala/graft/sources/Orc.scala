@@ -24,6 +24,9 @@ object Orc {
     */
   def lineitemViaOrc(spark: SparkSession, dir: String): DataFrame =
     readLineitem(spark, Scratch.materialize("orc_lineitem", dir) { out =>
-      writeLineitem(graft.Tables.lineitem(spark, dir), out)
+      // Spread: a single-file source would otherwise encode the whole
+      // export on one thread (round 16; values per row unchanged, the
+      // consumers are row-order-independent)
+      writeLineitem(graft.Spread(graft.Tables.lineitem(spark, dir)), out)
     })
 }
