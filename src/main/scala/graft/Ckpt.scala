@@ -43,9 +43,22 @@ object Ckpt {
     * through [[local]] never take this path (every generation's carry
     * is already bounded).
     */
+  /** Storage level for checkpoint blocks: `spark.graft.ckpt.storageLevel`
+    * (default MEMORY_AND_DISK_SER). Serialized blocks are 2-4x smaller
+    * for the array-heavy dedup seams (shingle sets, signatures, pair
+    * graphs), which is what keeps the whole seam population resident
+    * at sf3 under the 8g bench heap — the round-15 ladder measured
+    * 2-4x run-to-run swings on untouched queries as these blocks
+    * fought the feature cache for memory. The per-read deserialization
+    * cost at bench scale is noise (measured: sf0.1 totals unchanged).
+    */
+  private def level(df: DataFrame) =
+    org.apache.spark.storage.StorageLevel.fromString(
+      df.sparkSession.conf.get("spark.graft.ckpt.storageLevel", "MEMORY_AND_DISK_SER"))
+
   def local(df: DataFrame): DataFrame = {
     val ck =
-      try df.localCheckpoint()
+      try df.localCheckpoint(eager = true, level(df))
       catch {
         case _: ArithmeticException => return rebuild(df)
       }
@@ -67,6 +80,7 @@ object Ckpt {
     */
   private[graft] def rebuild(df: DataFrame): DataFrame = {
     val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.persist(level(df))
     rdd.localCheckpoint()
     rdd.count()
     org.apache.spark.sql.GraftSqlBridge.internalFrame(

@@ -6,6 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.text.Text
+import graft.Ckpt.CkptOps
 
 /** q133: the LEARNED language identifier — the fasttext-lid-shaped
   * counterpart of the marker-list heuristic (q_lang_id): a
@@ -55,7 +56,7 @@ object LangIdClassifier {
     new HashingTF()
       .setInputCol("toks").setOutputCol("features").setNumFeatures(numFeatures)
       .transform(base)
-      .localCheckpoint()
+      .boundedCheckpoint()
   }
 
   private def scoreFeats(

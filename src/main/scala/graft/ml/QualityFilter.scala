@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Det
 import graft.text.Text
+import graft.Ckpt.CkptOps
 
 /** q114: the LEARNED quality filter — the fasttext-shaped classifier
   * every large-scale pretraining pipeline runs after (or instead of)
@@ -51,7 +52,7 @@ object QualityFilter {
     new HashingTF()
       .setInputCol("toks").setOutputCol("features").setNumFeatures(numFeatures)
       .transform(base)
-      .localCheckpoint()
+      .boundedCheckpoint()
   }
 
   private def scoreFeats(

@@ -2,6 +2,7 @@ package graft.mm
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CkptOps
 
 /** AUDIO perceptual fingerprint + near-dup family — the modality gap
   * the round-11 verdict ranked #2: real WAV decode existed (q143) but
@@ -182,7 +183,7 @@ object AudioFp {
   def fpCached(documents: DataFrame): DataFrame =
     fpMemo.getOrElseUpdate(documents.sparkSession,
       documents.queryExecution.analyzed.canonicalized)(
-      audioFingerprint(documents).localCheckpoint())
+      audioFingerprint(documents).boundedCheckpoint())
 
   /** Bench seam itemization (the MediaCodec.prewarm discipline). */
   def prewarm(documents: DataFrame): Seq[(String, Double)] = {

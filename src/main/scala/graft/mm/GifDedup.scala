@@ -2,6 +2,7 @@ package graft.mm
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CkptOps
 
 /** FRAME-LEVEL animation dedup — the round-11 verdict's #3 gap: the
   * GIF walker enumerated real frames (q144) but nothing hashed them,
@@ -120,7 +121,7 @@ object GifDedup {
   def gifFramesCached(documents: DataFrame): DataFrame =
     gfMemo.getOrElseUpdate(documents.sparkSession,
       documents.queryExecution.analyzed.canonicalized)(
-      gifFrames(documents).localCheckpoint())
+      gifFrames(documents).boundedCheckpoint())
 
   /** Bench seam itemization (the MediaCodec.prewarm discipline). */
   def prewarm(documents: DataFrame): Seq[(String, Double)] = {

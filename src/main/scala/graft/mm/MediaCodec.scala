@@ -3,6 +3,7 @@ package graft.mm
 import java.util.zip.CRC32
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.Ckpt.CkptOps
 
 /** REAL container-header codec for the multimodal seam — the round-11
   * answer to "the decode is a stub": pure-JVM parsers for the three
@@ -1113,7 +1114,7 @@ object MediaCodec {
   def phashCached(documents: DataFrame): DataFrame =
     phashMemo.getOrElseUpdate(documents.sparkSession,
       documents.queryExecution.analyzed.canonicalized)(
-      imagePhash(documents).localCheckpoint())
+      imagePhash(documents).boundedCheckpoint())
 
   /** Bench seam itemization: the shared decode pass and the persisted
     * store index (built over the incremental queries' store split).
@@ -1201,7 +1202,7 @@ object MediaCodec {
   def imageDedup(documents: DataFrame, tau: Int = 2): DataFrame = {
     import org.apache.spark.sql.functions._
     val ph = phashCached(documents)
-    val groups = hashGroups(ph).localCheckpoint()
+    val groups = hashGroups(ph).boundedCheckpoint()
     val memb = hashMembers(ph, groups)
     // image pairs EXPAND from the rep-level graph: identical-hash
     // pairs are Hamming 0 by definition (the within-group self-join
@@ -1381,7 +1382,7 @@ object MediaCodec {
     // of pairs re-scanned per CC round on a corpus that collapses to
     // ~1k distinct hashes.
     val ph = phashCached(documents)
-    val groups = hashGroups(ph).localCheckpoint()
+    val groups = hashGroups(ph).boundedCheckpoint()
     val memb = hashMembers(ph, groups)
     // clustersCached, not clusters(): the memoized labels ARE stable
     // materialized checkpoint blocks (no extra localCheckpoint copy),

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Det
+import graft.Ckpt.CkptOps
 
 /** General relational operator battery: aggregation, dimension joins,
   * top-N-per-group, sessionization, cohort retention. Everything is
@@ -331,7 +332,7 @@ object Relational {
       .groupBy(col("cents"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("bucket", expr(s"cents DIV $bucketCents"))
-      .localCheckpoint()
+      .boundedCheckpoint()
     // ONE window spec (round 16): the total rides the SAME asc sort as
     // the prefix via an unbounded frame — same exact integer sums, one
     // Window node + one Sort in the plan instead of two of each

@@ -82,8 +82,13 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     // spread the corpus scan: a single-file corpus would otherwise run
-    // the whole corpus-x-queries compare on one thread
-    e.repartition(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    // the whole corpus-x-queries compare on one thread. Spread, not a
+    // blanket repartition (round 16): the old
+    // repartition(shuffle.partitions) would FORCE a full corpus
+    // shuffle on a well-split 100 TB scan (shrinking it to the
+    // session's shuffle width); Spread no-ops there and sizes the
+    // bench-scale fan-out from input bytes.
+    graft.Spread(e)
       .join(broadcast(qs), col("vec_id") =!= col("query_id"))
       .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(w))

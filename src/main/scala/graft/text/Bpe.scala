@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.CkptOps
 import graft.Det
 
 /** Trained-merges BPE tokenization — the one operator the corpus
@@ -260,7 +261,7 @@ object Bpe {
       .select(explode(Text.tokens(regexp_replace(col("text"), "\\|", ""))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .select(regexp_replace(col("word"), "([^ ])", "|$1|").as("w"), col("cnt"))
-      .localCheckpoint()
+      .boundedCheckpoint()
 
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     // The merge chain is applied LAZILY: round r's plan carries the
@@ -298,12 +299,20 @@ object Bpe {
         wCol = replace(wCol, lit(s"|$l||$r|"), lit(s"|$l$r|"))
         pending += 1
         if (pending >= checkpointEvery) {
-          cur = cur.select(wCol.as("w"), col("cnt")).localCheckpoint()
+          val next = cur.select(wCol.as("w"), col("cnt")).boundedCheckpoint()
+          // drop the superseded round's blocks — Dataset.unpersist is
+          // a no-op on checkpoints, so before round 16 every 8-merge
+          // round leaked its histogram until session end
+          cur.dropCheckpoint()
+          cur = next
           wCol = col("w")
           pending = 0
         }
       }
     }
+    // the merges live on the driver; the last histogram's blocks are
+    // dead once the loop exits
+    cur.dropCheckpoint()
     learned.toSeq
   }
 

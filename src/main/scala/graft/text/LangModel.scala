@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Det
+import graft.Ckpt.CkptOps
 
 /** Unigram language-model scoring — the perplexity-style quality
   * signal (CCNet/Gopher filter on LM bits-per-token; the unigram form
@@ -42,7 +43,7 @@ object LangModel {
       .select(col("doc_id"), explode(col("toks")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .boundedCheckpoint()
     val vocab = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("n_total"))
     tf.join(Det.attachScalar(vocab, total), Seq("token"))
@@ -68,7 +69,7 @@ object LangModel {
   def surprisalCached(documents: DataFrame): DataFrame =
     surprisalMemo.getOrElseUpdate(documents.sparkSession,
       documents.queryExecution.analyzed.canonicalized)(
-      surprisal(documents).localCheckpoint())
+      surprisal(documents).boundedCheckpoint())
 
   /** Bench prewarm: the surprisal seam, itemized like the dedup/sim
     * builds so q_surprisal and q_ppl_filter time pure query cost.
@@ -133,7 +134,7 @@ object LangModel {
     import org.apache.spark.sql.expressions.Window
     val vals = m.groupBy(col("micro")).agg(count(lit(1)).as("cnt"))
       .withColumn("bucket", expr(s"micro DIV $bucketMicros"))
-      .localCheckpoint()
+      .boundedCheckpoint()
     // ONE window spec (round 16, the priceQuantiles merge): the total
     // rides the SAME asc sort as the prefix via an unbounded frame —
     // same integer sums, one Window node + one Sort instead of two
@@ -310,8 +311,8 @@ object LangModel {
       storeDocs: DataFrame, bucketMicros: Long): (DataFrame, Long, Long, Long) =
     storeLmMemo.getOrElseUpdate(storeDocs.sparkSession,
       (storeDocs.queryExecution.analyzed.canonicalized, bucketMicros)) {
-      val storeTf = lmTf(storeDocs).localCheckpoint()
-      val sv = storeTf.groupBy(col("token")).agg(sum(col("tf")).as("c")).localCheckpoint()
+      val storeTf = lmTf(storeDocs).boundedCheckpoint()
+      val sv = storeTf.groupBy(col("token")).agg(sum(col("tf")).as("c")).boundedCheckpoint()
       val row = sv.agg(sum(col("c")), count(lit(1))).head()
       if (row.isNullAt(0)) (sv, 0L, 0L, 0L)
       else {
@@ -433,7 +434,7 @@ object LangModel {
     val toks = graft.Spread(documents).withColumn("toks", Text.tokens(col("text")))
     val uni = toks.select(explode(col("toks")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .boundedCheckpoint()
     val total = uni.agg(sum(col("cnt")).as("n_total"))
     val bf = toks
       .filter(size(col("toks")) >= 2)
@@ -443,7 +444,7 @@ object LangModel {
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("bf"))
-      .localCheckpoint()
+      .boundedCheckpoint()
     val big = bf.groupBy(col("w1"), col("w2")).agg(sum(col("bf")).as("c12"))
     val u1 = uni.select(col("token").as("w1"), col("cnt").as("c1"))
     val u2 = Det.attachScalar(uni, total)
@@ -499,12 +500,12 @@ object LangModel {
       .select(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"), col("tg.w3").as("w3"))
       .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .boundedCheckpoint()
     val tri = tf3.groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("tf")).as("c123"))
-      .localCheckpoint()
+      .boundedCheckpoint()
     val ctx12 = tri.groupBy(col("w1"), col("w2")).agg(sum(col("c123")).as("c12"))
     val suf23 = tri.groupBy(col("w2"), col("w3")).agg(sum(col("c123")).as("c23"))
-      .localCheckpoint()
+      .boundedCheckpoint()
     val mid2 = suf23.groupBy(col("w2")).agg(sum(col("c23")).as("c2"))
     val u3 = tri.groupBy(col("w3")).agg(sum(col("c123")).as("c3"))
     val total = u3.agg(sum(col("c3")).as("n_total"))

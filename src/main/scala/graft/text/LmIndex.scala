@@ -7,6 +7,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CkptOps
 
 /** Persistence for an ORDER-N n-gram language model — the CCNet
   * production shape the self-estimated surprisal ladder tops out
@@ -62,8 +63,8 @@ object LmIndex {
     require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
     require(l1 > 0 && l2 > 0 && l1 + l2 < 1, "trigram lambdas must be positive, sum below 1")
     val spark = storeDocs.sparkSession
-    val uniTf = LangModel.lmTf(storeDocs).localCheckpoint()
-    val sv = uniTf.groupBy(col("token")).agg(sum(col("tf")).as("c")).localCheckpoint()
+    val uniTf = LangModel.lmTf(storeDocs).boundedCheckpoint()
+    val sv = uniTf.groupBy(col("token")).agg(sum(col("tf")).as("c")).boundedCheckpoint()
     val row = sv.agg(sum(col("c")), count(lit(1))).head()
     val (n, v) = if (row.isNullAt(0)) (0L, 0L) else (row.getLong(0), row.getLong(1))
     Files.createDirectories(Paths.get(dir))
@@ -72,7 +73,7 @@ object LmIndex {
       if (order >= 2) {
         val b = eventTf(storeDocs, 2)
           .groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c12"))
-          .localCheckpoint()
+          .boundedCheckpoint()
         b.write.mode(SaveMode.Overwrite).parquet(s"$dir/bi")
         Some(b)
       } else None
@@ -80,7 +81,7 @@ object LmIndex {
       if (order == 3) {
         val t = eventTf(storeDocs, 3)
           .groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("tf")).as("c123"))
-          .localCheckpoint()
+          .boundedCheckpoint()
         t.write.mode(SaveMode.Overwrite).parquet(s"$dir/tri")
         Some(t)
       } else None

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Det
+import graft.Ckpt.CkptOps
 
 /** Relevance scoring over the corpus: per-document TF-IDF keyterms and
   * BM25 keyword search — the two standard lexical-relevance operators a
@@ -43,7 +44,7 @@ object Search {
       .select(col("doc_id"), explode(col("toks")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .boundedCheckpoint()
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n"))
     val scored = tf
@@ -126,7 +127,7 @@ object Search {
       .filter(col("token").isInCollection(terms))
       .groupBy(col("doc_id"), col("len"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .boundedCheckpoint()
     val idf = Det.attachScalar(
       tf.groupBy(col("token")).agg(count(lit(1)).as("df")), stats)
       .withColumn("idf",

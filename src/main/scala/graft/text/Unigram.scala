@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import graft.Ckpt.CkptOps
 
 /** UNIGRAM-LM tokenizer (Kudo 2018 — the SentencePiece unigram model):
   * the OTHER canonical learned tokenizer next to [[Bpe]]. Where BPE
@@ -177,7 +178,7 @@ object Unigram {
     graft.Spread(documents)
       .select(explode(Text.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .boundedCheckpoint()
 
   /** Train the unigram vocabulary. Returns pieces sorted by
     * (prob DESC, piece ASC) with integer micro-log-probs, plus the

@@ -96,10 +96,10 @@ class PlanHardeningSpec extends SparkSpec {
       "q_ann_ivf_sq8", "q_ann_opq", "q_semdedup",
       "q_unigram_train", "q_unigram_tokenize", "q_unigram_tokenize_disk",
       "q_tokenizer_compare", "q_semdedup_disk", "q_chunk_search_ann",
-      "q_semdedup_chunks", "q_search_mmr",
-      // round 15: the agreement audit serves the LSH pair graph (the
-      // brute composition stays the spec-scale gate)
-      "q_dedup_modality_agreement"))
+      "q_semdedup_chunks", "q_search_mmr"))
+    // round 16: q_dedup_modality_agreement is back in the oracle set —
+    // the twin replays the deterministic LSH blocking exactly
+    assert(SparkEntry.oracleSql.contains("q_dedup_modality_agreement"))
   }
 
   private lazy val emptyDocs = spark.createDataFrame(
